@@ -1,0 +1,114 @@
+"""As-of join — nearest predecessor match on a time axis.
+
+Spark has no native batch AS-OF join (SURVEY.md §2 "Joins"); DuckDB
+does (``ASOF JOIN``), which makes a perfect oracle. The implementation
+here is the union+window rewrite:
+
+    tag right rows side=0, left rows side=1
+    union, sort within each key partition by (ts, side, seq)
+    carry the latest right payload forward with last(ignorenulls)
+    keep only left rows
+
+One shuffle on the join key + one per-partition sort — the same cost
+profile as a sort-merge join, and it streams: no per-key buffering of
+the whole right side. At 100 TB both sides shuffle-partition on the
+key; skewed keys are split by AQE like any sort-based join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_spark.functions.determinism import ts_str
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    right_seq: str,
+) -> DataFrame:
+    """Left as-of join: for each left row, the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (inclusive, matching DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``).
+
+    ``right_seq`` breaks ordering ties among right rows at an
+    identical timestamp (latest wins) so results are deterministic.
+    Matched payload columns come back as ``asof_<col>`` (NULL when no
+    predecessor exists).
+    """
+    l2 = left.withColumn("_side", F.lit(1)).withColumn("_seq", F.lit(None).cast("long")).withColumn(
+        "_payload", F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload) + ">"
+        )
+    )
+    r2 = right.select(
+        F.col(right_ts).alias(left_ts),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.col(right_seq).cast("long").alias("_seq"),
+        F.struct(*right_payload).alias("_payload"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts), F.col("_side"), F.col("_seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_matched", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_seq", "_payload")
+    for c in right_payload:
+        out = out.withColumn(f"asof_{c}", F.col("_matched").getField(c))
+    return out.drop("_matched")
+
+
+@register(
+    "q60_asof_join",
+    oracle="""
+SELECT l.event_id AS purchase_id,
+       l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       l.value AS purchase_value,
+       r.event_id AS asof_event_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    tags=("join", "asof"),
+)
+def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before
+    it (classic attribution as-of join). Oracle: native DuckDB ASOF."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("asof_src_id"), "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["asof_src_id", "ts", "value"],
+        right_seq="asof_src_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("purchase_ts"),
+        "purchase_value",
+        F.col("asof_asof_src_id").alias("asof_event_id"),
+        ts_str(F.col("asof_ts")).alias("asof_ts"),
+        F.col("asof_value"),
+    )

@@ -1,0 +1,297 @@
+"""Deduplication operators over the `documents` table — the
+LLM-training-pipeline surface mandated by BASELINE.json: exact
+(hash-groupBy), n-gram Jaccard near-dup, MinHash-LSH near-dup, and
+SimHash near-dup.
+
+Design for 100 TB:
+* exact dedup is a single hash-shuffle on md5(text) — never on the
+  raw text (keys stay 32 bytes);
+* the Jaccard all-pairs form (q72) is quadratic and exists as the
+  verification oracle shape; the scalable path is q73's MinHash-LSH —
+  candidate generation via band-bucket equi-join (shuffle on short
+  band keys), exact verify only on candidates;
+* all hash functions are md5-based (engine-portable, deterministic) —
+  never engine-native hash() which differs between Spark and DuckDB;
+* SimHash packs shingle sets into a 16-bit fingerprint so the
+  near-dup join becomes an integer hamming-distance filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# ---------------------------------------------------------------- shingles
+
+# Word 3-gram shingle set (distinct). Guard n>=3: Spark sequence(1,0)
+# counts DOWN ([1,0]) while duck generate_series(1,0) is empty.
+_SQL_SHINGLES = """
+SELECT doc_id, lang,
+       CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> list_extract(w,i) || ' ' || list_extract(w,i+1) || ' ' || list_extract(w,i+2)))
+            ELSE []::VARCHAR[] END AS shingles
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, shingles: array<string>) — distinct word 3-grams."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", "lang", sh.alias("shingles"))
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+# ---------------------------------------------------------------- queries
+
+
+@register(
+    "q70_exact_dup_stats",
+    oracle="""
+SELECT COUNT(*) AS total_docs,
+       COUNT(DISTINCT md5(text)) AS distinct_texts,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_count
+FROM documents
+""",
+    tags=("dedup", "exact"),
+)
+def q70_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate census: hash text to md5, count collisions.
+    One aggregation over 32-byte keys regardless of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode("text", "utf-8"))
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(h).alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("dup_count"),
+    )
+
+
+@register(
+    "q71_dedup_keep_first",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup", "exact"),
+)
+def q71_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first exact dedup: per content hash keep the
+    smallest doc_id (dropDuplicates(subset) keeps an *arbitrary* row —
+    never acceptable in a reproducible pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5(F.encode("text", "utf-8")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@register(
+    "q72_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+""",
+    tags=("dedup", "jaccard"),
+)
+def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.5 within a
+    language. All-pairs comparison — correct but quadratic; this is
+    the ground-truth shape that q73's MinHash-LSH approximates at
+    scale (the lang partition bound keeps the local test tractable)."""
+    sh = shingles_df(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = _jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(j >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 6).alias("jaccard"),
+        )
+    )
+
+
+_N_BANDS = 4
+
+
+@register(
+    "q73_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+         min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection — the 100 TB dedup pattern:
+
+    shingle → 4 seeded md5 minhashes → band-bucket equi-join for
+    candidates → exact Jaccard verify only on candidates.
+
+    The candidate join shuffles on (band_id, 32-char key) — linear in
+    corpus size times bucket collision rate, never all-pairs. Hashes
+    are md5(seed || shingle): deterministic and engine-portable."""
+    sh = shingles_df(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("s")), "utf-8"))).alias(f"h{i}")
+        for i in range(_N_BANDS)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= 0.5)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "q74_simhash_hamming",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id, md5(s) AS h FROM ex),
+bitrows AS (
+  SELECT doc_id, b.i AS bit_i,
+         CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + (b.i // 4), 1)) - 1)
+                    >> (b.i % 4)) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) b
+),
+bitsum AS (SELECT doc_id, bit_i, SUM(contrib) AS sc FROM bitrows GROUP BY doc_id, bit_i),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sc >= 0 THEN (1 << bit_i) ELSE 0 END) AS BIGINT) AS fingerprint
+  FROM bitsum GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1
+""",
+    tags=("dedup", "simhash"),
+)
+def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprint from md5 shingle bits
+    (majority vote per bit), pairs at hamming distance <= 1.
+
+    At scale the pair join is banded on fingerprint prefixes instead
+    of all-pairs; fingerprints themselves build in one explode +
+    two aggregations, all JVM-side."""
+    sh = shingles_df(spark, sf_dir)
+    hx = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.md5(F.encode("s", "utf-8")).alias("h"))
+    bitrows = hx.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit_i"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit_i",
+        F.expr(
+            "CASE WHEN ((instr('0123456789abcdef', substr(h, 1 + (bit_i div 4), 1)) - 1)"
+            " >> (bit_i % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+        ).alias("contrib"),
+    )
+    bitsum = bitrows.groupBy("doc_id", "bit_i").agg(F.sum("contrib").alias("sc"))
+    fp = bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN sc >= 0 THEN shiftleft(1, bit_i) ELSE 0 END")
+        ).cast("long").alias("fingerprint")
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )

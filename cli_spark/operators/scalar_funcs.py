@@ -1,0 +1,260 @@
+"""Scalar function packs: string, date/time, math, array (incl.
+higher-order), JSON, struct/map — SURVEY.md §2 "Scalar function packs".
+
+All built-in `pyspark.sql.functions` (JVM-side, whole-stage-codegen) —
+no Python UDFs. Oracle gotchas handled per SURVEY §2 / §5.2:
+* Spark `dayofweek` is Sunday=1, DuckDB's is Sunday=0 → oracle adds 1;
+* `unix_micros` ↔ `epoch_us` (duck's `epoch` returns double);
+* transcendental fns (exp/ln/sin/…) differ by ulps across libms →
+  rounded to 6 decimals on both sides;
+* Spark `sequence(1, 0)` counts DOWN ([1,0]) while duck
+  `generate_series(1,0)` is empty → shingle builders guard n>=3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+@register(
+    "q50_string_pack",
+    oracle="""
+SELECT p_partkey,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substring(p_name, 1, 5) AS name_head,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(p_type, 10, '.') AS type_padded,
+       split_part(p_name, ' ', 1) AS first_word,
+       regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+       translate(p_type, 'AEO', 'aeo') AS type_translated,
+       levenshtein(p_name, 'small widget') AS lev_dist,
+       length(p_name) AS name_len,
+       strpos(p_name, 'widget') AS widget_pos,
+       printf('%s/%03d', p_brand, p_size) AS brand_size,
+       md5(p_name) AS name_md5,
+       trim('  ' || p_type || ' ') AS type_trimmed
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def q50_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function pack over `part` (concat/case/pad/split/regex/
+    translate/levenshtein/printf/md5/trim)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("p_type", 10, ".").alias("type_padded"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
+        F.translate("p_type", "AEO", "aeo").alias("type_translated"),
+        F.levenshtein("p_name", F.lit("small widget")).alias("lev_dist"),
+        F.length("p_name").alias("name_len"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.format_string("%s/%03d", "p_brand", "p_size").alias("brand_size"),
+        F.md5(F.encode("p_name", "utf-8")).alias("name_md5"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trimmed"),
+    )
+
+
+@register(
+    "q51_date_pack",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       day(o_orderdate) AS o_day,
+       quarter(o_orderdate) AS o_quarter,
+       dayofweek(o_orderdate) + 1 AS o_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+       strftime(CAST(o_orderdate AS DATE) - 7, '%Y-%m-%d') AS minus_7d,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS plus_2mo,
+       epoch_us(o_orderdate) AS o_micros,
+       strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_1h
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+    tags=("scalar", "datetime"),
+)
+def q51_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time pack over `orders` (extract/trunc/add/diff/last_day/
+    add_months/epoch micros/interval arithmetic)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.quarter(d).alias("o_quarter"),
+        F.dayofweek(d).alias("o_dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.date_sub(d, 7), "yyyy-MM-dd").alias("minus_7d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        # parquet ms-timestamps load as TIMESTAMP_NTZ in Spark 4;
+        # unix_micros needs TIMESTAMP — identical under the UTC session tz
+        F.unix_micros(d.cast("timestamp")).alias("o_micros"),
+        F.date_format(d + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss").alias("plus_1h"),
+    )
+
+
+@register(
+    "q52_math_pack",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(-l_discount) AS abs_disc,
+       ceil(l_extendedprice) AS price_ceil,
+       floor(l_extendedprice) AS price_floor,
+       round(l_extendedprice, 1) AS price_round1,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(pow(l_quantity, 1.5), 6) AS qty_pow,
+       round(exp(l_discount), 6) AS disc_exp,
+       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       round(log10(l_extendedprice + 1), 6) AS price_log10,
+       round(sin(l_quantity), 6) AS qty_sin,
+       round(atan2(l_quantity, l_extendedprice), 6) AS qty_atan2,
+       ((-l_orderkey % 7) + 7) % 7 AS key_pmod,
+       greatest(l_quantity, l_discount * 100) AS big,
+       least(l_quantity, l_discount * 100) AS small
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey % 5 = 0
+""",
+    tags=("scalar", "math"),
+)
+def q52_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack (abs/ceil/floor/round/sqrt/pow/exp/ln/log10/trig/
+    pmod/greatest/least). Transcendentals rounded to 6dp — JVM
+    StrictMath vs C libm differ in final ulps."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 5 == 0)
+    )
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(-F.col("l_discount")).alias("abs_disc"),
+        F.ceil(p).alias("price_ceil"),
+        F.floor(p).alias("price_floor"),
+        F.round(p, 1).alias("price_round1"),
+        F.sqrt(p).alias("price_sqrt"),
+        F.round(F.pow(q, 1.5), 6).alias("qty_pow"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log(p + 1), 6).alias("price_ln"),
+        F.round(F.log10(p + 1), 6).alias("price_log10"),
+        F.round(F.sin(q), 6).alias("qty_sin"),
+        F.round(F.atan2(q, p), 6).alias("qty_atan2"),
+        F.pmod(-F.col("l_orderkey"), F.lit(7)).alias("key_pmod"),
+        F.greatest(q, F.col("l_discount") * 100).alias("big"),
+        F.least(q, F.col("l_discount") * 100).alias("small"),
+    )
+
+
+@register(
+    "q53_array_pack",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_words,
+       w[1] AS first_word,
+       list_contains(w, 'spark') AS has_spark,
+       len(list_distinct(w)) AS n_distinct,
+       array_to_string(list_sort(w)[1:3], '+') AS first3_sorted,
+       array_to_string(list_transform(w[1:4], x -> upper(x)), ',') AS head_upper,
+       len(list_filter(w, x -> length(x) > 4)) AS n_long_words,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_chars,
+       (len(list_filter(w, x -> x = 'join')) > 0) AS any_join,
+       (len(list_filter(w, x -> length(x) >= 2)) = len(w)) AS all_ge2
+FROM t
+""",
+    tags=("scalar", "array", "higher_order"),
+)
+def q53_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function pack over tokenized documents:
+    size/element_at/contains/distinct/sort/slice/transform/filter/
+    aggregate/exists/forall. Arrays cross the hash boundary as joined
+    strings (engines serialize lists differently)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.element_at("w", 1).alias("first_word"),
+        F.array_contains("w", "spark").alias("has_spark"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort("w"), 1, 3), "+").alias("first3_sorted"),
+        F.array_join(F.transform(F.slice("w", 1, 4), lambda x: F.upper(x)), ",").alias(
+            "head_upper"
+        ),
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long_words"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_chars"),
+        F.exists("w", lambda x: x == F.lit("join")).alias("any_join"),
+        F.forall("w", lambda x: F.length(x) >= 2).alias("all_ge2"),
+    )
+
+
+@register(
+    "q54_json_pack",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
+FROM events
+WHERE event_id % 7 = 0
+""",
+    tags=("scalar", "json"),
+)
+def q54_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON pack over `events.props`: get_json_object / from_json
+    (schema'd parse) / to_json round-trip / missing-path NULL."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+        F.to_json(F.struct("user_id", "event_type")).alias("packed"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "q55_struct_map_pack",
+    oracle="""
+SELECT user_id, event_type AS k, COUNT(*) AS v
+FROM events
+GROUP BY user_id, event_type
+""",
+    tags=("scalar", "struct", "map"),
+)
+def q55_struct_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct plumbing: per-user event-type counts built into a
+    map (map_from_entries ∘ collect_list ∘ struct), then exploded back
+    to flat rows (engines can't hash-compare raw maps — and the round
+    trip exercises create/entries/explode)."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("type_counts")
+    )
+    return as_map.select("user_id", F.explode("type_counts").alias("k", "v"))

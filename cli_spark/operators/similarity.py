@@ -1,0 +1,224 @@
+"""Vector similarity search over the `embeddings` table
+(64-dim float vectors): brute-force cosine top-K, per-group top-K,
+threshold similarity join, and LSH-bucketed ANN.
+
+Numeric determinism: cosine terms are computed in double
+(float→double cast is exact), each product is quantized to an integer
+at scale 1e12 via pure IEEE ops (floor(x*y*1e12 + 0.5) — identical in
+both engines), summed exactly as int64, and divided back — so dot
+products and norms are bit-identical across engines and partitionings
+(DuckDB's list_cosine_similarity runs in float32 — verified — so
+oracles use the same explicit quantized form instead).
+
+Scale: brute-force top-K against one query vector is a broadcast of
+the query + a single TakeOrderedAndProject — linear scan, no shuffle.
+The threshold self-join is quadratic and is the verify step; the
+LSH-bucketed variant (q82) is the scale path: bucket on sign-bit
+signatures, compare only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# Exact dot product: double products quantized to int64 at scale 1e12
+# (pure IEEE ops — see functions/determinism.py for why this beats a
+# decimal cast), exact integer sum, back to double. `a` and `b` are
+# array<float> columns. Per-term bound: |x·y|·1e12 < 2^53 ⇔ |x·y| < 9e3;
+# 64-term sum < 2^63 — ample for unit-ish embeddings.
+_DOT = (
+    "(CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+    "floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000000.0 + 0.5)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1000000000000.0)"
+)
+
+_SQL_DOT = (
+    "(CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST(list_extract({a}, i) AS DOUBLE) * CAST(list_extract({b}, i) AS DOUBLE)"
+    " * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000.0)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+@register(
+    "q80_knn_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {sql_dot('e.embedding', 'q.qe')}
+           / (sqrt({sql_dot('e.embedding', 'e.embedding')}) * sqrt({sql_dot('q.qe', 'q.qe')})) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "knn", "headline"),
+)
+def q80_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the canonical query vector
+    (vec_id=0). Cross-join form — Spark rejects scalar subqueries
+    inside higher-order functions (SURVEY.md §2 gotcha) — with the
+    1-row query side broadcast; top-K is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot("embedding", "qe")
+                / (F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qe", "qe")))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
+
+
+@register(
+    "q81_knn_per_label",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {sql_dot('e.embedding', 'q.qe')}
+           / (sqrt({sql_dot('e.embedding', 'e.embedding')}) * sqrt({sql_dot('q.qe', 'q.qe')})) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0
+),
+ranked AS (
+  SELECT vec_id, label, cosine,
+         row_number() OVER (PARTITION BY label ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT label, vec_id, cosine, rnk FROM ranked WHERE rnk <= 3
+""",
+    tags=("similarity", "knn", "window"),
+)
+def q81_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbours of the query vector *per label*
+    (grouped kNN = window rank over similarity)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot("embedding", "qe")
+                / (F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qe", "qe")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "vec_id", "cosine", "rnk")
+    )
+
+
+@register(
+    "q82_cosine_threshold_join",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.5
+""",
+    tags=("similarity", "join"),
+)
+def q82_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine > 0.5 over all pairs.
+    Norms are precomputed once per vector (n+n² work, not 3n²).
+    Quadratic verify shape — q83 is the bucketed scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("nrm")
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos > 0.5)
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
+
+
+@register(
+    "q83_lsh_ann_buckets",
+    oracle=None,  # approximate op (engine-side LSH planes) — rows-only check
+    tags=("similarity", "lsh", "approx"),
+)
+def q83_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest-neighbour: 8 deterministic
+    pseudo-random hyperplanes (seeded from md5 of (plane, dim) — no
+    RNG, so results are reproducible run to run), sign-bit signature
+    → bucket, then exact cosine only within buckets.
+
+    This is the 100 TB ANN pattern: the all-pairs comparison collapses
+    to a per-bucket join after one cheap signature pass. Repartitioning
+    by bucket IS the optimization. Rows-only check: LSH recall is
+    approximate by construction.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # plane j, dim i weight in [-0.5, 0.5): md5-derived, engine-agnostic
+    planes = [
+        "CAST(aggregate(zip_with(embedding, transform(sequence(0, 63), i -> "
+        f"(CAST(conv(substr(md5(concat('{j}_', CAST(i AS STRING))), 1, 4), 16, 10) AS DOUBLE)"
+        " / 65535.0) - 0.5), (x, w) -> floor(CAST(x AS DOUBLE) * w * 1000000000000.0 + 0.5)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+        for j in range(8)
+    ]
+    sig = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.concat(
+            *[F.when(F.expr(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes]
+        ).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("bucket")
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("bucket")
+    )
+    cos = dot("ea", "eb") / (
+        F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb"))
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("bucket", "vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("bucket", "vec_a", "vec_b")
+    )

@@ -1,0 +1,275 @@
+"""Text-analysis operators over `documents` — the LLM-pipeline text
+surface: tokenization + term counts, TF-IDF, quality scoring, token
+counting (whitespace + regex), document fingerprinting, and a
+heuristic language-ID operator.
+
+Everything is built-in expression work (split/explode/regexp/agg) —
+tokenization of 100 TB of text stays inside whole-stage codegen; no
+Python crosses the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_spark.functions.determinism import sql_davg
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_SQL_STOPWORDS = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@register(
+    "q90_term_counts",
+    oracle="""
+SELECT term, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+WHERE term != ''
+GROUP BY term
+ORDER BY occurrences DESC, term
+LIMIT 20
+""",
+    tags=("text", "tokenize"),
+)
+def q90_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 terms: tokenize → explode → count. The
+    shuffle key is the term (map-side partial counts first), so the
+    wide explode never leaves the mapper un-aggregated."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "q91_tfidf_top_terms",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens WHERE term != '' GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens WHERE term != '' GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3 AND doc_id < 50
+""",
+    tags=("text", "tfidf"),
+)
+def q91_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed idf). The doc-freq
+    side is tiny after aggregation → broadcast back onto the term
+    stream; ln() rounded to 6dp for cross-libm stability."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size as a 1-row broadcast relation — no driver-side action
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "q92_lang_quality_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '), x -> list_contains({_SQL_STOPWORDS}, x))) AS n_stop
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+FROM tok
+GROUP BY lang
+""",
+    tags=("text", "quality"),
+)
+def q92_lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality profile: doc/source counts, char & token
+    totals, stopword ratio, chars-per-token (integer sums → exact
+    double ratios)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    low_words = F.split(F.lower("text"), " ")
+    tok = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(low_words, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tokens")).alias("stopword_ratio"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q93_token_count_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(list_filter(string_split(text, ' '), x -> x != '')) AS avg_token_len
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+    tags=("text", "tokens"),
+)
+def q93_token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, alpha-run regex,
+    and a BPE-ish regex (alnum runs + single non-alnum marks) — the
+    cheap pre-tokenizer census used to size LLM training corpora."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    ws_tokens = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        ws_tokens.alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / ws_tokens).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "q94_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))), 1, 8) AS short_fp
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def q94_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing document fingerprint: lowercase → collapse
+    whitespace → trim → md5 (the exact-dedup key robust to spacing
+    differences)."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    fp = F.md5(F.encode(canon, "utf-8"))
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("short_fp"))
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "y"],
+    "de": ["der", "und", "das"],
+    "zh": ["zh1", "zh2", "zh3"],
+}
+
+
+@register(
+    "q95_lang_id_heuristic",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(string_split(lower(text), ' '), ['the','and','of'])) AS s_en,
+         len(list_intersect(string_split(lower(text), ' '), ['le','la','et'])) AS s_fr,
+         len(list_intersect(string_split(lower(text), ' '), ['el','los','y'])) AS s_es,
+         len(list_intersect(string_split(lower(text), ' '), ['der','und','das'])) AS s_de
+  FROM documents
+)
+SELECT doc_id, lang AS actual_lang,
+       CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+            WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+            WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS predicted_lang,
+       s_en, s_fr, s_es, s_de
+FROM scored
+""",
+    tags=("text", "langid"),
+)
+def q95_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score each language's
+    marker set against the token set, argmax with fixed precedence
+    (en > fr > es > de) so ties are deterministic. On this synthetic
+    corpus most docs score 'unknown' — the operator shape (n
+    marker-set intersections + argmax) is what's exercised."""
+    d = load_table(spark, sf_dir, "documents")
+    low_words = F.array_distinct(F.split(F.lower("text"), " "))
+    scores = {
+        k: F.size(F.array_intersect(low_words, F.array(*[F.lit(m) for m in ms])))
+        for k, ms in _LANG_MARKERS.items()
+        if k != "zh"
+    }
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        scores["en"].alias("s_en"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        F.when(F.greatest("s_en", "s_fr", "s_es", "s_de") == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_fr", "s_es", "s_de"), "en")
+        .when(F.col("s_fr") >= F.greatest("s_es", "s_de"), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+        "s_en",
+        "s_fr",
+        "s_es",
+        "s_de",
+    )

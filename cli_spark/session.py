@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+Centralizes every config the engine depends on so that tests, the
+driver entry point, and bench.py all run identical sessions.
+
+Scale notes (the design target is a 1000-executor cluster over ~100 TB,
+even though tests run on local[N]):
+
+* ``spark.sql.adaptive.enabled`` — AQE re-plans at shuffle boundaries
+  (skew-join splitting, partition coalescing, runtime broadcast demotion).
+* ``spark.sql.shuffle.partitions`` — sized for the local test harness;
+  on a real cluster this is overridden (or left to AQE's coalescing
+  with a high initial value).
+* ``spark.sql.legacy.parquet.nanosAsLong`` — the driver's ``events``
+  table stores TIMESTAMP(NANOS) which Spark 4 rejects by default
+  (PARQUET_TYPE_ILLEGAL, reproduced in SURVEY.md §1.3); with this flag
+  the column arrives as int64 nanos and tables.py rebuilds it.
+* ``spark.sql.session.timeZone=UTC`` — the DuckDB correctness oracle
+  runs in UTC; timestamp semantics must match exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32) -> SparkSession.Builder:
+    """Apply the engine's required configs to any builder.
+
+    Used both by :func:`get_spark` and by the driver, which constructs
+    its own session: ``__spark_entry__.entry`` re-applies the runtime
+    (non-static) configs defensively.
+    """
+    return (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.ui.explainMode", "formatted")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def get_spark(app_name: str = "cli_spark", master: str | None = None,
+              shuffle_partitions: int = 32) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same code
+    path serves pytest (small N) and bench (32 vCPUs). On a cluster the
+    master comes from spark-submit and this argument is ignored.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{DEFAULT_CPUS}]"
+    builder = builder.master(master)
+    builder = configure(builder, shuffle_partitions=shuffle_partitions)
+    return builder.getOrCreate()
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Re-apply runtime-settable confs on an externally built session.
+
+    The driver owns its SparkSession; static confs (memory, master)
+    cannot change post-start, but the semantics-critical ones below are
+    runtime-settable and MUST hold for correctness:
+    timezone (oracle parity) and nanos handling (events table reads).
+    """
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        # the driver's own session defaults to 200 shuffle partitions —
+        # far too many for sf0.01 work (observed: 200-task stages)
+        ("spark.sql.shuffle.partitions", "32"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — session factory already set it
+    return spark

@@ -1,0 +1,98 @@
+"""Multimodal binary columns (SURVEY.md §2 Tier B "multimodal") —
+image/audio/video as opaque `binary` columns with typed metadata.
+
+The container has no image/audio codecs (BASELINE.json environment),
+so the decode step is a clearly-marked deterministic STUB; everything
+Spark-side — schema, Arrow batch shape, mapInPandas plumbing,
+partitioning — is real and tested. Swapping `_fake_decode` for a PIL/
+torchaudio call is the only change needed on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+@register(
+    "q120_binary_metadata",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       substr(md5(text), 1, 4) AS shard_key
+FROM documents
+""",
+    tags=("multimodal", "binary"),
+)
+def q120_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: encode payloads to bytes, compute
+    size / digest / a shard key — the JVM-side half of a multimodal
+    pipeline (routing, dedup, partitioning by content hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    content = F.encode("text", "utf-8")
+    digest = F.md5(content)
+    return d.select(
+        "doc_id",
+        F.length(content).alias("n_bytes"),
+        digest.alias("digest"),
+        F.substring(digest, 1, 4).alias("shard_key"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB for the real media decode (no codecs in this container —
+    replace with PIL.Image.open / soundfile.read in production).
+    Deterministic: features derive from the payload's sha256, standing
+    in for decoded width/height/duration/embedding."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_channels": 1 + h[2] % 3,
+        "feat": [round(b / 255.0, 6) for b in h[3:7]],
+    }
+
+
+@register(
+    "q121_media_featurize_stub",
+    oracle=None,  # decode is stubbed (no codecs in container) — rows-only
+    tags=("multimodal", "stub", "pandas_udf"),
+)
+def q121_media_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media featurization over binary columns via mapInPandas:
+    documents' bytes stand in for image blobs; the decode is the
+    documented STUB. Arrow-batched — the batch loop is per-partition,
+    vectorizable, and never collects to the driver. Output schema is
+    the real one a vision featurizer would produce."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    schema = (
+        "doc_id long, n_bytes int, width int, height int, n_channels int, "
+        "feat array<double>"
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "feat": [f["feat"] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(_featurize, schema).orderBy("doc_id")

@@ -1,0 +1,85 @@
+"""Driver-mimicking correctness gate: every registered query with an
+oracle is executed on Spark AND DuckDB and compared exactly —
+row count, column names, and order-insensitive cell values (the same
+comparison class the driver's CORRECTNESS_r{N}.json uses, but strict:
+float cells must match bit-for-bit, which the engine's determinism
+strategy guarantees by construction).
+
+Queries without an oracle (rows-only in the driver) are executed and
+smoke-checked here; their semantic goldens live in dedicated test
+files (test_hgt.py, test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from cli_spark.plans.registry import registry
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all values — order-insensitive
+    exact comparison frame."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a total order across NaN/None/mixed types
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems
+    if problems:
+        return problems
+    s, o = _canon(sdf), _canon(odf)
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if a is None and b is None:
+                continue
+            a_nan = isinstance(a, float) and math.isnan(a)
+            b_nan = isinstance(b, float) and math.isnan(b)
+            if (a is None and b_nan) or (a_nan and b is None) or (a_nan and b_nan):
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b:
+                    problems.append(
+                        f"col {col} row {i}: spark={a!r} oracle={b!r} (diff={a-b:.3e})"
+                    )
+                    break
+            elif a != b:
+                problems.append(f"col {col} row {i}: spark={a!r} oracle={b!r}")
+                break
+    return problems
+
+
+_SPECS = registry()
+_WITH_ORACLE = sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+_ROWS_ONLY = sorted(n for n, s in _SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    spec = _SPECS[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    odf = duck.execute(spec.oracle).df()
+    problems = _compare(sdf, odf, name)
+    assert not problems, f"{name}: " + "; ".join(problems[:5])
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    spec = _SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
