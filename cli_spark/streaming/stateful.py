@@ -1,0 +1,48 @@
+"""Custom stateful streaming operators.
+
+`running_totals_stream` keeps per-user running aggregates across
+micro-batches with explicit keyed state — the Structured Streaming
+pattern for operators that windowed aggregation can't express
+(SURVEY.md §2 "stateful per-key"). Uses applyInPandasWithState
+(GroupState over Arrow batches); state is one row per user — at
+100 TB keys shard across executors via the groupBy hash partitioning
+and live in the state store (RocksDB in production).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n long, total double"
+OUTPUT_SCHEMA = "user_id long, n_events long, value_total double"
+
+
+def _update(key, batches: Iterator[pd.DataFrame], state: GroupState):
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_total": [round(total, 4)]}
+    )
+
+
+def running_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-user running (event count, value total), updated each
+    micro-batch. Output mode: update."""
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,172 @@
+"""Golden tests for the HGT (SRTM) Tier-A surface — decode results are
+checked against independent numpy ground truth computed directly from
+the fixture grids (never through the engine under test).
+
+Covers the reference-semantics traps from SURVEY.md §2: north-edge row
+order, S/W sign handling, fencepost corners, void sentinel, big-endian
+decode — plus the acquire pipeline (catalog → fetch → unzip → decode).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark.sources import hgt
+
+N = 101  # small perfect-square grid — same inference path as 1201/3601
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hgt"))
+    for cell, phase in hgt.FIXTURE_CELLS:
+        hgt.write_fixture(d, cell, N, phase)
+    return d
+
+
+def grid_of(cell: str) -> np.ndarray:
+    phase = dict(hgt.FIXTURE_CELLS)[cell]
+    return hgt.synth_grid(N, phase).astype(np.int32)
+
+
+def test_parse_cell_name_signs():
+    assert hgt.parse_cell_name("N46E007") == (46, 7)
+    assert hgt.parse_cell_name("S01W072") == (-1, -72)
+    assert hgt.parse_cell_name("N00E000") == (0, 0)
+    with pytest.raises(ValueError):
+        hgt.parse_cell_name("X99Y999")
+
+
+def test_shape_inference_and_metadata(spark, fixture_dir):
+    raw = hgt.read_hgt(spark, fixture_dir).orderBy("cell")
+    rows = {r["cell"]: r for r in raw.collect()}
+    assert set(rows) == {"N46E007", "S01W072", "N00E000"}
+    for cell, r in rows.items():
+        assert r["grid_n"] == N
+        lat, lng = hgt.parse_cell_name(cell)
+        assert (r["corner_lat"], r["corner_lng"]) == (lat, lng)
+
+
+def test_decode_points_golden(spark, fixture_dir):
+    pts = hgt.decode_points(hgt.read_hgt(spark, fixture_dir))
+    stats = {
+        r["cell"]: r
+        for r in pts.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("alt").alias("n_valid"),
+            F.sum("alt").alias("s"),
+            F.min("alt").alias("lo"),
+            F.max("alt").alias("hi"),
+        )
+        .collect()
+    }
+    for cell, _phase in hgt.FIXTURE_CELLS:
+        g = grid_of(cell)
+        valid = g[g != hgt.VOID]
+        r = stats[cell]
+        assert r["n"] == N * N
+        assert r["n_valid"] == valid.size
+        assert r["s"] == int(valid.sum())
+        assert r["lo"] == int(valid.min()) and r["hi"] == int(valid.max())
+
+
+def test_decode_north_edge_first_and_signs(spark, fixture_dir):
+    """Row 0 is the NORTHERN edge; S/W corners go negative."""
+    pts = hgt.decode_points(hgt.read_hgt(spark, fixture_dir))
+    s = pts.filter(F.col("cell") == "S01W072")
+    agg = s.agg(
+        F.min("lat").alias("lat_lo"), F.max("lat").alias("lat_hi"),
+        F.min("lng").alias("lng_lo"), F.max("lng").alias("lng_hi"),
+    ).collect()[0]
+    assert (agg["lat_lo"], agg["lat_hi"]) == (-1.0, 0.0)  # fencepost: inclusive corners
+    assert (agg["lng_lo"], agg["lng_hi"]) == (-72.0, -71.0)
+    # the sample at max lat must be grid row 0 (northern edge)
+    g = grid_of("S01W072")
+    north_west = s.filter((F.col("lat") == 0.0) & (F.col("lng") == -72.0)).collect()[0]
+    expected = int(g[0, 0])
+    assert (north_west["alt"] is None) == (expected == hgt.VOID)
+    if expected != hgt.VOID:
+        assert north_west["alt"] == expected
+
+
+def test_point_lookup_matches_decode(spark, fixture_dir):
+    """O(1) byte-slice lookup [A7] == full-decode value, incl. a void."""
+    raw = hgt.read_hgt(spark, fixture_dir).filter(F.col("cell") == "N46E007")
+    g = grid_of("N46E007")
+    step = 1.0 / (N - 1)
+    probes = [(0, 0), (N // 2, N // 3), (N - 1, N - 1)]
+    void_flat = 0  # synth_grid sets every 97th flat index void; 0 is void
+    probes.append((void_flat // N, void_flat % N))
+    for row, col in probes:
+        lat, lng = 46 + 1 - row * step, 7 + col * step
+        got = raw.select(hgt.point_lookup_col(lat, lng).alias("alt")).collect()[0]["alt"]
+        expected = int(g[row, col])
+        if expected == hgt.VOID:
+            assert got is None
+        else:
+            assert got == expected, f"({row},{col})"
+
+
+def test_tiles_partition_grid_exactly(spark, fixture_dir):
+    tiles = hgt.decode_tiles(hgt.read_hgt(spark, fixture_dir), width=25, height=25)
+    per_cell = (
+        tiles.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.size("values")).alias("total_values"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+        )
+        .collect()
+    )
+    expect_tiles = math.ceil(N / 25) ** 2  # 5² = 25
+    for r in per_cell:
+        assert r["n_tiles"] == expect_tiles
+        assert r["total_values"] == N * N  # conservation — no loss, no overlap
+        assert r["max_w"] == 25 and r["min_w"] == N - (N // 25) * 25  # edge tile
+
+    # golden: one specific tile's values equal the numpy block
+    g = grid_of("N46E007")
+    t = (
+        tiles.filter(
+            (F.col("cell") == "N46E007") & (F.col("tile_row") == 1) & (F.col("tile_col") == 2)
+        )
+        .collect()[0]
+    )
+    assert t["values"] == g[25:50, 50:75].ravel().tolist()
+    assert t["origin_lat"] == 46 + 1 - 25 * (1.0 / (N - 1))
+
+
+def test_acquire_pipeline_catalog_fetch_unzip(spark, fixture_dir, tmp_path):
+    """A1→A2→A3→A6 end to end: catalog JSON → distributed fetch
+    (file:// in this offline env) → zip extract → decode."""
+    src = str(tmp_path / "remote")
+    dest = str(tmp_path / "landing")
+    os.makedirs(src, exist_ok=True)
+    catalog = {}
+    for cell, phase in hgt.FIXTURE_CELLS[:2]:
+        zpath = hgt.write_fixture(src, cell, N, phase, zipped=True)
+        catalog[cell] = {"url": f"file://{zpath}", "zip": os.path.basename(zpath)}
+    cat_path = str(tmp_path / "catalog.json")
+    with open(cat_path, "w") as fh:
+        json.dump(catalog, fh)
+
+    cat = hgt.load_catalog(spark, cat_path)
+    assert {r["cell"] for r in cat.collect()} == set(catalog)
+
+    fetched = hgt.fetch_catalog(cat, dest).collect()
+    assert all(r["status"] == "fetched" for r in fetched)
+    refetched = hgt.fetch_catalog(cat, dest).collect()
+    assert all(r["status"] == "skipped" for r in refetched)  # skip-if-exists [A2]
+
+    raw = hgt.read_hgt_zips(spark, dest)
+    pts = hgt.decode_points(raw)
+    counts = {r["cell"]: r["n"] for r in pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {cell: N * N for cell, _ in hgt.FIXTURE_CELLS[:2]}

@@ -1,0 +1,50 @@
+"""Source/sink round-trips: partitioned parquet (layout + pruning),
+CSV, JSON-lines, text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cli_spark.sources import sinks
+from cli_spark.tables import load_table
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    sinks.write_partitioned_parquet(o, out, ["o_orderstatus", "o_year"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+
+    # partition pruning: a filter on the partition col must reach the scan
+    pruned = back.filter((F.col("o_orderstatus") == "O") & (F.col("o_year") == 1997))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    expected = o.filter((F.col("o_orderstatus") == "O") & (F.col("o_year") == 1997)).count()
+    assert pruned.count() == expected
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.option("header", "true").mode("overwrite").csv(out)
+    back = sinks.read_csv(
+        spark, out, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert sorted(back.collect()) == sorted(n.collect())
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "region_json")
+    r = load_table(spark, sf_dir, "region")
+    r.write.mode("overwrite").json(out)
+    back = sinks.read_json(spark, out, "r_regionkey int, r_name string")
+    assert sorted(back.select("r_regionkey", "r_name").collect()) == sorted(r.collect())
+
+
+def test_text_scan(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = sinks.read_text(spark, str(p))
+    assert [r["value"] for r in df.orderBy("value").collect()] == ["alpha", "beta", "gamma"]

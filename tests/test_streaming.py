@@ -1,0 +1,222 @@
+"""True Structured Streaming semantics — the behaviours the batch-form
+oracle queries can't check: watermark late-data drops, streaming
+dedup within watermark, stream-static joins, foreachBatch sinks, and
+custom keyed state across micro-batches.
+
+Technique: a file-source stream over a temp directory; writing one
+parquet file per micro-batch (maxFilesPerTrigger=1) gives
+deterministic batch boundaries, so watermark advancement is
+controlled exactly.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_batch(spark, d, rows, name):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "value"]
+    ).astype({"ts": "datetime64[us]"})
+    spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(
+        f"{d}/{name}"
+    )
+
+
+def _ts(s):
+    return pd.Timestamp(f"2024-01-01 {s}")
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "stream")
+
+
+def test_watermark_drops_late_rows(spark, stream_dir):
+    """15-min tumbling windows, 5-min watermark, append mode: a row
+    arriving after its window is finalized must be dropped."""
+    name = f"wm_{uuid.uuid4().hex[:6]}"
+    _write_batch(
+        spark,
+        stream_dir,
+        [
+            (1, _ts("10:00:00"), 1, 1.0),
+            (2, _ts("10:05:00"), 1, 1.0),
+            (3, _ts("10:14:00"), 2, 1.0),
+            (4, _ts("10:20:00"), 2, 1.0),  # advances watermark to 10:15
+        ],
+        "batch0",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row for the already-finalized 10:00 window + a fresh row
+        _write_batch(
+            spark,
+            stream_dir,
+            [
+                (5, _ts("10:01:00"), 3, 1.0),  # LATE: watermark is 10:15
+                (6, _ts("10:40:00"), 3, 1.0),  # advances watermark to 10:35
+            ],
+            "batch1",
+        )
+        q.processAllAvailable()
+        out = {r["w"]: r["n"] for r in spark.table(name).collect()}
+        # 10:00 window finalized with exactly 3 rows — late row 5 dropped
+        assert out["10:00"] == 3
+        # 10:15 window finalized once watermark passed 10:30
+        assert out["10:15"] == 1
+    finally:
+        q.stop()
+
+
+def test_drop_duplicates_within_watermark(spark, stream_dir):
+    """Streaming dedup: the same event_id re-arriving within the
+    watermark horizon (even in a later micro-batch) is suppressed."""
+    name = f"dd_{uuid.uuid4().hex[:6]}"
+    _write_batch(
+        spark,
+        stream_dir,
+        [(1, _ts("10:00:00"), 1, 1.0), (1, _ts("10:00:00"), 1, 1.0), (2, _ts("10:01:00"), 1, 1.0)],
+        "batch0",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir + "/*")
+    )
+    dedup = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dedup.writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            spark,
+            stream_dir,
+            [(2, _ts("10:02:00"), 1, 9.0), (3, _ts("10:03:00"), 1, 1.0)],  # 2 is a dup
+            "batch1",
+        )
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.table(name).collect())
+        assert ids == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_stream_static_join(spark, stream_dir):
+    """Streaming fact ⋈ static dimension — the dim is a plain batch
+    DataFrame joined into every micro-batch (broadcast at scale)."""
+    name = f"ss_{uuid.uuid4().hex[:6]}"
+    _write_batch(
+        spark,
+        stream_dir,
+        [(1, _ts("10:00:00"), 10, 5.0), (2, _ts("10:01:00"), 20, 7.0), (3, _ts("10:02:00"), 99, 1.0)],
+        "batch0",
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir + "/*")
+    joined = stream.join(F.broadcast(dim), "user_id")  # inner: unknown users drop
+    q = (
+        joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["tier"]) for r in spark.table(name).collect()}
+        assert rows == {(10, "gold"), (20, "silver")}
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink(spark, stream_dir, tmp_path):
+    """foreachBatch: arbitrary batch-sink logic per micro-batch (here:
+    partitioned parquet append — the standard custom-sink escape)."""
+    out_dir = str(tmp_path / "sink")
+    _write_batch(
+        spark,
+        stream_dir,
+        [(1, _ts("10:00:00"), 1, 5.0), (2, _ts("11:00:00"), 2, 7.0)],
+        "batch0",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir + "/*")
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.withColumn("hour", F.hour("ts"))
+            .write.mode("append")
+            .partitionBy("hour")
+            .parquet(out_dir)
+        )
+
+    q = stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 2
+    assert set(back.select("hour").toPandas()["hour"]) == {10, 11}
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    """Custom keyed state via applyInPandasWithState: per-user running
+    totals must accumulate ACROSS micro-batches (state survives)."""
+    pytest.importorskip("pyspark.sql.streaming.state")
+    from cli_spark.streaming.stateful import running_totals_stream
+
+    name = f"st_{uuid.uuid4().hex[:6]}"
+    _write_batch(
+        spark,
+        stream_dir,
+        [(1, _ts("10:00:00"), 1, 1.5), (2, _ts("10:01:00"), 1, 2.5), (3, _ts("10:02:00"), 2, 10.0)],
+        "batch0",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir + "/*")
+    )
+    q = (
+        running_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, stream_dir, [(4, _ts("10:05:00"), 1, 6.0)], "batch1")
+        q.processAllAvailable()
+        # memory sink in update mode appends updates; take the LAST row per user
+        pdf = spark.table(name).toPandas()
+        last = pdf.groupby("user_id").last()
+        assert last.loc[1, "n_events"] == 3 and last.loc[1, "value_total"] == 10.0
+        assert last.loc[2, "n_events"] == 1 and last.loc[2, "value_total"] == 10.0
+    finally:
+        q.stop()
