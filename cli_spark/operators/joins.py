@@ -282,3 +282,41 @@ def q17_star_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@register(
+    "q18_self_join_week_pairs",
+    oracle="""
+SELECT a.o_custkey,
+       a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)) AS day_gap
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 7
+""",
+    tags=("join", "self"),
+)
+def q18_self_join_week_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: pairs of orders by the same customer within 7 days
+    of each other (equi on custkey + non-equi date-band residual —
+    shuffles once on the key, the band predicate filters post-match)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_custkey"), F.col("o_orderkey").alias("order_a"), F.col("o_orderdate").alias("date_a")
+    )
+    b = o.select(
+        F.col("o_custkey").alias("cust_b"), F.col("o_orderkey").alias("order_b"), F.col("o_orderdate").alias("date_b")
+    )
+    gap = F.datediff(F.col("date_b"), F.col("date_a"))
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("cust_b"))
+            & (F.col("order_a") < F.col("order_b"))
+            & (F.abs(gap) <= 7),
+        )
+        .select("o_custkey", "order_a", "order_b", gap.alias("day_gap"))
+    )

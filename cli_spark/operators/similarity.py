@@ -222,3 +222,65 @@ def q83_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .orderBy("bucket", "vec_a", "vec_b")
     )
+
+
+@register(
+    "q84_ivf_ann",
+    oracle=None,  # approximate op (coarse-quantizer search) — rows-only
+    tags=("similarity", "ivf", "approx"),
+)
+def q84_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbour — the other scale path
+    next to LSH (q83): a deterministic coarse quantizer (every 37th
+    vector serves as a centroid — reproducible without training) maps
+    each vector to its nearest centroid cell; the query probes only
+    its nprobe=2 nearest cells and brute-forces inside them.
+
+    At 100 TB: the assignment pass is a broadcast join against ~√N
+    centroids; the probe reads ~nprobe/ncells of the corpus. Inverted
+    lists would be materialized as a `cell`-partitioned parquet layout
+    so the probe is a partition-pruned scan.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    cos_vc = dot("embedding", "ce") / (
+        F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("ce", "ce"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "cent_id", cos_vc.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cell"))
+    )
+    # query = vec 0; its 2 nearest centroid cells
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cent_id",
+            (
+                dot("qe", "ce")
+                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
+            ).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cent_id"))
+        .limit(2)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cos_q = dot("embedding", "qe") / (
+        F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qe", "qe"))
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("cell", "vec_id", "label", F.round(cos_q, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
