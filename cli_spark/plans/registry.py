@@ -65,6 +65,7 @@ def _load_all() -> None:
     import cli_spark.operators.asof  # noqa: F401
     import cli_spark.operators.udfs  # noqa: F401
     import cli_spark.operators.subqueries  # noqa: F401
+    import cli_spark.operators.reshape  # noqa: F401
     import cli_spark.operators.dedup  # noqa: F401
     import cli_spark.operators.similarity  # noqa: F401
     import cli_spark.operators.text  # noqa: F401
