@@ -1,0 +1,257 @@
+"""Training-data-pipeline operators over `documents` (+`embeddings`):
+embedding-cosine near-dup (the last mandated dedup variant), a
+deterministic train/val/test splitter, fixed-stride document chunking,
+weighted dataset mixing, and a time-hierarchy (hypertable-style)
+rollup over `events`.
+
+Design for 100 TB:
+* every "random" choice (split assignment, mix sampling) is an
+  md5-derived hash of a stable key — reproducible across runs,
+  engines, and repartitionings; never ``rand()``;
+* split/mix are single narrow projections + one aggregation — no
+  shuffle beyond the final group-by on a handful of keys;
+* chunking is a per-row explode (linear; no shuffle at all) — at
+  scale it pipelines straight into a partitioned parquet sink;
+* embedding near-dup joins documents→embeddings on the key (a
+  co-partitioned equi-join; dims broadcast) before the quadratic
+  verify — q83/q84 are the sub-quadratic candidate paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.operators.similarity import dot, sql_dot
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# Portable md5-derived bucket in [0, 16): both engines emit lowercase
+# hex md5 of the same UTF-8 bytes, and instr/substr are 1-based in both.
+_BUCKET = "instr('0123456789abcdef', substr(md5({key}), 1, 1)) - 1"
+
+
+def _bucket_col(key: str):
+    return F.expr(_BUCKET.format(key=key))
+
+
+@register(
+    "q75_embedding_neardup_docs",
+    oracle=f"""
+WITH dv AS (
+  SELECT d.doc_id, d.lang, e.embedding,
+         sqrt({sql_dot('e.embedding', 'e.embedding')}) AS nrm
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang_a, b.lang AS lang_b,
+       round({sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+FROM dv a JOIN dv b ON a.doc_id < b.doc_id
+WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.5
+""",
+    tags=("dedup", "embedding", "cosine"),
+)
+def q75_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate *document* pairs: attach each
+    document's embedding (doc_id = vec_id), report pairs with cosine
+    > 0.5. Completes the mandated dedup family (exact / Jaccard /
+    MinHash / SimHash / embedding-cosine).
+
+    Norms are computed once per vector before the pair join. The pair
+    stage here is the exact quadratic verify; at corpus scale the
+    candidate set comes from LSH buckets (q83) or IVF cells (q84)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    dv = d.join(e, "doc_id").select(
+        "doc_id", "lang", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = dv.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = dv.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(cos > 0.5)
+        .select("doc_a", "doc_b", "lang_a", "lang_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@register(
+    "q96_deterministic_split",
+    oracle=f"""
+WITH tagged AS (
+  SELECT CASE WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 12 THEN 'train'
+              WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 14 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars, lang
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM tagged GROUP BY split
+""",
+    tags=("pipeline", "split", "sampling"),
+)
+def q96_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split: the split of a
+    document is a pure function of md5(doc_id) — stable under reruns,
+    repartitioning, and corpus growth (a doc never migrates between
+    splits when new data arrives), unlike ``randomSplit``.
+
+    One narrow projection + a 3-group aggregation: no shuffle of
+    document payloads at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_col("md5_key")
+    return (
+        d.withColumn("md5_key", F.encode(F.col("doc_id").cast("string"), "utf-8"))
+        .withColumn(
+            "split",
+            F.when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("n_chars").cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "q97_doc_chunking",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       (s.start - 1) // 40 AS chunk_id,
+       len(list_slice(words, s.start, s.start + 49)) AS n_words,
+       array_to_string(list_slice(words, s.start, s.start + 49), ' ') AS chunk_text
+FROM w CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(words), 40)) AS start) s
+""",
+    tags=("pipeline", "chunking"),
+)
+def q97_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking: 50-word chunks at a 40-word
+    stride (10-word overlap) — the standard context-window prep step.
+
+    Pure per-row explode of precomputed slice offsets: linear work,
+    zero shuffle; at 100 TB this feeds a `partitionBy(split)` parquet
+    sink directly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return (
+        d.select("doc_id", w.alias("words"))
+        .select(
+            "doc_id",
+            F.col("words"),
+            F.explode(F.sequence(F.lit(1), F.size("words"), F.lit(40))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 40).cast("long").alias("chunk_id"),
+            F.size(F.slice("words", F.col("start"), 50)).alias("n_words"),
+            F.array_join(F.slice("words", F.col("start"), 50), " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "q98_weighted_mix",
+    oracle=f"""
+WITH tagged AS (
+  SELECT source, n_chars,
+         {_BUCKET.format(key="'mix|' || CAST(doc_id AS VARCHAR)")} AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT * FROM tagged
+  WHERE (source = 'web' AND bucket < 4)          -- keep 25%
+     OR (source = 'wiki' AND bucket < 16)        -- keep 100%
+     OR (source NOT IN ('web', 'wiki') AND bucket < 8)  -- keep 50%
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM kept GROUP BY source
+""",
+    tags=("pipeline", "mixing", "sampling"),
+)
+def q98_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: downsample per-source at fixed rates
+    (web 25%, wiki 100%, rest 50%) using md5-bucket membership — the
+    reproducible analogue of `sampleBy`, whose Bernoulli draws change
+    with partitioning. A salted key ('mix|') decorrelates this
+    sampling decision from the q96 split assignment.
+
+    Filter + small aggregation: fully pushed down, no payload shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_col("md5_key")
+    tagged = d.withColumn(
+        "md5_key", F.encode(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), "utf-8")
+    ).withColumn("bucket", bucket)
+    kept = tagged.filter(
+        ((F.col("source") == "web") & (F.col("bucket") < 4))
+        | ((F.col("source") == "wiki") & (F.col("bucket") < 16))
+        | (~F.col("source").isin("web", "wiki") & (F.col("bucket") < 8))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+@register(
+    "q104_time_rollup",
+    oracle="""
+SELECT CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN NULL
+            ELSE strftime(date_trunc('day', ts), '%Y-%m-%d') END AS day,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN NULL
+            ELSE strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') END AS hour,
+       CAST(GROUPING(date_trunc('day', ts)) * 2
+            + GROUPING(date_trunc('hour', ts)) AS INT) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS value_sum
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+""",
+    tags=("agg", "rollup", "time_hierarchy"),
+)
+def q104_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: one ROLLUP pass
+    produces hour-level, day-level, and grand-total aggregates (the
+    materialization behind multi-resolution dashboards).
+
+    At scale this is a single shuffle on (day, hour) with map-side
+    partial aggregation; the result is what a hypertable engine would
+    maintain incrementally — here it's one declarative pass the
+    streaming path (q100/q103) keeps fresh."""
+    from cli_spark.functions.determinism import dsum, ts_str, date_str
+
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        "value",
+    )
+    return (
+        keyed.rollup("day_ts", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            date_str("day_ts").alias("day"),
+            ts_str(F.col("hour_ts")).alias("hour"),
+            "gid",
+            "n_events",
+            "value_sum",
+        )
+    )
