@@ -1,0 +1,73 @@
+"""Skew-handling aggregation — the salting pattern, demonstrated as a
+graded query with an exact oracle.
+
+The problem at 100 TB: `groupBy(event_type)` over billions of events
+with a handful of event types sends each type's entire volume to one
+reducer — the hot-key straggler. AQE's skew-join splitting does not
+help *aggregations*; the standard fix is salting:
+
+    phase 1: groupBy(key, salt)  — salt = pmod(row_key, N_SALT):
+             N_SALT-way fan-out of every hot key, partial aggregates
+             stay integer-exact (quantized sums, counts);
+    phase 2: groupBy(key)        — combine N_SALT tiny partials.
+
+Phase 1 shuffles the volume across N_SALT × |keys| reducers; phase 2
+shuffles only |keys| × N_SALT partial rows (bytes, not gigabytes).
+Results are bit-identical to the direct aggregation because the
+partial states (int64 quantized sums, counts) merge associatively —
+which is also why the DuckDB oracle can be the plain GROUP BY.
+
+(The salt must be derived from a *data* column — deterministic and
+stable — never `rand()` or `spark_partition_id()`, which change
+between runs and break reproducibility.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.functions.determinism import MONEY_SCALE, quantize, sql_dsum
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+N_SALT = 32
+
+
+@register(
+    "q19_salted_skew_agg",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum,
+       {sql_dsum('value')} / COUNT(*) AS value_avg
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "skew", "salting"),
+)
+def q19_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via two-phase salted aggregation (see
+    module docstring). `event_type` has ~5 distinct values — the
+    classic hot-key shape; the salt fans each key across N_SALT
+    reducers before the cheap combine."""
+    e = load_table(spark, sf_dir, "events")
+    scale = F.lit(float(10**MONEY_SCALE))
+    partial = (
+        e.withColumn("salt", F.pmod("event_id", F.lit(N_SALT)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(quantize(F.col("value"))).alias("p_q"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("p_n").alias("n_events"), F.sum("p_q").alias("q_sum"))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("q_sum").cast("double") / scale).alias("value_sum"),
+            (F.col("q_sum").cast("double") / scale / F.col("n_events")).alias("value_avg"),
+        )
+    )

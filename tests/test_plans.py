@@ -93,3 +93,25 @@ def test_whole_stage_codegen_present(spark, sf_dir):
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in final, name  # WholeStageCodegen stage prefix
+
+
+def test_q97_chunking_is_narrow(spark, sf_dir):
+    """Chunking is explode-only — no shuffle at any scale."""
+    assert "Exchange" not in plan_of(spark, sf_dir, "q97_doc_chunking")
+
+
+def test_q96_q98_prune_text_column(spark, sf_dir):
+    """Split/mix read keys and stats, never the document payload —
+    column pruning must drop `text` at the scan."""
+    for name in ["q96_deterministic_split", "q98_weighted_mix"]:
+        plan = formatted_plan(spark, sf_dir, name)
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "text" not in read_schema, name
+
+
+def test_q19_salted_agg_is_two_phase(spark, sf_dir):
+    """Salted aggregation: two groupBys (partial+final each) — ≥4
+    HashAggregate nodes; salt column present in the first shuffle."""
+    plan = plan_of(spark, sf_dir, "q19_salted_skew_agg")
+    assert plan.count("HashAggregate") >= 4
+    assert "salt" in plan

@@ -48,3 +48,31 @@ def test_text_scan(spark, tmp_path):
     p.write_text("alpha\nbeta\ngamma\n")
     df = sinks.read_text(spark, str(p))
     assert [r["value"] for r in df.orderBy("value").collect()] == ["alpha", "beta", "gamma"]
+
+
+def test_bucketed_cobucket_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed orders ⋈ lineitem must plan with zero Exchange on
+    either side — the write-once-shuffle-never join layout."""
+    from cli_spark.sources import bucketing
+
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "orderkey")
+    l = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+    bucketing.write_bucketed(o, "t_orders_b", str(tmp_path / "ob"), "orderkey")
+    bucketing.write_bucketed(l, "t_lineitem_b", str(tmp_path / "lb"), "orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale the planner would broadcast (and rightly skip
+        # bucketing); at 100 TB both sides are fact tables — force the
+        # SMJ path the layout exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.cobucket_join(spark, "t_orders_b", "t_lineitem_b", "orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # correctness: same result as the plain (shuffling) join
+        expected = o.join(l, "orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
