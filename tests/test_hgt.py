@@ -170,3 +170,23 @@ def test_acquire_pipeline_catalog_fetch_unzip(spark, fixture_dir, tmp_path):
     pts = hgt.decode_points(raw)
     counts = {r["cell"]: r["n"] for r in pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {cell: N * N for cell, _ in hgt.FIXTURE_CELLS[:2]}
+
+
+def test_hgt_python_datasource_matches_mapinpandas(spark, fixture_dir):
+    """`format("hgt")` (Spark 4 Python DataSource, Arrow-batch reads)
+    must produce exactly the decode_points rows, one partition per
+    cell file."""
+    from cli_spark.sources.hgt_datasource import register_hgt_source
+
+    register_hgt_source(spark)
+    ds = spark.read.format("hgt").load(fixture_dir)
+    assert ds.rdd.getNumPartitions() == len(hgt.FIXTURE_CELLS)
+
+    via_map = hgt.decode_points(hgt.read_hgt(spark, fixture_dir))
+    assert ds.count() == via_map.count() == len(hgt.FIXTURE_CELLS) * N * N
+    # exact set equality (exceptAll both ways is empty)
+    assert ds.exceptAll(via_map).count() == 0
+    assert via_map.exceptAll(ds).count() == 0
+    # void sentinel arrives as NULL through the source too
+    assert ds.filter(F.col("alt") == hgt.VOID).count() == 0
+    assert ds.filter(F.col("alt").isNull()).count() > 0
