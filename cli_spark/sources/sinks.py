@@ -39,6 +39,16 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format Spark reads
+    natively (vectorized reader, predicate pushdown, like parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                batchsize: int = 10_000, **properties: str) -> None:
     """JDBC bulk insert [A10] — the reference's `gmalt-hgtload` sink.

@@ -46,3 +46,51 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- Spark 4 API
+
+def running_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """Same running-totals operator on the Spark 4
+    `transformWithStateInPandas` API (the applyInPandasWithState
+    successor): composable typed state (ValueState here; ListState /
+    MapState / timers available), RocksDB-backed — the forward path
+    for custom stateful operators at production state sizes.
+
+    Requires `spark.sql.streaming.stateStore.providerClass` =
+    RocksDBStateStoreProvider (the only provider supporting it), and
+    the `protobuf` package (the TWS state-server protocol is
+    protobuf-encoded; absent in this container — the pytest gates on
+    it, see tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_total": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

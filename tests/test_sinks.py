@@ -76,3 +76,15 @@ def test_bucketed_cobucket_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lineitem_orc")
+    l = load_table(spark, sf_dir, "lineitem")
+    sinks.write_orc(l, out)
+    back = sinks.read_orc(spark, out)
+    assert back.count() == l.count()
+    filtered = back.filter(F.col("l_quantity") > 25).select("l_orderkey", "l_quantity")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    assert filtered.count() == l.filter(F.col("l_quantity") > 25).count()

@@ -220,3 +220,56 @@ def test_stateful_running_totals(spark, stream_dir):
         assert last.loc[2, "n_events"] == 1 and last.loc[2, "value_total"] == 10.0
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_tws(spark, stream_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): identical
+    cross-batch semantics to the applyInPandasWithState path, on the
+    RocksDB state store it requires."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # TWS's state protocol is protobuf-over-socket; without the
+    # python protobuf package the driver-side worker cannot start
+    # (verified: ImportError in transform_with_state_driver_worker)
+    pytest.importorskip("google.protobuf.descriptor")
+    from cli_spark.streaming.stateful import running_totals_tws
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"tws_{uuid.uuid4().hex[:6]}"
+    sdir = stream_dir + "_tws"
+    _write_batch(
+        spark,
+        sdir,
+        [(1, _ts("10:00:00"), 1, 1.5), (2, _ts("10:01:00"), 1, 2.5), (3, _ts("10:02:00"), 2, 10.0)],
+        "batch0",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sdir + "/*")
+    )
+    q = (
+        running_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, sdir, [(4, _ts("10:05:00"), 1, 6.0)], "batch1")
+        q.processAllAvailable()
+        pdf = spark.table(name).toPandas()
+        last = pdf.groupby("user_id").last()
+        assert last.loc[1, "n_events"] == 3 and last.loc[1, "value_total"] == 10.0
+        assert last.loc[2, "n_events"] == 1 and last.loc[2, "value_total"] == 10.0
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
