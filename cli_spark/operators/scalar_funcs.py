@@ -258,3 +258,88 @@ def q55_struct_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("type_counts")
     )
     return as_map.select("user_id", F.explode("type_counts").alias("k", "v"))
+
+
+@register(
+    "q65_scalar_pack2",
+    oracle="""
+SELECT n_nationkey,
+       array_to_string(list_transform(string_split(lower(n_name), ' '),
+                       w -> upper(w[1:1]) || w[2:]), ' ') AS name_initcap,
+       reverse(n_name) AS name_rev,
+       left(n_name, 3) AS name_l3,
+       right(n_name, 3) AS name_r3,
+       repeat(left(n_name, 2), 3) AS name_rep,
+       ascii(n_name) AS first_ascii,
+       chr(65 + CAST(n_nationkey % 26 AS INT)) AS key_chr,
+       ifnull(NULLIF(n_name, n_name), 'fallback') AS nvl_demo,
+       CASE WHEN NULLIF(n_regionkey, 0) IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_demo,
+       CASE WHEN isnan('NaN'::DOUBLE) THEN CAST(n_nationkey AS DOUBLE)
+            ELSE 0.0 END AS nanvl_demo,
+       strftime(make_date(2000 + CAST(n_nationkey AS INT), 3, 15), '%Y-%m-%d') AS md,
+       strftime(last_day(make_date(2000 + CAST(n_nationkey AS INT), 2, 3)), '%Y-%m-%d') AS ld,
+       strftime(make_timestamp(CAST(n_nationkey AS BIGINT) * 86400 * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM nation
+""",
+    tags=("scalar", "string", "datetime", "null"),
+)
+def q65_scalar_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar pack: initcap (DuckDB lacks it — the oracle
+    emulates with list_transform), reverse/left/right/repeat/ascii/
+    chr, nvl/nvl2/nanvl/isnan three-ways, make_date, last_day,
+    epoch-micros timestamps (make_timestamp — naive on both engines;
+    to_timestamp would be session-timezone-dependent in DuckDB)."""
+    from cli_spark.functions.determinism import date_str, ts_str
+
+    n = load_table(spark, sf_dir, "nation")
+    nan = F.lit("NaN").cast("double")
+    return n.select(
+        "n_nationkey",
+        F.initcap(F.lower("n_name")).alias("name_initcap"),
+        F.reverse("n_name").alias("name_rev"),
+        F.left("n_name", F.lit(3)).alias("name_l3"),
+        F.right("n_name", F.lit(3)).alias("name_r3"),
+        F.repeat(F.left("n_name", F.lit(2)), 3).alias("name_rep"),
+        F.ascii("n_name").alias("first_ascii"),
+        F.char(F.lit(65) + (F.col("n_nationkey") % 26).cast("int")).alias("key_chr"),
+        F.nvl(F.nullif("n_name", "n_name"), F.lit("fallback")).alias("nvl_demo"),
+        F.nvl2(F.nullif("n_regionkey", F.lit(0)), F.lit("has"), F.lit("none")).alias("nvl2_demo"),
+        F.when(F.isnan(nan), F.nanvl(nan, F.col("n_nationkey").cast("double")))
+        .otherwise(0.0)
+        .alias("nanvl_demo"),
+        date_str(F.make_date(F.lit(2000) + F.col("n_nationkey"), F.lit(3), F.lit(15))).alias("md"),
+        date_str(F.last_day(F.make_date(F.lit(2000) + F.col("n_nationkey"), F.lit(2), F.lit(3)))).alias("ld"),
+        ts_str(
+            F.timestamp_micros(F.col("n_nationkey").cast("long") * 86400 * 1000000)
+        ).alias("ts_s"),
+    )
+
+
+@register(
+    "q66_spark_native_funcs",
+    oracle=None,  # Spark-specific functions with no DuckDB equivalent
+    tags=("scalar", "spark_native"),
+)
+def q66_spark_native_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native function surface DuckDB cannot mirror (soundex,
+    months_between, bround banker's rounding, conv base conversion,
+    crc32 / xxhash64, base64, hex, bit shifts) — deterministic values,
+    rows-only driver check; pinned by pytest golden assertions
+    instead (tests/test_parity.py::test_q66_goldens)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.soundex("n_name").alias("name_soundex"),
+        F.months_between(
+            F.make_date(F.lit(2024), F.lit(3), F.lit(15)),
+            F.make_date(F.lit(2024) - F.col("n_nationkey"), F.lit(1), F.lit(15)),
+        ).alias("mb"),
+        F.bround(F.col("n_nationkey") + 0.5, 0).alias("bankers"),
+        F.conv(F.col("n_nationkey").cast("string"), 10, 2).alias("binary_repr"),
+        F.crc32(F.encode("n_name", "utf-8")).alias("crc"),
+        F.xxhash64("n_name").alias("xxh"),
+        F.base64(F.encode("n_name", "utf-8")).alias("b64"),
+        F.hex(F.col("n_nationkey")).alias("hex_key"),
+        F.shiftleft(F.col("n_nationkey"), 2).alias("shl"),
+        F.shiftright(F.col("n_nationkey"), 1).alias("shr"),
+    )

@@ -83,3 +83,22 @@ def test_rows_only_runs(name, spark, sf_dir):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_q66_goldens(spark, sf_dir):
+    """q66 has no DuckDB oracle (Spark-native functions) — pin exact
+    values for two rows so the surface can't silently drift."""
+    from cli_spark.plans.registry import registry as _reg
+
+    df = _reg()["q66_spark_native_funcs"].fn(spark, sf_dir)
+    rows = {r["n_nationkey"]: r.asDict() for r in df.collect()}
+    assert rows[0] == {
+        "n_nationkey": 0, "name_soundex": "N350", "mb": 2.0, "bankers": 0.0,
+        "binary_repr": "0", "crc": 3678181428, "xxh": -3635279775981152085,
+        "b64": "TkFUSU9OXzA=", "hex_key": "0", "shl": 0, "shr": 0,
+    }
+    assert rows[7] == {
+        "n_nationkey": 7, "name_soundex": "N350", "mb": 86.0, "bankers": 8.0,
+        "binary_repr": "111", "crc": 1163398551, "xxh": -1821898194479978266,
+        "b64": "TkFUSU9OXzc=", "hex_key": "7", "shl": 28, "shr": 3,
+    }
