@@ -273,3 +273,29 @@ def test_stateful_running_totals_tws(spark, stream_dir):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def test_rate_source_smoke(spark):
+    """Built-in rate source (SURVEY §2 scans table): produces
+    monotonically increasing (timestamp, value) rows under a real
+    micro-batch trigger."""
+    name = f"rate_{uuid.uuid4().hex[:6]}"
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+        deadline = time.time() + 15
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        pdf = spark.table(name).toPandas()
+        assert len(pdf) > 0
+        assert set(pdf.columns) == {"timestamp", "value"}
+        vals = sorted(pdf["value"].tolist())
+        assert vals == list(range(vals[0], vals[0] + len(vals)))
+    finally:
+        q.stop()
