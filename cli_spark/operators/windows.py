@@ -193,3 +193,39 @@ def q35_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.count(F.lit(1)).over(w).alias("orders_last_90d"),
     )
+
+
+@register(
+    "q36_interval_range_window",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS n_1h,
+       CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 10000.0 AS value_1h
+FROM events
+""",
+    tags=("window", "range", "interval"),
+)
+def q36_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed by *time*, not row offsets: per user, the
+    trailing-1-hour event count and (quantized-exact) value sum. The
+    frame is value-based so rows with equal ts share it — identical
+    peer semantics in both engines, no tie-break needed. The Python
+    Window API only takes long offsets, so the interval frame is
+    expressed in SQL window syntax via selectExpr — same Catalyst
+    plan as a native rangeBetween."""
+    e = load_table(spark, sf_dir, "events")
+    frame = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW"
+    )
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        f"COUNT(*) OVER ({frame}) AS n_1h",
+        "CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) "
+        f"OVER ({frame}) AS DOUBLE) / 10000.0 AS value_1h",
+    )
