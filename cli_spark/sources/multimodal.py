@@ -96,3 +96,39 @@ def q121_media_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(_featurize, schema).orderBy("doc_id")
+
+
+@register(
+    "q122_frame_sample_stub",
+    oracle=None,  # decode is stubbed (no codecs in container) — rows-only
+    tags=("multimodal", "stub", "frame_sample"),
+)
+def q122_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over "video" binary columns: one-to-many
+    mapInPandas expansion — every payload yields ceil(n_frames/stride)
+    sampled-frame rows with per-frame features. The frame decode is
+    the documented STUB (sha256-derived, deterministic); the Spark
+    shape — binary in, multiple typed rows out, no driver round-trip,
+    linear per-partition work — is the real production plumbing for
+    `ffmpeg`-style samplers."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    schema = "doc_id long, frame_idx int, ts_ms int, feat array<double>"
+    STRIDE = 5
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"doc_id": [], "frame_idx": [], "ts_ms": [], "feat": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(blob)
+                n_frames = 1 + len(payload) % 30  # STUB: "container header"
+                for idx in range(0, n_frames, STRIDE):
+                    h = hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+                    recs["doc_id"].append(doc_id)
+                    recs["frame_idx"].append(idx)
+                    recs["ts_ms"].append(idx * 40)  # 25 fps
+                    recs["feat"].append([round(b / 255.0, 6) for b in h[:4]])
+            yield pd.DataFrame(recs)
+
+    return d.mapInPandas(_sample, schema).orderBy("doc_id", "frame_idx")
