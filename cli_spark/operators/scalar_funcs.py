@@ -120,9 +120,9 @@ def q51_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_math_pack",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       abs(-l_discount) AS abs_disc,
-       ceil(l_extendedprice) AS price_ceil,
-       floor(l_extendedprice) AS price_floor,
+       abs(-l_discount) + 0.0 AS abs_disc,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        round(l_extendedprice, 1) AS price_round1,
        sqrt(l_extendedprice) AS price_sqrt,
        round(pow(l_quantity, 1.5), 6) AS qty_pow,
@@ -150,7 +150,11 @@ def q52_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(-F.col("l_discount")).alias("abs_disc"),
+        # + 0.0 on both sides: IEEE-normalizes -0.0 to +0.0 (DuckDB's
+        # abs keeps the sign bit of -0.0; a string-level hash would
+        # then see '-0.0' vs '0.0'). ceil/floor: Spark returns LONG,
+        # DuckDB DOUBLE — the oracle casts to BIGINT to match.
+        (F.abs(-F.col("l_discount")) + 0.0).alias("abs_disc"),
         F.ceil(p).alias("price_ceil"),
         F.floor(p).alias("price_floor"),
         F.round(p, 1).alias("price_round1"),

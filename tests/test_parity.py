@@ -59,6 +59,15 @@ def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> list[str]:
             elif a != b:
                 problems.append(f"col {col} row {i}: spark={a!r} oracle={b!r}")
                 break
+            # string-level check on top of value equality: catches
+            # int-vs-float dtype drift ('77342' vs '77342.0') and
+            # signed zero ('-0.0' vs '0.0') that == treats as equal
+            # but a hash of rendered values would not
+            if str(a) != str(b):
+                problems.append(
+                    f"col {col} row {i}: rendered mismatch {str(a)!r} vs {str(b)!r}"
+                )
+                break
     return problems
 
 
