@@ -347,3 +347,39 @@ def q66_spark_native_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("n_nationkey"), 2).alias("shl"),
         F.shiftright(F.col("n_nationkey"), 1).alias("shr"),
     )
+
+
+@register(
+    "q67_map_ops_pack",
+    oracle=None,  # DuckDB MAP support is thinner (SURVEY §2) — rows-only + pytest golden
+    tags=("scalar", "map"),
+)
+def q67_map_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function pack: create_map / map_concat / transform_keys /
+    transform_values / map_filter / map_zip_with / element_at /
+    map_keys / map_values — flattened to scalars for the result (map
+    column serialization is engine-specific, hence rows-only; exact
+    values pinned in tests/test_parity.py::test_q67_goldens)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("key"), F.col("n_nationkey").cast("long"),
+        F.lit("reg"), F.col("n_regionkey").cast("long"),
+    )
+    m2 = F.create_map(F.lit("len"), F.length("n_name").cast("long"))
+    merged = F.map_concat(m, m2)
+    doubled = F.transform_values(merged, lambda k, v: v * 2)
+    upkeys = F.transform_keys(merged, lambda k, v: F.upper(k))
+    only_big = F.map_filter(doubled, lambda k, v: v >= 10)
+    summed = F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2)
+    return n.select(
+        "n_nationkey",
+        F.element_at(merged, "len").alias("name_len"),
+        F.element_at(doubled, "key").alias("key_x2"),
+        F.element_at(upkeys, "REG").alias("reg_upkey"),
+        F.size(only_big).alias("n_big"),
+        F.element_at(summed, "key").alias("key_sum"),
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(merged), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("values_total"),
+    )

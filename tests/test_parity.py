@@ -111,3 +111,16 @@ def test_q66_goldens(spark, sf_dir):
         "binary_repr": "111", "crc": 1163398551, "xxh": -1821898194479978266,
         "b64": "TkFUSU9OXzc=", "hex_key": "7", "shl": 28, "shr": 3,
     }
+
+
+def test_q67_goldens(spark, sf_dir):
+    """Map-ops pack is rows-only for the driver — pin one nation row."""
+    from cli_spark.plans.registry import registry as _reg
+
+    df = _reg()["q67_map_ops_pack"].fn(spark, sf_dir)
+    rows = {r["n_nationkey"]: r.asDict() for r in df.collect()}
+    assert rows[7] == {
+        "n_nationkey": 7, "name_len": 8, "key_x2": 14, "reg_upkey": 2,
+        "n_big": 2, "key_sum": 14, "keys_sorted": "key,len,reg",
+        "values_total": 17,  # key 7 + reg 2 + len 8
+    }
