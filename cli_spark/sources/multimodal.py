@@ -132,3 +132,49 @@ def q122_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return d.mapInPandas(_sample, schema).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "q123_resize_stub",
+    oracle=None,  # decode/resample is stubbed (no codecs in container) — rows-only
+    tags=("multimodal", "stub", "resize"),
+)
+def q123_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary columns: mapInPandas pass that
+    "decodes" each blob (STUB — sha256-derived dims standing in for a
+    real codec), computes the aspect-preserving target box inside
+    256×256, and emits a deterministic "thumbnail" payload. The
+    geometry math, schema, and binary-out plumbing are the real
+    production shape for a PIL `Image.resize` worker; only
+    `_fake_decode` would change on a cluster with codecs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    schema = (
+        "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+        "scale double, thumb binary"
+    )
+    TARGET = 256
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("doc_id", "src_w", "src_h", "dst_w", "dst_h", "scale", "thumb")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                payload = bytes(blob)
+                meta = _fake_decode(payload)
+                w, h = meta["width"], meta["height"]
+                scale = min(TARGET / w, TARGET / h)
+                dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                recs["doc_id"].append(doc_id)
+                recs["src_w"].append(w)
+                recs["src_h"].append(h)
+                recs["dst_w"].append(dw)
+                recs["dst_h"].append(dh)
+                recs["scale"].append(round(scale, 6))
+                # STUB thumbnail: digest-derived bytes sized to the
+                # target box's row count (a real impl emits JPEG bytes)
+                recs["thumb"].append(hashlib.sha256(payload).digest()[: max(4, dh % 32)])
+            yield pd.DataFrame(recs)
+
+    return d.mapInPandas(_resize, schema).orderBy("doc_id")
