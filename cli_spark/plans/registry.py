@@ -69,6 +69,7 @@ def _load_all() -> None:
     import cli_spark.operators.dedup  # noqa: F401
     import cli_spark.operators.pipeline  # noqa: F401
     import cli_spark.operators.skew  # noqa: F401
+    import cli_spark.operators.tpch_composites  # noqa: F401
     import cli_spark.operators.similarity  # noqa: F401
     import cli_spark.operators.text  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
