@@ -20,7 +20,12 @@ from cli_spark.functions.determinism import dsum, sql_dsum
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+# lazy: building a Column invokes the JVM, which must not happen at
+# import time (the registry imports this module before any session)
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 _SQL_REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -96,7 +101,7 @@ def q62_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(dsum(_REV).alias("volume"))
+    ).agg(dsum(_rev()).alias("volume"))
 
 
 @register(
@@ -139,7 +144,7 @@ def q63_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .select(F.year("o_orderdate").alias("o_year"), quantize(_REV).alias("qvol"), "supp_nation")
+        .select(F.year("o_orderdate").alias("o_year"), quantize(_rev()).alias("qvol"), "supp_nation")
     )
     return joined.groupBy("o_year").agg(
         (
@@ -180,7 +185,7 @@ def q64_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(_REV).alias("revenue"))
+        .agg(dsum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
