@@ -336,3 +336,55 @@ def test_checkpoint_recovery_exactly_once(spark, stream_dir, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 3  # batch0 NOT reprocessed, batch1 not lost
     assert sorted(r["event_id"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range
+    condition (click within 30min before purchase) — Spark buffers
+    both sides in state bounded by the watermark; the 100 TB streaming
+    attribution-join pattern."""
+    name = f"ssj_{uuid.uuid4().hex[:6]}"
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    pd.DataFrame(
+        [(1, _ts("10:00:00"), 1, 1.0), (2, _ts("10:40:00"), 1, 1.0)],
+        columns=["event_id", "ts", "user_id", "value"],
+    ).astype({"ts": "datetime64[us]"}).pipe(
+        lambda pdf: spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1)
+        .write.mode("append").parquet(clicks_dir)
+    )
+    pd.DataFrame(
+        [(10, _ts("10:10:00"), 1, 9.9), (11, _ts("11:30:00"), 1, 5.0)],
+        columns=["event_id", "ts", "user_id", "value"],
+    ).astype({"ts": "datetime64[us]"}).pipe(
+        lambda pdf: spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1)
+        .write.mode("append").parquet(buys_dir)
+    )
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(clicks_dir)
+        .withWatermark("ts", "2 hours")
+        .selectExpr("event_id AS click_id", "user_id AS c_user", "ts AS click_ts")
+    )
+    buys = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(buys_dir)
+        .withWatermark("ts", "2 hours")
+        .selectExpr("event_id AS buy_id", "user_id AS b_user", "ts AS buy_ts")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND buy_ts >= click_ts "
+            "AND buy_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = {(r["click_id"], r["buy_id"]) for r in spark.table(name).collect()}
+        # click1@10:00 ↔ buy10@10:10 (within 30min). buy11@11:30 matches
+        # nothing; click2@10:40 has no buy within [10:40, 11:10].
+        assert pairs == {(1, 10)}
+    finally:
+        q.stop()
