@@ -70,6 +70,7 @@ def _load_all() -> None:
     import cli_spark.operators.pipeline  # noqa: F401
     import cli_spark.operators.skew  # noqa: F401
     import cli_spark.operators.tpch_composites  # noqa: F401
+    import cli_spark.operators.tpch_composites2  # noqa: F401
     import cli_spark.operators.similarity  # noqa: F401
     import cli_spark.operators.text  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
