@@ -1,5 +1,7 @@
-"""TPC-H-shaped composite pack 2 (Q2/Q4/Q9/Q13/Q14/Q15/Q17/Q18/Q19/
-Q20/Q22 analogues over the driver's star schema).
+"""TPC-H-shaped composite pack 2 (Q2/Q4/Q9/Q11/Q12/Q13/Q14/Q15/Q16/
+Q17/Q18/Q19/Q20/Q21/Q22 analogues over the driver's star schema —
+with pack 1's Q6/Q7/Q8/Q10 and the standalone Q1/Q3/Q5 shapes, all
+22 classic TPC-H query shapes are covered).
 
 The driver's tables omit several classic TPC-H columns (``partsupp``,
 ``l_shipmode``, ``l_commitdate``, ``p_container``, ``c_phone``), so
@@ -509,4 +511,211 @@ def q140_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q141_tpch_q11_important_parts",
+    oracle=f"""
+WITH nat AS (
+  SELECT l.l_partkey, {sql_quantize(_SQL_REV)} AS qv
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5'),
+tot AS (SELECT SUM(qv) AS total_qv FROM nat)
+SELECT nat.l_partkey AS p_key,
+       CAST(SUM(nat.qv) AS DOUBLE) / {_SCALE_F!r} AS part_value
+FROM nat, tot
+GROUP BY nat.l_partkey, tot.total_qv
+HAVING CAST(SUM(nat.qv) AS DOUBLE)
+       > CAST(0.002 AS DOUBLE) * CAST(tot.total_qv AS DOUBLE)
+""",
+    tags=("tpch", "having", "scalar_subquery"),
+)
+def q141_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value → shipped-revenue analogue):
+    parts representing >0.2% of one nation's total shipped value.
+    The global total is a 1-row broadcast (no rescan); the HAVING
+    compares exact quantized int64 sums cast to double identically
+    in both engines. lineitem shuffles once, on l_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey"), quantize(_rev()).alias("qv"))
+    )
+    per_part = nat.groupBy("l_partkey").agg(F.sum("qv").alias("part_qv"))
+    tot = nat.agg(F.sum("qv").alias("total_qv"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_qv").cast("double")
+            > F.lit(0.002) * F.col("total_qv").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            (F.col("part_qv").cast("double") / F.lit(_SCALE_F)).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q142_tpch_q12_late_lines",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_linestatus
+""",
+    tags=("tpch", "conditional", "agg"),
+)
+def q142_tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus analogue): lines shipped
+    late (>30 days after order) in 1997, split into high/low priority
+    counts per line status. Integer conditional counts — no float
+    determinism concerns. The ship-year filter is pushed to the scan;
+    the late predicate rides the join condition."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q143_tpch_q16_supplier_count",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0.0 AS DOUBLE))
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("tpch", "distinct", "not_in"),
+)
+def q143_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp → lineitem pairs; complaint-comment
+    exclusion → negative-balance exclusion): distinct supplier count
+    per surviving (brand, type, size). The NOT IN is a left-anti
+    broadcast join (suppkey is non-null on both sides, so NOT IN's
+    null trap is inert and anti-join is semantics-identical); the
+    distinct count shuffles once on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < F.lit(0.0)
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q144_tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 50
+""",
+    tags=("tpch", "exists", "anti", "topk"),
+)
+def q144_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (commit/receipt lateness → ship-lag analogue):
+    suppliers who were the SOLE late shipper (>90 days) on a
+    finished multi-supplier order, counted and top-50 ranked. The
+    double correlation compiles to one semi and one anti hash join,
+    both equi on l_orderkey with the supplier-inequality (and
+    lateness, for the anti side) as join-condition residuals — no
+    nested-loop rescan of the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(
+            o,
+            (li["l_orderkey"] == o["o_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    # late lines of ANY order (not just status-F): mirrors the oracle's
+    # l3 subquery, which re-derives lateness from orders independently.
+    o_all = load_table(spark, sf_dir, "orders")
+    l3 = (
+        li.join(
+            o_all,
+            (li["l_orderkey"] == o_all["o_orderkey"])
+            & (li["l_shipdate"] > o_all["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        )
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["sk2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3["k3"]) & (F.col("l_suppkey") != l3["sk3"]),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(50)
     )
