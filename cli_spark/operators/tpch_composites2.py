@@ -435,10 +435,13 @@ WHERE CAST(sh.sup_qty AS DOUBLE)
 )
 def q139_tpch_q20_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (partsupp availqty → shipped-share analogue):
-    suppliers who shipped >20% of any part's total quantity. The
-    per-(part,supplier) aggregate and the per-part window reuse ONE
-    shuffle on l_partkey (groupBy key prefix = window key), then the
-    survivor set broadcasts against supplier/nation."""
+    suppliers who shipped >20% of any part's total quantity. The fact
+    shuffles once on (l_partkey, l_suppkey) WITH map-side partial
+    aggregation (~4 lines/pair combine before the wire); the per-part
+    window then re-shuffles only the aggregated pair relation — at
+    100 TB that is ~half the bytes of a repartition-first plan that
+    would shuffle raw fact rows to share one partitioning. Survivors
+    broadcast against supplier/nation."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")

@@ -115,3 +115,55 @@ def test_q19_salted_agg_is_two_phase(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q19_salted_skew_agg")
     assert plan.count("HashAggregate") >= 4
     assert "salt" in plan
+
+
+def test_tpch_pack2_semi_anti_are_hash_joins(spark, sf_dir):
+    """q131 (EXISTS) and q144 (double correlation) must compile their
+    semi/anti arms to equi hash/SMJ joins with condition residuals —
+    a BroadcastNestedLoopJoin here would rescan the fact at scale."""
+    for name in ["q131_tpch_q4_order_priority", "q144_tpch_q21_waiting_suppliers"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "LeftSemi" in plan, name
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q144_tpch_q21_waiting_suppliers")
+
+
+def test_q139_fact_shuffles_once_with_partial_agg(spark, sf_dir):
+    """Q20-shape: raw fact rows cross the wire exactly once — through
+    the (l_partkey, l_suppkey) groupBy exchange, WITH map-side partial
+    aggregation before it. The window's exchange may only carry the
+    already-aggregated pair relation (it sits above the final
+    HashAggregate), never raw lineitem rows."""
+    plan = plan_of(spark, sf_dir, "q139_tpch_q20_share_suppliers")
+    lines = plan.splitlines()
+    pair_ex = [i for i, l in enumerate(lines)
+               if "Exchange hashpartitioning(l_partkey" in l and "l_suppkey" in l]
+    assert len(pair_ex) == 1, "fact must shuffle exactly once"
+    # map-side combine feeds that exchange
+    assert any("partial_sum" in l for l in lines[pair_ex[0]:]), "no partial agg"
+    # the window exchange (l_partkey alone) sits ABOVE the final agg:
+    win_ex = [i for i, l in enumerate(lines)
+              if "Exchange hashpartitioning(l_partkey" in l and "l_suppkey" not in l]
+    assert all(i < pair_ex[0] for i in win_ex)
+
+
+def test_q137_topk_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(
+        spark, sf_dir, "q137_tpch_q18_large_volume"
+    )
+
+
+def test_q134_single_broadcast_join_no_fact_shuffle(spark, sf_dir):
+    """Q14-shape: part broadcasts; the month-filtered fact aggregates
+    globally — zero hash-partition exchanges of lineitem."""
+    plan = plan_of(spark, sf_dir, "q134_tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q138_pushdown_reaches_scan(spark, sf_dir):
+    """Q19-shape: Catalyst must derive the disjunction's common
+    implications and push quantity bounds to the lineitem scan."""
+    plan = formatted_plan(spark, sf_dir, "q138_tpch_q19_or_bands")
+    assert "PushedFilters" in plan
+    assert "Or(" in plan  # the OR predicate itself reaches the scan
