@@ -1,0 +1,154 @@
+"""Text-quality and scrubbing operators — the filter stage of a
+training-data pipeline: PII-style redaction, repetition scoring, and
+a composite keep/drop quality verdict.
+
+Design for 100 TB:
+* all three are narrow per-row projections (regex / array built-ins,
+  JVM-side, inside WholeStageCodegen) followed by at most one small
+  aggregation — they pipeline directly over the scan with no shuffle
+  of document payloads;
+* regexes are RE2-compatible (no backrefs/lookahead) so the same
+  pattern text runs identically on Spark (Java regex) and the DuckDB
+  oracle (RE2) — and would also push into any RE2-based scan filter;
+* verdicts are bitmasks, not strings, so downstream filters are
+  integer comparisons and the reasons survive into metrics cheaply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+_ID_PAT = "[0-9]{4,}"
+
+
+@register(
+    "q85_pii_scrub",
+    oracle=f"""
+WITH scrubbed AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(c_name, '{_ID_PAT}')) AS n_hits,
+         regexp_replace(c_name, '{_ID_PAT}', '[ID]', 'g') AS clean_name
+  FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_hits) AS BIGINT) AS n_redactions,
+       COUNT(DISTINCT clean_name) AS distinct_clean_names
+FROM scrubbed GROUP BY c_mktsegment
+""",
+    tags=("quality", "pii", "regex"),
+)
+def q85_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask identifier digit-runs (>=4 digits) in
+    customer names, report per-segment hit counts and the distinct
+    count of post-redaction names (how much the scrub collapses).
+    The same regexp_replace/regexp_count pair is the shape of email/
+    phone/SSN scrubbing on real corpora — one codegen'd projection,
+    no shuffle until the tiny per-segment census."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_mktsegment",
+            F.regexp_count("c_name", F.lit(_ID_PAT)).alias("n_hits"),
+            F.regexp_replace("c_name", _ID_PAT, "[ID]").alias("clean_name"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_hits").cast("long").alias("n_redactions"),
+            F.countDistinct("clean_name").alias("distinct_clean_names"),
+        )
+    )
+
+
+@register(
+    "q86_repetition_ratio",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+              i -> list_extract(w,i) || ' ' || list_extract(w,i+1))
+              ELSE []::VARCHAR[] END AS bg
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id, lang,
+       len(bg) AS n_bigrams,
+       round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS repetition
+FROM grams WHERE len(bg) > 0
+""",
+    tags=("quality", "repetition", "ngram"),
+)
+def q86_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition score: fraction of word bigrams that
+    are repeats (1 - distinct/total) — the standard boilerplate /
+    degenerate-generation signal used to drop low-quality docs.
+    Pure per-row array math (split → transform → array_distinct):
+    linear, shuffle-free, codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bg = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = d.select(
+        "doc_id",
+        "lang",
+        F.size(bg).alias("n_bigrams"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg), 6
+        ).alias("repetition"),
+    )
+    return out.filter(F.col("n_bigrams") > 0)
+
+
+def _quality_flags(text: Column) -> Column:
+    """Bitmask of quality failures: bit0 too-short/long, bit1 mean word
+    length out of [2, 10], bit2 stopword ratio out of [0.01, 0.6]."""
+    w = F.split(text, " ")
+    n = F.size(w)
+    mean_len = (F.length(text) - (n - F.lit(1))).cast("double") / n
+    stop = F.size(F.filter(w, lambda t: t.isin("a", "the"))).cast("double") / n
+    return (
+        F.when((n < 8) | (n > 200), 1).otherwise(0)
+        + F.when((mean_len < 2.0) | (mean_len > 10.0), 2).otherwise(0)
+        + F.when((stop < 0.01) | (stop > 0.6), 4).otherwise(0)
+    )
+
+
+@register(
+    "q87_quality_verdict",
+    oracle="""
+WITH scored AS (
+  SELECT lang,
+         (CASE WHEN len(w) < 8 OR len(w) > 200 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(chars - (len(w) - 1) AS DOUBLE) / len(w) < 2.0
+                   OR CAST(chars - (len(w) - 1) AS DOUBLE) / len(w) > 10.0 THEN 2 ELSE 0 END)
+         + (CASE WHEN CAST(len(list_filter(w, t -> t IN ('a', 'the'))) AS DOUBLE) / len(w) < 0.01
+                   OR CAST(len(list_filter(w, t -> t IN ('a', 'the'))) AS DOUBLE) / len(w) > 0.6 THEN 4 ELSE 0 END)
+         AS flags
+  FROM (SELECT lang, string_split(text, ' ') AS w, len(text) AS chars FROM documents)
+)
+SELECT lang, flags, COUNT(*) AS n_docs
+FROM scored GROUP BY lang, flags
+""",
+    tags=("quality", "filter", "verdict"),
+)
+def q87_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: per-document failure bitmask (length
+    band, mean word length, stopword-ratio band) aggregated to a
+    lang × bitmask census. flags = 0 is the keep set; the bitmask
+    keeps every drop reason countable without re-scoring. One
+    projection + one small group-by."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", _quality_flags(F.col("text")).alias("flags"))
+        .groupBy("lang", "flags")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

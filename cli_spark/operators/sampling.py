@@ -1,0 +1,133 @@
+"""Deterministic sampling operators — the reproducible replacements
+for ``df.sample`` / ``rand()`` in a training-data pipeline.
+
+``rand()`` (and therefore ``df.sample``) is non-deterministic across
+reruns, partitionings, and engines — useless where a sample must be
+reproducible, auditable, and stable under corpus growth. Every
+operator here derives its randomness from md5 of a stable key, so:
+
+* the same row is always in/out of the sample, on any cluster layout;
+* sampling is a narrow projection + filter — zero shuffle, fully
+  pushed into the scan stage at any scale;
+* per-group reservoirs are a hash-ranked window — one shuffle on the
+  group key, identical to any per-group top-K.
+
+Portable hash → [0, 256): two lowercase-hex md5 chars decoded with
+1-based instr arithmetic, identical in Spark SQL and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# md5-derived uniform byte in [0, 256): hex digit 1 * 16 + hex digit 2.
+_BYTE = (
+    "(instr('0123456789abcdef', substr(md5({key}), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5({key}), 2, 1)) - 1"
+)
+
+
+def _byte_col(key_sql: str):
+    return F.expr(_BYTE.format(key=key_sql))
+
+
+@register(
+    "q105_hash_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_BYTE.format(key="CAST(doc_id AS VARCHAR)")} < 64
+""",
+    tags=("sampling", "deterministic"),
+)
+def q105_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample: keep a doc iff its md5 byte
+    < 64/256. A pure filter — no shuffle, no state, and the sample is
+    stable when the corpus grows (old docs never flip)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_byte_col("CAST(doc_id AS STRING)") < 64).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "q106_stratified_sample",
+    oracle=f"""
+WITH tagged AS (
+  SELECT lang, n_chars,
+         {_BYTE.format(key="CAST(doc_id AS VARCHAR)")} AS b,
+         CASE WHEN lang = 'en' THEN 192 WHEN lang = 'de' THEN 96 ELSE 32 END AS thresh
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN b < thresh THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+       CAST(SUM(CASE WHEN b < thresh THEN CAST(n_chars AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS sampled_chars
+FROM tagged GROUP BY lang
+""",
+    tags=("sampling", "deterministic", "stratified"),
+)
+def q106_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (en 75%, de 37.5%, rest 12.5%) — the up/down-sampling step of a
+    data-mixing recipe. Still a pure projection+filter; the only
+    shuffle is the final per-language census."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _byte_col("CAST(doc_id AS STRING)")
+    thresh = (
+        F.when(F.col("lang") == "en", 192).when(F.col("lang") == "de", 96).otherwise(32)
+    )
+    return (
+        d.select("lang", "n_chars", b.alias("b"), thresh.alias("thresh"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(F.col("b") < F.col("thresh"), 1).otherwise(0))
+            .cast("long")
+            .alias("sampled_docs"),
+            F.sum(
+                F.when(F.col("b") < F.col("thresh"), F.col("n_chars").cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+    )
+
+
+@register(
+    "q107_reservoir_per_group",
+    oracle="""
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+""",
+    tags=("sampling", "deterministic", "reservoir"),
+)
+def q107_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k=5 'reservoir' per language: rank docs by their
+    md5 hash inside each group and keep the first 5 — a uniform
+    fixed-size sample per stratum that is reproducible run-to-run
+    (classic reservoir sampling is stream-order-dependent; hash-rank
+    gives the same statistical guarantee without an ordering
+    dependency). One shuffle on lang; Spark runs it as a windowed
+    top-K with partial rank pushdown."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+    )

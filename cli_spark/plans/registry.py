@@ -69,6 +69,10 @@ def _load_all() -> None:
     import cli_spark.operators.dedup  # noqa: F401
     import cli_spark.operators.pipeline  # noqa: F401
     import cli_spark.operators.skew  # noqa: F401
+    import cli_spark.operators.graph  # noqa: F401
+    import cli_spark.operators.sampling  # noqa: F401
+    import cli_spark.operators.quality  # noqa: F401
+    import cli_spark.operators.rangejoin  # noqa: F401
     import cli_spark.operators.tpch_composites  # noqa: F401
     import cli_spark.operators.tpch_composites2  # noqa: F401
     import cli_spark.operators.similarity  # noqa: F401
