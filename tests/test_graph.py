@@ -1,0 +1,44 @@
+"""Connected-components unit tests on synthetic graphs with known
+answers — exercises shapes the documents-table graph may not contain
+(long chains near the round budget, isolated nodes, multiple cliques).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cli_spark.operators.graph import connected_components
+
+
+def _cc(spark, node_ids, pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    if sym:
+        edges = spark.createDataFrame(sym, "src long, dst long")
+    else:
+        edges = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(nodes, edges)
+    return {r["doc_id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_converges_past_plain_propagation_budget(spark):
+    """A 64-node path has diameter 63 — far beyond _MAX_ROUNDS plain
+    rounds; pointer jumping must still converge to a single component."""
+    n = 64
+    got = _cc(spark, range(n), [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cliques_and_isolated_nodes(spark):
+    got = _cc(
+        spark,
+        range(10),
+        # clique {1,3,5}, pair {2,7}; 0,4,6,8,9 isolated
+        [(1, 3), (3, 5), (1, 5), (2, 7)],
+    )
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 7: 2, 4: 4, 6: 6, 8: 8, 9: 9}
+
+
+def test_two_chains_keep_distinct_labels(spark):
+    got = _cc(spark, range(8), [(0, 2), (2, 4), (1, 3), (3, 5), (5, 7)])
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1, 7: 1, 6: 6}

@@ -167,3 +167,19 @@ def test_q138_pushdown_reaches_scan(spark, sf_dir):
     plan = formatted_plan(spark, sf_dir, "q138_tpch_q19_or_bands")
     assert "PushedFilters" in plan
     assert "Or(" in plan  # the OR predicate itself reaches the scan
+
+
+def test_q108_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Binned range join must plan as a key-partitioned equi-join
+    (hash/broadcast-hash/sort-merge on the bin id) with the range
+    predicate as a residual filter — never a nested loop."""
+    plan = plan_of(spark, sf_dir, "q108_binned_range_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_q105_sample_filter_is_narrow(spark, sf_dir):
+    """Deterministic hash sampling is a pure filter: no Exchange at
+    all in the plan (sample membership never shuffles data)."""
+    plan = plan_of(spark, sf_dir, "q105_hash_sample")
+    assert "Exchange" not in plan
