@@ -1,0 +1,240 @@
+"""Data-layout and scan-pruning operators: Z-order clustering and a
+portable Bloom-filter build/probe.
+
+Both are 100-TB techniques whose *math* must be exact and portable:
+
+* Z-ordering decides the physical sort key of a multi-dimensionally
+  filtered table. Sorting by the interleaved-bit z-value gives every
+  file tight min/max ranges on BOTH dimensions, so parquet zone maps
+  prune scans for either predicate — the layout trick behind
+  Delta/Iceberg OPTIMIZE ZORDER. Here the z-value is computed with
+  pure integer bit-ops (codegen'd, shuffle-free) and the query proves
+  the locality property: bucketing by z-range yields buckets whose
+  per-dimension spans are narrow.
+* Bloom-filter pruning builds a tiny bit-array from the build side of
+  a selective join and filters the probe side BEFORE the shuffle —
+  Spark's own runtime bloom-filter join does exactly this; the
+  explicit version here works on any engine, is deterministic
+  (md5-derived bit positions, never engine-native hashing), and
+  reports its false-positive rate against the exact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# ------------------------------------------------------------------ z-order
+
+_Z_BITS = 16
+
+
+def _z_spark(x: str, y: str) -> Column:
+    """Interleave the low 16 bits of x (even positions) and y (odd):
+    one long arithmetic expression, fully inside codegen."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+    return F.expr(" + ".join(terms))
+
+
+def _z_duck(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZX = "CAST(o_custkey AS BIGINT)"
+# days since epoch fits 16 bits through 2149
+_ZY_DUCK = "CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)"
+_ZY_SPARK = "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)"
+
+
+@register(
+    "q113_zorder_locality",
+    oracle=f"""
+WITH z AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1970-01-01', o_orderdate) AS day_no,
+         {_z_duck(_ZX, _ZY_DUCK)} AS zval
+  FROM orders
+),
+b AS (SELECT *, CAST(zval // 16384 AS BIGINT) AS z_bucket FROM z)
+SELECT z_bucket, COUNT(*) AS n_orders,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(day_no) AS min_day, max(day_no) AS max_day
+FROM b GROUP BY z_bucket
+""",
+    tags=("layout", "zorder", "pruning"),
+)
+def q113_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout statistics for orders clustered on
+    (o_custkey, order day): interleave the two 16-bit keys into a
+    z-value, bucket by z-range (the 'file' a sorted write would put
+    the row in), and report each bucket's min/max on both dimensions.
+    Tight per-bucket spans on BOTH columns are exactly what makes
+    parquet min/max zone maps prune either predicate after a
+    ``sortWithinPartitions(z)`` write. The z-value is 64 integer
+    bit-ops — no shuffle, no UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    z = o.select(
+        "o_custkey",
+        F.expr(_ZY_SPARK).alias("day_no"),
+        _z_spark(_ZX, _ZY_SPARK).alias("zval"),
+    )
+    return (
+        z.withColumn("z_bucket", (F.col("zval") / 16384).cast("long"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day_no").alias("min_day"),
+            F.max("day_no").alias("max_day"),
+        )
+    )
+
+
+# ------------------------------------------------------------- bloom filter
+
+_BLOOM_BITS = 1024  # m
+_BLOOM_WORDS = _BLOOM_BITS // 32  # 32-bit words: max shift 31, no signed-shift overflow in either engine
+_N_HASHES = 3  # k
+
+# 12-bit value from 3 lowercase-hex md5 chars at offset 3j+1 (1-based).
+_HEXVAL = "(instr('0123456789abcdef', substr(md5({key}), {pos}, 1)) - 1)"
+
+
+def _bit_expr(key: str, j: int) -> str:
+    """bit_j(key) in [0, 1024): 12 md5 bits mod 1024 — identical text
+    is valid Spark SQL and DuckDB SQL."""
+    p = 3 * j + 1
+    v = (
+        f"({_HEXVAL.format(key=key, pos=p)} * 256"
+        f" + {_HEXVAL.format(key=key, pos=p + 1)} * 16"
+        f" + {_HEXVAL.format(key=key, pos=p + 2)})"
+    )
+    return f"({v} % {_BLOOM_BITS})"
+
+
+def _wm_exprs(key: str, dialect: str) -> list[tuple[str, str]]:
+    """[(word_expr, mask_expr)] for each of the k hash functions.
+    Integer division and bit-shift spellings differ per engine
+    (Spark: ``div``/``shiftleft``; DuckDB: ``//``/``<<``) — the bit
+    positions themselves are byte-identical md5 arithmetic."""
+    out = []
+    for j in range(_N_HASHES):
+        bit = _bit_expr(key, j)
+        if dialect == "spark":
+            word = f"CAST(({bit}) div 32 AS BIGINT)"
+            mask = f"shiftleft(CAST(1 AS BIGINT), ({bit}) % 32)"
+        else:
+            word = f"CAST(({bit}) // 32 AS BIGINT)"
+            mask = f"(CAST(1 AS BIGINT) << (({bit}) % 32))"
+        out.append((word, mask))
+    return out
+
+
+_CUST_KEY_SPARK = "CAST(c_custkey AS STRING)"
+_CUST_KEY_DUCK = "CAST(c_custkey AS VARCHAR)"
+_ORD_KEY_SPARK = "CAST(o_custkey AS STRING)"
+_ORD_KEY_DUCK = "CAST(o_custkey AS VARCHAR)"
+
+
+@register(
+    "q115_bloom_filter_probe",
+    oracle=f"""
+WITH src AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS ({" UNION ALL ".join(f"SELECT {w} AS word, {m} AS mask FROM src" for w, m in _wm_exprs(_CUST_KEY_DUCK, "duck"))}),
+bloom AS (SELECT word, bit_or(mask) AS bits FROM bits GROUP BY word),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         {" AND ".join(
+             f"coalesce((SELECT b.bits & {m} = {m} FROM bloom b WHERE b.word = {w}), FALSE)"
+             for w, m in _wm_exprs(_ORD_KEY_DUCK, "duck")
+         )} AS bloom_pass
+  FROM orders o
+),
+truth AS (
+  SELECT o_orderkey, TRUE AS is_member FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM src)
+)
+SELECT COUNT(*) AS total_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_candidates,
+       CAST(SUM(CASE WHEN t.is_member THEN 1 ELSE 0 END) AS BIGINT) AS true_members,
+       CAST(SUM(CASE WHEN bloom_pass AND t.is_member IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_positives,
+       CAST(SUM(CASE WHEN NOT bloom_pass AND t.is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_negatives
+FROM probe p LEFT JOIN truth t ON p.o_orderkey = t.o_orderkey
+""",
+    tags=("layout", "bloom", "pruning"),
+)
+def q115_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join pruning: build a 1024-bit / 3-hash
+    bloom over BUILDING-segment customer keys (32 bit_or-aggregated
+    words — bytes, not a shuffled table), probe every order's custkey
+    against it, and audit candidates vs the exact semi-join:
+    false_negatives MUST be 0 (bloom never drops a member);
+    false_positives is the price of the 128-byte filter.
+
+    At scale the bloom words broadcast to every task, so the probe is
+    a scan-side filter that cuts the join shuffle by the filter's
+    selectivity — the manual form of Spark's runtime bloom join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    src = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    wm = _wm_exprs(_CUST_KEY_SPARK, "spark")
+    bits = None
+    for w, m in wm:
+        part = src.select(
+            F.expr(w).alias("word"), F.expr(m).alias("mask")
+        )
+        bits = part if bits is None else bits.unionAll(part)
+    bloom = bits.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    # probe: join each order to the (≤32-row, broadcast) bloom words it
+    # needs; all-k-bits-set == member candidate
+    probe = o.select("o_orderkey", "o_custkey")
+    for j, (w, m) in enumerate(_wm_exprs(_ORD_KEY_SPARK, "spark")):
+        bj = bloom.select(
+            F.col("word").alias(f"w{j}"), F.col("bits").alias(f"bits{j}")
+        )
+        probe = (
+            probe.withColumn(f"word{j}", F.expr(w))
+            .withColumn(f"mask{j}", F.expr(m))
+            .join(F.broadcast(bj), F.col(f"word{j}") == F.col(f"w{j}"), "left")
+            .withColumn(
+                f"pass{j}",
+                F.coalesce(
+                    F.col(f"bits{j}").bitwiseAND(F.col(f"mask{j}")) == F.col(f"mask{j}"),
+                    F.lit(False),
+                ),
+            )
+        )
+    probe = probe.withColumn(
+        "bloom_pass", F.col("pass0") & F.col("pass1") & F.col("pass2")
+    )
+    truth = (
+        o.join(F.broadcast(src), o["o_custkey"] == src["c_custkey"], "left_semi")
+        .select("o_orderkey", F.lit(True).alias("is_member"))
+    )
+    joined = probe.join(truth, "o_orderkey", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long").alias("bloom_candidates"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("true_members"),
+        F.sum(F.when(F.col("bloom_pass") & F.col("is_member").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("false_positives"),
+        F.sum(F.when(~F.col("bloom_pass") & F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_negatives"),
+    )

@@ -73,6 +73,8 @@ def _load_all() -> None:
     import cli_spark.operators.sampling  # noqa: F401
     import cli_spark.operators.quality  # noqa: F401
     import cli_spark.operators.rangejoin  # noqa: F401
+    import cli_spark.operators.layout  # noqa: F401
+    import cli_spark.operators.incremental  # noqa: F401
     import cli_spark.operators.tpch_composites  # noqa: F401
     import cli_spark.operators.tpch_composites2  # noqa: F401
     import cli_spark.operators.similarity  # noqa: F401
