@@ -42,3 +42,31 @@ def test_cliques_and_isolated_nodes(spark):
 def test_two_chains_keep_distinct_labels(spark):
     got = _cc(spark, range(8), [(0, 2), (2, 4), (1, 3), (3, 5), (5, 7)])
     assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1, 7: 1, 6: 6}
+
+
+def test_random_graph_matches_union_find(spark):
+    """200-node random graph (fixed seed) — Spark CC must agree with
+    an in-memory union-find computing min-id components."""
+    import random
+
+    rng = random.Random(42)
+    n = 200
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    got = _cc(spark, range(n), pairs)
+    assert got == expected

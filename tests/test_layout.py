@@ -1,0 +1,26 @@
+"""Layout/pruning operator invariants beyond oracle parity."""
+
+from __future__ import annotations
+
+from cli_spark.plans.registry import registry
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """The defining Bloom property: every true member passes the
+    filter. (False positives are allowed and audited; a single false
+    negative makes the pruning unsound.)"""
+    row = registry()["q115_bloom_filter_probe"].fn(spark, sf_dir).collect()[0]
+    assert row["false_negatives"] == 0
+    assert row["bloom_candidates"] >= row["true_members"]
+
+
+def test_zorder_buckets_are_locally_tight(spark, sf_dir):
+    """Z-bucket locality: within one z-bucket both dimensions' spans
+    must be bounded by the bucket's bit budget (a 16384-wide z-range
+    constrains each interleaved dim to a 128-wide span — 7 low bits
+    per dimension)."""
+    rows = registry()["q113_zorder_locality"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_cust"] - r["min_cust"] <= 127
+        assert r["max_day"] - r["min_day"] <= 127

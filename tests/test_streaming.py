@@ -388,3 +388,51 @@ def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
         assert pairs == {(1, 10)}
     finally:
         q.stop()
+
+
+def test_streaming_session_window(spark, stream_dir):
+    """True-streaming session windows: a 10-minute-gap session closes
+    only once the watermark passes gap-end; bursts separated by more
+    than the gap land in distinct sessions with correct counts."""
+    name = f"sess_{uuid.uuid4().hex[:6]}"
+    _write_batch(
+        spark,
+        stream_dir,
+        [
+            (1, _ts("10:00:00"), 1, 1.0),
+            (2, _ts("10:04:00"), 1, 1.0),   # same session (gap 4m < 10m)
+            (3, _ts("10:30:00"), 1, 1.0),   # new session
+            (4, _ts("10:31:00"), 2, 1.0),
+        ],
+        "batch0",
+    )
+    # advance the watermark far enough to finalize all sessions
+    _write_batch(spark, stream_dir, [(9, _ts("12:00:00"), 9, 1.0)], "batch1")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        f"SELECT user_id, session_window.start AS s, n FROM {name} ORDER BY user_id, s"
+    ).collect()
+    finalized = [(r["user_id"], str(r["s"]), r["n"]) for r in out]
+    assert ("1", "2024-01-01 10:00:00", 2) not in finalized  # sanity: typed rows below
+    assert [(u, s[11:16], n) for u, s, n in finalized] == [
+        (1, "10:00", 2),
+        (1, "10:30", 1),
+        (2, "10:31", 1),
+    ]
