@@ -1,0 +1,126 @@
+"""Pipeline audit operators: referential-integrity census and
+engine-portable table checksums.
+
+At 100 TB you cannot eyeball a load — audits are queries:
+
+* q118 counts orphan foreign keys across every relationship of the
+  star schema in one result set. Each check is a broadcast anti-join
+  census (dims broadcast; facts scanned once each, never shuffled),
+  so the whole audit costs a handful of fact scans.
+* q119 fingerprints every table with a deterministic, order- and
+  partitioning-independent checksum: sum of a 48-bit integer derived
+  from md5 of the key column, plus the row count. Sum is commutative,
+  the per-row hash is engine-portable, and 48-bit values keep the
+  BIGINT sum overflow-free up to ~10^5 TB of rows — so the same
+  checksum computed by ANY engine (here: the DuckDB oracle) proves
+  byte-level agreement on the key set after a migration or sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# (relationship label, fact table, fk col, dim table, pk col)
+_FKS = [
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+@register(
+    "q118_fk_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{label}' AS relationship,
+       (SELECT COUNT(*) FROM {fact}) AS fact_rows,
+       (SELECT COUNT(*) FROM {fact} f
+        WHERE f.{fk} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk}))
+         AS orphan_rows"""
+        for label, fact, fk, dim, pk in _FKS
+    ),
+    tags=("audit", "integrity", "anti-join"),
+)
+def q118_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per FK relationship, total fact
+    rows and orphans (non-null FK with no matching dim PK) via
+    broadcast left-anti joins. A clean load reports all zeros; any
+    non-zero pinpoints the broken relationship without a re-scan."""
+    out = None
+    for label, fact, fk, dim, pk in _FKS:
+        f_df = load_table(spark, sf_dir, fact)
+        d_df = load_table(spark, sf_dir, dim)
+        orphans = (
+            f_df.filter(F.col(fk).isNotNull())
+            .join(F.broadcast(d_df), f_df[fk] == d_df[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        row = (
+            f_df.agg(F.count(F.lit(1)).alias("fact_rows"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(label).alias("relationship"), "fact_rows", "orphan_rows"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# 48-bit portable row hash: 12 hex chars of md5(key) via 1-based instr
+# arithmetic — identical text parses in Spark SQL and DuckDB.
+def _hash48(key: str) -> str:
+    digits = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({key}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"({digits})"
+
+
+_KEYS = {
+    "region": "CAST(r_regionkey AS STRING)",
+    "nation": "CAST(n_nationkey AS STRING)",
+    "customer": "CAST(c_custkey AS STRING)",
+    "supplier": "CAST(s_suppkey AS STRING)",
+    "part": "CAST(p_partkey AS STRING)",
+    "orders": "CAST(o_orderkey AS STRING)",
+    "lineitem": "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING)",
+    "documents": "CAST(doc_id AS STRING)",
+    "embeddings": "CAST(vec_id AS STRING)",
+}
+
+
+@register(
+    "q119_table_checksums",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, COUNT(*) AS row_count,
+       CAST(SUM({_hash48(k.replace("AS STRING", "AS VARCHAR"))}) AS BIGINT) AS key_checksum"""
+        + f" FROM {t}"
+        for t, k in _KEYS.items()
+    ),
+    tags=("audit", "checksum"),
+)
+def q119_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent key checksums for every keyed
+    table: row count + commutative sum of a 48-bit md5-derived hash
+    of the primary key. Identical output from any engine over the
+    same data — the cheap cross-system equality proof for migrations
+    and sink round-trips (events is excluded: its key audit rides the
+    ns-timestamp rebuild tested elsewhere)."""
+    out = None
+    for t, k in _KEYS.items():
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.expr(_hash48(k))).cast("long").alias("key_checksum"),
+        ).select(F.lit(t).alias("table_name"), "row_count", "key_checksum")
+        out = row if out is None else out.unionByName(row)
+    return out
