@@ -191,3 +191,74 @@ def q103_streaming_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink_name)
+
+
+@register(
+    "q124_streaming_session_true",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, value, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+               OR epoch_us(CAST(ts AS TIMESTAMP))
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC)
+),
+mark AS (
+  SELECT *, SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY t_us ASC, event_id ASC ROWS UNBOUNDED PRECEDING
+  ) AS sess_no
+  FROM seq
+)
+SELECT user_id,
+       strftime(make_timestamp(min(t_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM mark GROUP BY user_id, sess_no
+""",
+    tags=("streaming", "true_stream", "session"),
+)
+def q124_streaming_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows: readStream over the events
+    parquet, per-user 30-minute-gap session aggregation, availableNow
+    into a memory sink (complete mode). The oracle is the classic
+    batch sessionization (lag-gap → running session number) on
+    MICROSECOND-truncated timestamps, matching Spark's half-open
+    session semantics (a gap of exactly 30 min starts a new session).
+
+    Streaming session state merges out-of-order events per key — at
+    scale the shuffle is on user_id and state size is bounded by
+    open sessions per key, with the watermark reaping closed ones."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            ts_str(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    sink_name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
