@@ -1,0 +1,101 @@
+"""Event-analytics operators: growth accounting and cohort retention —
+the two query shapes every product/events pipeline runs daily.
+
+Scale notes:
+* A running COUNT(DISTINCT) is not windowable at scale (per-row state
+  is the whole user set). The standard rewrite: reduce events to each
+  user's FIRST day (one shuffle on user_id — the distinct-key set,
+  not the event volume), then a cumulative sum over the tiny per-day
+  new-user counts. q128 is that rewrite, exact.
+* Cohort retention is first-touch assignment + a (cohort × period)
+  census: again one shuffle on user_id to find first weeks, then a
+  broadcast-joinable re-join against events reduced to distinct
+  (user, week). Event payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+@register(
+    "q128_growth_accounting",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+)
+SELECT CAST(first_day AS STRING) AS day,
+       new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+""",
+    tags=("analytics", "growth", "window"),
+)
+def q128_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day, computed as first-seen-day
+    reduction + running sum — the scalable rewrite of a running
+    COUNT(DISTINCT) (whose window state would be the entire user set).
+    Shuffles only user_ids and then day-level counts."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = firsts.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy(F.col("first_day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "q129_cohort_retention",
+    oracle="""
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01') // 7
+              AS INTEGER) AS week_no
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week_no) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_week,
+       w.week_no - c.cohort_week AS weeks_since,
+       COUNT(*) AS active_users
+FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, w.week_no - c.cohort_week
+""",
+    tags=("analytics", "cohort", "retention"),
+)
+def q129_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by their first
+    active week, counted in every subsequent week they return. Week
+    numbering is an absolute diff from a fixed Monday anchor so both
+    engines bucket identically (never engine week-of-year, whose
+    ISO/locale rules differ). Events reduce to distinct (user, week)
+    before any join — the fact table's volume is gone by the time
+    anything shuffles twice."""
+    e = load_table(spark, sf_dir, "events")
+    week_no = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7
+    ).cast("int")
+    weeks = e.select("user_id", week_no.alias("week_no")).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week_no").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week_no") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
