@@ -183,3 +183,11 @@ def test_q105_sample_filter_is_narrow(spark, sf_dir):
     all in the plan (sample membership never shuffles data)."""
     plan = plan_of(spark, sf_dir, "q105_hash_sample")
     assert "Exchange" not in plan
+
+
+def test_q116_lateral_decorrelates(spark, sf_dir):
+    """LATERAL per-group top-K must decorrelate to a window rank +
+    hash/broadcast join — never a per-outer-row nested loop."""
+    plan = plan_of(spark, sf_dir, "q116_lateral_topk")
+    assert "row_number()" in plan and "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
