@@ -78,6 +78,7 @@ def _load_all() -> None:
     import cli_spark.operators.sql_features  # noqa: F401
     import cli_spark.operators.audit  # noqa: F401
     import cli_spark.operators.analytics  # noqa: F401
+    import cli_spark.operators.cdc  # noqa: F401
     import cli_spark.operators.tpch_composites  # noqa: F401
     import cli_spark.operators.tpch_composites2  # noqa: F401
     import cli_spark.operators.similarity  # noqa: F401
