@@ -87,3 +87,66 @@ def q147_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q148_scd2_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC)
+),
+runs AS (
+  SELECT *, CAST(SUM(chg) OVER (
+    PARTITION BY user_id ORDER BY t_us ASC, event_id ASC ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS run_no
+  FROM seq
+)
+SELECT user_id, run_no, min(event_type) AS event_type,
+       strftime(make_timestamp(min(t_us)), '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COUNT(*) AS n_events
+FROM runs GROUP BY user_id, run_no
+""",
+    tags=("cdc", "scd2", "window"),
+)
+def q148_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals: collapse each user's event
+    stream into maximal runs of one event_type (change-flag →
+    running run number → per-run aggregate), the run-length encoding
+    behind slowly-changing-dimension history tables. One shuffle on
+    user_id carries both windows and the final per-run aggregation.
+    Timestamps compare at microsecond truncation (matching the
+    events ts rebuild) and cross the hash boundary as strings."""
+    from pyspark.sql.window import Window
+
+    from cli_spark.functions.determinism import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(t_us.asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        t_us.alias("t_us"),
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = seq.withColumn("run_no", F.sum("chg").over(w2).cast("long"))
+    return runs.groupBy("user_id", "run_no").agg(
+        F.min("event_type").alias("event_type"),
+        ts_str(F.timestamp_micros(F.min("t_us"))).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
