@@ -8,12 +8,15 @@ At 100 TB you cannot eyeball a load — audits are queries:
   census (dims broadcast; facts scanned once each, never shuffled),
   so the whole audit costs a handful of fact scans.
 * q119 fingerprints every table with a deterministic, order- and
-  partitioning-independent checksum: sum of a 48-bit integer derived
-  from md5 of the key column, plus the row count. Sum is commutative,
-  the per-row hash is engine-portable, and 48-bit values keep the
-  BIGINT sum overflow-free up to ~10^5 TB of rows — so the same
-  checksum computed by ANY engine (here: the DuckDB oracle) proves
-  byte-level agreement on the key set after a migration or sink.
+  partitioning-independent checksum: XOR of a 48-bit integer derived
+  from md5 of the key column, plus the row count. XOR is commutative
+  and associative with NO overflow at any cardinality (a SUM of
+  48-bit hashes overflows BIGINT past ~65k rows — caught by the
+  sf0.1 sweep under ANSI mode), and the per-row hash is
+  engine-portable — so the same checksum computed by ANY engine
+  (here: the DuckDB oracle) proves byte-level agreement on the key
+  set after a migration or sink. The count catches the XOR blind
+  spot (a value appearing an even number of times cancels).
 """
 
 from __future__ import annotations
@@ -102,7 +105,7 @@ _KEYS = {
     "q119_table_checksums",
     oracle="\nUNION ALL\n".join(
         f"""SELECT '{t}' AS table_name, COUNT(*) AS row_count,
-       CAST(SUM({_hash48(k.replace("AS STRING", "AS VARCHAR"))}) AS BIGINT) AS key_checksum"""
+       CAST(bit_xor({_hash48(k.replace("AS STRING", "AS VARCHAR"))}) AS BIGINT) AS key_checksum"""
         + f" FROM {t}"
         for t, k in _KEYS.items()
     ),
@@ -110,8 +113,9 @@ _KEYS = {
 )
 def q119_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-independent key checksums for every keyed
-    table: row count + commutative sum of a 48-bit md5-derived hash
-    of the primary key. Identical output from any engine over the
+    table: row count + commutative XOR of a 48-bit md5-derived hash
+    of the primary key (overflow-free at any scale, unlike a SUM).
+    Identical output from any engine over the
     same data — the cheap cross-system equality proof for migrations
     and sink round-trips (events is excluded: its key audit rides the
     ns-timestamp rebuild tested elsewhere)."""
@@ -120,7 +124,7 @@ def q119_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, t)
         row = df.agg(
             F.count(F.lit(1)).alias("row_count"),
-            F.sum(F.expr(_hash48(k))).cast("long").alias("key_checksum"),
+            F.bit_xor(F.expr(_hash48(k))).cast("long").alias("key_checksum"),
         ).select(F.lit(t).alias("table_name"), "row_count", "key_checksum")
         out = row if out is None else out.unionByName(row)
     return out
