@@ -99,3 +99,58 @@ def q129_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week_no") - F.col("cohort_week")).alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "q149_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS step_view,
+       (SELECT COUNT(*) FROM c) AS step_click_after_view,
+       (SELECT COUNT(*) FROM p) AS step_purchase_after_click
+""",
+    tags=("analytics", "funnel", "sequential"),
+)
+def q149_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each step counts
+    users whose FIRST qualifying event strictly follows their entry
+    into the previous step — the sequential-pattern query engines
+    with MATCH_RECOGNIZE express natively, here as cascaded
+    first-event reductions. Each stage is one aggregation on user_id
+    (the same shuffle key throughout, so Spark reuses the
+    partitioning), and event payloads reduce to (user, min_ts) before
+    every join."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str, out: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype).select(
+            "user_id", t_us.alias("t")
+        )
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("t") > F.col(prev_col))
+        return s.groupBy("user_id").agg(F.min("t").alias(out))
+
+    v = first_after("view", None, "", "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    return (
+        v.agg(F.count(F.lit(1)).alias("step_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase_after_click")))
+    )
