@@ -152,3 +152,47 @@ def q87_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "flags")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q88_winsorized_mean",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(least(greatest(o_totalprice, p05), p95) * 10000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS winsorized_avg_price
+FROM orders CROSS JOIN cuts
+GROUP BY o_orderstatus
+""",
+    tags=("quality", "robust-stats", "winsorize"),
+)
+def q88_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clamp at p5/p95, then average) — the robust
+    statistic for outlier-polluted measures. Two passes: an exact
+    interpolated-percentile reduction to a 1-row cutoff relation
+    (broadcast), then one clamped aggregation; the fact table is
+    scanned twice but shuffled only as group-level partials. Both
+    engines interpolate percentile_cont identically; the clamped sum
+    is quantized so the average matches bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice)").alias("p05"),
+        F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    q = F.floor(clamped * 10000.0 + 0.5)
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(q).cast("double") / 10000.0 / F.count(F.lit(1))).alias(
+                "winsorized_avg_price"
+            ),
+        )
+    )
