@@ -191,3 +191,12 @@ def test_q116_lateral_decorrelates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q116_lateral_topk")
     assert "row_number()" in plan and "Window" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q115_bloom_probe_never_shuffles_fact(spark, sf_dir):
+    """Bloom probing must stay scan-side: every join against the
+    ≤32-row bloom (and the truth audit) broadcasts; the only
+    non-broadcast exchange is the final single-row aggregate."""
+    plan = plan_of(spark, sf_dir, "q115_bloom_filter_probe")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
