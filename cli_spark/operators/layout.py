@@ -222,16 +222,18 @@ def q115_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = probe.withColumn(
         "bloom_pass", F.col("pass0") & F.col("pass1") & F.col("pass2")
     )
-    truth = (
-        o.join(F.broadcast(src), o["o_custkey"] == src["c_custkey"], "left_semi")
-        .select("o_orderkey", F.lit(True).alias("is_member"))
-    )
-    joined = probe.join(truth, "o_orderkey", "left")
+    # truth audit WITHOUT a fact-fact self-join: membership is just a
+    # broadcast left join against the (dimension-sized) key set, so the
+    # whole audit is one scan of orders + broadcast joins — the fact
+    # side never shuffles.
+    joined = probe.join(
+        F.broadcast(src), probe["o_custkey"] == src["c_custkey"], "left"
+    ).withColumn("is_member", F.col("c_custkey").isNotNull())
     return joined.agg(
         F.count(F.lit(1)).alias("total_orders"),
         F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("long").alias("bloom_candidates"),
         F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("true_members"),
-        F.sum(F.when(F.col("bloom_pass") & F.col("is_member").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
         .cast("long")
         .alias("false_positives"),
         F.sum(F.when(~F.col("bloom_pass") & F.col("is_member"), 1).otherwise(0))

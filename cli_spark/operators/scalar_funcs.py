@@ -13,11 +13,38 @@ no Python UDFs. Oracle gotchas handled per SURVEY §2 / §5.2:
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
+
+# q66 golden table: Spark's seeded xxhash64 per fixed NATION_k name
+# (pinned from a verified run; drift in any engine version breaks the
+# driver's hash compare) + CRC-32 computed HERE via zlib — an
+# implementation independent of both engines.
+_Q66_XXH64 = [
+    (0, -3635279775981152085), (1, -3191739825536951345),
+    (2, -1122549408961623051), (3, -6553752320078117943),
+    (4, -2331079757126508432), (5, -1294387990695063588),
+    (6, 429854463658653475), (7, -1821898194479978266),
+    (8, 9004275367934011975), (9, -2287288453389768943),
+    (10, 9031943545092929825), (11, 2281512348945990958),
+    (12, -5326869236346025150), (13, -1287700060914886076),
+    (14, 8953969587697275637), (15, 8921703177071605178),
+    (16, -1323510064612203124), (17, 8525034706716842015),
+    (18, 9134329436019486759), (19, 3727839146706945451),
+    (20, -7170314187469782521), (21, 5021686427711143555),
+    (22, 1145888113185677229), (23, -8151388513236445183),
+    (24, -1615532261484927898),
+]
+_Q66_VALUES = ", ".join(
+    f"({k}, CAST({v} AS BIGINT), "
+    f"CAST({zlib.crc32(f'NATION_{k}'.encode())} AS BIGINT))"
+    for k, v in _Q66_XXH64
+)
 
 
 @register(
@@ -321,15 +348,35 @@ def q65_scalar_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q66_spark_native_funcs",
-    oracle=None,  # Spark-specific functions with no DuckDB equivalent
+    oracle=f"""
+WITH xxh(k, xxh64, crc32) AS (VALUES {_Q66_VALUES})
+SELECT n.n_nationkey,
+       'N350' AS name_soundex,
+       CAST(12 * n.n_nationkey + 2 AS DOUBLE) AS mb,
+       CAST(CASE WHEN n.n_nationkey % 2 = 0 THEN n.n_nationkey
+                 ELSE n.n_nationkey + 1 END AS DOUBLE) AS bankers,
+       bin(n.n_nationkey) AS binary_repr,
+       x.crc32 AS crc,
+       x.xxh64 AS xxh,
+       base64(CAST(n.n_name AS BLOB)) AS b64,
+       hex(n.n_nationkey) AS hex_key,
+       CAST(n.n_nationkey * 4 AS INT) AS shl,
+       CAST(n.n_nationkey // 2 AS INT) AS shr
+FROM nation n JOIN xxh x ON x.k = n.n_nationkey
+""",
     tags=("scalar", "spark_native"),
 )
 def q66_spark_native_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-native function surface DuckDB cannot mirror (soundex,
-    months_between, bround banker's rounding, conv base conversion,
-    crc32 / xxhash64, base64, hex, bit shifts) — deterministic values,
-    rows-only driver check; pinned by pytest golden assertions
-    instead (tests/test_parity.py::test_q66_goldens)."""
+    """Spark-native function surface (soundex, months_between, bround
+    banker's rounding, conv base conversion, crc32 / xxhash64, base64,
+    hex, bit shifts). Oracle-checked despite DuckDB's thinner surface:
+    nation names are the fixed 25-row NATION_k set, so soundex is the
+    constant 'N350' (digits are skipped), months_between of two
+    day-15 dates is exactly 12k+2, bround(k+0.5) is round-half-even in
+    closed form, conv(.,10,2)=bin(), hex/base64/shifts/crc32 exist in
+    DuckDB directly, and the Spark-seeded xxhash64 is pinned as a
+    25-row VALUES golden (drift in ANY engine version breaks the
+    hash compare; also pytest-pinned in test_parity)."""
     n = load_table(spark, sf_dir, "nation")
     return n.select(
         "n_nationkey",
@@ -351,15 +398,29 @@ def q66_spark_native_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q67_map_ops_pack",
-    oracle=None,  # DuckDB MAP support is thinner (SURVEY §2) — rows-only + pytest golden
+    oracle="""
+SELECT n_nationkey,
+       CAST(length(n_name) AS BIGINT) AS name_len,
+       CAST(2 * n_nationkey AS BIGINT) AS key_x2,
+       CAST(n_regionkey AS BIGINT) AS reg_upkey,
+       CAST(CASE WHEN 2 * n_nationkey >= 10 THEN 1 ELSE 0 END
+          + CASE WHEN 2 * n_regionkey >= 10 THEN 1 ELSE 0 END
+          + CASE WHEN 2 * length(n_name) >= 10 THEN 1 ELSE 0 END AS INT) AS n_big,
+       CAST(2 * n_nationkey AS BIGINT) AS key_sum,
+       'key,len,reg' AS keys_sorted,
+       CAST(n_nationkey + n_regionkey + length(n_name) AS BIGINT) AS values_total
+FROM nation
+""",
     tags=("scalar", "map"),
 )
 def q67_map_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-function pack: create_map / map_concat / transform_keys /
     transform_values / map_filter / map_zip_with / element_at /
-    map_keys / map_values — flattened to scalars for the result (map
-    column serialization is engine-specific, hence rows-only; exact
-    values pinned in tests/test_parity.py::test_q67_goldens)."""
+    map_keys / map_values — flattened to scalars for the result. The
+    flattened scalars are plain arithmetic over (nationkey, regionkey,
+    length(name)), so the oracle states them directly in SQL without
+    needing DuckDB's (thinner) MAP type at all; exact values also
+    pinned in tests/test_parity.py::test_q67_goldens."""
     n = load_table(spark, sf_dir, "nation")
     m = F.create_map(
         F.lit("key"), F.col("n_nationkey").cast("long"),

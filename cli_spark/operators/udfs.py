@@ -32,25 +32,55 @@ from cli_spark.tables import load_table
 
 @register(
     "q57_grouped_map_zscore",
-    oracle=None,  # grouped-map python UDF — no SQL mirror; rows-only
+    oracle="""
+WITH cents AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS c
+  FROM customer
+),
+moments AS (
+  SELECT c_mktsegment, c_custkey, c,
+         CAST(SUM(c) OVER w AS DOUBLE) AS s,
+         CAST(SUM(c * c) OVER w AS DOUBLE) AS ss,
+         COUNT(*) OVER w AS n
+  FROM cents
+  WINDOW w AS (PARTITION BY c_mktsegment)
+)
+SELECT c_mktsegment, c_custkey,
+       floor((c - s / n) / sqrt((ss - s * (s / n)) / (n - 1)) * 1000000)
+         / 1000000 AS bal_z
+FROM moments
+""",
     tags=("udf", "pandas", "grouped_map"),
 )
 def q57_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-mktsegment z-score of customer balances via
     groupBy().applyInPandas — the grouped-map pandas UDF path (Arrow
-    batches, one group per call). fsum-based moments make the output
-    independent of row arrival order (reproducible run to run)."""
+    batches, one group per call).
+
+    Cross-engine exact: balances are 2-decimal money, so cents are
+    int64 and sum / sum-of-squares are EXACT integers (exact in
+    float64 up to ~9e15, fine through sf0.1). Both engines then apply
+    the identical IEEE double expression to the same integers —
+    mean = s/n, var = (ss - s*(s/n))/(n-1) — and floor-quantize the
+    z-score to 1e-6, so the hashes match bit-for-bit with no
+    rounding-convention dependence."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        mean = math.fsum(pdf["c_acctbal"]) / n
-        var = math.fsum((x - mean) ** 2 for x in pdf["c_acctbal"]) / max(n - 1, 1)
-        std = math.sqrt(var) or 1.0
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        n = len(cents)
+        s = float(int(cents.sum()))
+        ss = float(int((cents * cents).sum()))
+        std = math.sqrt((ss - s * (s / n)) / (n - 1)) if n > 1 else 1.0
+        mean = s / n
         return pd.DataFrame(
             {
                 "c_mktsegment": pdf["c_mktsegment"],
                 "c_custkey": pdf["c_custkey"],
-                "bal_z": [round((x - mean) / std, 6) for x in pdf["c_acctbal"]],
+                "bal_z": [
+                    math.floor((c - mean) / std * 1000000) / 1000000
+                    for c in cents
+                ],
             }
         )
 
@@ -119,20 +149,39 @@ def q59_registered_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q56_grouped_agg_pandas_udf",
-    oracle=None,  # float mean over arbitrary-order Arrow batches on the
-    # oracle side would need fsum too — keep rows-only
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT o_orderpriority,
+       floor(CAST((SUM(c) - MIN(c) - MAX(c)) * 100 AS DOUBLE)
+             / (COUNT(*) - 2)) / 10000.0 AS trimmed_mean_price
+FROM cents
+GROUP BY o_orderpriority
+""",
     tags=("udf", "pandas", "grouped_agg"),
 )
 def q56_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED_AGG pandas UDF (vectorized UDAF): order-independent
-    trimmed mean (drop min/max, fsum the rest) of order totals per
-    priority."""
+    """GROUPED_AGG pandas UDF (vectorized UDAF): trimmed mean (drop
+    one min + one max, average the rest) of order totals per priority.
+
+    Cross-engine exact: totals are 2-decimal money → int64 cents, so
+    sum/min/max are exact integers; both engines evaluate the same
+    (sum-min-max)*100/(n-2) in IEEE doubles (exact numerator < 2^53)
+    and floor-quantize to 1e-4 dollars — bit-identical hashes without
+    depending on either engine's round() convention. Order-independent
+    by construction, so Arrow batch arrival order can't change it."""
 
     @pandas_udf(DoubleType())
     def trimmed_mean(v: pd.Series) -> float:
-        xs = sorted(v)
-        xs = xs[1:-1] if len(xs) > 2 else xs
-        return round(math.fsum(xs) / max(len(xs), 1), 6)
+        cents = (v * 100).round().astype("int64")
+        n = len(cents)
+        if n > 2:
+            s, m = int(cents.sum()) - int(cents.min()) - int(cents.max()), n - 2
+        else:
+            s, m = int(cents.sum()), n
+        return math.floor(float(s * 100) / m) / 10000.0
 
     o = load_table(spark, sf_dir, "orders")
     return (

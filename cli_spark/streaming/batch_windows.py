@@ -22,6 +22,26 @@ from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
 
+def _drain_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    memory sink, materialize the result, and DROP the sink's temp view
+    so repeated invocations in one session don't accumulate
+    fully-materialized tables in driver memory."""
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    sink = spark.table(sink_name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(sink_name)
+    return out
+
+
 @register(
     "q100_tumbling_window",
     oracle=f"""
@@ -96,21 +116,27 @@ def q101_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q102_session_windows",
     oracle=f"""
 WITH ordered AS (
-  SELECT user_id, ts, event_id, value,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL '30 minutes'
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL
+              OR epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                 >= 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 tagged AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM ordered
 )
 SELECT user_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+       strftime(make_timestamp(min(t_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(max(t_us)) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n_events,
        {sql_dsum('value')} AS value_sum
 FROM tagged
@@ -121,7 +147,10 @@ GROUP BY user_id, session_seq
 def q102_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap
     (F.session_window). Session end = last event + gap, matching the
-    classic lag-gap-cumsum sessionization SQL the oracle runs."""
+    classic lag-gap-cumsum sessionization SQL the oracle runs.
+    Spark's session window is half-open: a gap of EXACTLY 30:00 starts
+    a new session, so the oracle compares microsecond-truncated gaps
+    with >= (not >) — same convention as q124."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -181,16 +210,7 @@ def q103_streaming_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    sink_name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name)
+    return _drain_memory_sink(spark, agg, "stream_result")
 
 
 @register(
@@ -252,13 +272,4 @@ def q124_streaming_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    sink_name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name)
+    return _drain_memory_sink(spark, agg, "stream_sess")

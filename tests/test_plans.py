@@ -195,8 +195,12 @@ def test_q116_lateral_decorrelates(spark, sf_dir):
 
 def test_q115_bloom_probe_never_shuffles_fact(spark, sf_dir):
     """Bloom probing must stay scan-side: every join against the
-    ≤32-row bloom (and the truth audit) broadcasts; the only
-    non-broadcast exchange is the final single-row aggregate."""
+    ≤32-row bloom (and the truth-audit key set) broadcasts, so the
+    FACT side (orders) never hash-shuffles. The build side's
+    groupBy('word') legitimately exchanges ≤32 rows per map task —
+    that tiny build exchange is the only hashpartitioning allowed."""
     plan = plan_of(spark, sf_dir, "q115_bloom_filter_probe")
-    assert "Exchange hashpartitioning" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "word" in line and "o_" not in line, line
     assert plan.count("BroadcastHashJoin") >= 4
