@@ -1,0 +1,658 @@
+"""Training-data curation operators (round 2): the pipeline stages a
+large-scale LLM data build runs between raw scrape and tokenizer —
+decontamination against the eval split, corpus-level heavy hitters,
+normalization, bigram language-model statistics, embedding-space
+outlier pruning, contrastive hard-negative mining, curriculum
+binning, and a deterministic k-means over embeddings.
+
+Design for 100 TB (same rules as pipeline.py):
+* every "random" choice is an md5-derived hash of a stable key —
+  reproducible across runs, engines and partitionings;
+* shingle/token joins key on the (pre-aggregated, distinct) token —
+  map-side partial aggregation happens before any shuffle, and the
+  small side of every join (test-split shingles, corpus totals,
+  centroids) is explicitly broadcast;
+* all floating-point results cross the engine boundary as exact
+  integers (counts, micro-ratios via floor(a*1e6/b), quantized
+  embedding coordinates) — the determinism layer's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_spark.operators.pipeline import _BUCKET, _bucket_col
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# 5-word shingles, 1-based start positions (both engines); docs with
+# fewer than 5 words produce none (Spark sequence(1,0) counts DOWN —
+# the n>=5 guard is mandatory, see SURVEY §5.2).
+_SHINGLE_N = 5
+
+
+def _words_col():
+    return F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+
+
+_SQL_WORDS = "list_filter(string_split(lower(text), ' '), w -> w != '')"
+
+
+@register(
+    "q151_decontamination",
+    oracle=f"""
+WITH split_docs AS (
+  SELECT doc_id, {_SQL_WORDS} AS words,
+         CASE WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 12 THEN 'train'
+              WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+train_shingles AS (
+  SELECT DISTINCT array_to_string(list_slice(words, s.i, s.i + {_SHINGLE_N - 1}), ' ') AS shingle
+  FROM split_docs, unnest(generate_series(1, len(words) - {_SHINGLE_N - 1})) AS s(i)
+  WHERE split = 'train' AND len(words) >= {_SHINGLE_N}
+),
+test_shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(words, s.i, s.i + {_SHINGLE_N - 1}), ' ') AS shingle
+  FROM split_docs, unnest(generate_series(1, len(words) - {_SHINGLE_N - 1})) AS s(i)
+  WHERE split = 'test' AND len(words) >= {_SHINGLE_N}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(floor(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1000000 AS DOUBLE)
+                  / COUNT(*)) AS BIGINT) AS hit_ppm,
+       SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10 >= COUNT(*) AS contaminated
+FROM test_shingles t LEFT JOIN train_shingles tr ON t.shingle = tr.shingle
+GROUP BY t.doc_id
+""",
+    tags=("training", "decontamination", "shingle"),
+)
+def q151_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag test-split documents whose
+    5-gram shingles leak from the train split (the standard n-gram
+    overlap check run before any benchmark eval). Splits reuse q96's
+    md5(doc_id) buckets, so train/test membership is reproducible.
+
+    Scale shape: both sides reduce to DISTINCT shingles BEFORE the
+    join (map-side partial distinct), the join keys on the shingle
+    string, and the verdict is integer arithmetic (hit*10 >= total
+    ⇔ ratio >= 0.1; ppm = floor(hit*1e6/total)). At 100 TB the
+    train-shingle side would key on xxhash64(shingle) and the
+    contaminated-eval join is a fraction of corpus size — test split
+    is ~12% of docs and shrinks to distinct shingles first."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = (
+        d.withColumn("md5_key", F.encode(F.col("doc_id").cast("string"), "utf-8"))
+        .withColumn(
+            "split",
+            F.when(_bucket_col("md5_key") < 12, "train")
+            .when(_bucket_col("md5_key") < 14, "val")
+            .otherwise("test"),
+        )
+        .withColumn("words", _words_col())
+        .filter(F.size("words") >= _SHINGLE_N)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (_SHINGLE_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, _SHINGLE_N)),
+                )
+            ).alias("shingle"),
+        )
+    )
+    train = (
+        tagged.filter(F.col("split") == "train").select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = tagged.filter(F.col("split") == "test").select("doc_id", "shingle").distinct()
+    joined = test.join(train, "shingle", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.floor(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") * 1000000
+            / F.count(F.lit(1))
+        ).cast("long").alias("hit_ppm"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 10 >= F.count(F.lit(1))).alias(
+            "contaminated"
+        ),
+    )
+
+
+@register(
+    "q153_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_SQL_WORDS}) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts)
+SELECT c.term, c.cnt,
+       CAST(floor(CAST(c.cnt * 1000000 AS DOUBLE) / t.n) AS BIGINT) AS freq_ppm
+FROM counts c CROSS JOIN total t
+WHERE c.cnt * 500 >= t.n
+ORDER BY c.cnt DESC, c.term
+""",
+    tags=("training", "heavy-hitters", "frequency"),
+)
+def q153_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: every token whose frequency exceeds 1/500
+    of all token occurrences (the exact version of the Misra-Gries /
+    count-min query — boilerplate and template detection in corpus
+    audits).
+
+    Two-phase exact: per-term counts (map-side combine, one shuffle on
+    term), then the corpus total re-derived from the counts relation
+    (no second scan) crossed in as a broadcast single row. The
+    threshold compare is pure integers (cnt*500 >= N), so it is
+    oracle-exact at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_words_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 500 >= F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.floor(F.col("cnt").cast("double") * 1000000 / F.col("n"))
+            .cast("long")
+            .alias("freq_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), "term")
+    )
+
+
+@register(
+    "q154_text_normalize",
+    oracle="""
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+  WHERE doc_id < 200
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS norm_chars,
+       CAST(len(list_filter(string_split(norm, ' '), w -> w != '')) AS BIGINT) AS norm_tokens
+FROM cleaned
+""",
+    tags=("training", "normalize", "regex"),
+)
+def q154_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase → non-alphanumeric →
+    space → whitespace collapse → trim), fingerprinted with md5 so the
+    full normalized text never crosses the engine boundary. This is
+    the canonicalization step exact-dedup keys on in a real corpus
+    build (casing/punctuation variants collapse to one md5).
+
+    Narrow per-row projection — no shuffle at any scale; regexes are
+    anchored to byte-class patterns valid in both Java regex and RE2
+    (DuckDB needs the explicit 'g' flag; Spark replaces all matches
+    by default)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(norm, "utf-8")).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        F.size(F.filter(F.split(norm, " "), lambda w: w != "")).cast("long").alias(
+            "norm_tokens"
+        ),
+    )
+
+
+@register(
+    "q155_bigram_lm",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+bigrams AS (
+  SELECT list_extract(words, s.i) AS w1, list_extract(words, s.i + 1) AS w2
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS s(i)
+  WHERE len(words) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+ranked AS (
+  SELECT c12.w1, c12.w2, c12.n12, c1.n1,
+         CAST(floor(CAST(c12.n12 * 1000000 AS DOUBLE) / c1.n1) AS BIGINT) AS p_ppm,
+         row_number() OVER (PARTITION BY c12.w1 ORDER BY c12.n12 DESC, c12.w2) AS rnk
+  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+)
+SELECT w1, w2, n12, n1, p_ppm, rnk
+FROM ranked WHERE rnk <= 3 AND n1 >= 100
+""",
+    tags=("training", "lm", "bigram"),
+)
+def q155_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: P(w2|w1) as integer ppm for the
+    top-3 continuations of every context word seen >= 100 times — the
+    count stage of n-gram LM training (and the data for perplexity-ish
+    quality scoring without a neural model).
+
+    The context totals come from re-aggregating the bigram counts
+    (never a second corpus scan), conditional probabilities are
+    floor(n12*1e6/n1) over exact integers, and ties rank
+    deterministically (count desc, then w2)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words_col().alias("words")).filter(F.size("words") >= 2)
+    bigrams = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i).alias("w1"),
+                    F.element_at(F.col("words"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    ranked = (
+        c12.join(c1, "w1")
+        .withColumn(
+            "p_ppm",
+            F.floor(F.col("n12").cast("double") * 1000000 / F.col("n1")).cast("long"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(F.col("n12").desc(), F.col("w2"))
+            ),
+        )
+    )
+    return ranked.filter((F.col("rnk") <= 3) & (F.col("n1") >= 100)).select(
+        "w1", "w2", "n12", "n1", "p_ppm", "rnk"
+    )
+
+
+# Quantized embedding coordinate: floor(x*1e6 + 0.5) — round-half-up in
+# pure IEEE ops, identical in both engines (see similarity.py's dot).
+# |x| <= ~0.53 here, so |q| <= 5.3e5; squared-distance sums over 64 dims
+# stay far inside int64.
+_SQL_QDIMS = (
+    "SELECT vec_id, label, s.i AS pos, "
+    "CAST(floor(CAST(list_extract(embedding, s.i) AS DOUBLE) * 1000000.0 + 0.5) "
+    "AS BIGINT) AS qv "
+    "FROM embeddings, unnest(generate_series(1, 64)) AS s(i)"
+)
+
+
+def _qdims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    )
+
+
+@register(
+    "q157_embedding_outliers",
+    oracle=f"""
+WITH q AS ({_SQL_QDIMS}),
+cent AS (
+  SELECT label, pos,
+         CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv
+  FROM q GROUP BY label, pos
+),
+dist AS (
+  SELECT q.vec_id, q.label,
+         CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist2
+  FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos
+  GROUP BY q.vec_id, q.label
+),
+ranked AS (
+  SELECT label, vec_id, dist2,
+         row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM dist
+)
+SELECT label, vec_id, dist2, rn FROM ranked WHERE rn * 20 <= n
+""",
+    tags=("training", "embedding", "outlier"),
+)
+def q157_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier pruning: per-label centroid, then the
+    top 5% of vectors by squared distance from their own centroid —
+    the mislabeled/garbage-document screen run before embeddings feed
+    contrastive training.
+
+    All-integer determinism: coordinates quantize to int64 at 1e6,
+    centroids are floor(mean+0.5) of exact integer sums, distances are
+    exact int64 — so the 5% cut (rn*20 <= n, pure integers) is
+    bit-reproducible. Scale shape: centroids are a labels×64-row
+    relation (broadcast); the distance pass is one narrow join +
+    re-aggregation of the exploded dims, shuffling only (vec, label)
+    partial sums."""
+    q = _qdims(spark, sf_dir)
+    cent = q.groupBy("label", "pos").agg(
+        F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("cv")
+    )
+    dist = (
+        q.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("label")
+    ranked = dist.select(
+        "label",
+        "vec_id",
+        "dist2",
+        F.row_number().over(w.orderBy(F.col("dist2").desc(), F.col("vec_id"))).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.filter(F.col("rn") * 20 <= F.col("n")).select(
+        "label", "vec_id", "dist2", "rn"
+    )
+
+
+from cli_spark.operators.similarity import sql_dot as _sql_dot  # noqa: E402
+
+
+@register(
+    "q156_hard_negatives",
+    oracle=f"""
+WITH nrm AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+queries AS (SELECT * FROM nrm WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS cand_id,
+         c.label = q.label AS is_same,
+         floor({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) * 1000000.0) AS cos_micro
+  FROM queries q JOIN nrm c ON c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id, is_same
+                               ORDER BY cos_micro DESC, cand_id) AS rn
+  FROM pairs
+)
+SELECT q_id, q_label, CASE WHEN is_same THEN 'positive' ELSE 'negative' END AS role,
+       cand_id, CAST(cos_micro AS BIGINT) AS cos_micro
+FROM ranked WHERE rn = 1
+""",
+    tags=("training", "contrastive", "mining"),
+)
+def q156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each query vector (deterministic
+    vec_id % 50 sample) emit its hardest positive (nearest same-label
+    neighbor) and hardest negative (nearest other-label neighbor) by
+    cosine — the batch-construction step of contrastive embedding
+    training.
+
+    The query side is a tiny deterministic sample broadcast against
+    the corpus (one linear scan, no shuffle of the big side before the
+    per-query top-1 reduction); cosine uses the quantized-int dot
+    (similarity.py) and crosses engines as floor(cos*1e6)."""
+    from cli_spark.operators.similarity import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = e.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+    )
+    q = nrm.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        nrm.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "q_label",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("q_label")).alias("is_same"),
+            F.floor(dot("embedding", "qe") / (F.col("qn") * F.col("nrm")) * 1000000.0)
+            .alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("q_id", "is_same").orderBy(
+        F.col("cos_micro").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id", "q_label",
+            F.when(F.col("is_same"), "positive").otherwise("negative").alias("role"),
+            "cand_id",
+            F.col("cos_micro").cast("long").alias("cos_micro"),
+        )
+    )
+
+
+def _kmeans_sql(iters: int, k: int) -> str:
+    """Unrolled Lloyd iterations as a CTE chain mirroring the Spark
+    loop below step for step (same quantized-integer arithmetic)."""
+    ctes = [f"q AS ({_SQL_QDIMS})",
+            f"c0 AS (SELECT vec_id AS cid, pos, qv AS cv FROM q WHERE vec_id < {k})"]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT q.vec_id, c.cid, "
+            f"CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2 "
+            f"FROM q JOIN {prev} c ON q.pos = c.pos GROUP BY q.vec_id, c.cid)")
+        ctes.append(
+            f"m{i} AS (SELECT vec_id, cid, d2, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a{i})")
+        ctes.append(
+            f"c{i} AS (SELECT m.cid, q.pos, "
+            f"CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv "
+            f"FROM q JOIN (SELECT vec_id, cid FROM m{i} WHERE rn = 1) m "
+            f"ON q.vec_id = m.vec_id GROUP BY m.cid, q.pos)")
+        prev = f"c{i}"
+    fin = iters + 1
+    ctes.append(
+        f"a{fin} AS (SELECT q.vec_id, c.cid, "
+        f"CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2 "
+        f"FROM q JOIN {prev} c ON q.pos = c.pos GROUP BY q.vec_id, c.cid)")
+    ctes.append(
+        f"m{fin} AS (SELECT vec_id, cid, d2, row_number() OVER "
+        f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a{fin})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cid AS cluster_id, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS wcss
+FROM m{fin} WHERE rn = 1 GROUP BY cid
+""")
+
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+@register(
+    "q158_kmeans_lloyd",
+    oracle=_kmeans_sql(_KMEANS_ITERS, _KMEANS_K),
+    tags=("training", "kmeans", "iterative"),
+)
+def q158_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=4, 2 unrolled Lloyd iterations, seeds
+    = the k lowest vec_ids): cluster sizes and within-cluster sum of
+    squares — the clustering pass a data pipeline uses for topic
+    balancing / IVF coarse quantizers (q84 consumes exactly such
+    centroids).
+
+    Every step is exact-integer: quantized coordinates, integer
+    squared distances, argmin with (distance, cluster) tie-break, and
+    floor(mean+0.5) centroid updates — so 2 iterations land on
+    IDENTICAL centroids in both engines (no float drift across
+    rounds). Scale shape per iteration: one broadcast join of the
+    k×64-row centroid relation against the exploded dims, partial-agg
+    reduction to (vec, cluster) distances, and a k×64 re-aggregation;
+    vectors never shuffle."""
+
+    def assign(q: DataFrame, cent: DataFrame) -> DataFrame:
+        d = (
+            q.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    q = _qdims(spark, sf_dir).select("vec_id", "pos", "qv")
+    cent = q.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cv")
+    )
+    for _ in range(_KMEANS_ITERS):
+        members = assign(q, cent).select("vec_id", "cid")
+        cent = (
+            q.join(members, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)) + 0.5)
+                .cast("long")
+                .alias("cv")
+            )
+        )
+    final = assign(q, cent)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").cast("long").alias("wcss"),
+    )
+
+
+from cli_spark.operators.text import _SQL_STOPWORDS, _STOPWORDS  # noqa: E402
+
+
+@register(
+    "q159_curriculum_bins",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains({_SQL_STOPWORDS}, x))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(CAST(n_stop * 1000000 AS DOUBLE) / n_tokens) AS BIGINT) AS score_ppm
+  FROM tok WHERE n_tokens > 0
+),
+tiled AS (
+  SELECT lang, score_ppm, n_chars,
+         ntile(5) OVER (PARTITION BY lang ORDER BY score_ppm, doc_id) AS tile
+  FROM scored
+)
+SELECT lang, tile, COUNT(*) AS n_docs,
+       MIN(score_ppm) AS min_ppm, MAX(score_ppm) AS max_ppm,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM tiled GROUP BY lang, tile
+""",
+    tags=("training", "curriculum", "ntile"),
+)
+def q159_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: NTILE(5) quality tiers per language by
+    stopword-density score (integer ppm), with per-tier document
+    counts and character budgets — the bucketing step of
+    curriculum-ordered or quality-weighted training schedules.
+
+    NTILE over (score, doc_id) is fully ordered → deterministic tier
+    assignment in both engines; scores are floor(n_stop*1e6/n_tokens)
+    over exact token counts."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    tok = d.select(
+        "doc_id", "lang", "n_chars",
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = tok.select(
+        "doc_id", "lang", "n_chars",
+        F.floor(F.col("n_stop").cast("double") * 1000000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("score_ppm"),
+    )
+    tiled = scored.withColumn(
+        "tile",
+        F.ntile(5).over(Window.partitionBy("lang").orderBy("score_ppm", "doc_id")),
+    )
+    return tiled.groupBy("lang", "tile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score_ppm").alias("min_ppm"),
+        F.max("score_ppm").alias("max_ppm"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+from cli_spark.functions.determinism import dsum, sql_dsum  # noqa: E402
+
+
+@register(
+    "q160_streaming_update_merge",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS value_sum
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "true_stream", "update_mode", "foreachBatch"),
+)
+def q160_streaming_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming in UPDATE output mode with a foreachBatch merge
+    sink: per-user running totals where each micro-batch emits only
+    the keys it changed, and the sink upserts them into state — the
+    incremental-materialized-view pattern (at scale the merge is a
+    MERGE INTO a keyed table; here the driver-side dict plays that
+    role and its final contents are the graded result, equal to the
+    batch aggregation by exactly-once upsert semantics)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("value_sum"),
+    )
+    state: dict[int, tuple[int, float]] = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            state[r["user_id"]] = (r["n_events"], r["value_sum"])
+
+    query = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in state.items()],
+        "user_id long, n_events long, value_sum double",
+    )

@@ -204,3 +204,29 @@ def test_q115_bloom_probe_never_shuffles_fact(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "word" in line and "o_" not in line, line
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q156_query_side_broadcasts(spark, sf_dir):
+    """Hard-negative mining must broadcast the tiny query sample
+    against the corpus (non-equi condition → BroadcastNestedLoop),
+    never a shuffled cartesian."""
+    plan = plan_of(spark, sf_dir, "q156_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q157_centroids_broadcast(spark, sf_dir):
+    """The labels×64-row centroid relation joins back to the exploded
+    dims as a broadcast — vectors must not shuffle for the distance
+    pass."""
+    plan = plan_of(spark, sf_dir, "q157_embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q158_kmeans_centroids_broadcast(spark, sf_dir):
+    """Every Lloyd assignment joins the k×64 centroid relation as a
+    broadcast: 3 assignments (2 iterations + final stats) → >= 3
+    broadcast joins, and the vector side never cartesian-joins."""
+    plan = plan_of(spark, sf_dir, "q158_kmeans_lloyd")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
