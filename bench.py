@@ -23,7 +23,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline queries — one per BASELINE.md row class.
+# Headline queries — one per BASELINE.md row class. The summed metric
+# stays defined over these 7 (comparable across rounds and against
+# BASELINE.md's original measurement).
 BENCH_QUERIES = [
     "q01_pricing_summary",      # TPC-H-Q1-style agg
     "q10_join_topk_revenue",    # Q3-style join + top-K
@@ -32,6 +34,16 @@ BENCH_QUERIES = [
     "q100_tumbling_window",     # events 1h tumbling agg
     "q70_exact_dup_stats",      # exact-dup count (md5)
     "q80_knn_bruteforce",       # brute-force cosine kNN top-10
+]
+
+# Reported-but-not-summed classes (round 2+): timed identically and
+# emitted in "queries" so BASELINE.md's extended rows can be compared
+# per class, without redefining the 7-class headline sum.
+EXTRA_QUERIES = [
+    "q73_minhash_lsh",          # MinHash+LSH near-dup (band join)
+    "q91_tfidf_top_terms",      # TF-IDF per-doc top terms
+    "q151_decontamination",     # 5-gram train/test overlap
+    "q157_embedding_outliers",  # centroid distance outlier cut
 ]
 
 
@@ -47,8 +59,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def timed(name: str) -> float:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm-up (untimed)
         best = float("inf")
@@ -56,11 +67,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+        return round(best, 4)
+
+    times = {name: timed(name) for name in BENCH_QUERIES}
+    headline_total = round(sum(times.values()), 4)
+    times.update({name: timed(name) for name in EXTRA_QUERIES})
 
     out = {
         "metric": "headline query warm latency (sum over 7 query classes)",
-        "value": round(sum(times.values()), 4),
+        "value": headline_total,
         "unit": "sec",
         "queries": times,
         "sf": sf,

@@ -183,16 +183,39 @@ def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 4 seeded md5 minhashes → band-bucket equi-join for
     candidates → exact Jaccard verify only on candidates.
 
-    The candidate join shuffles on (band_id, 32-char key) — linear in
-    corpus size times bucket collision rate, never all-pairs. Hashes
-    are md5(seed || shingle): deterministic and engine-portable."""
-    sh = shingles_df(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("s")), "utf-8"))).alias(f"h{i}")
-        for i in range(_N_BANDS)
-    ]
-    sig = ex.groupBy("doc_id").agg(*aggs)
+    Plan shape: each minhash is array_min(transform(shingles, ...)) —
+    a NARROW per-row expression, so signatures need no explode +
+    groupBy shuffle at all; the signature relation is persisted and
+    reused by all four consumers (band sides a/b, verify sides a/b)
+    instead of recomputing the shingle pipeline per reference. The
+    candidate join shuffles only (doc_id, band_id, 32-char key) —
+    linear in corpus size times bucket collision rate, never
+    all-pairs — and AQE broadcasts the (tiny) candidate set back onto
+    the cached signatures for the exact-Jaccard verify. At cluster scale
+    the persist becomes a checkpoint/table and LRU eviction bounds
+    executor memory. Hashes are md5(seed || shingle): deterministic
+    and engine-portable."""
+    # Fan out the CPU-heavy signature computation: the test corpus is
+    # one small parquet split, which would otherwise run every md5 on
+    # a single core. Shuffling (doc_id, text) rows is cheap relative
+    # to the per-shingle hashing; on a real multi-split corpus this
+    # re-balances rather than adds meaningful cost.
+    sh = shingles_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "utf-8")),
+                )
+            ).alias(f"h{i}")
+            for i in range(_N_BANDS)
+        ],
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -216,8 +239,8 @@ def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     j = _jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
         cand.join(sa, "doc_a")
