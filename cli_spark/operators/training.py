@@ -84,7 +84,12 @@ def q151_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-shingle side would key on xxhash64(shingle) and the
     contaminated-eval join is a fraction of corpus size — test split
     is ~12% of docs and shrinks to distinct shingles first."""
-    d = load_table(spark, sf_dir, "documents")
+    # Fan out the shingle explode: the toy corpus is a single parquet
+    # split — without this every shingle builds on one core (same
+    # rationale as q73; cheap re-balance on a real multi-split corpus).
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tagged = (
         d.withColumn("md5_key", F.encode(F.col("doc_id").cast("string"), "utf-8"))
         .withColumn(
@@ -655,4 +660,120 @@ def q160_streaming_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, v[0], v[1]) for k, v in state.items()],
         "user_id long, n_events long, value_sum double",
+    )
+
+
+@register(
+    "q152_source_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source
+""",
+    tags=("training", "source-cap", "window"),
+)
+def q152_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention cap (the Common-Crawl-style "at most K
+    documents per domain" rule): rank each source's documents by
+    md5(doc_id) — a deterministic stand-in for random retention that
+    never changes across reruns or engines — keep the first 50, and
+    report kept/dropped counts and the retained character budget.
+
+    One window over (source) + one aggregation; the payload column is
+    never read (rank on ids only), so at corpus scale this shuffles
+    keys and stats, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= 50, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 50, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rn") <= 50, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@register(
+    "q161_oov_rate",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+bigrams AS (
+  SELECT doc_id, list_extract(words, s.i) AS w1, list_extract(words, s.i + 1) AS w2
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS s(i)
+  WHERE len(words) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bigrams GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN c.n12 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM bigrams b JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, n_rare,
+       CAST(floor(CAST(n_rare * 1000000 AS DOUBLE) / n_bigrams) AS BIGINT) AS rare_ppm,
+       n_rare * 5 >= n_bigrams AS low_quality
+FROM scored
+""",
+    tags=("training", "lm", "quality"),
+)
+def q161_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter without a neural model: score
+    each document by the fraction of its bigrams that are corpus-rare
+    (corpus count < 5), flagging documents where more than 20% of
+    bigrams are rare — a pure-integer stand-in for LM-based filtering
+    (rare-bigram density correlates with garbled/boilerplate text).
+
+    The corpus bigram table is built once (map-side combined) and
+    joined back to the bigram stream on the bigram key; all verdicts
+    are exact integer arithmetic (rare*5 >= total, floor-ppm)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words_col().alias("words")).filter(F.size("words") >= 2)
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i).alias("w1"),
+                    F.element_at(F.col("words"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("n12") < 5, 1).otherwise(0)).cast("long").alias("n_rare"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        F.floor(F.col("n_rare").cast("double") * 1000000 / F.col("n_bigrams"))
+        .cast("long")
+        .alias("rare_ppm"),
+        (F.col("n_rare") * 5 >= F.col("n_bigrams")).alias("low_quality"),
     )
