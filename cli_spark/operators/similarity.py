@@ -174,38 +174,68 @@ def q82_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 8 deterministic pseudo-random hyperplanes, weight[j][i] in [-0.5, 0.5)
+# derived from md5(f"{j}_{i}") — no RNG, reproducible everywhere. The
+# weights are baked in as literal arrays so the per-row hot path is one
+# quantized dot per plane (no md5 per row — at corpus scale the
+# signature pass is pure vectorized arithmetic).
+import hashlib as _hashlib
+
+_PLANES = [
+    [
+        int(_hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:4], 16) / 65535.0 - 0.5
+        for i in range(64)
+    ]
+    for j in range(8)
+]
+
+
+def _sig_bits(arr_fmt: str, dot_fmt) -> str:
+    """concat of 8 sign bits of quantized plane dots; arr_fmt wraps the
+    literal weight list ('array(%s)' for Spark, '[%s]' for DuckDB)."""
+    bits = []
+    for plane in _PLANES:
+        lits = ", ".join(repr(w) for w in plane)
+        bits.append(
+            f"CASE WHEN {dot_fmt('embedding', arr_fmt % lits)} >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
 @register(
     "q83_lsh_ann_buckets",
-    oracle=None,  # approximate op (engine-side LSH planes) — rows-only check
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {_sig_bits('[%s]', sql_dot)} AS bucket
+  FROM embeddings
+)
+SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_dot('a.embedding', 'b.embedding')}
+         / (sqrt({sql_dot('a.embedding', 'a.embedding')})
+            * sqrt({sql_dot('b.embedding', 'b.embedding')})) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+""",
     tags=("similarity", "lsh", "approx"),
 )
 def q83_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest-neighbour: 8 deterministic
-    pseudo-random hyperplanes (seeded from md5 of (plane, dim) — no
-    RNG, so results are reproducible run to run), sign-bit signature
-    → bucket, then exact cosine only within buckets.
+    hyperplanes (md5-of-(plane,dim) weights, baked in as literals),
+    sign-bit signature → bucket, then exact cosine only within buckets.
 
     This is the 100 TB ANN pattern: the all-pairs comparison collapses
     to a per-bucket join after one cheap signature pass. Repartitioning
-    by bucket IS the optimization. Rows-only check: LSH recall is
-    approximate by construction.
-    """
+    by bucket IS the optimization. The plane weights and quantized-int
+    dot make every bucket and cosine bit-identical across engines, so
+    the 'approximate' op still gets an exact oracle."""
     e = load_table(spark, sf_dir, "embeddings")
-    # plane j, dim i weight in [-0.5, 0.5): md5-derived, engine-agnostic
-    planes = [
-        "CAST(aggregate(zip_with(embedding, transform(sequence(0, 63), i -> "
-        f"(CAST(conv(substr(md5(concat('{j}_', CAST(i AS STRING))), 1, 4), 16, 10) AS DOUBLE)"
-        " / 65535.0) - 0.5), (x, w) -> floor(CAST(x AS DOUBLE) * w * 1000000000000.0 + 0.5)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
-        for j in range(8)
-    ]
     sig = e.select(
         "vec_id",
-        "label",
         "embedding",
-        F.concat(
-            *[F.when(F.expr(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in planes]
-        ).alias("bucket"),
+        F.expr(_sig_bits("array(%s)", lambda a, b: _DOT.format(a=a, b=b))).alias(
+            "bucket"
+        ),
     )
     a = sig.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("bucket")
@@ -219,14 +249,45 @@ def q83_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("bucket", "vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-        .orderBy("bucket", "vec_a", "vec_b")
+        .select("bucket", "vec_a", "vec_b", cos.alias("cosine"))
     )
 
 
 @register(
     "q84_ivf_ann",
-    oracle=None,  # approximate op (coarse-quantizer search) — rows-only
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {sql_dot('e.embedding', 'c.ce')}
+             / (sqrt({sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({sql_dot('c.ce', 'c.ce')})) DESC, c.cent_id) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, label, embedding, cent_id AS cell FROM assigned WHERE rnk = 1
+),
+probe AS (
+  SELECT c.cent_id AS cell,
+         {sql_dot('q.qe', 'c.ce')}
+           / (sqrt({sql_dot('q.qe', 'q.qe')}) * sqrt({sql_dot('c.ce', 'c.ce')})) AS qsim
+  FROM cents c CROSS JOIN q
+  ORDER BY qsim DESC, c.cent_id
+  LIMIT 2
+)
+SELECT a.cell, a.vec_id, a.label,
+       {sql_dot('a.embedding', 'q.qe')}
+         / (sqrt({sql_dot('a.embedding', 'a.embedding')})
+            * sqrt({sql_dot('q.qe', 'q.qe')})) AS cosine
+FROM cells a JOIN (SELECT cell FROM probe) p ON a.cell = p.cell CROSS JOIN q
+WHERE a.vec_id != 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+""",
     tags=("similarity", "ivf", "approx"),
 )
 def q84_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +341,7 @@ def q84_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("cell", "vec_id", "label", F.round(cos_q, 6).alias("cosine"))
+        .select("cell", "vec_id", "label", cos_q.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
