@@ -1,0 +1,339 @@
+"""Corpus-statistics and quality-gate operators (round 2): the
+census stage of a training-data build — Gopher-style per-document
+quality rules, cross-document repeated-span detection (the C4
+"remove duplicated spans" step, adapted to span granularity because
+the corpus has no line breaks), Zipf rank/coverage statistics, and a
+document-length histogram with a cumulative distribution.
+
+Reference parity: gmalt/cli has no text stage (it is an elevation
+ETL; SURVEY.md §2 Tier A); these are Tier-B mandated LLM-pipeline
+operators (SURVEY.md §2 "LLM-data-pipeline operators", BASELINE.json:6).
+
+Design for 100 TB:
+* q162 is a pure per-row projection — no shuffle at all until the
+  driver collects; at scale it is a single map stage fused into the
+  parquet scan (verdicts ride along with the row).
+* q163 pre-aggregates shingles to DISTINCT (doc, span) pairs before
+  the global span census, so the join back is keyed on the span hash
+  — the same two-phase shape as q151's decontamination join.
+* q164/q165 aggregate to tiny result sets (vocabulary / bucket
+  cardinality) with map-side partial aggregation; the window over the
+  ranked vocabulary runs on the already-collapsed term table.
+* All ratios cross the engine boundary as exact integers
+  (floor(a*1e6/b) ppm — determinism-layer contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cli_spark.operators.text import _SQL_STOPWORDS, _STOPWORDS
+from cli_spark.operators.training import _SQL_WORDS, _words_col
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+@register(
+    "q162_gopher_rules",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents
+),
+tf AS (
+  SELECT doc_id, MAX(cnt) AS top_freq
+  FROM (
+    SELECT doc_id, u.w AS term, COUNT(*) AS cnt
+    FROM w, unnest(words) AS u(w)
+    GROUP BY doc_id, u.w
+  ) GROUP BY doc_id
+),
+feat AS (
+  SELECT w.doc_id, w.lang,
+         len(words) AS n_words,
+         CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS n_letters,
+         len(list_distinct(words)) AS n_distinct,
+         len(list_filter(list_distinct(words),
+                         x -> list_contains({_SQL_STOPWORDS}, x))) AS n_stop_distinct,
+         tf.top_freq
+  FROM w JOIN tf ON w.doc_id = tf.doc_id
+)
+SELECT doc_id, lang, n_words, n_distinct, top_freq,
+       CAST(floor(CAST(n_letters * 1000000 AS DOUBLE) / n_words) AS BIGINT) AS mean_word_len_ppm,
+       n_words BETWEEN 20 AND 80 AS ok_length,
+       n_letters * 10 >= n_words * 30 AND n_letters * 10 <= n_words * 100 AS ok_word_len,
+       n_stop_distinct >= 2 AS ok_stopwords,
+       top_freq * 5 <= n_words AS ok_dominance,
+       n_distinct * 2 >= n_words AS ok_diversity,
+       (n_words BETWEEN 20 AND 80)
+         AND (n_letters * 10 >= n_words * 30 AND n_letters * 10 <= n_words * 100)
+         AND n_stop_distinct >= 2
+         AND top_freq * 5 <= n_words
+         AND n_distinct * 2 >= n_words AS keep
+FROM feat
+""",
+    tags=("training", "quality", "gopher"),
+)
+def q162_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gates (Rae et al. 2021,
+    adapted to this corpus's lowercase-word alphabet): word-count band
+    [20, 80], mean word length in [3, 10] letters, at least two
+    distinct stopwords present, no single term above 20% of the
+    document, and a distinct-word ratio of at least 0.5. Every rule is
+    exact integer arithmetic (cross-multiplied bounds, ppm means — no
+    float thresholds), so the keep verdict is bit-identical in both
+    engines.
+
+    Scale: one pass, zero shuffles — all five gates are per-row
+    projections over the tokenized text (the per-doc term frequency is
+    a local array aggregate, not a groupBy)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", _words_col().alias("words"))
+    # top term frequency without leaving the row: sort the words array,
+    # then the longest run of equal adjacent words = max frequency.
+    run = F.aggregate(
+        F.sort_array("words"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    feat = words.select(
+        "doc_id",
+        "lang",
+        F.size("words").alias("n_words"),
+        F.aggregate(
+            F.transform("words", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_letters"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        F.size(
+            F.filter(
+                F.array_distinct("words"), lambda x: F.array_contains(stop_arr, x)
+            )
+        ).alias("n_stop_distinct"),
+        run.alias("top_freq"),
+    )
+    ok_length = F.col("n_words").between(20, 80)
+    ok_word_len = (F.col("n_letters") * 10 >= F.col("n_words") * 30) & (
+        F.col("n_letters") * 10 <= F.col("n_words") * 100
+    )
+    ok_stop = F.col("n_stop_distinct") >= 2
+    ok_dom = F.col("top_freq") * 5 <= F.col("n_words")
+    ok_div = F.col("n_distinct") * 2 >= F.col("n_words")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_distinct",
+        "top_freq",
+        F.floor(F.col("n_letters").cast("double") * 1000000 / F.col("n_words"))
+        .cast("long")
+        .alias("mean_word_len_ppm"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_dom.alias("ok_dominance"),
+        ok_div.alias("ok_diversity"),
+        (ok_length & ok_word_len & ok_stop & ok_dom & ok_div).alias("keep"),
+    )
+
+
+_SPAN_N = 10  # repeated-span granularity (words)
+
+
+@register(
+    "q163_repeated_spans",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(words, s.i, s.i + {_SPAN_N} - 1), ' ') AS span
+  FROM w, unnest(generate_series(1, len(words) - {_SPAN_N} + 1)) AS s(i)
+  WHERE len(words) >= {_SPAN_N}
+),
+census AS (
+  SELECT span, COUNT(*) AS n_docs_with FROM spans GROUP BY span
+),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN c.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM spans s JOIN census c ON s.span = c.span
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_spans, n_shared,
+       CAST(floor(CAST(n_shared * 1000000 AS DOUBLE) / n_spans) AS BIGINT) AS shared_ppm,
+       n_shared > 0 AS has_cross_doc_spans
+FROM per_doc
+""",
+    tags=("training", "dedup", "spans"),
+)
+def q163_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span census — the C4 "discard spans
+    duplicated across documents" step at 10-word granularity (this
+    corpus has no line breaks, so spans stand in for lines): for each
+    document, how many of its distinct 10-word spans also occur in at
+    least one other document.
+
+    Scale: spans collapse to DISTINCT (doc, span) before the global
+    census, the census groupBy is map-side combined on the span key,
+    and the join back is span-hash keyed — identical two-phase shape
+    to q151's decontamination join. At 100 TB the span string would be
+    replaced by xxhash64(span) before the shuffle (8-byte keys)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = d.select("doc_id", _words_col().alias("words")).filter(
+        F.size("words") >= _SPAN_N
+    )
+    spans = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - _SPAN_N + 1),
+                lambda i: F.array_join(F.slice("words", i, _SPAN_N), " "),
+            )
+        ).alias("span"),
+    ).distinct()
+    census = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        spans.join(census, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        F.floor(F.col("n_shared").cast("double") * 1000000 / F.col("n_spans"))
+        .cast("long")
+        .alias("shared_ppm"),
+        (F.col("n_shared") > 0).alias("has_cross_doc_spans"),
+    )
+
+
+@register(
+    "q164_zipf_stats",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+tf AS (
+  SELECT u.w AS term, COUNT(*) AS freq
+  FROM w, unnest(words) AS u(w)
+  GROUP BY u.w
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+ranked AS (
+  SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM tf
+)
+SELECT r.rnk, r.term, CAST(r.freq AS BIGINT) AS freq,
+       CAST(r.freq * r.rnk AS BIGINT) AS freq_times_rank,
+       CAST(floor(CAST(SUM(r.freq) OVER (ORDER BY r.rnk) * 1000000 AS DOUBLE)
+                  / t.total) AS BIGINT) AS cum_coverage_ppm
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= 50
+""",
+    tags=("training", "zipf", "stats"),
+)
+def q164_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law census of the corpus vocabulary: top-50 terms by
+    frequency with rank, the freq×rank product (constant under an
+    ideal Zipf distribution — the classic eyeball check), and the
+    cumulative token coverage in ppm (how much of the corpus the top-k
+    vocabulary explains — the statistic that sizes tokenizer vocabs).
+
+    Scale: term counts are map-side combined before one shuffle on the
+    term; the ranked window runs over the collapsed vocabulary (tiny),
+    and the corpus total rides in as a broadcast 1-row relation."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_words_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").cast("long").alias("total"))
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("freq").desc(), "term"))
+    ).filter(F.col("rnk") <= 50)
+    cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "term",
+            F.col("freq").cast("long").alias("freq"),
+            (F.col("freq") * F.col("rnk")).cast("long").alias("freq_times_rank"),
+            F.floor(
+                F.sum("freq").over(cum).cast("double") * 1000000 / F.col("total")
+            )
+            .cast("long")
+            .alias("cum_coverage_ppm"),
+        )
+    )
+
+
+@register(
+    "q165_length_histogram",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, len({_SQL_WORDS}) AS n_words FROM documents
+),
+b AS (
+  SELECT CAST(floor(n_words / 10) * 10 AS BIGINT) AS bucket_lo,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS total_words
+  FROM w GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM b)
+SELECT b.bucket_lo, b.n_docs, b.total_words,
+       CAST(floor(CAST(SUM(b.n_docs) OVER (ORDER BY b.bucket_lo) * 1000000 AS DOUBLE)
+                  / t.all_docs) AS BIGINT) AS cdf_ppm
+FROM b CROSS JOIN tot t
+""",
+    tags=("training", "histogram", "stats"),
+)
+def q165_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (10-word buckets) with an exact
+    cumulative distribution in ppm — the shape check run before
+    choosing sequence-packing lengths for training.
+
+    Scale: per-row bucket assignment, one map-side-combined groupBy on
+    ~10 buckets, then a window over the bucket table (tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select((F.size(_words_col())).alias("n_words"))
+    b = w.groupBy(
+        (F.floor(F.col("n_words") / 10) * 10).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+    total = b.agg(F.sum("n_docs").cast("long").alias("all_docs"))
+    cum = Window.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, 0)
+    return b.crossJoin(F.broadcast(total)).select(
+        "bucket_lo",
+        "n_docs",
+        "total_words",
+        F.floor(F.sum("n_docs").over(cum).cast("double") * 1000000 / F.col("all_docs"))
+        .cast("long")
+        .alias("cdf_ppm"),
+    )
