@@ -230,3 +230,36 @@ def test_q158_kmeans_centroids_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q158_kmeans_lloyd")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q162_gopher_rules_zero_shuffle(spark, sf_dir):
+    """All five quality gates are per-row projections — the plan must
+    contain no Exchange at all (one map stage fused into the scan)."""
+    plan = plan_of(spark, sf_dir, "q162_gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q163_span_census_no_nested_loop(spark, sf_dir):
+    """The span census join must be an equi hash/SMJ join on the span
+    key — never a nested loop — and both aggregations two-phase."""
+    plan = plan_of(spark, sf_dir, "q163_repeated_spans")
+    assert "NestedLoop" not in plan
+    assert "partial_" in plan
+
+
+def test_q164_zipf_vocab_window_after_collapse(spark, sf_dir):
+    """Term counting is map-side combined (partial agg before the term
+    shuffle); the global rank window runs only on the collapsed
+    vocabulary, and the corpus total joins in as a broadcast."""
+    plan = plan_of(spark, sf_dir, "q164_zipf_stats")
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q152_source_cap_prunes_text(spark, sf_dir):
+    """The retention rank reads ids and stats only — the text payload
+    column must not reach the scan."""
+    plan = formatted_plan(spark, sf_dir, "q152_source_cap")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("text" not in l for l in read_schema)
