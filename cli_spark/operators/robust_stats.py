@@ -1,0 +1,300 @@
+"""Robust / closed-form statistics — OLS regression, Spearman rank
+correlation, median-absolute-deviation outliers, Gini diversity.
+
+Float aggregation order is engine- and partitioning-dependent, so all
+four operators compute their statistic from EXACT integer moment sums
+(quantized cents, integer ranks, integer counts) and only convert to
+double at the very end — int64→double conversion and IEEE division of
+identical operands are bit-identical in Spark and DuckDB, making the
+results reproducible under AQE and hash-comparable cross-engine
+(same strategy as functions/determinism.py, applied to second-order
+moments).
+
+Overflow discipline (ANSI mode raises, which is the safety net): each
+product of sums is bounded in the docstrings below; at 100 TB the same
+shapes shard by the grouping key exactly as written — the bounds are
+per-GROUP, not per-corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+# value quantized to integer cents: exact in both engines.
+_Q_SPARK = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+_Q_SQL = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+# hour index since the corpus epoch — small integer x for regressions.
+_X_SPARK = "CAST(unix_micros(ts) div 3600000000 AS BIGINT)"
+_X_SQL = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)"
+
+
+@register(
+    "q171_regression_closed_form",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, {_X_SQL} - 473352 AS x, {_Q_SQL} AS y FROM events
+),
+mom AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_hr,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) AS intercept_cents,
+       round((CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              / sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+FROM mom
+""",
+    tags=("stats", "regression", "deterministic"),
+)
+def q171_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (value-cents vs hours-since-corpus-epoch) from
+    exact integer moment sums — the distributed closed form: one
+    map-side-combinable aggregation produces (n, Σx, Σy, Σx², Σxy, Σy²)
+    and slope/intercept/r come out in final projection. Identical to
+    Spark's regr_slope/regr_r2 numerically but reproducible: integer
+    sums are order-independent, and the final double ops are IEEE-
+    identical cross-engine. x is re-based (epoch-hour − 473352 ≈
+    2024-01-01) to keep n·Σxy < 2^63 per group; at larger row counts
+    shard the group key by day. Cites regr_* semantics (public SQL
+    spec), not any engine internals."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        (F.expr(_X_SPARK) - F.lit(473352)).alias("x"),
+        F.expr(_Q_SPARK).alias("y"),
+    )
+    mom = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+    den = F.expr("CAST(n * sxx - sx * sx AS DOUBLE)")
+    den_y = F.expr("CAST(n * syy - sy * sy AS DOUBLE)")
+    slope = num / den
+    return mom.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_hr"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            4,
+        ).alias("intercept_cents"),
+        F.round(num / F.sqrt(den) / F.sqrt(den_y), 6).alias("r"),
+    )
+
+
+@register(
+    "q172_spearman_rank_corr",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {_X_SQL} ASC, event_id ASC) AS rt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {_Q_SQL} ASC, event_id ASC) AS rv
+  FROM events
+),
+mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM((rt - rv) * (rt - rv)) AS BIGINT) AS sd2
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(1.0 - CAST(6 * sd2 AS DOUBLE)
+                   / CAST(n * (n * n - 1) AS DOUBLE), 6) AS spearman_rho
+FROM mom
+""",
+    tags=("stats", "rank", "deterministic"),
+)
+def q172_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (time-rank vs value-rank per event
+    type) via the classic 1 − 6Σd²/(n(n²−1)) identity on integer ranks.
+    Ties are broken by event_id on BOTH rank axes (a deterministic
+    variant of fractional tie-ranks — documented, and identical in the
+    oracle). Two window passes over the same event_type partitioning +
+    one aggregation; Σd² ≤ n³ keeps BIGINT headroom to ~2M rows per
+    group (shard the key beyond that)."""
+    e = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy(
+        F.expr(_X_SPARK).asc(), F.col("event_id").asc()
+    )
+    wv = Window.partitionBy("event_type").orderBy(
+        F.expr(_Q_SPARK).asc(), F.col("event_id").asc()
+    )
+    ranked = e.select(
+        "event_type",
+        F.row_number().over(wt).cast("long").alias("rt"),
+        F.row_number().over(wv).cast("long").alias("rv"),
+    )
+    mom = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rt") - F.col("rv")) * (F.col("rt") - F.col("rv"))).alias(
+            "sd2"
+        ),
+    )
+    return mom.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.lit(1.0)
+            - (F.lit(6) * F.col("sd2")).cast("double")
+            / F.expr("CAST(n * (n * n - 1) AS DOUBLE)"),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q173_mad_outliers",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, event_id, {_Q_SQL} AS qc FROM events
+),
+med AS (
+  SELECT event_type, qc AS med_cents FROM (
+    SELECT event_type, qc,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY qc ASC, event_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM q) WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT q.event_type, q.event_id, abs(q.qc - m.med_cents) AS d, m.med_cents
+  FROM q JOIN med m ON q.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, d AS mad_cents, med_cents FROM (
+    SELECT event_type, d, med_cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY d ASC, event_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev) WHERE rk = (n + 1) // 2
+)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(mad.med_cents) AS BIGINT) AS median_cents,
+       CAST(MIN(mad_cents) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+""",
+    tags=("stats", "robust", "outliers"),
+)
+def q173_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier census per event type, fully
+    integer-exact: the 'median' is the LOWER median (rank ⌈n/2⌉ under a
+    total order with event_id tie-break) of quantized cents, so no
+    interpolation float ever crosses the hash boundary. Two
+    rank-and-pick passes (median, then MAD) and a broadcast join of the
+    5-row medians back onto the deviations. At 100 TB the rank pass is
+    a per-key sort — swap in approx_percentile for the same shape when
+    exactness isn't contractual."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select("event_type", "event_id", F.expr(_Q_SPARK).alias("qc"))
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col("event_id").asc()
+        )
+        wc = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                col,
+                F.row_number().over(w).alias("rk"),
+                F.count(F.lit(1)).over(wc).alias("n"),
+            )
+            .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(q, "qc", "med_cents")
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("qc") - F.col("med_cents")).alias("d"),
+        "med_cents",
+    )
+    mad = lower_median(dev, "d", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med_cents").cast("long").alias("median_cents"),
+            F.min("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3) * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q174_gini_diversity",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS total,
+         COUNT(*) AS distinct_types,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM counts GROUP BY user_id
+)
+SELECT user_id, total, CAST(distinct_types AS BIGINT) AS distinct_types,
+       CAST((total * total - s2) * 1000000 // (total * total) AS BIGINT)
+         AS gini_ppm
+FROM per_user
+""",
+    tags=("stats", "diversity", "deterministic"),
+)
+def q174_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of each user's event-type mix as exact integer
+    ppm: 1 − Σ(cᵢ/N)² computed as (N² − Σcᵢ²)·10⁶ // N² — a rational
+    diversity score with NO logarithm (cross-engine ln() is libm-
+    dependent; entropy is deliberately avoided). Two stacked
+    aggregations on the same user_id shuffle; per-user N < 3M keeps
+    N²·10⁶ inside BIGINT."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("distinct_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return per_user.select(
+        "user_id",
+        "total",
+        "distinct_types",
+        F.expr(
+            "CAST((total * total - s2) * CAST(1000000 AS BIGINT)"
+            " div (total * total) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -1,0 +1,315 @@
+"""Time-series relational operators — LOCF gap-fill, gaps-and-islands
+streaks, interval union/coverage, deterministic mode, ratio-to-report.
+
+These are the standard event-stream reshaping queries (observability,
+sessions-adjacent analytics) that SQL engines express with ordered
+windows. Scale notes:
+
+* Every per-user pass here partitions one shuffle on ``user_id`` and
+  stays inside that partitioning for the follow-up window/groupBy —
+  Spark reuses the hash partitioning, so each query is ONE exchange of
+  the (already-reduced) per-user stream regardless of corpus size.
+* All arithmetic that crosses the oracle hash boundary is integer
+  (epoch micros, day counts, quantized cents, ppm shares) — exact in
+  both engines, order-independent, AQE-stable.
+* The interval-merge sweep (q168) is the window formulation of the
+  classic stabbing/coverage problem: running ``max(end)`` decides
+  island starts without a self-join — O(n log n) sort vs the naive
+  O(n²) overlap join, and the sort is per-user (bounded partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.functions.determinism import sql_quantize, quantize
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+_T_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "q166_locf_forward_fill",
+    oracle=f"""
+WITH masked AS (
+  SELECT event_id, user_id, {_T_US} AS t_us,
+         CASE WHEN event_type <> 'view' THEN value END AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       (v IS NULL) AS was_gap
+FROM masked
+""",
+    tags=("timeseries", "window", "locf"),
+)
+def q166_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: sensor-style streams
+    where some rows carry no reading ('view' events here) take the most
+    recent non-null value per user (``last(..., ignorenulls=True)`` over
+    an ordered frame ≡ DuckDB ``last_value(... IGNORE NULLS)``).
+    Leading gaps stay NULL. Values pass through untouched (no float
+    arithmetic), so the cross-engine hash is exact. One shuffle on
+    user_id; the frame state is a single value per partition cursor."""
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.when(F.col("event_type") != "view", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "q167_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day ASC)
+                    AS INTEGER) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+""",
+    tags=("timeseries", "islands", "window"),
+)
+def q167_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity runs per user via the
+    classic ``day − row_number()`` island key (consecutive days share a
+    constant anchor date). Events reduce to distinct (user, day) before
+    any window — the shuffle carries at most users × days rows — and the
+    two windows plus both groupBys share the user_id partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    )
+    isl = days.select("user_id", "day", F.date_sub(F.col("day"), rn).alias("island"))
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )
+
+
+@register(
+    "q168_interval_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id, {_T_US} AS s, {_T_US} + 600000000 AS e
+  FROM events
+),
+swept AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+tagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+           AS new_island
+  FROM swept
+),
+numbered AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+),
+islands AS (
+  SELECT user_id, island_id,
+         max(e) - min(s) AS island_us, COUNT(*) AS n_iv
+  FROM numbered GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands,
+       CAST(SUM(island_us) AS BIGINT) AS covered_us,
+       CAST(MAX(island_us) AS BIGINT) AS max_island_us
+FROM islands GROUP BY user_id
+""",
+    tags=("timeseries", "intervals", "window"),
+)
+def q168_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping intervals (each event opens a 10-minute
+    activity window): total covered time per user with touching/nested
+    intervals merged. The sweep is the O(n log n) window formulation —
+    an interval starts a new island iff its start exceeds the running
+    ``max(end)`` of everything before it — replacing the O(n²)
+    self-overlap-join. All epoch-microsecond integer arithmetic; one
+    user_id shuffle shared by both windows and both groupBys."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    iv = e.select(
+        "user_id", "event_id", t.alias("s"), (t + F.lit(600000000)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = iv.select(
+        "user_id", "s", "e", F.max("e").over(w_prev).alias("prev_max_e")
+    )
+    tagged = swept.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s").asc(), F.col("e").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = tagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    islands = numbered.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("island_us"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_us").cast("long").alias("covered_us"),
+        F.max("island_us").cast("long").alias("max_island_us"),
+    )
+
+
+@register(
+    "q169_modal_event_type",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS distinct_types
+  FROM counts
+)
+SELECT user_id, event_type AS modal_type, n AS modal_n,
+       CAST(distinct_types AS BIGINT) AS distinct_types
+FROM ranked WHERE rk = 1
+""",
+    tags=("timeseries", "mode", "window"),
+)
+def q169_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent event_type per
+    user, ties broken lexicographically. Built-in ``mode()`` returns an
+    arbitrary tie winner in both engines, so the portable (and
+    auditable) form is count → ``row_number() OVER (ORDER BY n DESC,
+    key ASC)`` — the same per-group-top-K plan Spark executes for any
+    argmax, with partial aggregation on the raw counts."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = counts.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("distinct_types"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("event_type").alias("modal_type"),
+        F.col("n").alias("modal_n"),
+        "distinct_types",
+    )
+
+
+@register(
+    "q170_revenue_share",
+    oracle=f"""
+WITH nat AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT nation, region, rev_cents,
+       CAST(rev_cents * 1000000 // SUM(rev_cents) OVER (PARTITION BY region)
+            AS BIGINT) AS region_share_ppm,
+       CAST(rev_cents * 1000000 // SUM(rev_cents) OVER ()
+            AS BIGINT) AS global_share_ppm
+FROM nat
+""",
+    tags=("timeseries", "ratio", "window"),
+)
+def q170_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of its region and
+    of the world, as exact integer parts-per-million (cents × 1e6 //
+    total — no float division crosses the hash). The fact table
+    reduces to 25 nation rows BEFORE the share windows, so the window
+    pass is driver-trivial at any scale; the joins are all
+    broadcast-sized dims. Overflow headroom: cents·1e6 needs
+    rev < 9.2e12 cents per slice — shard by region/day first at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(quantize(F.col("o_totalprice"), 2)).alias("rev_cents"))
+    )
+    return nat.select(
+        "nation",
+        "region",
+        "rev_cents",
+        F.expr(
+            "CAST((rev_cents * CAST(1000000 AS BIGINT)) div "
+            "SUM(rev_cents) OVER (PARTITION BY region) AS BIGINT)"
+        ).alias("region_share_ppm"),
+        F.expr(
+            "CAST((rev_cents * CAST(1000000 AS BIGINT)) div "
+            "SUM(rev_cents) OVER () AS BIGINT)"
+        ).alias("global_share_ppm"),
+    )

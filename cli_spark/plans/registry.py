@@ -85,6 +85,8 @@ def _load_all() -> None:
     import cli_spark.operators.text  # noqa: F401
     import cli_spark.operators.training  # noqa: F401
     import cli_spark.operators.corpus_stats  # noqa: F401
+    import cli_spark.operators.timeseries  # noqa: F401
+    import cli_spark.operators.robust_stats  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
     import cli_spark.sources.hgt_queries  # noqa: F401
     import cli_spark.sources.multimodal  # noqa: F401
