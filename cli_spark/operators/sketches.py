@@ -1,0 +1,233 @@
+"""Sketch-and-layout operators expressed relationally: a Count-Min
+sketch with an exact over-estimate audit, a 2-D skyline (Pareto
+frontier), and a dense-key gap census.
+
+The Count-Min sketch here is the real algorithm (Cormode & Muthu-
+krishnan 2005) — d=4 hash rows × w=256 counters, estimate = min over
+rows — built as a GROUP BY instead of imperative counters, which is
+exactly how a distributed engine materializes one: the (row, bucket)
+counter table is an aggregation of the term stream, partial-combined
+map-side, and the whole 1024-row sketch broadcasts to probes. Because
+the hash functions are md5-derived (portable, deterministic), the
+DuckDB oracle rebuilds the identical sketch and the comparison is
+EXACT — including the over-estimation error, which for CMS is
+one-sided (est ≥ true, never under).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+_D = 4  # hash rows
+# md5-derived bucket in [0, 256): first two lowercase-hex chars of
+# md5('<i>#' || term). Same 1-based instr arithmetic as sampling.py —
+# portable across Spark SQL and DuckDB.
+_HEX = "0123456789abcdef"
+
+
+def _bucket_sql(i: int, term: str, engine: str) -> str:
+    key = (
+        f"cast(concat('{i}#', {term}) as binary)"
+        if engine == "spark"
+        else f"'{i}#' || {term}"
+    )
+    return (
+        f"(instr('{_HEX}', substr(md5({key}), 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substr(md5({key}), 2, 1)) - 1"
+    )
+
+
+_SQL_CMS_PRELUDE = f"""
+terms AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS n FROM terms WHERE term <> '' GROUP BY term
+),
+pairs AS (
+  {' UNION ALL '.join(
+      f"SELECT term, n, {i} AS i, {_bucket_sql(i, 'term', 'duck')} AS bucket"
+      " FROM counts"
+      for i in range(_D)
+  )}
+),
+sketch AS (
+  SELECT i, bucket, CAST(SUM(n) AS BIGINT) AS bucket_n
+  FROM pairs GROUP BY i, bucket
+),
+top20 AS (
+  SELECT term, n FROM counts ORDER BY n DESC, term ASC LIMIT 20
+)"""
+
+
+@register(
+    "q175_count_min_sketch",
+    oracle=f"""
+WITH {_SQL_CMS_PRELUDE}
+SELECT t.term,
+       CAST(t.n AS BIGINT) AS n_exact,
+       CAST(MIN(s.bucket_n) AS BIGINT) AS cms_est,
+       CAST(MIN(s.bucket_n) - t.n AS BIGINT) AS overestimate
+FROM top20 t
+JOIN pairs p ON p.term = t.term
+JOIN sketch s ON s.i = p.i AND s.bucket = p.bucket
+GROUP BY t.term, t.n
+""",
+    tags=("sketch", "cms", "text"),
+)
+def q175_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the document term stream (d=4 × w=256,
+    md5 hashes), probed for the exact top-20 terms and audited against
+    true counts: ``overestimate = min_i(counter[i][h_i(t)]) − n(t)``
+    is ≥ 0 by construction (CMS errs one-sided).
+
+    Relational construction: counter increments are a term-count
+    aggregation re-keyed by (row, bucket) — map-side combinable, one
+    shuffle of ≤ d·w rows — and the finished 1024-row sketch
+    BROADCASTS to the probe join, so estimating any number of probe
+    keys never reshuffles the corpus. This is the streaming-sketch
+    pattern a 100 TB pipeline uses for frequency estimates without a
+    full term dictionary."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split(F.lower("text"), " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    pairs = counts.select(
+        "term",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_bucket_sql(i, "term", "spark")).alias("bucket"),
+                    )
+                    for i in range(_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "n", "rb.i", "rb.bucket")
+    sketch = pairs.groupBy("i", "bucket").agg(
+        F.sum("n").cast("long").alias("bucket_n")
+    )
+    top20 = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(20)
+    return (
+        top20.join(pairs, "term")
+        .join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term", top20["n"])
+        .agg(F.min("bucket_n").alias("est"))
+        .select(
+            "term",
+            F.col("n").cast("long").alias("n_exact"),
+            F.col("est").cast("long").alias("cms_est"),
+            (F.col("est") - F.col("n")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+@register(
+    "q177_skyline_frontier",
+    oracle="""
+WITH per_size AS (
+  SELECT p_size,
+         CAST(MIN(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS best_cents,
+         COUNT(*) AS n_parts
+  FROM part GROUP BY p_size
+),
+swept AS (
+  SELECT p_size, best_cents, n_parts,
+         min(best_cents) OVER (ORDER BY p_size ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM per_size
+)
+SELECT p_size, best_cents, CAST(n_parts AS BIGINT) AS n_parts
+FROM swept WHERE prev_best IS NULL OR best_cents < prev_best
+""",
+    tags=("layout", "skyline", "window"),
+)
+def q177_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts minimizing (p_size,
+    price): a size survives iff its cheapest part is STRICTLY cheaper
+    than every smaller-or-equal size's cheapest part. The naive
+    skyline is an O(n²) dominance anti-join; in two dimensions it
+    collapses to per-key min + a running-min sweep — one aggregation
+    (50 rows out) and one ordered window, no join at all. This is the
+    plan that still works when `part` is 10^10 rows: dominance never
+    touches row pairs."""
+    p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(
+        F.min(F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("best_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    w = (
+        Window.orderBy(F.col("p_size").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = per_size.select(
+        "p_size",
+        "best_cents",
+        "n_parts",
+        F.min("best_cents").over(w).alias("prev_best"),
+    )
+    return swept.filter(
+        F.col("prev_best").isNull() | (F.col("best_cents") < F.col("prev_best"))
+    ).select("p_size", "best_cents", "n_parts")
+
+
+@register(
+    "q178_key_gap_census",
+    oracle="""
+WITH k AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F'
+),
+d AS (
+  SELECT key, lag(key) OVER (ORDER BY key ASC) AS prev FROM k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(key) AS BIGINT) AS lo,
+       CAST(MAX(key) AS BIGINT) AS hi,
+       CAST(SUM(CASE WHEN key - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN key - prev > 1 THEN key - prev - 1 ELSE 0 END)
+            AS BIGINT) AS missing_total,
+       CAST(MAX(key - prev - 1) AS BIGINT) AS max_gap
+FROM d
+""",
+    tags=("audit", "islands", "window"),
+)
+def q178_key_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-key gap census (the sequence-integrity audit): over the
+    ordered F-status orderkeys, count the gaps, total missing keys,
+    and the largest hole via a single lag() pass — gaps-and-islands
+    without materializing islands. Spark executes the global order as
+    a range-partitioned sort; the census aggregate is a full
+    reduction, so nothing but (key, prev) pairs flow. At 100 TB the
+    same audit shards by key-range prefix and stitches the shard
+    boundaries (one extra row per shard)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("key")
+    )
+    d = k.select(
+        "key", F.lag("key").over(Window.orderBy(F.col("key").asc())).alias("prev")
+    )
+    gap = F.col("key") - F.col("prev")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("key").cast("long").alias("lo"),
+        F.max("key").cast("long").alias("hi"),
+        F.sum(F.when(gap > 1, 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.sum(F.when(gap > 1, gap - 1).otherwise(0))
+        .cast("long")
+        .alias("missing_total"),
+        F.max(gap - 1).cast("long").alias("max_gap"),
+    )

@@ -273,3 +273,36 @@ def q124_streaming_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_memory_sink(spark, agg, "stream_sess")
+
+
+@register(
+    "q179_streaming_dedup_true",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "true_stream", "dedup"),
+)
+def q179_streaming_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming deduplication: readStream over the events
+    parquet, dropDuplicates on (user_id, event_type) — the stateful
+    streaming dedup operator, whose state store holds one entry per
+    distinct key pair — then a per-type census in complete mode. The
+    result must equal batch COUNT(DISTINCT user_id) exactly.
+
+    At scale the dedup state shuffles on the dedup key and is bounded
+    by distinct-key cardinality, not stream volume; production streams
+    bound it further with dropDuplicatesWithinWatermark (covered in
+    tests/test_streaming.py, where late/expired behaviour is
+    assertable)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return _drain_memory_sink(spark, agg, "stream_dedup")

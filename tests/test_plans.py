@@ -263,3 +263,43 @@ def test_q152_source_cap_prunes_text(spark, sf_dir):
     plan = formatted_plan(spark, sf_dir, "q152_source_cap")
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and all("text" not in l for l in read_schema)
+
+
+def test_q166_q168_single_user_shuffle_no_join(spark, sf_dir):
+    """LOCF fill and interval-merge are ONE hashpartitioning exchange
+    on user_id and zero joins: every window/groupBy stage reuses the
+    same partitioning, and the O(n²) overlap self-join never appears."""
+    for name in ("q166_locf_forward_fill", "q168_interval_coverage"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "user_id" in next(
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ), name
+        assert "Join" not in plan and "Cartesian" not in plan, name
+
+
+def test_q173_medians_broadcast_back(spark, sf_dir):
+    """The 5-row median/MAD relations must re-join the deviations as
+    broadcasts — never a sort-merge shuffle of the fact stream."""
+    plan = plan_of(spark, sf_dir, "q173_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_q175_sketch_broadcasts_to_probe(spark, sf_dir):
+    """The 1024-row CMS counter table and the top-20 probe keys both
+    broadcast; estimating probe keys must not reshuffle the corpus."""
+    plan = plan_of(spark, sf_dir, "q175_count_min_sketch")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_q177_skyline_has_no_join(spark, sf_dir):
+    """2-D skyline must be agg + running-min window — the dominance
+    anti-join formulation (row-pair work) is forbidden."""
+    plan = plan_of(spark, sf_dir, "q177_skyline_frontier")
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+    # the window runs AFTER reduction to one row per size: its input
+    # exchange is the tiny per-size relation, not the part scan
+    assert plan.count("Exchange") <= 2
