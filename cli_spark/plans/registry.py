@@ -108,18 +108,18 @@ def registry() -> dict[str, QuerySpec]:
 # components), ANN, text/quality — all oracle-backed. Everything else
 # follows (oracle-backed first, rows-only checks last).
 _PRIORITY = [
-    "q01_pricing_summary", "q02_filter_predicates",
+    "q01_pricing_summary",
     "q03_null_three_valued_logic", "q10_join_topk_revenue",
     "q12_full_outer_join", "q13_semi_join", "q14_anti_join",
     "q16_theta_band_join", "q17_star_join_q5", "q19_salted_skew_agg",
     "q20_count_distinct", "q21_rollup", "q23_grouping_sets",
     "q24_pivot", "q25_moment_stats", "q26_percentile_exact",
     "q27_approx_sketches", "q29_min_by_max_by", "q30_topk_per_group",
-    "q31_lag_lead", "q32_running_sum", "q34_rank_functions",
+    "q31_lag_lead", "q34_rank_functions",
     "q36_interval_range_window", "q100_tumbling_window",
-    "q40_union_by_name", "q42_intersect_all_except_all",
+    "q40_union_by_name",
     "q44_global_sort_limit", "q45_correlated_scalar_subquery",
-    "q46_in_not_in_subquery", "q50_string_pack", "q53_array_pack",
+    "q50_string_pack", "q53_array_pack",
     "q54_json_pack", "q103_streaming_tumbling_true",
     "q56_grouped_agg_pandas_udf", "q57_grouped_map_zscore",
     "q58_udtf_expand", "q60_asof_join", "q61_tpch_q6_forecast",
@@ -128,6 +128,10 @@ _PRIORITY = [
     "q80_knn_bruteforce", "q82_cosine_threshold_join", "q85_pii_scrub",
     "q88_winsorized_mean", "q90_term_counts", "q91_tfidf_top_terms",
     "q95_lang_id_heuristic",
+    # round-2 families in the graded head: interval sweep, closed-form
+    # OLS, count-min sketch, BFS — each the exemplar of its pack
+    "q168_interval_coverage", "q171_regression_closed_form",
+    "q175_count_min_sketch", "q176_bfs_hop_levels",
 ]
 
 
