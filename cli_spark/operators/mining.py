@@ -1,0 +1,164 @@
+"""Text-mining operators: term co-occurrence (market-basket lift) and
+a blocked edit-distance similarity join.
+
+Both are "big-big join made feasible by blocking" patterns:
+* Co-occurrence restricts the pair space to a top-K vocabulary
+  (broadcast) before the within-doc self-join — the classic frequent-
+  itemset pruning (a pair of rare terms can't be a frequent pair).
+* The fuzzy join blocks on (first token, ±length band) before paying
+  for Levenshtein — the standard record-linkage candidate filter; the
+  expensive metric runs only inside blocks, never on the cross
+  product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+@register(
+    "q180_term_cooccurrence",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM raw WHERE term <> ''
+),
+df AS (SELECT term, COUNT(*) AS c FROM dt GROUP BY term),
+vocab AS (SELECT term, c FROM df ORDER BY c DESC, term ASC LIMIT 50),
+inc AS (SELECT dt.doc_id, dt.term, v.c FROM dt JOIN vocab v USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.c AS ca, b.c AS cb,
+         COUNT(*) AS cab
+  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term, a.c, b.c
+),
+nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT term_a, term_b,
+       CAST(cab AS BIGINT) AS co_docs,
+       CAST(n * cab * 1000000 // (ca * cb) AS BIGINT) AS lift_ppm
+FROM pairs, nn
+ORDER BY cab DESC, term_a ASC, term_b ASC LIMIT 30
+""",
+    tags=("text", "mining", "cooccurrence"),
+)
+def q180_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over documents: for the top-50
+    vocabulary terms (by doc frequency), the 30 strongest pairs by
+    co-document count, with lift = N·c(ab)/(c(a)·c(b)) as exact
+    integer ppm (no float, no log — PMI's monotone core).
+
+    Scale shape: the vocabulary is a broadcast-sized relation, so the
+    incidence list is corpus ⋈ broadcast (never reshuffled), and the
+    within-doc self-join's fan-out is bounded by vocab-terms-per-doc²,
+    not doc length² — the frequent-itemset pruning that makes pair
+    mining linear-ish in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = df_.orderBy(F.col("c").desc(), F.col("term").asc()).limit(50)
+    inc = dt.join(F.broadcast(vocab), "term")
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("cab").cast("long").alias("co_docs"),
+            F.expr(
+                "CAST(n * cab * CAST(1000000 AS BIGINT) div (ca * cb)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("co_docs").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        )
+        .limit(30)
+    )
+
+
+@register(
+    "q184_fuzzy_join_census",
+    oracle="""
+WITH np AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] AS tok1,
+         length(p_name) AS len
+  FROM part
+),
+cand AS (
+  SELECT a.tok1,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM np a JOIN np b
+    ON a.tok1 = b.tok1 AND a.p_partkey < b.p_partkey
+   AND abs(a.len - b.len) <= 3
+)
+SELECT tok1 AS block_token,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+FROM cand GROUP BY tok1
+""",
+    tags=("text", "mining", "fuzzy"),
+)
+def q184_fuzzy_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein similarity join over part names: block on
+    (first token, length band ±3), compute edit distance only inside
+    blocks, and report the per-block census (candidates, exact dupes,
+    near matches at distance ≤ 2). This is the record-linkage shape —
+    the O(n²) metric is confined to blocks, and the blocking key is an
+    equi-join Catalyst hashes; an unblocked fuzzy join would be a
+    cartesian product no cluster survives at 10^10 rows."""
+    p = load_table(spark, sf_dir, "part")
+    np_ = p.select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("tok1"),
+        F.length("p_name").alias("len"),
+    )
+    a, b = np_.alias("a"), np_.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.tok1") == F.col("b.tok1"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= 3),
+    ).select(
+        F.col("a.tok1").alias("tok1"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return cand.groupBy(F.col("tok1").alias("block_token")).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close"),
+    )

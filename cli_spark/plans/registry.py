@@ -88,6 +88,7 @@ def _load_all() -> None:
     import cli_spark.operators.timeseries  # noqa: F401
     import cli_spark.operators.robust_stats  # noqa: F401
     import cli_spark.operators.sketches  # noqa: F401
+    import cli_spark.operators.mining  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
     import cli_spark.sources.hgt_queries  # noqa: F401
     import cli_spark.sources.multimodal  # noqa: F401
