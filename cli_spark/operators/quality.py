@@ -196,3 +196,95 @@ def q88_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+from pyspark.sql.window import Window as _W  # noqa: E402  (q185)
+
+
+@register(
+    "q185_word_run_census",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, t.word, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1)
+                         AS pos) t
+  WHERE t.word <> ''
+),
+flagged AS (
+  SELECT doc_id, word, pos,
+         CASE WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos ASC)
+                   IS DISTINCT FROM word THEN 1 ELSE 0 END AS new_run
+  FROM pos
+),
+runs AS (
+  SELECT doc_id, word,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+sized AS (
+  SELECT doc_id, run_id, COUNT(*) AS run_len
+  FROM runs GROUP BY doc_id, word, run_id
+)
+SELECT doc_id,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stutters,
+       CAST(SUM(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END) AS BIGINT)
+         AS stutter_words,
+       MAX(run_len) >= 3 AS flag_heavy_stutter
+FROM sized GROUP BY doc_id
+""",
+    tags=("quality", "text", "islands"),
+)
+def q185_word_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-word run ("stutter") census per document — the
+    boilerplate/generation-loop quality signal: longest run of the
+    same consecutive word, number of runs ≥ 2, and words absorbed by
+    stutters. Positions come from posexplode (order is the ARRAY
+    index, not a timestamp), runs from the lag≠current → cumsum
+    islands idiom, all partitioned by doc_id — one shuffle, and at
+    100 TB the explode happens AFTER the scan projects only (doc_id,
+    text), so the fan-out never hits the exchange (partial counts
+    collapse it per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    w_ord = _W.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    flagged = pos.select(
+        "doc_id",
+        "word",
+        "pos",
+        F.when(
+            ~F.lag("word").over(w_ord).eqNullSafe(F.col("word")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = flagged.select(
+        "doc_id",
+        "word",
+        F.sum("new_run")
+        .over(w_ord.rowsBetween(_W.unboundedPreceding, _W.currentRow))
+        .alias("run_id"),
+    )
+    sized = runs.groupBy("doc_id", "word", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return sized.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(F.when(F.col("run_len") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stutters"),
+        F.sum(F.when(F.col("run_len") >= 2, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("stutter_words"),
+        (F.max("run_len") >= 3).alias("flag_heavy_stutter"),
+    )

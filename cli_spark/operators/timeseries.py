@@ -313,3 +313,96 @@ def q170_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SUM(rev_cents) OVER () AS BIGINT)"
         ).alias("global_share_ppm"),
     )
+
+
+@register(
+    "q188_linear_interpolation",
+    oracle=f"""
+WITH masked AS (
+  SELECT event_id, user_id, {_T_US} AS t,
+         CASE WHEN event_type <> 'view'
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS c
+  FROM events
+),
+ctx AS (
+  SELECT event_id, user_id, t, c,
+         last_value(c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+         last_value(CASE WHEN c IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, event_id ASC
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+         first_value(CASE WHEN c IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, event_id ASC
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM masked
+)
+SELECT event_id, user_id,
+       CASE WHEN c IS NOT NULL THEN 'obs'
+            WHEN pc IS NOT NULL AND nc IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS kind,
+       CASE WHEN c IS NOT NULL THEN c
+            WHEN pc IS NOT NULL AND nc IS NOT NULL
+            THEN pc + (nc - pc) * (t - pt) // (nt - pt)
+            END AS v_cents
+FROM ctx
+""",
+    tags=("timeseries", "interpolate", "window"),
+)
+def q188_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of gap rows between their
+    surrounding observations (the upgrade from q166's step-function
+    LOCF): v = prev + (next − prev)·(t − t_prev) ÷ (t_next − t_prev),
+    computed entirely in BIGINT cents/micros with floor division —
+    bit-identical cross-engine, no float error accumulation. The
+    before/after context comes from four IGNORE-NULLS frame scans over
+    ONE user_id partitioning (Spark: last/first with ignorenulls over
+    mirrored frames); rows keep their 'obs'/'interp'/'edge' lineage so
+    downstream consumers can weight imputed points. Product bound:
+    |Δcents|·Δt_us < 2^63 holds for spans under ~2 years at money
+    scale."""
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.when(
+            F.col("event_type") != "view",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+        ).alias("c"),
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("event_id").asc()
+    )
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    t_obs = F.when(F.col("c").isNotNull(), F.col("t"))
+    ctx = masked.select(
+        "event_id",
+        "user_id",
+        "t",
+        "c",
+        F.last("c", ignorenulls=True).over(w_prev).alias("pc"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("c", ignorenulls=True).over(w_next).alias("nc"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    has_both = F.col("pc").isNotNull() & F.col("nc").isNotNull()
+    return ctx.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("c").isNotNull(), F.lit("obs"))
+        .when(has_both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("kind"),
+        F.when(F.col("c").isNotNull(), F.col("c"))
+        .when(
+            has_both,
+            F.col("pc")
+            + F.expr("(nc - pc) * (t - pt) div (nt - pt)"),
+        )
+        .alias("v_cents"),
+    )

@@ -229,3 +229,58 @@ def q36_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) "
         f"OVER ({frame}) AS DOUBLE) / 10000.0 AS value_1h",
     )
+
+
+@register(
+    "q187_window_funcs2",
+    oracle="""
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         o_orderdate AS od
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       first_value(cents) OVER w_full AS first_cents,
+       last_value(cents) OVER w_full AS last_cents,
+       nth_value(cents, 2) OVER w_full AS second_cents,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 8) AS pct_rank,
+       round(cume_dist() OVER w, 8) AS cum_dist
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC),
+       w_full AS (PARTITION BY o_custkey ORDER BY od ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "rank", "frames"),
+)
+def q187_window_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window-function pack: first/last/nth_value over the FULL
+    partition frame (explicit ROWS UNBOUNDED..UNBOUNDED — the default
+    frame stops at CURRENT ROW, a classic silent-wrong-answer),
+    ntile(4), percent_rank and cume_dist per customer order history.
+    percent_rank=(rank−1)/(n−1) and cume_dist=rank/n are exact
+    rationals of identical integers — cross-engine-identical doubles
+    (rounded 8dp for belt-and-braces). One user-key shuffle serves all
+    six functions: same partitioning, same sort."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("od").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("cents").over(w_full).alias("first_cents"),
+        F.last("cents").over(w_full).alias("last_cents"),
+        F.nth_value("cents", 2).over(w_full).alias("second_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cum_dist"),
+    )

@@ -303,3 +303,17 @@ def test_q177_skyline_has_no_join(spark, sf_dir):
     # the window runs AFTER reduction to one row per size: its input
     # exchange is the tiny per-size relation, not the part scan
     assert plan.count("Exchange") <= 2
+
+
+def test_round2_window_ops_single_shuffle(spark, sf_dir):
+    """q185/q187/q188 each do exactly ONE hashpartitioning exchange
+    (doc_id / custkey / user_id) and zero joins — all window passes
+    and stacked aggregations reuse the same partitioning."""
+    for name in (
+        "q185_word_run_census",
+        "q187_window_funcs2",
+        "q188_linear_interpolation",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Join" not in plan and "Cartesian" not in plan, name
