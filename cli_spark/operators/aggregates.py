@@ -320,3 +320,114 @@ def q29_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", ordkey).alias("first_orderkey"),
         F.count(F.lit(1)).alias("order_cnt"),
     )
+
+
+@register(
+    "q189_hll_sketch_union",
+    oracle="""
+WITH daily AS (
+  SELECT CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01') // 7
+              AS INTEGER) AS week_no,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         user_id
+  FROM events
+)
+SELECT week_no,
+       COUNT(DISTINCT day) AS n_days,
+       COUNT(DISTINCT user_id) AS ndv_exact,
+       TRUE AS hll_ok
+FROM daily GROUP BY week_no
+""",
+    tags=("agg", "approx", "sketch"),
+)
+def q189_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 4 Datasketches `hll_sketch_agg` /
+    `hll_union_agg`): per-DAY user sketches built once, then UNIONED
+    into weekly NDVs — the pre-aggregated-sketch pattern that lets a
+    100 TB pipeline answer any rollup of distinct counts without
+    re-touching raw data (sketches are tiny, unions are associative).
+
+    Raw sketch estimates are engine-specific, so the graded columns
+    are the exact NDV plus a verdict: the merged-sketch estimate must
+    land within 5% of exact (HLL lgK=12 ⇒ σ≈1.6%, 5% ≈ 3σ); the hashed
+    hll_ok verdict IS that assertion — the oracle pins it TRUE, so an
+    estimate drifting past 3σ fails the hash gate."""
+    e = load_table(spark, sf_dir, "events")
+    week_no = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7
+    ).cast("int")
+    daily = (
+        e.select(week_no.alias("week_no"), F.to_date("ts").alias("day"), "user_id")
+        .groupBy("week_no", "day")
+        .agg(
+            F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+            F.countDistinct("user_id").alias("day_ndv"),
+        )
+    )
+    weekly = daily.groupBy("week_no").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est"),
+    )
+    exact = (
+        e.select(week_no.alias("week_no"), "user_id")
+        .groupBy("week_no")
+        .agg(F.countDistinct("user_id").alias("ndv_exact"))
+    )
+    return (
+        weekly.join(exact, "week_no")
+        .select(
+            "week_no",
+            "n_days",
+            "ndv_exact",
+            (
+                F.abs(F.col("est") - F.col("ndv_exact"))
+                <= F.col("ndv_exact") * 0.05
+            ).alias("hll_ok"),
+        )
+    )
+
+
+@register(
+    "q190_trailing_distinct",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, day + i.i AS report_day
+  FROM ud CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS i) i
+),
+spine AS (SELECT DISTINCT day AS report_day FROM ud)
+SELECT CAST(s.report_day AS STRING) AS day,
+       COUNT(DISTINCT c.user_id) AS active_7d
+FROM spine s JOIN contrib c ON c.report_day = s.report_day
+GROUP BY s.report_day
+""",
+    tags=("agg", "window", "distinct"),
+)
+def q190_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) that is NOT windowable (per-row window state would
+    be a user set). Scalable rewrite: reduce to distinct (user, day),
+    EXPLODE each into the ≤7 report days it supports, and run one
+    plain distinct aggregation per report day — turning an O(days ×
+    window) state problem into a 7× fan-out of the already-reduced
+    key stream. The spine keeps only days present in the data (no
+    synthetic calendar), matching the oracle join."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("i"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("report_day"))
+    spine = ud.select(F.col("day").alias("report_day")).distinct()
+    return (
+        contrib.join(spine, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("report_day").cast("string").alias("day"), "active_7d")
+    )

@@ -231,3 +231,98 @@ def q178_key_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing_total"),
         F.max(gap - 1).cast("long").alias("max_gap"),
     )
+
+
+@register(
+    "q191_bitmap_retention",
+    oracle="""
+WITH oc AS (
+  SELECT DISTINCT (year(o_orderdate) * 12 + month(o_orderdate)) AS midx,
+         o_custkey AS k
+  FROM orders
+),
+bm AS (
+  SELECT midx, k // 32 AS w,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(k % 32 AS INTEGER)) AS BIGINT)
+           AS bits
+  FROM oc GROUP BY midx, k // 32
+),
+counts AS (
+  SELECT midx, CAST(SUM(bit_count(bits)) AS BIGINT) AS n FROM bm GROUP BY midx
+),
+inter AS (
+  SELECT a.midx, CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+  FROM bm a JOIN bm b ON b.midx = a.midx + 1 AND b.w = a.w
+  GROUP BY a.midx
+)
+SELECT CAST(c1.midx AS BIGINT) AS month_idx,
+       c1.n AS n_cur, c2.n AS n_next,
+       COALESCE(i.n_both, 0) AS n_retained,
+       c1.n + c2.n - COALESCE(i.n_both, 0) AS n_either
+FROM counts c1
+JOIN counts c2 ON c2.midx = c1.midx + 1
+LEFT JOIN inter i ON i.midx = c1.midx
+""",
+    tags=("sketch", "bitmap", "retention"),
+)
+def q191_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: each order-month's customer set as a
+    packed bitmap (word = custkey div 32, bit_or of 1<<bit), then
+    month-over-month retained/either counts via popcount(AND)/
+    inclusion-exclusion — the roaring-bitmap pattern relational
+    engines use for audience overlap, here with exact BIGINT words
+    both engines compute identically.
+
+    Scale shape: the bitmap is ~N/32 words per month REGARDLESS of
+    order volume (the distinct reduction happens first), pairwise
+    overlap joins align on (month+1, word) — an equi-join on tiny
+    relations — and popcounts are JVM-side bit_count. Compare with the
+    join-based retention (q129): same answer, but the bitmap form ships
+    64× less data per member and unions/intersects any month combo
+    without re-scanning."""
+    o = load_table(spark, sf_dir, "orders")
+    oc = o.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        F.col("o_custkey").alias("k"),
+    ).distinct()
+    bm = oc.groupBy(
+        "midx", F.expr("k div 32").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k % 32 AS INT))")
+        ).alias("bits")
+    )
+    counts = bm.groupBy("midx").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.midx") == F.col("a.midx") + 1)
+            & (F.col("b.w") == F.col("a.w")),
+        )
+        .groupBy(F.col("a.midx").alias("midx"))
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            .cast("long")
+            .alias("n_both")
+        )
+    )
+    c1, c2 = counts.alias("c1"), counts.alias("c2")
+    return (
+        c1.join(c2, F.col("c2.midx") == F.col("c1.midx") + 1)
+        .join(inter.alias("i"), F.col("i.midx") == F.col("c1.midx"), "left")
+        .select(
+            F.col("c1.midx").cast("long").alias("month_idx"),
+            F.col("c1.n").alias("n_cur"),
+            F.col("c2.n").alias("n_next"),
+            F.coalesce(F.col("i.n_both"), F.lit(0).cast("long")).alias(
+                "n_retained"
+            ),
+            (
+                F.col("c1.n") + F.col("c2.n")
+                - F.coalesce(F.col("i.n_both"), F.lit(0).cast("long"))
+            ).alias("n_either"),
+        )
+    )
