@@ -122,8 +122,20 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard >= 0.5 within a
     language. All-pairs comparison — correct but quadratic; this is
     the ground-truth shape that q73's MinHash-LSH approximates at
-    scale (the lang partition bound keeps the local test tractable)."""
+    scale (the lang partition bound keeps the local test tractable).
+
+    Guarded: ``lang`` has few distinct values, so at corpus scale the
+    self-join is a quadratic blowup on a skewed key. The hard cap
+    below refuses to run past ground-truth-sized inputs — callers at
+    scale must use q73 (same output contract, LSH candidates)."""
     sh = shingles_df(spark, sf_dir)
+    _Q72_MAX_DOCS = 200_000  # ~4e10 lang-pair comparisons worst case
+    n = sh.count()
+    if n > _Q72_MAX_DOCS:
+        raise ValueError(
+            f"q72 is the quadratic ground-truth shape ({n} docs > cap "
+            f"{_Q72_MAX_DOCS}); use q73_minhash_lsh at scale"
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     j = _jaccard(F.col("a.shingles"), F.col("b.shingles"))
