@@ -6,11 +6,21 @@ at $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
     {"metric": "...", "value": <total warm sec>, "unit": "sec",
-     "queries": {name: warm_sec, ...}, "sf": <sf>}
+     "queries": {name: warm_sec, ...}, "sf": <sf>,
+     "value_7class": <legacy sum>, "loadavg": [...], "runs": 5}
 
-Method mirrors BASELINE.md: per query, one untimed warm-up run
-(JIT/broadcast warm), then the minimum of two timed runs, collect()
-to the driver. Session startup is excluded (fixed overhead).
+Method mirrors BASELINE.md, hardened against box noise (VERDICT r3
+showed uniform ~27% drift on bit-identical code with min-of-2): per
+query, one untimed warm-up run (JIT/broadcast warm), then the MINIMUM
+of five timed runs, collect() to the driver. Session startup is
+excluded (fixed overhead). The 1/5/15-min load averages at bench
+start are recorded so a noisy-box run is visible in the JSON.
+
+The headline `value` sums 11 classes (the original 7 plus the four
+round-2 extended classes, promoted per VERDICT r3 #7 so they are
+regression-gated round over round). `value_7class` keeps the original
+7-class sum for continuity with BENCH_r01/r03 and BASELINE.md's first
+table.
 """
 
 from __future__ import annotations
@@ -23,9 +33,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline queries — one per BASELINE.md row class. The summed metric
-# stays defined over these 7 (comparable across rounds and against
-# BASELINE.md's original measurement).
+# Original 7 headline classes — one per BASELINE.md row class. Their
+# sum is reported as `value_7class` (comparable across all rounds).
 BENCH_QUERIES = [
     "q01_pricing_summary",      # TPC-H-Q1-style agg
     "q10_join_topk_revenue",    # Q3-style join + top-K
@@ -36,9 +45,8 @@ BENCH_QUERIES = [
     "q80_knn_bruteforce",       # brute-force cosine kNN top-10
 ]
 
-# Reported-but-not-summed classes (round 2+): timed identically and
-# emitted in "queries" so BASELINE.md's extended rows can be compared
-# per class, without redefining the 7-class headline sum.
+# Round-2 extended classes, promoted into the headline sum in round 4
+# (BASELINE.md "Extended rows" table has the matching baselines).
 EXTRA_QUERIES = [
     "q73_minhash_lsh",          # MinHash+LSH near-dup (band join)
     "q91_tfidf_top_terms",      # TF-IDF per-doc top terms
@@ -46,11 +54,17 @@ EXTRA_QUERIES = [
     "q157_embedding_outliers",  # centroid distance outlier cut
 ]
 
+N_RUNS = 5  # timed reps per class; min is reported
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = []
 
     from cli_spark.plans.registry import all_queries
     from cli_spark.session import get_spark
@@ -63,22 +77,26 @@ def main() -> None:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm-up (untimed)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
     times = {name: timed(name) for name in BENCH_QUERIES}
-    headline_total = round(sum(times.values()), 4)
+    legacy_total = round(sum(times.values()), 4)
     times.update({name: timed(name) for name in EXTRA_QUERIES})
+    headline_total = round(sum(times.values()), 4)
 
     out = {
-        "metric": "headline query warm latency (sum over 7 query classes)",
+        "metric": "headline query warm latency (sum over 11 query classes, min of 5)",
         "value": headline_total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "value_7class": legacy_total,
+        "loadavg": loadavg,
+        "runs": N_RUNS,
     }
     print(json.dumps(out))
 

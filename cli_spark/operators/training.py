@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from cli_spark.operators.pipeline import _BUCKET, _bucket_col
 from cli_spark.plans.registry import register
-from cli_spark.tables import load_table
+from cli_spark.tables import events_stream, load_table
 
 # 5-word shingles, 1-based start positions (both engines); docs with
 # fewer than 5 words produce none (Spark sequence(1,0) counts DOWN —
@@ -642,12 +642,7 @@ def q160_streaming_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("value_sum"),

@@ -42,6 +42,7 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int = 32) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.ui.explainMode", "formatted")
         .config("spark.ui.enabled", "false")
@@ -77,6 +78,8 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # Python DataSource pushFilters (hgt bbox partition pruning)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
         # the driver's own session defaults to 200 shuffle partitions —
         # far too many for sf0.01 work (observed: 200-task stages)
         ("spark.sql.shuffle.partitions", "32"),

@@ -28,7 +28,17 @@ import math
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 VOID = -32768
 
@@ -54,17 +64,79 @@ class HgtReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("hgt source requires a path: .load('/dir/of/hgt')")
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Partition-pruning pushdown: lat/lng range predicates and
+        cell equality prune whole 1°-cell FILES at plan time (a bbox
+        query over a 28M-cell corpus schedules only the intersecting
+        cells instead of all of them). Pruning is conservative —
+        every filter is also returned, so Spark still applies it
+        row-level post-scan and correctness never depends on the
+        pruning logic."""
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                               LessThan, LessThanOrEqual))
+                and len(f.attribute) == 1
+                and f.attribute[0] in ("lat", "lng", "cell")
+            ):
+                self.pushed.append(f)
+            yield f  # pruning-only: Spark re-evaluates everything
+
+    def _cell_survives(self, cell: str) -> bool:
+        """Conservative bbox test for one cell against pushed filters.
+
+        A cell named for corner (lat0, lng0) covers the CLOSED square
+        [lat0, lat0+1] × [lng0, lng0+1] (fencepost rows/cols include
+        both edges), so interval tests are inclusive."""
+        from cli_spark.sources.hgt import parse_cell_name
+
+        try:
+            lat0, lng0 = parse_cell_name(cell)
+        except ValueError:
+            return True  # unparseable name: never prune
+        lo = {"lat": float(lat0), "lng": float(lng0)}
+        hi = {"lat": float(lat0) + 1.0, "lng": float(lng0) + 1.0}
+        for f in self.pushed:
+            col = f.attribute[0]
+            if col == "cell":
+                if isinstance(f, EqualTo) and cell != f.value:
+                    return False
+                continue
+            try:
+                v = float(f.value)
+            except (TypeError, ValueError):
+                continue
+            if isinstance(f, EqualTo) and not (lo[col] <= v <= hi[col]):
+                return False
+            if isinstance(f, GreaterThan) and not (hi[col] > v):
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not (hi[col] >= v):
+                return False
+            if isinstance(f, LessThan) and not (lo[col] < v):
+                return False
+            if isinstance(f, LessThanOrEqual) and not (lo[col] <= v):
+                return False
+        return True
 
     def partitions(self) -> list[InputPartition]:
-        """One partition per cell file — planner-side listing only
-        (names and sizes, never content)."""
+        """One partition per surviving cell file — planner-side listing
+        only (names and sizes, never content); pushed bbox predicates
+        prune non-intersecting cells before any task is scheduled."""
         if os.path.isdir(self.path):
             files = sorted(glob.glob(os.path.join(self.path, "*.hgt")))
         else:
             files = [self.path]
         if not files:
             raise FileNotFoundError(f"no .hgt files under {self.path}")
-        return [InputPartition(f) for f in files]
+        kept = [
+            f for f in files
+            if self._cell_survives(os.path.basename(f).replace(".hgt", ""))
+        ]
+        # An empty scan is legal (fully-pruned query returns 0 rows),
+        # but the API needs >=0 partitions — return the empty list.
+        return [InputPartition(f) for f in kept]
 
     def read(self, partition: InputPartition) -> Iterator:
         """Decode one cell file → Arrow RecordBatch (vectorized)."""

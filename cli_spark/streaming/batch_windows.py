@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from cli_spark.functions.determinism import dsum, sql_dsum, ts_str
 from cli_spark.plans.registry import register
-from cli_spark.tables import load_table
+from cli_spark.tables import events_stream, load_table
 
 
 def _drain_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:
@@ -189,13 +189,7 @@ def q103_streaming_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     late — the streaming result must exactly equal the batch oracle.
     Late-data-dropping behaviour is exercised in tests/test_streaming.py.
     """
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "365 days")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -251,13 +245,7 @@ def q124_streaming_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming session state merges out-of-order events per key — at
     scale the shuffle is on user_id and state size is bounded by
     open sessions per key, with the watermark reaping closed ones."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "365 days")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -295,12 +283,7 @@ def q179_streaming_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound it further with dropDuplicatesWithinWatermark (covered in
     tests/test_streaming.py, where late/expired behaviour is
     assertable)."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )

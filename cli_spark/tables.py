@@ -35,15 +35,47 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize driver timestamp encodings to session-TZ TIMESTAMP.
+
+    The driver's parquet has shipped two encodings across rounds:
+    TIMESTAMP(NANOS) (read as int64 under nanosAsLong — rounds 1–3)
+    and TIMESTAMP_NTZ(MICROS) (round 4+). Both are rebuilt to
+    TimestampType so every downstream query sees one type. With the
+    session pinned to UTC (session.py) the NTZ→TZ cast is a pure
+    reinterpretation — wall-clock values, and hence DuckDB-oracle
+    parity, are unchanged.
+    """
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if f.name == "ts" and t == "bigint":
+            # int64 nanos → micros with INTEGER division: nanos
+            # (~1.7e18) exceed double's 53-bit mantissa, so a float
+            # path would corrupt low-order digits. `div` matches
+            # DuckDB's nanos→micros truncation bit-for-bit.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, applying per-table normalization."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    if name == "events":
-        # ts arrives as int64 nanos under nanosAsLong (session.py).
-        # Integer division — see module docstring.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(spark.read.parquet(path))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same timestamp
+    normalization as :func:`load_table` (streams can't infer schemas,
+    so the batch footer schema seeds the reader)."""
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_timestamps(stream)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

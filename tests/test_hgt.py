@@ -190,3 +190,58 @@ def test_hgt_python_datasource_matches_mapinpandas(spark, fixture_dir):
     # void sentinel arrives as NULL through the source too
     assert ds.filter(F.col("alt") == hgt.VOID).count() == 0
     assert ds.filter(F.col("alt").isNull()).count() > 0
+
+
+def test_hgt_datasource_filter_pushdown_prunes_partitions(fixture_dir):
+    """pushFilters + partitions: a lat bbox predicate prunes whole
+    cell files at plan time (unit-level — reader driven directly)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from cli_spark.sources.hgt_datasource import HgtReader
+
+    # no filters: all 3 fixture cells scanned
+    r = HgtReader({"path": fixture_dir})
+    assert len(r.partitions()) == len(hgt.FIXTURE_CELLS)
+
+    # lat >= 46 keeps only N46E007 ([46,47]); S01W072 is [-1,0], N00E000 [0,1]
+    r = HgtReader({"path": fixture_dir})
+    remaining = list(r.pushFilters([GreaterThanOrEqual(("lat",), 46.0)]))
+    assert len(remaining) == 1  # pruning-only: Spark still applies it
+    parts = r.partitions()
+    assert [os.path.basename(p.value) for p in parts] == ["N46E007.hgt"]
+
+    # lat < 0.5 intersects S01W072 and N00E000 but not N46E007
+    r = HgtReader({"path": fixture_dir})
+    list(r.pushFilters([LessThan(("lat",), 0.5)]))
+    assert sorted(os.path.basename(p.value) for p in r.partitions()) == [
+        "N00E000.hgt", "S01W072.hgt"]
+
+    # cell equality prunes to exactly one file; edge value lat == 47.0
+    # is INCLUSIVE of the north fencepost edge of N46E007
+    r = HgtReader({"path": fixture_dir})
+    list(r.pushFilters([EqualTo(("cell",), "S01W072")]))
+    assert [os.path.basename(p.value) for p in r.partitions()] == ["S01W072.hgt"]
+    r = HgtReader({"path": fixture_dir})
+    list(r.pushFilters([EqualTo(("lat",), 47.0)]))
+    assert [os.path.basename(p.value) for p in r.partitions()] == ["N46E007.hgt"]
+
+    # contradictory bbox prunes everything
+    r = HgtReader({"path": fixture_dir})
+    list(r.pushFilters([GreaterThanOrEqual(("lat",), 80.0)]))
+    assert r.partitions() == []
+
+
+def test_hgt_datasource_pushdown_end_to_end_parity(spark, fixture_dir):
+    """A bbox-filtered format('hgt') read scans fewer partitions and
+    returns exactly the decode_points rows under the same predicate."""
+    from cli_spark.sources.hgt_datasource import register_hgt_source
+
+    register_hgt_source(spark)
+    pred = (F.col("lat") >= 46.0) & (F.col("lat") <= 46.5) & (F.col("lng") >= 7.25)
+    ds = spark.read.format("hgt").load(fixture_dir).filter(pred)
+    assert ds.rdd.getNumPartitions() == 1  # two of three cells pruned
+
+    via_map = hgt.decode_points(hgt.read_hgt(spark, fixture_dir)).filter(pred)
+    assert ds.count() == via_map.count() > 0
+    assert ds.exceptAll(via_map).count() == 0
+    assert via_map.exceptAll(ds).count() == 0
