@@ -134,8 +134,8 @@ class HgtReader(DataSourceReader):
             f for f in files
             if self._cell_survives(os.path.basename(f).replace(".hgt", ""))
         ]
-        # An empty scan is legal (fully-pruned query returns 0 rows),
-        # but the API needs >=0 partitions — return the empty list.
+        # Fully-pruned scans return []; the planner worker then calls
+        # read(None) once, which read() guards against (yields nothing).
         return [InputPartition(f) for f in kept]
 
     def read(self, partition: InputPartition) -> Iterator:
@@ -145,6 +145,12 @@ class HgtReader(DataSourceReader):
 
         from cli_spark.sources.hgt import parse_cell_name
 
+        if partition is None:
+            # Fully-pruned scan: when partitions() returns [], Spark's
+            # planner worker substitutes [None] and still calls
+            # read(None) once — yield no batches so the query returns
+            # 0 rows instead of crashing on `None.value`.
+            return
         path = partition.value
         cell = os.path.basename(path).replace(".hgt", "")
         corner_lat, corner_lng = parse_cell_name(cell)

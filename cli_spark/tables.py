@@ -35,7 +35,7 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
+def normalize_timestamps(df: DataFrame, table: str | None = None) -> DataFrame:
     """Normalize driver timestamp encodings to session-TZ TIMESTAMP.
 
     The driver's parquet has shipped two encodings across rounds:
@@ -45,10 +45,14 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     session pinned to UTC (session.py) the NTZ→TZ cast is a pure
     reinterpretation — wall-clock values, and hence DuckDB-oracle
     parity, are unchanged.
+
+    The bigint rebuild is scoped to ``events.ts`` — only that column
+    is known to carry int64 nanos; a name-based heuristic over every
+    table would silently corrupt a future genuine bigint ``ts``.
     """
     for f in df.schema.fields:
         t = f.dataType.simpleString()
-        if f.name == "ts" and t == "bigint":
+        if table == "events" and f.name == "ts" and t == "bigint":
             # int64 nanos → micros with INTEGER division: nanos
             # (~1.7e18) exceed double's 53-bit mantissa, so a float
             # path would corrupt low-order digits. `div` matches
@@ -62,7 +66,7 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, applying per-table normalization."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return normalize_timestamps(spark.read.parquet(path))
+    return normalize_timestamps(spark.read.parquet(path), table=name)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +79,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_timestamps(stream)
+    return normalize_timestamps(stream, table="events")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

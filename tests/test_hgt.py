@@ -245,3 +245,19 @@ def test_hgt_datasource_pushdown_end_to_end_parity(spark, fixture_dir):
     assert ds.count() == via_map.count() > 0
     assert ds.exceptAll(via_map).count() == 0
     assert via_map.exceptAll(ds).count() == 0
+
+
+def test_hgt_datasource_fully_pruned_scan_returns_zero_rows(spark, fixture_dir):
+    """A contradictory bbox prunes EVERY partition. Spark's planner
+    worker then substitutes [None] for the empty partition list and
+    still calls read(None) once — the reader must yield no batches
+    (not crash on `None.value`) so the query returns 0 rows."""
+    from cli_spark.sources.hgt_datasource import register_hgt_source
+
+    register_hgt_source(spark)
+    out = (
+        spark.read.format("hgt")
+        .load(fixture_dir)
+        .filter(F.col("lat") >= 80.0)
+    )
+    assert out.count() == 0
