@@ -109,38 +109,58 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 green rows (all 71 passed; no fails).
+# Union of CORRECTNESS_r01 + r03 + r04 green rows (121 distinct; no fails).
 _DRIVER_GRADED: frozenset[str] = frozenset({
     "q01_pricing_summary", "q02_filter_predicates",
     "q03_null_three_valued_logic", "q04_projection_arithmetic",
     "q05_rlike_regex_filter", "q100_tumbling_window",
-    "q103_streaming_tumbling_true", "q10_join_topk_revenue",
-    "q11_left_join_agg", "q12_full_outer_join", "q13_semi_join",
-    "q14_anti_join", "q15_cross_join", "q168_interval_coverage",
-    "q16_theta_band_join", "q171_regression_closed_form",
-    "q175_count_min_sketch", "q176_bfs_hop_levels", "q17_star_join_q5",
-    "q18_self_join_week_pairs", "q19_salted_skew_agg",
-    "q20_count_distinct", "q21_rollup", "q22_cube",
-    "q23_grouping_sets", "q24_pivot", "q25_moment_stats",
-    "q26_percentile_exact", "q27_approx_sketches",
-    "q28_string_agg_sorted", "q29_min_by_max_by", "q30_topk_per_group",
-    "q31_lag_lead", "q32_running_sum", "q33_sliding_frame_avg",
-    "q34_rank_functions", "q35_range_between",
+    "q103_streaming_tumbling_true", "q104_time_rollup",
+    "q105_hash_sample", "q106_stratified_sample",
+    "q107_reservoir_per_group", "q108_binned_range_join",
+    "q109_event_debounce", "q10_join_topk_revenue",
+    "q113_zorder_locality", "q114_partial_agg_merge",
+    "q115_bloom_filter_probe", "q116_lateral_topk",
+    "q117_recursive_month_spine", "q118_fk_integrity",
+    "q119_table_checksums", "q11_left_join_agg", "q125_variant_json",
+    "q126_collated_groupby", "q127_regexp_extract_all",
+    "q128_growth_accounting", "q129_cohort_retention",
+    "q12_full_outer_join", "q130_tpch_q2_min_price_supplier",
+    "q13_semi_join", "q145_filter_clause", "q146_modern_aggregates",
+    "q147_snapshot_diff", "q148_scd2_intervals", "q149_funnel_steps",
+    "q14_anti_join", "q150_group_by_all", "q15_cross_join",
+    "q168_interval_coverage", "q16_theta_band_join",
+    "q171_regression_closed_form", "q175_count_min_sketch",
+    "q176_bfs_hop_levels", "q17_star_join_q5", "q181_triangle_census",
+    "q182_degree_distribution", "q183_pagerank_integer",
+    "q185_word_run_census", "q187_window_funcs2",
+    "q189_hll_sketch_union", "q18_self_join_week_pairs",
+    "q190_trailing_distinct", "q19_salted_skew_agg",
+    "q20_count_distinct", "q21_rollup", "q22_cube", "q23_grouping_sets",
+    "q24_pivot", "q25_moment_stats", "q26_percentile_exact",
+    "q27_approx_sketches", "q28_string_agg_sorted", "q29_min_by_max_by",
+    "q30_topk_per_group", "q31_lag_lead", "q32_running_sum",
+    "q33_sliding_frame_avg", "q34_rank_functions", "q35_range_between",
     "q36_interval_range_window", "q40_union_by_name",
     "q41_intersect_except", "q42_intersect_all_except_all",
     "q43_distinct_pairs", "q44_global_sort_limit",
-    "q45_correlated_scalar_subquery", "q50_string_pack",
-    "q51_date_pack", "q52_math_pack", "q53_array_pack",
-    "q54_json_pack", "q55_struct_map_pack",
+    "q45_correlated_scalar_subquery", "q46_in_not_in_subquery",
+    "q47_unpivot", "q48_posexplode_outer", "q49_stack",
+    "q50_string_pack", "q51_date_pack", "q52_math_pack",
+    "q53_array_pack", "q54_json_pack", "q55_struct_map_pack",
     "q56_grouped_agg_pandas_udf", "q57_grouped_map_zscore",
     "q58_udtf_expand", "q59_registered_scalar_udf", "q60_asof_join",
-    "q61_tpch_q6_forecast", "q65_scalar_pack2",
-    "q66_spark_native_funcs", "q67_map_ops_pack", "q70_exact_dup_stats",
-    "q73_minhash_lsh", "q74_simhash_hamming",
+    "q61_tpch_q6_forecast", "q62_tpch_q7_volume_shipping",
+    "q63_tpch_q8_market_share", "q64_tpch_q10_returned_items",
+    "q65_scalar_pack2", "q66_spark_native_funcs", "q67_map_ops_pack",
+    "q70_exact_dup_stats", "q71_dedup_keep_first",
+    "q72_ngram_jaccard_pairs", "q73_minhash_lsh", "q74_simhash_hamming",
     "q75_embedding_neardup_docs", "q76_dedup_connected_components",
-    "q80_knn_bruteforce", "q82_cosine_threshold_join", "q85_pii_scrub",
+    "q77_dedup_clusters", "q80_knn_bruteforce", "q81_knn_per_label",
+    "q82_cosine_threshold_join", "q83_lsh_ann_buckets", "q84_ivf_ann",
+    "q85_pii_scrub", "q86_repetition_ratio", "q87_quality_verdict",
     "q88_winsorized_mean", "q90_term_counts", "q91_tfidf_top_terms",
-    "q95_lang_id_heuristic",
+    "q95_lang_id_heuristic", "q96_deterministic_split",
+    "q97_doc_chunking", "q98_weighted_mix",
 })
 
 

@@ -125,7 +125,7 @@ WITH ordered AS (
                  - lag(epoch_us(CAST(ts AS TIMESTAMP)))
                    OVER (PARTITION BY user_id
                          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
-                 >= 1800000000
+                 > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
@@ -148,9 +148,12 @@ def q102_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap
     (F.session_window). Session end = last event + gap, matching the
     classic lag-gap-cumsum sessionization SQL the oracle runs.
-    Spark's session window is half-open: a gap of EXACTLY 30:00 starts
-    a new session, so the oracle compares microsecond-truncated gaps
-    with >= (not >) — same convention as q124."""
+    Spark MERGES an event at exactly gap distance (sessions join when
+    next_ts <= prev_ts + gap; verified empirically on Spark 4.1 and
+    pinned by tests/test_parity.py::test_session_gap_exactly_30min_
+    half_open), so the oracle compares microsecond-truncated gaps
+    with STRICT > — only a gap strictly beyond 30:00 starts a new
+    session. Same convention as q124."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -215,7 +218,7 @@ WITH seq AS (
          epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
          CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
                OR epoch_us(CAST(ts AS TIMESTAMP))
-                  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w >= 1800000000
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC)
@@ -239,8 +242,9 @@ def q124_streaming_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, per-user 30-minute-gap session aggregation, availableNow
     into a memory sink (complete mode). The oracle is the classic
     batch sessionization (lag-gap → running session number) on
-    MICROSECOND-truncated timestamps, matching Spark's half-open
-    session semantics (a gap of exactly 30 min starts a new session).
+    MICROSECOND-truncated timestamps with a STRICT > gap test,
+    matching Spark's session merge rule (an event at exactly gap
+    distance continues the session; see q102).
 
     Streaming session state merges out-of-order events per key — at
     scale the shuffle is on user_id and state size is bounded by

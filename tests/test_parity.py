@@ -124,3 +124,51 @@ def test_q67_goldens(spark, sf_dir):
         "n_big": 2, "key_sum": 14, "keys_sorted": "key,len,reg",
         "values_total": 17,  # key 7 + reg 2 + len 8
     }
+
+
+def test_session_gap_exactly_30min_half_open(spark, tmp_path):
+    """Pin the session-window boundary convention on a synthetic
+    fixture with a gap of EXACTLY 30:00.000000: Spark's
+    F.session_window MERGES an event at exactly gap distance
+    (sessions join when next_ts <= prev_ts + gap; probed empirically
+    on Spark 4.1), so the q102/q124 oracles must compare gaps with
+    STRICT > (not >=). This test runs BOTH sides of q102 on the
+    fixture — it goes red if either the Spark query or the oracle
+    SQL flips the convention."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    rows = [
+        # user 1: 10:00:00 then exactly +30:00 → ONE merged session
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:30:00", 1, "view", 2.0, "{}"),
+        # user 2: +29:59.999999 → ONE session (just under the gap)
+        (3, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-01 10:29:59.999999", 2, "view", 2.0, "{}"),
+        # user 3: +30:00.000001 → TWO sessions (strictly past the gap)
+        (5, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+        (6, "2024-01-01 10:30:00.000001", 3, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn(
+        # TIMESTAMP_NTZ(MICROS) — the encoding the driver's parquet ships
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).coalesce(1).write.parquet(sf + "/events.parquet")
+
+    spec = _SPECS["q102_session_windows"]
+    sdf = spec.fn(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    odf = con.execute(spec.oracle).df()
+    con.close()
+
+    # semantic pins first, then full parity
+    by_user = sdf.groupby("user_id").size().to_dict()
+    assert by_user == {1: 1, 2: 1, 3: 2}, by_user
+    assert not _compare(sdf, odf, "q102_session_gap_fixture")

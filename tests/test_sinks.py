@@ -120,3 +120,33 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev)
+
+
+def test_jdbc_round_trip_embedded_derby(spark, sf_dir):
+    """A10/A12 round-trip against a REAL database engine: the embedded
+    Derby bundled with Spark's jars (no server process — the JVM hosts
+    the DB in-memory). overwrite mode exercises Spark's JDBC DDL path
+    (CREATE TABLE from the DataFrame schema [A12]); the batched INSERT
+    path [A10] loads the rows; the partitioned read splits the scan
+    into range-predicated parallel queries."""
+    url = "jdbc:derby:memory:cli_spark_test;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    sinks.write_jdbc(src, url, "nation_copy", mode="overwrite", **props)
+
+    back = sinks.read_jdbc(
+        spark, url, "nation_copy",
+        partition_column="n_nationkey", lower_bound=0, upper_bound=24,
+        num_partitions=4, **props,
+    )
+    assert back.rdd.getNumPartitions() == 4  # parallel range scan
+    assert back.count() == src.count() == 25
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+    # append mode [A10 incremental load]: rows double, no DDL re-run
+    sinks.write_jdbc(src, url, "nation_copy", mode="append", **props)
+    assert sinks.read_jdbc(spark, url, "nation_copy", **props).count() == 50
