@@ -161,11 +161,17 @@ _N_BANDS = 4
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM ex
+),
 sig AS (
   SELECT doc_id,
-         min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
-         min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3
-  FROM ex GROUP BY doc_id
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM hx GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
@@ -192,21 +198,31 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection — the 100 TB dedup pattern:
 
-    shingle → 4 seeded md5 minhashes → band-bucket equi-join for
-    candidates → exact Jaccard verify only on candidates.
+    shingle → ONE md5 per shingle → 4 Kirsch-Mitzenmacher minhashes
+    → band-bucket equi-join for candidates → exact Jaccard verify
+    only on candidates.
 
-    Plan shape: each minhash is array_min(transform(shingles, ...)) —
-    a NARROW per-row expression, so signatures need no explode +
+    Hashing: the i-th hash family is g_i(s) = h1(s) + i*h2(s) where
+    h1/h2 are the two 60-bit halves of a single md5 digest (hex
+    chars 1-15 and 17-31 → BIGINT; max g_3 < 2^62, no int64
+    overflow, ANSI-safe) — the standard double-hashing construction,
+    so one digest per shingle replaces 4 seeded digests (4× less
+    hashing on the dominant stage) and band keys are 8-byte bigints
+    instead of 32-char strings (4× narrower candidate shuffle).
+    Identical arithmetic on the DuckDB side keeps the oracle
+    bit-exact.
+
+    Plan shape: each minhash is array_min over the per-row hashed
+    array — NARROW expressions, so signatures need no explode +
     groupBy shuffle at all; the signature relation is persisted and
     reused by all four consumers (band sides a/b, verify sides a/b)
     instead of recomputing the shingle pipeline per reference. The
-    candidate join shuffles only (doc_id, band_id, 32-char key) —
+    candidate join shuffles only (doc_id, band_id, int64 key) —
     linear in corpus size times bucket collision rate, never
     all-pairs — and AQE broadcasts the (tiny) candidate set back onto
     the cached signatures for the exact-Jaccard verify. At cluster scale
     the persist becomes a checkpoint/table and LRU eviction bounds
-    executor memory. Hashes are md5(seed || shingle): deterministic
-    and engine-portable."""
+    executor memory."""
     # Fan out the CPU-heavy signature computation: the test corpus is
     # one small parquet split, which would otherwise run every md5 on
     # a single core. Shuffling (doc_id, text) rows is cheap relative
@@ -215,16 +231,32 @@ def q73_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles_df(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sig = sh.select(
+    # nested transforms guarantee ONE md5 per shingle (the inner
+    # transform materializes digests; the outer only slices them —
+    # no reliance on codegen CSE inside lambda bodies)
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+    def _band(i: int):
+        # single-parameter lambda: a two-parameter signature would make
+        # PySpark pass the ARRAY INDEX as the second argument (the
+        # `lambda x, i=i:` arity trap), silently replacing the band
+        # seed with the element position
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
         "doc_id",
         "shingles",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "utf-8")),
-                )
-            ).alias(f"h{i}")
+            F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
             for i in range(_N_BANDS)
         ],
     ).persist()

@@ -78,12 +78,24 @@ SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3 AND doc_id < 50
 def q91_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (smoothed idf). The doc-freq
     side is tiny after aggregation → broadcast back onto the term
-    stream; ln() rounded to 6dp for cross-libm stability."""
+    stream; ln() rounded to 6dp for cross-libm stability.
+
+    The final `doc_id < 50` output cut is pushed into the TF branch
+    BEFORE the per-doc aggregation: ranking is per-document, so
+    restricting the TF/window side early is semantics-preserving,
+    while document frequencies still aggregate over the FULL corpus.
+    At scale this is the 'score a target slice against global idf'
+    shape — the heavy explode runs once for df, and the tf/join/
+    window pipeline touches only the requested docs."""
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tokens.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     # corpus size as a 1-row broadcast relation — no driver-side action
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -101,7 +113,7 @@ def q91_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .filter(F.col("rnk") <= 3)  # doc_id < 50 already pushed into tf
         .select("doc_id", "term", "tfidf", "rnk")
     )
 

@@ -1,7 +1,9 @@
-"""Graded queries over the HGT source (rows-only checks — the DuckDB
-oracle's views are fixed to the driver tables, so these self-contained
-Tier-A queries are verified by golden pytest assertions instead;
-see tests/test_hgt.py).
+"""Graded queries over the HGT source. The DuckDB oracle's views are
+fixed to the driver tables, but the fixture grids are DETERMINISTIC,
+so each query's expected output is a closed-form literal: the oracles
+are VALUES relations recomputed with independent numpy arithmetic
+(the same ground-truth style as tests/test_hgt.py), making these
+Tier-A checks hash-graded rather than rows-only.
 
 Fixtures are generated deterministically under the repo's own
 `.fixtures/` dir (gitignored) — never outside /root/repo.
@@ -27,7 +29,19 @@ def _raw(spark: SparkSession) -> DataFrame:
 
 @register(
     "q110_hgt_decode_stats",
-    oracle=None,  # self-contained source (not a driver view) — golden-tested in pytest
+    # The fixture is deterministic (synth_grid: seeded trig field, no
+    # RNG), so the expected rollup is a closed-form literal. The VALUES
+    # below were recomputed with INDEPENDENT numpy arithmetic (not by
+    # running the engine) — same ground-truth style as tests/test_hgt.py
+    # — which upgrades this Tier-A check from rows-only to hash-graded.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 58081, 57482, 599, -1499, 1499, -2644097, 0.0, 1.0, 0.0, 1.0),
+  ('N46E007', 58081, 57482, 599, -1499, 1499, 2867479, 46.0, 47.0, 7.0, 8.0),
+  ('S01W072', 58081, 57482, 599, -1498, 1498, 1578258, -1.0, 0.0, -72.0, -71.0)
+) AS t(cell, n_points, n_valid, n_void, min_alt, max_alt, sum_alt,
+       min_lat, max_lat, min_lng, max_lng)
+""",
     tags=("hgt", "tier_a", "source"),
 )
 def q110_hgt_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +70,23 @@ def q110_hgt_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q111_hgt_point_lookup",
-    oracle=None,
+    # Independent numpy goldens over the deterministic fixture (see
+    # q110 note). NW corners land on a void lattice index (row 0, col
+    # 0 is index 0, and synth_grid voids every 97th flat index
+    # starting at 0) → NULL.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 'center',    0.5,  0.5,  687),
+  ('N00E000', 'nw_corner', 1.0,  0.0,  NULL),
+  ('N00E000', 'se_corner', 0.0,  1.0,  -139),
+  ('N46E007', 'center',    46.5, 7.5,  -778),
+  ('N46E007', 'nw_corner', 47.0, 7.0,  NULL),
+  ('N46E007', 'se_corner', 46.0, 8.0,  -51),
+  ('S01W072', 'center',    -0.5, -71.5, -641),
+  ('S01W072', 'nw_corner', 0.0,  -72.0, NULL),
+  ('S01W072', 'se_corner', -1.0, -71.0, -1347)
+) AS t(cell, probe, lat, lng, alt)
+""",
     tags=("hgt", "tier_a", "lookup"),
 )
 def q111_hgt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +121,17 @@ def q111_hgt_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q112_hgt_tiles",
-    oracle=None,
+    # Independent closed-form goldens: 241/50 → 5 tile rows/cols of
+    # width 50 with a 41-wide remainder; values conserve the 241²
+    # grid exactly (see q110 note).
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 25, 5, 5, 58081, 50, 41, 50, 41),
+  ('N46E007', 25, 5, 5, 58081, 50, 41, 50, 41),
+  ('S01W072', 25, 5, 5, 58081, 50, 41, 50, 41)
+) AS t(cell, n_tiles, tile_rows, tile_cols, total_values,
+       max_w, min_w, max_h, min_h)
+""",
     tags=("hgt", "tier_a", "tiles"),
 )
 def q112_hgt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cli_spark.functions.determinism import dsum, sql_dsum, ts_str
+from cli_spark.functions.determinism import (
+    MONEY_SCALE,
+    dsum,
+    quantize,
+    sql_dsum,
+    ts_str,
+)
 from cli_spark.plans.registry import register
 from cli_spark.tables import events_stream, load_table
 
@@ -56,15 +62,34 @@ GROUP BY date_trunc('hour', ts)
 )
 def q100_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time windows (batch form of the
-    streaming aggregation — identical F.window expression works under
-    readStream, see q103)."""
+    streaming aggregation — the same F.window expression works under
+    readStream, see q103).
+
+    The distinct-user count is computed as a TWO-LEVEL aggregation
+    (groupBy (window, user_id) then groupBy window) instead of
+    countDistinct: a single countDistinct mixed with plain aggregates
+    makes Catalyst plan an Expand that duplicates every input row
+    per aggregate family before the shuffle. The two-level form
+    shuffles each (hour, user) combination once — map-side combine
+    collapses a user's repeat events within an hour pre-shuffle — and
+    the second aggregation runs on the already-tiny per-user relation.
+    At 100 TB that halves shuffle volume on the widest stage.
+    count("user_id") at level 2 counts non-null user groups, matching
+    COUNT(DISTINCT user_id) null semantics exactly."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour"))
+    per_user = (
+        e.groupBy(F.window("ts", "1 hour"), "user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            dsum(F.col("value")).alias("value_sum"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum(quantize(F.col("value"))).alias("qs"),
+        )
+    )
+    return (
+        per_user.groupBy("window")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("user_id").alias("n_users"),
+            (F.sum("qs").cast("double") / F.lit(float(10 ** MONEY_SCALE))).alias("value_sum"),
         )
         .select(
             ts_str(F.col("window.start")).alias("window_start"),
