@@ -801,3 +801,156 @@ def q161_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rare_ppm"),
         (F.col("n_rare") * 5 >= F.col("n_bigrams")).alias("low_quality"),
     )
+
+
+@register(
+    "q192_sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_off
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, start_off,
+       CAST(floor(start_off / 2048.0) AS BIGINT) AS first_chunk,
+       CAST(floor((start_off + n_tokens - 1) / 2048.0) AS BIGINT) AS last_chunk,
+       CAST(floor((start_off + n_tokens - 1) / 2048.0)
+            - floor(start_off / 2048.0) + 1 AS BIGINT) AS n_chunks
+FROM laid
+WHERE n_tokens > 0
+""",
+    tags=("training", "packing"),
+)
+def q192_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): per language
+    stream, documents are laid end-to-end in deterministic doc_id
+    order and cut into fixed 2048-token training chunks; each doc
+    reports its token offset and the chunk span it lands in — the
+    assignment table a packing writer needs to emit examples.
+
+    Scale shape: one window cumsum per lang partition (single shuffle
+    on lang, no join); the offset arithmetic is pure codegen. A 100 TB
+    corpus packs per (lang, shard) key to bound any one window
+    partition — same math, finer key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = toks.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    first = F.floor(F.col("start_off") / 2048.0)
+    last = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / 2048.0)
+    return laid.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_off",
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        (last - first + 1).cast("long").alias("n_chunks"),
+    )
+
+
+@register(
+    "q193_chunk_utilization",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_off
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT lang, c.c AS chunk_id,
+         least(start_off + n_tokens, 2048 * (c.c + 1))
+         - greatest(start_off, 2048 * c.c) AS tok_in
+  FROM laid
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(CAST(floor(start_off / 2048.0) AS BIGINT),
+                                  CAST(floor((start_off + n_tokens - 1) / 2048.0) AS BIGINT))) AS c
+  ) c
+),
+fills AS (
+  SELECT lang, chunk_id, CAST(SUM(tok_in) AS BIGINT) AS fill
+  FROM spans GROUP BY lang, chunk_id
+)
+SELECT lang,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(fill) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN fill = 2048 THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks,
+       CAST(MIN(fill) AS BIGINT) AS min_fill
+FROM fills
+GROUP BY lang
+""",
+    tags=("training", "packing"),
+)
+def q193_chunk_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for q192's concat-and-chunk layout:
+    each document's token interval is exploded over the chunks it
+    spans, per-chunk fill is summed, and a per-language rollup
+    reports chunk count, token conservation, and how many chunks are
+    exactly full (all but the final tail, by construction).
+
+    Scale shape: the explode fans each doc out by its chunk-span
+    count (almost always 1–2 rows), then two narrow aggregations on
+    (lang, chunk_id) and lang — no joins, token totals conserve
+    exactly so the oracle is bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = toks.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    first = F.floor(F.col("start_off") / 2048.0).cast("long")
+    last = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / 2048.0).cast("long")
+    spans = laid.select(
+        "lang",
+        "start_off",
+        "n_tokens",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    ).select(
+        "lang",
+        "chunk_id",
+        (
+            F.least(F.col("start_off") + F.col("n_tokens"), 2048 * (F.col("chunk_id") + 1))
+            - F.greatest(F.col("start_off"), 2048 * F.col("chunk_id"))
+        ).alias("tok_in"),
+    )
+    fills = spans.groupBy("lang", "chunk_id").agg(
+        F.sum("tok_in").cast("long").alias("fill")
+    )
+    return fills.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("fill") == 2048, 1).otherwise(0)).cast("long").alias("full_chunks"),
+        F.min("fill").cast("long").alias("min_fill"),
+    )

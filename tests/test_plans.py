@@ -317,3 +317,45 @@ def test_round2_window_ops_single_shuffle(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Join" not in plan and "Cartesian" not in plan, name
+
+
+def test_q100_no_expand_two_level_agg(spark, sf_dir):
+    """q100 computes its distinct-user count as a two-level
+    aggregation. A countDistinct mixed with plain aggregates would
+    plan an Expand that duplicates every input row before the widest
+    shuffle — this gate fails if that plan shape ever returns."""
+    plan = plan_of(spark, sf_dir, "q100_tumbling_window")
+    assert "Expand" not in plan, plan
+    # both aggregation levels are two-phase (partial before shuffle)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q73_single_md5_per_shingle_and_no_index_capture(spark, sf_dir):
+    """q73's band hashes derive from ONE md5 per shingle (nested
+    transform). Two regressions are gated: (a) reverting to per-band
+    seeded digests (md5 appearing once per band expression), and
+    (b) the multi-parameter-lambda trap where the band seed silently
+    binds to transform's ARRAY INDEX argument (plan would show the
+    index lambda variable in a multiply)."""
+    # a cached signature relation from an earlier q73 build in this
+    # session would substitute an InMemoryRelation whose serialized
+    # child plan repeats the md5 text — clear for a deterministic count
+    spark.catalog.clearCache()
+    df = _SPECS["q73_minhash_lsh"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # CollapseProject inlines the shared hashed-array projection into
+    # each band expression, so md5 appears once per band in the TEXT —
+    # but the four copies are semantically identical subtrees, which
+    # whole-stage codegen's subexpression elimination evaluates once.
+    # The regression signature of per-band seeded digests is a seed
+    # CONCAT feeding md5 (four genuinely different digests per
+    # shingle, which CSE cannot merge):
+    assert "concat(" not in plan.lower().replace("concat_ws", ""), plan
+    assert plan.count("md5(") <= 4  # one (CSE-deduped) copy per band
+    # the band multiply must use a LITERAL coefficient, never a second
+    # lambda variable (the index): lambdafunction(...) with two lambda
+    # args feeding a Multiply is the bug signature
+    import re
+
+    for m in re.finditer(r"lambdafunction\(\((?:[^()]|\([^()]*\))*\*[^)]*\)", plan):
+        assert "lambda y_" not in m.group(0), m.group(0)
