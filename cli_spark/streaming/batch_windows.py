@@ -32,7 +32,14 @@ def _drain_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> Data
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink, materialize the result, and DROP the sink's temp view
     so repeated invocations in one session don't accumulate
-    fully-materialized tables in driver memory."""
+    fully-materialized tables in driver memory.
+
+    CONTRACT: callers must pass an AGGREGATED stream (windowed/keyed
+    rollup) whose output cardinality is bounded by group count — the
+    memory sink materializes the full result on the driver, so a
+    per-event (non-aggregated) stream through this helper would be a
+    driver OOM at scale. Per-event streams use a file/foreachBatch
+    sink instead (see training.py::q160's keyed-table merge)."""
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     query = (
         agg.writeStream.format("memory")

@@ -93,3 +93,38 @@ def test_hgt_encode_decode_roundtrip(n, fill):
     back = np.frombuffer(buf, dtype=">i2").reshape(n, n)
     assert (back == grid).all()
     assert math.isqrt(len(buf) // 2) == n
+
+
+# ---------------------------------------------------------- packing
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=60, deadline=None)
+def test_concat_and_chunk_layout_conserves_tokens(token_counts, capacity):
+    """q192/q193's layout math, checked in pure Python for arbitrary
+    streams: chunk spans tile the concatenated token axis exactly —
+    per-chunk fills sum to the total token count, every chunk except
+    the last is exactly full, and a doc's span count matches its
+    chunk-boundary crossings."""
+    total = 0
+    fills: dict[int, int] = {}
+    for n in token_counts:
+        if n <= 0:
+            continue
+        start = total
+        total += n
+        first = start // capacity
+        last = (start + n - 1) // capacity
+        for c in range(first, last + 1):
+            tok_in = min(start + n, capacity * (c + 1)) - max(start, capacity * c)
+            assert tok_in > 0
+            fills[c] = fills.get(c, 0) + tok_in
+    assert sum(fills.values()) == total
+    if total:
+        n_chunks = (total + capacity - 1) // capacity
+        assert set(fills) == set(range(n_chunks))
+        for c in range(n_chunks - 1):
+            assert fills[c] == capacity  # all but the tail are full
+        assert fills[n_chunks - 1] == total - capacity * (n_chunks - 1)
