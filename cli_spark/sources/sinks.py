@@ -49,6 +49,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """XML sink (built-in `format("xml")` since Spark 4) — the
+    interchange format legacy feeds still ship; one element per row."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: str,
+             row_tag: str = "row") -> DataFrame:
+    """XML scan with an explicit schema (same no-inference rationale
+    as CSV/JSON: inference is an extra full pass at 100 TB)."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag)
+        .schema(schema).load(path)
+    )
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                batchsize: int = 10_000, **properties: str) -> None:
     """JDBC bulk insert [A10] — the reference's `gmalt-hgtload` sink.

@@ -150,3 +150,24 @@ def test_jdbc_round_trip_embedded_derby(spark, sf_dir):
     # append mode [A10 incremental load]: rows double, no DDL re-run
     sinks.write_jdbc(src, url, "nation_copy", mode="append", **props)
     assert sinks.read_jdbc(spark, url, "nation_copy", **props).count() == 50
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """XML source/sink (built-in format("xml") since Spark 4): write
+    the nation dim as one element per row, read back with an explicit
+    schema, values identical."""
+    out = str(tmp_path / "nation_xml")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sinks.write_xml(n, out, row_tag="nation")
+    back = sinks.read_xml(
+        spark, out, "n_nationkey int, n_name string, n_regionkey int",
+        row_tag="nation",
+    )
+    src = n.select(
+        F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+    )
+    assert back.count() == 25
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
