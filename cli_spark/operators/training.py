@@ -954,3 +954,47 @@ def q193_chunk_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("fill") == 2048, 1).otherwise(0)).cast("long").alias("full_chunks"),
         F.min("fill").cast("long").alias("min_fill"),
     )
+
+
+@register(
+    "q194_global_row_ids",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS global_id
+FROM documents
+""",
+    tags=("training", "ids"),
+)
+def q194_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous row ids ordered by (lang, doc_id) — the
+    example-numbering pass before sharding a training corpus.
+
+    The naive form is row_number() OVER (ORDER BY ...) — a GLOBAL
+    window, which Spark executes on a SINGLE partition (the classic
+    scale killer; that form is what the oracle runs, where DuckDB's
+    single process doesn't care). The engine instead uses the
+    two-phase offset pattern: per-group counts roll up to a tiny
+    offsets relation (running sum over groups, window over ~#groups
+    rows), broadcast back, and each group numbers independently with
+    a PARTITIONED window — no stage ever sees more than one group's
+    rows in one task. Same ids, cluster-scalable."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # window over the GROUP relation (a handful of rows) is fine —
+    # the antipattern is a global window over the FACT rows
+    offsets = counts.select(
+        "lang", (F.sum("n").over(w_off) - F.col("n")).alias("offset")
+    )
+    w_in = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.row_number().over(w_in) + F.col("offset")).cast("long").alias("global_id"),
+        )
+    )

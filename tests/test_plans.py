@@ -359,3 +359,19 @@ def test_q73_single_md5_per_shingle_and_no_index_capture(spark, sf_dir):
 
     for m in re.finditer(r"lambdafunction\(\((?:[^()]|\([^()]*\))*\*[^)]*\)", plan):
         assert "lambda y_" not in m.group(0), m.group(0)
+
+
+def test_q194_no_global_window_over_facts(spark, sf_dir):
+    """q194's global ids must come from the two-phase offset pattern:
+    the fact rows go through a lang-PARTITIONED window plus a
+    broadcast of the tiny offsets relation. A single-partition window
+    over the fact relation (row_number() OVER (ORDER BY ...) applied
+    directly) is the scale killer this gate protects against."""
+    plan = plan_of(spark, sf_dir, "q194_global_row_ids")
+    assert "BroadcastHashJoin" in plan
+    # the fact-side window partitions by lang (hash exchange), so the
+    # only SinglePartition exchange feeds the ~#groups offsets window
+    assert "hashpartitioning(lang" in plan
+    import re
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan  # offsets relation only, never the facts
