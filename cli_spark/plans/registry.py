@@ -164,17 +164,40 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 })
 
 
+# Queries whose implementation or oracle CHANGED this round — promoted
+# to the front of the never-graded block so the change earns a driver
+# CORRECTNESS row immediately instead of spilling past the 50-entry
+# recording window (update each round alongside _DRIVER_GRADED).
+_ROUND_CHANGED: tuple[str, ...] = (
+    "q102_session_windows",         # session-gap oracle fixed to strict >
+    "q124_streaming_session_true",  # session-gap oracle fixed to strict >
+    "q110_hgt_decode_stats",        # rows-only -> VALUES oracle
+    "q111_hgt_point_lookup",
+    "q112_hgt_tiles",
+    "q121_media_featurize_stub",    # rows-only -> sha256-mirror oracle
+    "q122_frame_sample_stub",
+    "q123_resize_stub",
+    "q192_sequence_packing",        # new this round
+    "q193_chunk_utilization",
+    "q194_global_row_ids",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
-    """Order: never-driver-graded oracle-backed queries first (these
-    fill the driver's 50-entry recording window), then already-graded
-    oracle-backed queries, then rows-only checks."""
+    """Order: this round's changed/new queries first, then the other
+    never-driver-graded oracle-backed queries (together these fill the
+    driver's 50-entry recording window), then already-graded queries,
+    then rows-only checks."""
     reg = registry()
+    changed = [reg[n] for n in _ROUND_CHANGED if n in reg]
     fresh = [s for n, s in reg.items()
-             if s.oracle is not None and n not in _DRIVER_GRADED]
+             if s.oracle is not None and n not in _DRIVER_GRADED
+             and n not in _ROUND_CHANGED]
     proven = [s for n, s in reg.items()
-              if s.oracle is not None and n in _DRIVER_GRADED]
+              if s.oracle is not None and n in _DRIVER_GRADED
+              and n not in _ROUND_CHANGED]
     rows_only = [s for s in reg.values() if s.oracle is None]
-    return fresh + proven + rows_only
+    return changed + fresh + proven + rows_only
 
 
 def all_queries() -> dict[str, QueryFn]:
