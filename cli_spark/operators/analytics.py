@@ -154,3 +154,75 @@ def q149_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase_after_click")))
     )
+
+
+@register(
+    "q195_last_touch_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS touch_event,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+           OVER w AS touch_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_event, t_us AS purchase_t,
+       touch_event, touch_t,
+       (t_us - touch_t) // 1000000 AS latency_s
+FROM seq
+WHERE event_type = 'purchase' AND touch_t IS NOT NULL
+  AND t_us - touch_t <= CAST(7 AS BIGINT) * 86400 * 1000000
+""",
+    tags=("analytics", "attribution", "window"),
+)
+def q195_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes to the user's
+    most recent PRIOR click within a 7-day lookback — the conversion
+    query every ads/analytics stack runs, expressed as one
+    IGNORE-NULLS last_value over a trailing frame (no self-join).
+
+    Scale shape: one shuffle on user_id; the window carries two
+    narrow conditional columns. The naive alternative (purchases
+    ASOF-joined against clicks) shuffles both event subsets — this
+    form shuffles the stream once and filters in place."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t_us.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_t = F.when(F.col("event_type") == "click", t_us)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t_us.alias("t_us"),
+        F.last(click_id, ignorenulls=True).over(w).alias("touch_event"),
+        F.last(click_t, ignorenulls=True).over(w).alias("touch_t"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_t").isNotNull()
+            & (F.col("t_us") - F.col("touch_t") <= 7 * 86400 * 1000000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event"),
+            F.col("t_us").alias("purchase_t"),
+            "touch_event",
+            "touch_t",
+            # integer division on BOTH sides: DuckDB's CAST(x/1e6 AS
+            # BIGINT) rounds while Spark's cast truncates — `div` and
+            # `//` both floor on the positive deltas here
+            F.expr("(t_us - touch_t) div 1000000").alias("latency_s"),
+        )
+    )

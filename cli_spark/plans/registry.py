@@ -180,6 +180,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q192_sequence_packing",        # new this round
     "q193_chunk_utilization",
     "q194_global_row_ids",
+    "q195_last_touch_attribution",
 )
 
 
