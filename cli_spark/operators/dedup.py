@@ -362,3 +362,62 @@ def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
     )
+
+
+@register(
+    "q196_incremental_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h, doc_id % 10 < 8 AS in_catalog FROM documents
+),
+catalog AS (SELECT DISTINCT h FROM hashed WHERE in_catalog),
+batch AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM hashed WHERE NOT in_catalog
+)
+SELECT b.doc_id, b.h AS content_hash,
+       CASE WHEN c.h IS NOT NULL THEN 'dup_of_catalog'
+            WHEN b.rn > 1 THEN 'dup_in_batch'
+            ELSE 'novel' END AS verdict
+FROM batch b LEFT JOIN catalog c ON b.h = c.h
+""",
+    tags=("dedup", "incremental"),
+)
+def q196_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (docs with doc_id % 10
+    >= 8) is screened against the historical catalog (the rest) by
+    content hash, and within-batch duplicates keep only the first
+    arrival — the admission gate every continuously-ingesting corpus
+    runs per increment.
+
+    Scale shape: the catalog reduces to DISTINCT 32-char hashes
+    (payloads never cross the wire — at 100 TB the catalog side is a
+    bucketed hash table the batch equi-joins against), the batch is a
+    window on hash for first-arrival, and the verdict is computed in
+    one left join."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("h"),
+        (F.col("doc_id") % 10 < 8).alias("in_catalog"),
+    )
+    catalog = hashed.filter("in_catalog").select("h").distinct()
+    from pyspark.sql import Window
+
+    batch = hashed.filter(~F.col("in_catalog")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    )
+    joined = batch.join(
+        catalog.withColumnRenamed("h", "h_cat"),
+        batch["h"] == F.col("h_cat"),
+        "left",
+    )
+    return joined.select(
+        "doc_id",
+        F.col("h").alias("content_hash"),
+        F.when(F.col("h_cat").isNotNull(), "dup_of_catalog")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("novel")
+        .alias("verdict"),
+    )

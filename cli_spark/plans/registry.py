@@ -181,6 +181,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q193_chunk_utilization",
     "q194_global_row_ids",
     "q195_last_touch_attribution",
+    "q196_incremental_dedup",
 )
 
 
