@@ -24,3 +24,31 @@ def test_zorder_buckets_are_locally_tight(spark, sf_dir):
     for r in rows:
         assert r["max_cust"] - r["min_cust"] <= 127
         assert r["max_day"] - r["min_day"] <= 127
+
+
+def test_registry_rotation_invariants():
+    """Guards for the driver-window rotation machinery: names unique
+    and well-formed, every oracle a non-empty SQL string, the rotation
+    sets reference real queries, and the graded head (first 50 of the
+    driver ordering) contains every _ROUND_CHANGED entry — a typo in
+    either set would silently un-grade a changed query."""
+    from cli_spark.plans.registry import (
+        _DRIVER_GRADED,
+        _ROUND_CHANGED,
+        _ordered_specs,
+        registry,
+    )
+
+    reg = registry()
+    names = [s.name for s in _ordered_specs()]
+    assert len(names) == len(set(names)) == len(reg)
+    for n, spec in reg.items():
+        assert n.startswith("q"), n
+        assert spec.oracle is None or (
+            isinstance(spec.oracle, str) and spec.oracle.strip()
+        ), n
+    assert set(_ROUND_CHANGED) <= set(reg), set(_ROUND_CHANGED) - set(reg)
+    assert set(_DRIVER_GRADED) <= set(reg), set(_DRIVER_GRADED) - set(reg)
+    head = set(names[:50])
+    missing = [n for n in _ROUND_CHANGED if n not in head]
+    assert not missing, f"changed queries outside the graded head: {missing}"
