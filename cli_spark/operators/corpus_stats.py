@@ -263,8 +263,12 @@ def q164_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary explains — the statistic that sizes tokenizer vocabs).
 
     Scale: term counts are map-side combined before one shuffle on the
-    term; the ranked window runs over the collapsed vocabulary (tiny),
-    and the corpus total rides in as a broadcast 1-row relation."""
+    term; the top-50 cut is an orderBy().limit() — Spark compiles it
+    to TakeOrderedAndProject (per-partition heaps + driver merge of
+    50-row heads), so NO vocab-sized relation ever passes through a
+    single-partition window; ranking then runs over the bounded
+    50-row result, and the corpus total rides in as a broadcast
+    1-row relation."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(_words_col()).alias("term"))
@@ -272,9 +276,10 @@ def q164_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     total = tf.agg(F.sum("freq").cast("long").alias("total"))
-    ranked = tf.withColumn(
+    top50 = tf.orderBy(F.col("freq").desc(), "term").limit(50)
+    ranked = top50.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.col("freq").desc(), "term"))
-    ).filter(F.col("rnk") <= 50)
+    )
     cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
     return (
         ranked.crossJoin(F.broadcast(total))

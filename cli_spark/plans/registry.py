@@ -182,6 +182,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q194_global_row_ids",
     "q195_last_touch_attribution",
     "q196_incremental_dedup",
+    "q164_zipf_stats",              # top-50 via TakeOrdered, no vocab window
 )
 
 

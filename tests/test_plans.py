@@ -375,3 +375,11 @@ def test_q194_no_global_window_over_facts(spark, sf_dir):
     import re
     singles = plan.count("Exchange SinglePartition")
     assert singles <= 1, plan  # offsets relation only, never the facts
+
+
+def test_q164_top50_is_take_ordered_not_global_window(spark, sf_dir):
+    """q164's top-50 cut must compile to TakeOrderedAndProject —
+    ranking a vocab-sized relation through a single-partition window
+    is the scale regression this gate protects against."""
+    plan = plan_of(spark, sf_dir, "q164_zipf_stats")
+    assert "TakeOrderedAndProject" in plan
