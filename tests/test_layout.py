@@ -52,3 +52,19 @@ def test_registry_rotation_invariants():
     head = set(names[:50])
     missing = [n for n in _ROUND_CHANGED if n not in head]
     assert not missing, f"changed queries outside the graded head: {missing}"
+
+
+def test_normalize_timestamps_bigint_rebuild_scoped_to_events(spark):
+    """The int64-nanos→micros ts rebuild applies ONLY to the events
+    table: a different table with a genuine bigint `ts` column must
+    pass through untouched (the name-based heuristic would silently
+    corrupt it), while the NTZ→TZ cast stays generic."""
+    from cli_spark.tables import normalize_timestamps
+
+    df = spark.createDataFrame([(1, 1700000000000000000)], "id long, ts long")
+    out = normalize_timestamps(df, table="other")
+    assert dict(out.dtypes)["ts"] == "bigint"  # untouched
+    assert out.collect()[0]["ts"] == 1700000000000000000
+
+    ev = normalize_timestamps(df, table="events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"  # rebuilt for events
