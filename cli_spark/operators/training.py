@@ -998,3 +998,96 @@ def q194_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w_in) + F.col("offset")).cast("long").alias("global_id"),
         )
     )
+
+
+@register(
+    "q197_budget_waterfill",
+    oracle="""
+WITH supply AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT)
+           AS supply_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(supply_tokens) AS BIGINT) AS total FROM supply),
+r1 AS (
+  SELECT s.source, s.supply_tokens,
+         least(s.supply_tokens, 40000,
+               CAST(100000 * s.supply_tokens AS BIGINT) // t.total) AS a1,
+         least(s.supply_tokens, CAST(40000 AS BIGINT)) AS ceil_i
+  FROM supply s CROSS JOIN tot t
+),
+agg1 AS (
+  SELECT CAST(100000 - SUM(a1) AS BIGINT) AS leftover,
+         CAST(SUM(ceil_i - a1) AS BIGINT) AS headroom
+  FROM r1
+)
+SELECT r.source, r.supply_tokens, r.a1 AS alloc_round1,
+       least(r.ceil_i,
+             r.a1 + CASE WHEN g.headroom > 0
+                         THEN CAST(g.leftover * (r.ceil_i - r.a1) AS BIGINT) // g.headroom
+                         ELSE 0 END) AS alloc_final,
+       CAST(floor(CAST(least(r.ceil_i,
+             r.a1 + CASE WHEN g.headroom > 0
+                         THEN CAST(g.leftover * (r.ceil_i - r.a1) AS BIGINT) // g.headroom
+                         ELSE 0 END) * 1000000 AS DOUBLE) / r.supply_tokens) AS BIGINT)
+         AS fill_ppm
+FROM r1 r CROSS JOIN agg1 g
+""",
+    tags=("training", "sampling", "budget"),
+)
+def q197_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: a global
+    sample budget (100k tokens) is split proportionally to each
+    source's supply, capped per source (40k and its own supply), and
+    the leftover from capped sources redistributes once over the
+    remaining headroom — the bounded-iteration form of the classic
+    water-filling mix planner (Pile/ROOTS-style source weighting).
+
+    All-integer arithmetic (BIGINT products, floor division) so both
+    engines agree bit-for-bit. Scale shape: supply is one map-side
+    combined aggregation on source; the allocator runs on the
+    #sources-row relation (driver-scale math stays in the plan as
+    broadcast 1-row aggregates — no collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    supply = d.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        .cast("long")
+        .alias("supply_tokens")
+    )
+    tot = supply.agg(F.sum("supply_tokens").cast("long").alias("total"))
+    r1 = (
+        supply.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "supply_tokens",
+            F.least(
+                F.col("supply_tokens"),
+                F.lit(40000).cast("long"),
+                F.expr("CAST(100000 * supply_tokens AS BIGINT) div total"),
+            ).alias("a1"),
+            F.least(F.col("supply_tokens"), F.lit(40000).cast("long")).alias("ceil_i"),
+        )
+    )
+    agg1 = r1.agg(
+        (F.lit(100000) - F.sum("a1")).cast("long").alias("leftover"),
+        F.sum(F.col("ceil_i") - F.col("a1")).cast("long").alias("headroom"),
+    )
+    joined = r1.crossJoin(F.broadcast(agg1))
+    final = F.least(
+        F.col("ceil_i"),
+        F.col("a1")
+        + F.when(
+            F.col("headroom") > 0,
+            F.expr("CAST(leftover * (ceil_i - a1) AS BIGINT) div headroom"),
+        ).otherwise(F.lit(0)),
+    )
+    return joined.select(
+        "source",
+        "supply_tokens",
+        F.col("a1").alias("alloc_round1"),
+        final.alias("alloc_final"),
+        F.floor(final.cast("double") * 1000000 / F.col("supply_tokens"))
+        .cast("long")
+        .alias("fill_ppm"),
+    )

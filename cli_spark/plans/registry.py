@@ -183,6 +183,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q195_last_touch_attribution",
     "q196_incremental_dedup",
     "q164_zipf_stats",              # top-50 via TakeOrdered, no vocab window
+    "q197_budget_waterfill",
 )
 
 
