@@ -128,3 +128,30 @@ def test_concat_and_chunk_layout_conserves_tokens(token_counts, capacity):
         for c in range(n_chunks - 1):
             assert fills[c] == capacity  # all but the tail are full
         assert fills[n_chunks - 1] == total - capacity * (n_chunks - 1)
+
+
+# ---------------------------------------------------------- waterfill
+
+@given(st.lists(st.integers(min_value=0, max_value=500_000), min_size=1, max_size=30))
+@settings(max_examples=80, deadline=None)
+def test_waterfill_allocation_invariants(supplies):
+    """q197's two-round integer water-fill, checked in pure Python for
+    arbitrary supply vectors: no source exceeds its cap or its supply,
+    the total never exceeds the budget, and round 2 never decreases
+    an allocation."""
+    B, CAP = 100_000, 40_000
+    total = sum(supplies)
+    if total == 0:
+        return
+    a1 = [min(s, CAP, B * s // total) for s in supplies]
+    ceil_i = [min(s, CAP) for s in supplies]
+    leftover = B - sum(a1)
+    headroom = sum(c - a for c, a in zip(ceil_i, a1))
+    final = [
+        min(c, a + (leftover * (c - a) // headroom if headroom > 0 else 0))
+        for c, a in zip(ceil_i, a1)
+    ]
+    assert all(f <= c for f, c in zip(final, ceil_i))
+    assert all(f <= s for f, s in zip(final, supplies))
+    assert all(f >= a for f, a in zip(final, a1))
+    assert sum(final) <= B
