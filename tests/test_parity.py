@@ -85,13 +85,13 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     assert not problems, f"{name}: " + "; ".join(problems[:5])
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_runs(name, spark, sf_dir):
-    spec = _SPECS[name]
-    df = spec.fn(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_queries_remain():
+    """Since round 5 EVERY registered query carries an exact DuckDB
+    oracle (self-sourced HGT queries use deterministic-fixture VALUES
+    literals; media stubs mirror their sha256 stub decode in SQL).
+    A new oracle-less registration should be a deliberate, documented
+    decision — this gate forces that conversation."""
+    assert _ROWS_ONLY == [], _ROWS_ONLY
 
 
 def test_q66_goldens(spark, sf_dir):
