@@ -421,3 +421,49 @@ def q196_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("novel")
         .alias("verdict"),
     )
+
+
+@register(
+    "q198_exact_holdout",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents ORDER BY hk, doc_id LIMIT 100
+)
+SELECT d.doc_id, d.lang, d.source,
+       r.doc_id IS NOT NULL AS held_out
+FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+""",
+    tags=("sampling", "holdout"),
+)
+def q198_exact_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic holdout: exactly the 100 docs with the
+    smallest md5(doc_id) — the 'hold out exactly N examples,
+    reproducibly, independent of corpus order' primitive that q96's
+    proportional bucket split cannot provide.
+
+    Scale shape: the selection is orderBy(hash).limit(N) — Spark
+    compiles it to TakeOrderedAndProject (per-partition N-row heaps +
+    driver merge), so no global sort materializes; membership labels
+    come from a broadcast left join of the N-row holdout relation.
+    Stable under corpus growth ONLY for the ranked-prefix property
+    (the holdout changes as smaller hashes arrive) — for
+    append-stable membership use q96's bucket split instead; the two
+    are complementary contracts."""
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    ranked = (
+        d.select("doc_id", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("held"))
+    )
+    return (
+        d.join(F.broadcast(ranked), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("held"), F.lit(False)).alias("held_out"),
+        )
+    )

@@ -184,6 +184,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q196_incremental_dedup",
     "q164_zipf_stats",              # top-50 via TakeOrdered, no vocab window
     "q197_budget_waterfill",
+    "q198_exact_holdout",
 )
 
 
