@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
+# q72's quadratic ground-truth shape refuses inputs past this
+# (module-level so the guard test can shrink it): ~4e10 lang-pair
+# comparisons worst case.
+Q72_MAX_DOCS = 200_000
+
 # ---------------------------------------------------------------- shingles
 
 # Word 3-gram shingle set (distinct). Guard n>=3: Spark sequence(1,0)
@@ -129,12 +134,11 @@ def q72_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     below refuses to run past ground-truth-sized inputs — callers at
     scale must use q73 (same output contract, LSH candidates)."""
     sh = shingles_df(spark, sf_dir)
-    _Q72_MAX_DOCS = 200_000  # ~4e10 lang-pair comparisons worst case
     n = sh.count()
-    if n > _Q72_MAX_DOCS:
+    if n > Q72_MAX_DOCS:
         raise ValueError(
             f"q72 is the quadratic ground-truth shape ({n} docs > cap "
-            f"{_Q72_MAX_DOCS}); use q73_minhash_lsh at scale"
+            f"{Q72_MAX_DOCS}); use q73_minhash_lsh at scale"
         )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -323,9 +327,17 @@ def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 16-bit fingerprint from md5 shingle bits
     (majority vote per bit), pairs at hamming distance <= 1.
 
-    At scale the pair join is banded on fingerprint prefixes instead
-    of all-pairs; fingerprints themselves build in one explode +
-    two aggregations, all JVM-side."""
+    Banded candidate generation (pigeonhole): if hamming(a, b) <= 1
+    on a 16-bit fingerprint, the single differing bit lives in one
+    8-bit half, so the OTHER half matches exactly. Explode each
+    fingerprint into two (half_id, half_value) keys and equi-join on
+    them — a shuffle hash/sort-merge join on small int keys, never a
+    cartesian — then verify true hamming on the candidates and
+    distinct away pairs that matched on both halves (hamming 0).
+    Fingerprints themselves build in one explode + two aggregations,
+    all JVM-side. This is the standard scale-out SimHash shape
+    (Manku, Jain & Sarma, WWW'07 §3: split f bits into blocks, probe
+    on exact-match blocks)."""
     sh = shingles_df(spark, sf_dir)
     hx = sh.select(
         "doc_id", F.explode("shingles").alias("s")
@@ -348,19 +360,41 @@ def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN sc >= 0 THEN shiftleft(1, bit_i) ELSE 0 END")
         ).cast("long").alias("fingerprint")
     )
-    a = fp.alias("a")
-    b = fp.alias("b")
+    halves = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half_id"),
+                    (F.col("fingerprint") % 256).cast("int").alias("half_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("half_id"),
+                    F.shiftright(F.col("fingerprint"), 8).cast("int").alias("half_val"),
+                ),
+            )
+        ).alias("hk"),
+    ).select("doc_id", "fingerprint", "hk.half_id", "hk.half_val")
+    a = halves.alias("a")
+    b = halves.alias("b")
     hamming = F.bit_count(
         F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
     )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.half_id") == F.col("b.half_id"))
+            & (F.col("a.half_val") == F.col("b.half_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .filter(hamming <= 1)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
+        .distinct()
     )
 
 

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
+# q82's all-pairs verify shape refuses inputs past this (module-level
+# so the guard test can shrink it): ~4e10 pair comparisons worst case.
+Q82_MAX_VECS = 200_000
+
 # Exact dot product: double products quantized to int64 at scale 1e12
 # (pure IEEE ops — see functions/determinism.py for why this beats a
 # decimal cast), exact integer sum, back to double. `a` and `b` are
@@ -155,8 +159,19 @@ WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.5
 def q82_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine > 0.5 over all pairs.
     Norms are precomputed once per vector (n+n² work, not 3n²).
-    Quadratic verify shape — q83 is the bucketed scale path."""
+    Quadratic verify shape — q83 is the bucketed scale path.
+
+    Guarded: the self-join is O(n²) in the vector count, so the hard
+    cap below refuses to run past ground-truth-sized inputs — callers
+    at scale must use q83_lsh_ann_buckets (bucketed candidates) or
+    q84_ivf_ann (partition-pruned probe)."""
     e = load_table(spark, sf_dir, "embeddings")
+    n_vecs = e.count()
+    if n_vecs > Q82_MAX_VECS:
+        raise ValueError(
+            f"q82 is the quadratic verify shape ({n_vecs} vectors > cap "
+            f"{Q82_MAX_VECS}); use q83_lsh_ann_buckets or q84_ivf_ann at scale"
+        )
     n = e.select(
         "vec_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("nrm")
     )

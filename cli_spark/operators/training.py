@@ -960,7 +960,7 @@ def q193_chunk_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q194_global_row_ids",
     oracle="""
 SELECT doc_id, lang,
-       CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS global_id
+       CAST(row_number() OVER (ORDER BY lang NULLS LAST, doc_id) AS BIGINT) AS global_id
 FROM documents
 """,
     tags=("training", "ids"),
@@ -981,17 +981,22 @@ def q194_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     w_off = (
-        Window.orderBy("lang")
+        Window.orderBy(F.asc_nulls_last("lang"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # window over the GROUP relation (a handful of rows) is fine —
     # the antipattern is a global window over the FACT rows
     offsets = counts.select(
-        "lang", (F.sum("n").over(w_off) - F.col("n")).alias("offset")
+        F.col("lang").alias("off_lang"),
+        (F.sum("n").over(w_off) - F.col("n")).alias("offset"),
     )
+    # eqNullSafe: a NULL-lang group must survive the join (a plain
+    # equi-join drops NULL keys while the groupBy keeps the group,
+    # silently un-numbering those docs); nulls-last ordering matches
+    # the oracle's explicit NULLS LAST.
     w_in = Window.partitionBy("lang").orderBy("doc_id")
     return (
-        d.join(F.broadcast(offsets), "lang")
+        d.join(F.broadcast(offsets), d["lang"].eqNullSafe(F.col("off_lang")))
         .select(
             "doc_id",
             "lang",
@@ -1013,7 +1018,8 @@ tot AS (SELECT CAST(SUM(supply_tokens) AS BIGINT) AS total FROM supply),
 r1 AS (
   SELECT s.source, s.supply_tokens,
          least(s.supply_tokens, 40000,
-               CAST(100000 * s.supply_tokens AS BIGINT) // t.total) AS a1,
+               CASE WHEN t.total = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(100000 * s.supply_tokens AS BIGINT) // t.total END) AS a1,
          least(s.supply_tokens, CAST(40000 AS BIGINT)) AS ceil_i
   FROM supply s CROSS JOIN tot t
 ),
@@ -1027,11 +1033,12 @@ SELECT r.source, r.supply_tokens, r.a1 AS alloc_round1,
              r.a1 + CASE WHEN g.headroom > 0
                          THEN CAST(g.leftover * (r.ceil_i - r.a1) AS BIGINT) // g.headroom
                          ELSE 0 END) AS alloc_final,
-       CAST(floor(CAST(least(r.ceil_i,
+       CASE WHEN r.supply_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(least(r.ceil_i,
              r.a1 + CASE WHEN g.headroom > 0
                          THEN CAST(g.leftover * (r.ceil_i - r.a1) AS BIGINT) // g.headroom
                          ELSE 0 END) * 1000000 AS DOUBLE) / r.supply_tokens) AS BIGINT)
-         AS fill_ppm
+       END AS fill_ppm
 FROM r1 r CROSS JOIN agg1 g
 """,
     tags=("training", "sampling", "budget"),
@@ -1064,7 +1071,13 @@ def q197_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("supply_tokens"),
                 F.lit(40000).cast("long"),
-                F.expr("CAST(100000 * supply_tokens AS BIGINT) div total"),
+                # guard total = 0 (all-empty corpus): Spark's `div 0`
+                # yields NULL (which least() would SKIP, not propagate)
+                # while DuckDB's `// 0` errors — pin both engines to 0
+                F.expr(
+                    "CASE WHEN total = 0 THEN CAST(0 AS BIGINT)"
+                    " ELSE CAST(100000 * supply_tokens AS BIGINT) div total END"
+                ),
             ).alias("a1"),
             F.least(F.col("supply_tokens"), F.lit(40000).cast("long")).alias("ceil_i"),
         )
@@ -1087,7 +1100,9 @@ def q197_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supply_tokens",
         F.col("a1").alias("alloc_round1"),
         final.alias("alloc_final"),
-        F.floor(final.cast("double") * 1000000 / F.col("supply_tokens"))
-        .cast("long")
+        F.when(F.col("supply_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(final.cast("double") * 1000000 / F.col("supply_tokens")).cast("long")
+        )
         .alias("fill_ppm"),
     )

@@ -109,8 +109,35 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + r04 green rows (121 distinct; no fails).
+# Union of CORRECTNESS_r01 + r03 + r04 + r05 green rows (171 distinct;
+# no fails).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r05 greens (50) ---
+    "q102_session_windows", "q110_hgt_decode_stats",
+    "q111_hgt_point_lookup", "q112_hgt_tiles",
+    "q121_media_featurize_stub", "q122_frame_sample_stub",
+    "q123_resize_stub", "q124_streaming_session_true",
+    "q131_tpch_q4_order_priority", "q132_tpch_q9_profit",
+    "q133_tpch_q13_custdist", "q134_tpch_q14_promo_revenue",
+    "q135_tpch_q15_top_supplier", "q136_tpch_q17_small_qty_revenue",
+    "q137_tpch_q18_large_volume", "q138_tpch_q19_or_bands",
+    "q139_tpch_q20_share_suppliers", "q140_tpch_q22_idle_customers",
+    "q141_tpch_q11_important_parts", "q142_tpch_q12_late_lines",
+    "q143_tpch_q16_supplier_count", "q144_tpch_q21_waiting_suppliers",
+    "q151_decontamination", "q152_source_cap", "q153_heavy_hitters",
+    "q154_text_normalize", "q155_bigram_lm", "q156_hard_negatives",
+    "q157_embedding_outliers", "q158_kmeans_lloyd",
+    "q159_curriculum_bins", "q160_streaming_update_merge",
+    "q161_oov_rate", "q162_gopher_rules", "q163_repeated_spans",
+    "q164_zipf_stats", "q165_length_histogram",
+    "q166_locf_forward_fill", "q167_activity_streaks",
+    "q169_modal_event_type", "q192_sequence_packing",
+    "q193_chunk_utilization", "q194_global_row_ids",
+    "q195_last_touch_attribution", "q196_incremental_dedup",
+    "q197_budget_waterfill", "q198_exact_holdout",
+    "q92_lang_quality_stats", "q93_token_count_stats",
+    "q94_doc_fingerprint",
+    # --- r01+r03+r04 greens (121) ---
     "q01_pricing_summary", "q02_filter_predicates",
     "q03_null_three_valued_logic", "q04_projection_arithmetic",
     "q05_rlike_regex_filter", "q100_tumbling_window",
@@ -164,27 +191,46 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 })
 
 
-# Queries whose implementation or oracle CHANGED this round — promoted
-# to the front of the never-graded block so the change earns a driver
-# CORRECTNESS row immediately instead of spilling past the 50-entry
-# recording window (update each round alongside _DRIVER_GRADED).
+# Queries whose implementation or oracle CHANGED this round, PLUS the
+# never-(re)-graded remainder — promoted to the front of the graded
+# head so each earns a driver CORRECTNESS row immediately instead of
+# spilling past the 50-entry recording window (update each round
+# alongside _DRIVER_GRADED).
+#
+# Round 6: the 15 queries with no current-oracle driver row (q66/q67
+# were graded r1 as `no_oracle` before their oracles existed, so they
+# sit in _DRIVER_GRADED but need re-grading; the other 13 have never
+# been in a recording window), then this round's actual changes, then
+# round 5's three big rewrites that sorted into the proven tail and
+# missed r5's window (ADVICE round 5).
 _ROUND_CHANGED: tuple[str, ...] = (
-    "q102_session_windows",         # session-gap oracle fixed to strict >
-    "q124_streaming_session_true",  # session-gap oracle fixed to strict >
-    "q110_hgt_decode_stats",        # rows-only -> VALUES oracle
-    "q111_hgt_point_lookup",
-    "q112_hgt_tiles",
-    "q121_media_featurize_stub",    # rows-only -> sha256-mirror oracle
-    "q122_frame_sample_stub",
-    "q123_resize_stub",
-    "q192_sequence_packing",        # new this round
-    "q193_chunk_utilization",
-    "q194_global_row_ids",
-    "q195_last_touch_attribution",
-    "q196_incremental_dedup",
-    "q164_zipf_stats",              # top-50 via TakeOrdered, no vocab window
-    "q197_budget_waterfill",
-    "q198_exact_holdout",
+    # never-(re)-graded (VERDICT r5 "do this" #1)
+    "q66_spark_native_funcs",       # graded r1 pre-oracle
+    "q67_map_ops_pack",             # graded r1 pre-oracle
+    "q101_sliding_window",
+    "q120_binary_metadata",
+    "q170_revenue_share",
+    "q172_spearman_rank_corr",
+    "q173_mad_outliers",
+    "q174_gini_diversity",
+    "q177_skyline_frontier",
+    "q178_key_gap_census",
+    "q179_streaming_dedup_true",
+    "q180_term_cooccurrence",
+    "q184_fuzzy_join_census",
+    "q188_linear_interpolation",
+    "q191_bitmap_retention",
+    # changed round 6
+    "q74_simhash_hamming",          # banded pigeonhole join (no cartesian)
+    "q82_cosine_threshold_join",    # quadratic-cap guard added
+    "q194_global_row_ids",          # eqNullSafe lang join + NULLS LAST
+    "q197_budget_waterfill",        # zero-total degenerate case pinned
+    "q121_media_featurize_stub",    # real BMP decode replacing sha256 stub
+    "q123_resize_stub",             # real BMP decode replacing sha256 stub
+    # rewritten round 5, missed r5's recording window (ADVICE r5)
+    "q73_minhash_lsh",
+    "q91_tfidf_top_terms",
+    "q100_tumbling_window",
 )
 
 

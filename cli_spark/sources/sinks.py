@@ -92,6 +92,14 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     engine bundled with Spark (tests/test_sinks.py)."""
     reader = spark.read.options(**properties)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would silently become the literal option value
+            # "None" and fail deep in the JDBC reader with a parse error
+            raise ValueError(
+                "read_jdbc: partition_column requires both lower_bound "
+                "and upper_bound (got "
+                f"lower_bound={lower_bound!r}, upper_bound={upper_bound!r})"
+            )
         reader = (reader
                   .option("partitionColumn", partition_column)
                   .option("lowerBound", str(lower_bound))

@@ -39,7 +39,20 @@ def _drain_memory_sink(spark: SparkSession, agg: DataFrame, prefix: str) -> Data
     memory sink materializes the full result on the driver, so a
     per-event (non-aggregated) stream through this helper would be a
     driver OOM at scale. Per-event streams use a file/foreachBatch
-    sink instead (see training.py::q160's keyed-table merge)."""
+    sink instead (see training.py::q160's keyed-table merge).
+
+    The contract is ENFORCED, not trusted: the analyzed plan must
+    contain an Aggregate node (all current callers are windowed/keyed
+    rollups) or the helper refuses to start the query."""
+    analyzed = agg._jdf.queryExecution().analyzed().toString()
+    if "Aggregate" not in analyzed:
+        raise ValueError(
+            "_drain_memory_sink requires an AGGREGATED stream (its "
+            "memory sink materializes the full result on the driver); "
+            "route per-event streams through a file or foreachBatch "
+            "sink instead. Analyzed plan has no Aggregate node:\n"
+            + analyzed
+        )
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     query = (
         agg.writeStream.format("memory")

@@ -1,0 +1,42 @@
+"""Quadratic-shape guards: q72 and q82 are ground-truth verify shapes
+whose self-joins are O(n²). Both carry hard caps that refuse to run
+past ground-truth-sized inputs and point callers at the banded/
+bucketed scale paths (q73 / q83 / q84). These tests shrink the caps
+and prove the refusal actually fires with the redirect in the
+message — so a future edit can't silently drop the guard and let the
+cartesian run at corpus scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_q72_refuses_past_cap(spark, sf_dir, monkeypatch):
+    import cli_spark.operators.dedup as dedup
+
+    monkeypatch.setattr(dedup, "Q72_MAX_DOCS", 1)
+    with pytest.raises(ValueError, match=r"q73_minhash_lsh"):
+        dedup.q72_ngram_jaccard_pairs(spark, sf_dir)
+
+
+def test_q82_refuses_past_cap(spark, sf_dir, monkeypatch):
+    import cli_spark.operators.similarity as similarity
+
+    monkeypatch.setattr(similarity, "Q82_MAX_VECS", 1)
+    with pytest.raises(ValueError, match=r"q83_lsh_ann_buckets"):
+        similarity.q82_cosine_threshold_join(spark, sf_dir)
+
+
+def test_q72_q82_run_under_cap(spark, sf_dir):
+    """Below the cap both shapes still build a plan (no exception) —
+    the guard is a cap, not a disablement."""
+    import cli_spark.operators.dedup as dedup
+    import cli_spark.operators.similarity as similarity
+
+    assert dedup.q72_ngram_jaccard_pairs(spark, sf_dir).columns == [
+        "doc_a", "doc_b", "jaccard"
+    ]
+    assert similarity.q82_cosine_threshold_join(spark, sf_dir).columns == [
+        "vec_a", "vec_b", "cosine"
+    ]

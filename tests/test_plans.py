@@ -383,3 +383,16 @@ def test_q164_top50_is_take_ordered_not_global_window(spark, sf_dir):
     is the scale regression this gate protects against."""
     plan = plan_of(spark, sf_dir, "q164_zipf_stats")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q74_simhash_banded_no_cartesian(spark, sf_dir):
+    """q74's candidate join must be the pigeonhole equi-join on
+    (half_id, half_val) — a hash/sort-merge shuffle join — never the
+    all-pairs BroadcastNestedLoopJoin over N² fingerprint pairs that
+    the banding exists to avoid."""
+    plan = plan_of(spark, sf_dir, "q74_simhash_hamming")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the equi keys must actually reach a real join operator
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan), plan

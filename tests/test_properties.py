@@ -141,9 +141,10 @@ def test_waterfill_allocation_invariants(supplies):
     an allocation."""
     B, CAP = 100_000, 40_000
     total = sum(supplies)
-    if total == 0:
-        return
-    a1 = [min(s, CAP, B * s // total) for s in supplies]
+    # degenerate all-empty corpus: both engines pin a1 = 0 (Spark's
+    # `div 0` is NULL, DuckDB's `// 0` errors — q197 CASEs it to 0),
+    # so every allocation and fill_ppm is exactly 0
+    a1 = [0 if total == 0 else min(s, CAP, B * s // total) for s in supplies]
     ceil_i = [min(s, CAP) for s in supplies]
     leftover = B - sum(a1)
     headroom = sum(c - a for c, a in zip(ceil_i, a1))

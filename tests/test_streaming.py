@@ -436,3 +436,34 @@ def test_streaming_session_window(spark, stream_dir):
         (1, "10:30", 1),
         (2, "10:31", 1),
     ]
+
+
+def test_memory_sink_helper_rejects_per_event_stream(spark, sf_dir):
+    """_drain_memory_sink's aggregated-only contract is enforced: a
+    per-event (non-aggregated) stream must be refused before the
+    query starts — its memory sink would materialize the entire
+    stream on the driver."""
+    from cli_spark.streaming.batch_windows import _drain_memory_sink
+    from cli_spark.tables import events_stream
+
+    per_event = events_stream(spark, sf_dir).select("event_id", "user_id")
+    with pytest.raises(ValueError, match="AGGREGATED"):
+        _drain_memory_sink(spark, per_event, "reject_me")
+
+
+def test_memory_sink_helper_accepts_aggregated_stream(spark, sf_dir):
+    """The guard admits genuine aggregations (including the
+    dedup-then-agg shape q179 uses)."""
+    from cli_spark.streaming.batch_windows import _drain_memory_sink
+    from cli_spark.tables import events_stream
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    out = _drain_memory_sink(spark, agg, "accept_me")
+    assert out.columns == ["event_type", "n_users"]
+    assert out.count() > 0
