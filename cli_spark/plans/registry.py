@@ -115,8 +115,11 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
     # --- r05 greens (50) ---
     "q102_session_windows", "q110_hgt_decode_stats",
     "q111_hgt_point_lookup", "q112_hgt_tiles",
-    "q121_media_featurize_stub", "q122_frame_sample_stub",
-    "q123_resize_stub", "q124_streaming_session_true",
+    # (q121_media_featurize_stub and q123_resize_stub were graded
+    # green in r05, then renamed *_bmp in round 6 when the sha256
+    # stub became a real BMP decode — the renamed queries sit in
+    # _ROUND_CHANGED below for fresh grading)
+    "q122_frame_sample_stub", "q124_streaming_session_true",
     "q131_tpch_q4_order_priority", "q132_tpch_q9_profit",
     "q133_tpch_q13_custdist", "q134_tpch_q14_promo_revenue",
     "q135_tpch_q15_top_supplier", "q136_tpch_q17_small_qty_revenue",
@@ -225,8 +228,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q82_cosine_threshold_join",    # quadratic-cap guard added
     "q194_global_row_ids",          # eqNullSafe lang join + NULLS LAST
     "q197_budget_waterfill",        # zero-total degenerate case pinned
-    "q121_media_featurize_stub",    # real BMP decode replacing sha256 stub
-    "q123_resize_stub",             # real BMP decode replacing sha256 stub
+    "q121_media_featurize_bmp",     # real BMP decode replacing sha256 stub
+    "q123_resize_bmp",              # real BMP decode replacing sha256 stub
     # rewritten round 5, missed r5's recording window (ADVICE r5)
     "q73_minhash_lsh",
     "q91_tfidf_top_terms",

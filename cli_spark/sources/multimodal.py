@@ -1,11 +1,17 @@
 """Multimodal binary columns (SURVEY.md §2 Tier B "multimodal") —
 image/audio/video as opaque `binary` columns with typed metadata.
 
-The container has no image/audio codecs (BASELINE.json environment),
-so the decode step is a clearly-marked deterministic STUB; everything
-Spark-side — schema, Arrow batch shape, mapInPandas plumbing,
-partitioning — is real and tested. Swapping `_fake_decode` for a PIL/
-torchaudio call is the only change needed on a real cluster.
+Image decode is REAL: q121/q123 run a genuine uncompressed 24-bit BMP
+encode → decode round-trip per document through `cli_spark.sources.
+bmp` (pure-Python/numpy parser — header, padding, bottom-up row
+order, BGR channel order), inside Arrow-batched mapInPandas. The
+testdata ships no image files, so each document's BMP payload is
+synthesized deterministically from its md5 digest — which is exactly
+what lets DuckDB recompute every decoded statistic for the hash-graded
+oracle. Only q122's video frame decode remains a documented STUB
+(sha256-derived frame features; no video container parser is
+feasible offline) — its one-to-many mapInPandas plumbing is still
+hash-graded.
 """
 
 from __future__ import annotations
@@ -13,13 +19,39 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
+from cli_spark.sources.bmp import decode_bmp, encode_bmp
 from cli_spark.tables import load_table
+
+# Shared 16-byte-digest construction for the synthesized BMPs: dims
+# from the first two digest bytes (4..16 × 4..14 — small enough that
+# a 500-doc batch decodes in microseconds, varied enough to exercise
+# every row-padding residue), pixels = the digest repeated cyclically
+# over w*h*3 bytes, RGB row-major top-down.
+_SQL_DIGEST_BYTES = """
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST(concat('0x', substr(md5(text), 1 + 2*i, 2)) AS INT)) AS db
+  FROM documents
+"""
+
+
+def _doc_bmp(payload: bytes) -> tuple[bytes, np.ndarray]:
+    """Synthesize the document's BMP: md5-derived dims + cyclic-digest
+    pixels, really encoded (padding, bottom-up, BGR)."""
+    digest = hashlib.md5(payload).digest()
+    w = 4 + digest[0] % 13
+    h = 4 + digest[1] % 11
+    n = w * h * 3
+    stream = (digest * ((n + 15) // 16))[:n]
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, w, 3)
+    return encode_bmp(arr), arr
 
 
 @register(
@@ -48,79 +80,75 @@ def q120_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB for the real media decode (no codecs in this container —
-    replace with PIL.Image.open / soundfile.read in production).
-    Deterministic: features derive from the payload's sha256, standing
-    in for decoded width/height/duration/embedding."""
-    h = hashlib.sha256(payload).digest()
-    return {
-        "width": 64 + h[0] % 192,
-        "height": 64 + h[1] % 192,
-        "n_channels": 1 + h[2] % 3,
-        "feat": [round(b / 255.0, 6) for b in h[3:7]],
-    }
-
-
 @register(
-    "q121_media_featurize_stub",
-    # The STUB decode is a pure function of sha256(payload), which
-    # DuckDB can mirror exactly (sha256(VARCHAR) hashes the UTF-8
-    # bytes = the encoded payload) — so even the stubbed pipeline is
-    # hash-graded, and the mapInPandas plumbing is verified end-to-end
-    # rather than rows-only. round(b/255., 6) parity checked for all
-    # 256 byte values (banker's vs half-away never diverges here).
-    oracle="""
-WITH h AS (
-  SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS hx
-  FROM documents
-)
-SELECT doc_id, n_bytes,
-       64 + CAST(concat('0x', substr(hx, 1, 2)) AS INT) % 192 AS width,
-       64 + CAST(concat('0x', substr(hx, 3, 2)) AS INT) % 192 AS height,
-       1 + CAST(concat('0x', substr(hx, 5, 2)) AS INT) % 3 AS n_channels,
-       round(CAST(concat('0x', substr(hx, 7, 2)) AS INT) / 255.0, 6) AS f0,
-       round(CAST(concat('0x', substr(hx, 9, 2)) AS INT) / 255.0, 6) AS f1,
-       round(CAST(concat('0x', substr(hx, 11, 2)) AS INT) / 255.0, 6) AS f2,
-       round(CAST(concat('0x', substr(hx, 13, 2)) AS INT) / 255.0, 6) AS f3
-FROM h
+    "q121_media_featurize_bmp",
+    # The oracle recomputes every decoded statistic from the same
+    # construction: dims from the first two md5 bytes, file size from
+    # the BMP layout arithmetic (54-byte headers + padded stride ×
+    # rows), pixel sum from the cyclic digest (full 16-byte cycles +
+    # prefix remainder), and the two order-sensitive corner pixels
+    # from their stream positions. A decoder that mishandled padding,
+    # bottom-up row order, or BGR→RGB would fail the corner and size
+    # columns even though the plain sum is order-invariant.
+    oracle=f"""
+WITH b AS ({_SQL_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id, db, 4 + db[1] % 13 AS w, 4 + db[2] % 11 AS h FROM b
+),
+c AS (SELECT doc_id, db, w, h, w * h * 3 AS len3 FROM dims)
+SELECT doc_id,
+       54 + (w * 3 + (4 - (w * 3) % 4) % 4) * h AS bmp_bytes,
+       w AS src_w, h AS src_h, w * h AS n_px,
+       CAST((len3 // 16) * list_sum(db)
+            + COALESCE(list_sum(db[1 : len3 % 16]), 0) AS BIGINT) AS sum_px,
+       db[1] AS r0, db[2] AS g0, db[3] AS b0,
+       db[(len3 - 3) % 16 + 1] AS r_last,
+       db[(len3 - 2) % 16 + 1] AS g_last,
+       db[(len3 - 1) % 16 + 1] AS b_last
+FROM c
 """,
-    tags=("multimodal", "stub", "pandas_udf"),
+    tags=("multimodal", "bmp", "pandas_udf"),
 )
-def q121_media_featurize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media featurization over binary columns via mapInPandas:
-    documents' bytes stand in for image blobs; the decode is the
-    documented STUB. Arrow-batched — the batch loop is per-partition,
-    vectorizable, and never collects to the driver. Output schema is
-    the real one a vision featurizer would produce."""
+def q121_media_featurize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media featurization over binary image columns via mapInPandas:
+    each document's payload becomes a REAL uncompressed 24-bit BMP
+    (synthesized from its md5 digest — the testdata ships no image
+    files) which `decode_bmp` then actually parses: magic + header
+    fields, padded-stride pixel array, bottom-up row flip, BGR→RGB.
+    All emitted statistics come from the DECODED grid, so a parser
+    bug surfaces as an oracle mismatch. Arrow-batched, per-partition,
+    no driver round-trip — swap the synthesis for `binaryFile` bytes
+    and this is the production vision-featurizer shape."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
-    # f0..f3 as SCALAR doubles, not array<double>: array cells render
-    # differently across engines (python list vs numpy repr), which
-    # breaks the driver's stringified value hash; a production
-    # featurizer would emit array<float> and skip the oracle.
     schema = (
-        "doc_id long, n_bytes int, width int, height int, n_channels int, "
-        "f0 double, f1 double, f2 double, f3 double"
+        "doc_id long, bmp_bytes int, src_w int, src_h int, n_px int, "
+        "sum_px long, r0 int, g0 int, b0 int, r_last int, g_last int, b_last int"
     )
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(b)) for b in pdf["content"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "n_channels": [f["n_channels"] for f in feats],
-                    "f0": [f["feat"][0] for f in feats],
-                    "f1": [f["feat"][1] for f in feats],
-                    "f2": [f["feat"][2] for f in feats],
-                    "f3": [f["feat"][3] for f in feats],
-                }
-            )
+            recs = {k: [] for k in
+                    ("doc_id", "bmp_bytes", "src_w", "src_h", "n_px", "sum_px",
+                     "r0", "g0", "b0", "r_last", "g_last", "b_last")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                bmp, _src = _doc_bmp(bytes(blob))
+                decoded = decode_bmp(bmp)  # the real parse
+                h, w, _ = decoded.shape
+                recs["doc_id"].append(doc_id)
+                recs["bmp_bytes"].append(len(bmp))
+                recs["src_w"].append(w)
+                recs["src_h"].append(h)
+                recs["n_px"].append(w * h)
+                recs["sum_px"].append(int(decoded.sum(dtype=np.int64)))
+                recs["r0"].append(int(decoded[0, 0, 0]))
+                recs["g0"].append(int(decoded[0, 0, 1]))
+                recs["b0"].append(int(decoded[0, 0, 2]))
+                recs["r_last"].append(int(decoded[-1, -1, 0]))
+                recs["g_last"].append(int(decoded[-1, -1, 1]))
+                recs["b_last"].append(int(decoded[-1, -1, 2]))
+            yield pd.DataFrame(recs)
 
     return d.mapInPandas(_featurize, schema).orderBy("doc_id")
 
@@ -192,75 +220,91 @@ def q122_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q123_resize_stub",
-    # Dims derive from sha256(payload) (see q121), and the resize
-    # geometry is pure IEEE double math — least/trunc/round parity
-    # verified exhaustively for every (w, h) in [64,255]² — so the
-    # full pipeline including the binary thumbnail is hash-graded.
-    oracle="""
-WITH m AS (
-  SELECT doc_id, sha256(text) AS hx,
-         64 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) % 192 AS w,
-         64 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) % 192 AS h
-  FROM documents
+    "q123_resize_bmp",
+    # The oracle replays the integer nearest-neighbour mapping over
+    # every destination pixel (src index = dst index * src_dim //
+    # dst_dim, all floor division — no float scale to diverge on) and
+    # sums the sampled cyclic-digest bytes; the engine computes the
+    # same sum from the pixels it actually decoded and resampled, and
+    # re-encodes the thumbnail whose file size the oracle predicts
+    # from BMP layout arithmetic.
+    oracle=f"""
+WITH b AS ({_SQL_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id, db, 4 + db[1] % 13 AS w, 4 + db[2] % 11 AS h FROM b
 ),
-g AS (
-  SELECT doc_id, hx, w, h, least(256.0 / w, 256.0 / h) AS sc FROM m
+t AS (
+  SELECT doc_id, db, w, h,
+         greatest(1, CAST((8 * w) // greatest(w, h) AS INT)) AS dw,
+         greatest(1, CAST((8 * h) // greatest(w, h) AS INT)) AS dh
+  FROM dims
 ),
-sized AS (
-  SELECT doc_id, hx, w, h, sc,
-         greatest(1, CAST(trunc(w * sc) AS INT)) AS dw,
-         greatest(1, CAST(trunc(h * sc) AS INT)) AS dh
-  FROM g
+px AS (
+  SELECT doc_id, db, w, h, dw, dh, u.pi
+  FROM t CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, CAST(dw * dh - 1 AS BIGINT))) AS pi
+  ) u
+),
+m AS (
+  SELECT doc_id, w, h, dw, dh, db,
+         3 * (((pi // dw) * h // dh) * w + ((pi % dw) * w // dw)) AS base
+  FROM px
+),
+s AS (
+  SELECT doc_id, w, h, dw, dh,
+         CAST(SUM(db[base % 16 + 1] + db[(base + 1) % 16 + 1]
+                  + db[(base + 2) % 16 + 1]) AS BIGINT) AS thumb_sum
+  FROM m GROUP BY doc_id, w, h, dw, dh
 )
 SELECT doc_id, w AS src_w, h AS src_h, dw AS dst_w, dh AS dst_h,
-       round(sc, 6) AS scale,
-       substr(hx, 1, 2 * greatest(4, dh % 32)) AS thumb_hex
-FROM sized
+       dw * dh AS thumb_px, thumb_sum,
+       54 + (dw * 3 + (4 - (dw * 3) % 4) % 4) * dh AS thumb_bmp_bytes
+FROM s
 """,
-    tags=("multimodal", "stub", "resize"),
+    tags=("multimodal", "bmp", "resize"),
 )
-def q123_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize over binary columns: mapInPandas pass that
-    "decodes" each blob (STUB — sha256-derived dims standing in for a
-    real codec), computes the aspect-preserving target box inside
-    256×256, and emits a deterministic "thumbnail" payload. The
-    geometry math, schema, and binary-out plumbing are the real
-    production shape for a PIL `Image.resize` worker; only
-    `_fake_decode` would change on a cluster with codecs."""
+def q123_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary columns: decode each document's BMP
+    with the real parser, nearest-neighbour-resample it into an 8×8
+    box (aspect-preserving, integer floor mapping — the same index
+    arithmetic PIL's NEAREST uses, minus the +0.5 center offset, so
+    both engines agree exactly), and re-ENCODE the thumbnail as a
+    valid BMP whose bytes a downstream consumer could open. Decode →
+    transform → encode inside one Arrow batch pass is the production
+    thumbnailer shape; only the payload synthesis is testdata-side."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
-    # the thumbnail crosses the hash boundary hex-rendered: raw
-    # binary cells stringify as bytes vs bytearray across engines,
-    # which breaks the driver's value hash (a real impl emits JPEG
-    # bytes and skips the oracle)
     schema = (
         "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
-        "scale double, thumb_hex string"
+        "thumb_px int, thumb_sum long, thumb_bmp_bytes int"
     )
-    TARGET = 256
+    BOX = 8
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = {k: [] for k in
-                    ("doc_id", "src_w", "src_h", "dst_w", "dst_h", "scale", "thumb_hex")}
+                    ("doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                     "thumb_px", "thumb_sum", "thumb_bmp_bytes")}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                payload = bytes(blob)
-                meta = _fake_decode(payload)
-                w, h = meta["width"], meta["height"]
-                scale = min(TARGET / w, TARGET / h)
-                dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                bmp, _src = _doc_bmp(bytes(blob))
+                decoded = decode_bmp(bmp)
+                h, w, _ = decoded.shape
+                m = max(w, h)
+                dw = max(1, BOX * w // m)
+                dh = max(1, BOX * h // m)
+                sy = (np.arange(dh) * h) // dh
+                sx = (np.arange(dw) * w) // dw
+                thumb = decoded[np.ix_(sy, sx)]
+                thumb_bmp = encode_bmp(np.ascontiguousarray(thumb))
                 recs["doc_id"].append(doc_id)
                 recs["src_w"].append(w)
                 recs["src_h"].append(h)
                 recs["dst_w"].append(dw)
                 recs["dst_h"].append(dh)
-                recs["scale"].append(round(scale, 6))
-                # STUB thumbnail: digest-derived bytes sized to the
-                # target box's row count (a real impl emits JPEG bytes)
-                thumb = hashlib.sha256(payload).digest()[: max(4, dh % 32)]
-                recs["thumb_hex"].append(thumb.hex())
+                recs["thumb_px"].append(dw * dh)
+                recs["thumb_sum"].append(int(thumb.sum(dtype=np.int64)))
+                recs["thumb_bmp_bytes"].append(len(thumb_bmp))
             yield pd.DataFrame(recs)
 
     return d.mapInPandas(_resize, schema).orderBy("doc_id")
