@@ -54,7 +54,27 @@ EXTRA_QUERIES = [
     "q157_embedding_outliers",  # centroid distance outlier cut
 ]
 
-N_RUNS = 5  # timed reps per class; min is reported
+# Iterative/graph classes tracked round-over-round (VERDICT r5 #7):
+# REPORTED in queries{} but NOT summed into `value` — their baselines
+# predate their promotion and the headline sum must stay comparable.
+REPORTED_QUERIES = [
+    "q76_dedup_connected_components",  # pointer-jumping min-label CC
+    "q181_triangle_census",            # oriented wedge-closure join
+]
+
+# Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
+# cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
+# star join, LSH dedup, shingle decontamination, event-time windows.
+SF1_QUERIES = [
+    "q01_pricing_summary",
+    "q17_star_join_q5",
+    "q73_minhash_lsh",
+    "q151_decontamination",
+    "q100_tumbling_window",
+]
+
+N_RUNS = 5      # timed reps per class; min is reported
+N_RUNS_SF1 = 2  # sf1 runs are ~10× longer; warm-up + min of 2
 
 
 def main() -> None:
@@ -73,20 +93,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    def timed(name: str) -> float:
+    def timed(name: str, at_dir: str, runs: int) -> float:
         fn = qs[name]
-        fn(spark, sf_dir).collect()  # warm-up (untimed)
+        fn(spark, at_dir).collect()  # warm-up (untimed)
         best = float("inf")
-        for _ in range(N_RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, at_dir).collect()
             best = min(best, time.perf_counter() - t0)
         return round(best, 4)
 
-    times = {name: timed(name) for name in BENCH_QUERIES}
+    times = {name: timed(name, sf_dir, N_RUNS) for name in BENCH_QUERIES}
     legacy_total = round(sum(times.values()), 4)
-    times.update({name: timed(name) for name in EXTRA_QUERIES})
+    times.update({name: timed(name, sf_dir, N_RUNS) for name in EXTRA_QUERIES})
     headline_total = round(sum(times.values()), 4)
+    # iterative classes run many jobs per invocation — warm + min of 2
+    # keeps their tracking cost bounded
+    times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
     out = {
         "metric": "headline query warm latency (sum over 11 query classes, min of 5)",
@@ -98,6 +121,34 @@ def main() -> None:
         "loadavg": loadavg,
         "runs": N_RUNS,
     }
+
+    # ---- sf1 scale-proofing section (set SPARK_GRAFT_SKIP_SF1=1 to
+    # skip, e.g. on a box without the disk/time budget). The scaled
+    # data is cached on first generation; `ratio` is sf1/sf0.1 warm
+    # time — linear scaling lands near 10, super-linear growth flags
+    # a plan that wouldn't survive the next 100×.
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from cli_spark.bench_scale import ensure_scaled
+
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
+        )
+        t_gen = time.perf_counter()
+        ensure_scaled(spark, sf_dir, sf1_dir)
+        gen_sec = round(time.perf_counter() - t_gen, 1)
+        sf1_times = {name: timed(name, sf1_dir, N_RUNS_SF1) for name in SF1_QUERIES}
+        out["sf1"] = {
+            "queries": sf1_times,
+            "value": round(sum(sf1_times.values()), 4),
+            "ratio": {
+                name: round(sf1_times[name] / times[name], 2) for name in SF1_QUERIES
+            },
+            "scale_vs_base": 10,
+            "runs": N_RUNS_SF1,
+            "gen_sec": gen_sec,
+        }
+
     print(json.dumps(out))
 
 

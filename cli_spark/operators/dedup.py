@@ -337,7 +337,11 @@ def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprints themselves build in one explode + two aggregations,
     all JVM-side. This is the standard scale-out SimHash shape
     (Manku, Jain & Sarma, WWW'07 §3: split f bits into blocks, probe
-    on exact-match blocks)."""
+    on exact-match blocks). The graded contract fixes a 16-bit
+    fingerprint (each 8-bit half has only 256 values, so at corpus
+    scale the buckets themselves grow quadratic); production SimHash
+    widens to 64 bits and 4-6 blocks so each block-value bucket stays
+    small — same plan shape, wider keys."""
     sh = shingles_df(spark, sf_dir)
     hx = sh.select(
         "doc_id", F.explode("shingles").alias("s")
@@ -500,4 +504,103 @@ def q198_exact_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.coalesce(F.col("held"), F.lit(False)).alias("held_out"),
         )
+    )
+
+
+_SEG_N = 10
+
+
+@register(
+    "q199_paragraph_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, s.i AS seg_idx,
+         array_to_string(list_slice(words, (s.i - 1) * {_SEG_N} + 1, s.i * {_SEG_N}), ' ') AS seg
+  FROM w, unnest(generate_series(1, CAST(ceil(len(words) / {_SEG_N}.0) AS BIGINT))) AS s(i)
+  WHERE len(words) >= 1
+),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_seg,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), ''))
+         AS clean_md5
+FROM marked
+GROUP BY doc_id
+""",
+    tags=("dedup", "paragraph", "training"),
+)
+def q199_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup with document reconstruction — the
+    C4-style "remove duplicated spans, keep the document" pass: text
+    splits into fixed {_SEG_N}-word segments (the corpus has no
+    paragraph delimiters; on real data the splitter keys on blank
+    lines instead), every segment dedupes GLOBALLY first-wins
+    (ordered by doc_id then position), and each document is rebuilt
+    from its surviving segments in order. Output: per-doc segment
+    counts plus the md5 of the rebuilt text.
+
+    Scale shape: the only shuffle is the window partitioned BY
+    SEGMENT (hash-distributed over segment text — at 100 TB key it
+    on xxhash64 of the segment), then one groupBy doc_id for the
+    rebuild; no joins, no global window, and the rebuild's
+    collect_list is bounded by a single document's segment count."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    segs = (
+        d.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 1)  # sequence(1,0) would descend
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size("words") / float(_SEG_N)).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("words"), (i - 1) * _SEG_N + 1, _SEG_N)
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    w_first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("kept", F.row_number().over(w_first) == 1)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("seg_idx"),
+                                        F.col("kept"),
+                                        F.col("seg"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["kept"],
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                ),
+                "utf-8",
+            )
+        ).alias("clean_md5"),
     )

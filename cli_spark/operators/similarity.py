@@ -360,3 +360,83 @@ def q84_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "q200_embedding_decontamination",
+    # eval/train membership reuses the portable md5-bucket split
+    # (pipeline.py): bucket(vec_id) < 12 -> train, >= 14 -> eval.
+    # Candidates come from the SAME 8-hyperplane signature as q83, so
+    # the oracle mirrors the bucketing with the baked literal planes
+    # and stays exact (quantized-int dots -> identical buckets and
+    # cosines in both engines).
+    oracle=f"""
+WITH split AS (
+  SELECT vec_id, embedding,
+         instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1
+           AS bkt,
+         {_sig_bits('[%s]', sql_dot)} AS sig
+  FROM embeddings
+),
+train AS (SELECT vec_id, embedding, sig FROM split WHERE bkt < 12),
+eval_side AS (SELECT vec_id, embedding, sig FROM split WHERE bkt >= 14),
+pairs AS (
+  SELECT e.vec_id,
+         t.vec_id AS t_vec,
+         {sql_dot('e.embedding', 't.embedding')}
+           / (sqrt({sql_dot('e.embedding', 'e.embedding')})
+              * sqrt({sql_dot('t.embedding', 't.embedding')})) AS cosine
+  FROM eval_side e LEFT JOIN train t ON e.sig = t.sig
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN t_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(SUM(CASE WHEN cosine > 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(max(cosine), 6) AS max_cosine,
+       SUM(CASE WHEN cosine > 0.85 THEN 1 ELSE 0 END) > 0 AS leaked
+FROM pairs
+GROUP BY vec_id
+""",
+    tags=("similarity", "training", "decontamination"),
+)
+def q200_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag eval-split vectors whose
+    nearest train-split neighbour exceeds cosine 0.85 — the semantic
+    complement of q151's n-gram overlap check (paraphrased
+    contamination has no shared 5-grams but lands next to its source
+    in embedding space).
+
+    Scale shape: NOT an eval×train all-pairs — both sides take the
+    q83 hyperplane signature and the join is an equi-join on the
+    8-bit bucket (at 100 TB: more planes / multiple tables to tune
+    recall), so each eval vector compares only against its bucket's
+    train vectors. Every eval vector stays in the output via the
+    left join (n_candidates = 0 ⇒ max_cosine NULL, leaked false —
+    an honest "no candidate checked" signal rather than a dropped
+    row)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bkt = F.expr(
+        "instr('0123456789abcdef', substr(md5(CAST(vec_id AS STRING)), 1, 1)) - 1"
+    )
+    sig = F.expr(_sig_bits("array(%s)", lambda a, b: _DOT.format(a=a, b=b)))
+    split = e.select("vec_id", "embedding", bkt.alias("bkt"), sig.alias("sig"))
+    train = split.filter(F.col("bkt") < 12).select(
+        F.col("vec_id").alias("t_vec"), F.col("embedding").alias("te"), "sig"
+    )
+    ev = split.filter(F.col("bkt") >= 14).select(
+        "vec_id", F.col("embedding").alias("ee"), "sig"
+    )
+    cos = dot("ee", "te") / (F.sqrt(dot("ee", "ee")) * F.sqrt(dot("te", "te")))
+    pairs = ev.join(train, "sig", "left").select(
+        "vec_id", "t_vec", cos.alias("cosine")
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("t_vec").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("cosine") > 0.85, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+        (F.sum(F.when(F.col("cosine") > 0.85, 1).otherwise(0)) > 0).alias("leaked"),
+    )

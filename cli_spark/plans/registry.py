@@ -234,6 +234,15 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q73_minhash_lsh",
     "q91_tfidf_top_terms",
     "q100_tumbling_window",
+    # graph stack re-keyed round 6 on the q73 single-digest signature
+    # (edge generator + shared oracle prelude changed → new candidate
+    # graphs; 8× faster q76 after edge materialization)
+    "q76_dedup_connected_components",
+    "q77_dedup_clusters",
+    "q176_bfs_hop_levels",
+    "q181_triangle_census",
+    "q182_degree_distribution",
+    "q183_pagerank_integer",
 )
 
 

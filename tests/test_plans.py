@@ -396,3 +396,25 @@ def test_q74_simhash_banded_no_cartesian(spark, sf_dir):
     # the equi keys must actually reach a real join operator
     assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_q199_segment_dedup_no_join_no_global_window(spark, sf_dir):
+    """q199's only shuffles are the segment-partitioned first-wins
+    window and the per-doc rebuild agg: no join of any kind, and no
+    single-partition exchange (a global window over segments would be
+    the scale killer)."""
+    plan = plan_of(spark, sf_dir, "q199_paragraph_dedup")
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(seg" in plan  # dedup window keyed on segment
+
+
+def test_q200_decontamination_is_bucketed_equi_join(spark, sf_dir):
+    """q200 must compare eval vs train only within signature buckets —
+    an equi-join on sig, never the eval×train nested loop it
+    replaces."""
+    plan = plan_of(spark, sf_dir, "q200_embedding_decontamination")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
