@@ -24,10 +24,19 @@ has neither leak.)
 Averages divide the exact sum by COUNT(col): two IEEE divisions of
 identical operands → identical everywhere.
 
-Overflow bounds (documented, checked at 100 TB scale): per-row
-|x|·10^s < 2^53 (money scale s=4 → |x| < 9e11) and Σq < 2^63
-(6e8 lineitem rows × 1.3e9 ≈ 8e17 < 9.2e18 ✓). For higher row counts
-shard the sum by grouping keys — which every registry query does.
+Overflow bounds: per-row |x|·10^s < 2^53 (money scale s=4 →
+|x| < 9e11). The ACCUMULATOR is decimal(38,0): an int64 accumulator
+overflows at 100 TB — squared-moment sums (q25: p²·10^4 ≈ 1e14/row)
+blow past 2^63 within ~10⁵ rows per group, and even linear money sums
+do at ~7e9 rows per group — caught empirically by the round-6 sf1
+sweep (ARITHMETIC_OVERFLOW under ANSI mode, which at least fails loud
+rather than wrapping). DuckDB never had the problem because its
+SUM(BIGINT) widens to HUGEINT (int128); summing the quantized longs
+as decimal(38,0) gives Spark the same ~1e38 headroom, stays exact
+(integer-valued decimals), and partial aggregation still applies.
+decimal(38,0)→double matches int128→double: both are correctly
+rounded for integers (validated by the strict bit-exact parity suite
+at sf0.001/0.01/0.1 and the sf1 sweep).
 
 Scale note: this is a handful of extra JVM-side expressions inside
 whole-stage codegen; partial aggregation (map-side combine) applies to
@@ -53,9 +62,17 @@ def quantize(col: Column, scale: int = MONEY_SCALE) -> Column:
     return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5))
 
 
+def wide_sum(col: Column) -> Column:
+    """Exact sum of int64 addends in a decimal(38,0) accumulator —
+    the Spark analogue of DuckDB's SUM(BIGINT)→HUGEINT widening (an
+    int64 accumulator overflows on squared-moment sums at scale; see
+    module docstring)."""
+    return F.sum(col.cast("decimal(38,0)"))
+
+
 def dsum(col: Column, scale: int = MONEY_SCALE) -> Column:
     """Order-independent, cross-engine-exact sum of a double column."""
-    return F.sum(quantize(col, scale)).cast("double") / F.lit(float(10**scale))
+    return wide_sum(quantize(col, scale)).cast("double") / F.lit(float(10**scale))
 
 
 def davg(col: Column, scale: int = MONEY_SCALE) -> Column:
@@ -65,7 +82,10 @@ def davg(col: Column, scale: int = MONEY_SCALE) -> Column:
 
 def dsum_over(col: Column, window, scale: int = MONEY_SCALE) -> Column:
     """Windowed variant of :func:`dsum` (running/sliding frames)."""
-    return F.sum(quantize(col, scale)).over(window).cast("double") / F.lit(float(10**scale))
+    return (
+        F.sum(quantize(col, scale).cast("decimal(38,0)")).over(window).cast("double")
+        / F.lit(float(10**scale))
+    )
 
 
 def sql_quantize(expr: str, scale: int = MONEY_SCALE) -> str:

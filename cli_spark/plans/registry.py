@@ -109,8 +109,9 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + r04 + r05 green rows (171 distinct;
-# no fails).
+# Union of CORRECTNESS_r01 + r03 + r04 + r05 green rows (171 distinct,
+# no fails; 169 listed — the two *_stub queries renamed *_bmp in
+# round 6 are tracked via _ROUND_CHANGED instead).
 _DRIVER_GRADED: frozenset[str] = frozenset({
     # --- r05 greens (50) ---
     "q102_session_windows", "q110_hgt_decode_stats",

@@ -72,13 +72,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same timestamp
     normalization as :func:`load_table` (streams can't infer schemas,
-    so the batch footer schema seeds the reader)."""
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    so the batch footer schema seeds the reader).
+
+    The driver testdata ships `events.parquet` as a single FILE (so
+    the stream reads the parent dir with a pathGlobFilter — Spark's
+    file stream source wants a directory); Spark-written datasets
+    (e.g. the synthetic sf1 scale-up) have it as a DIRECTORY of part
+    files, which streams directly."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_timestamps(stream, table="events")
 
 

@@ -21,9 +21,11 @@ qs, os_ = E.queries(), E.oracle_sql()
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-    )
+    path = f"{SF}/{t}.parquet"
+    if os.path.isdir(path):
+        # Spark-written tables are directories of part files
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 names = sys.argv[1:]
 fails = 0
