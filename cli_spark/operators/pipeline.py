@@ -30,6 +30,11 @@ from cli_spark.tables import load_table
 # hex md5 of the same UTF-8 bytes, and instr/substr are 1-based in both.
 _BUCKET = "instr('0123456789abcdef', substr(md5({key}), 1, 1)) - 1"
 
+# q75's all-pairs verify shape refuses inputs past this (module-level
+# so the guard test can shrink it) — same contract as dedup.Q72_MAX_DOCS
+# and similarity.Q82_MAX_VECS.
+Q75_MAX_VECS = 200_000
+
 
 def _bucket_col(key: str):
     return F.expr(_BUCKET.format(key=key))
@@ -58,11 +63,19 @@ def q75_embedding_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Norms are computed once per vector before the pair join. The pair
     stage here is the exact quadratic verify; at corpus scale the
-    candidate set comes from LSH buckets (q83) or IVF cells (q84)."""
+    candidate set comes from LSH buckets (q83) or IVF cells (q84) —
+    the hard cap below refuses inputs past ground-truth size, like its
+    siblings q72/q82."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
+    n_vecs = e.count()
+    if n_vecs > Q75_MAX_VECS:
+        raise ValueError(
+            f"q75 is the quadratic verify shape ({n_vecs} vectors > cap "
+            f"{Q75_MAX_VECS}); use q83_lsh_ann_buckets or q84_ivf_ann at scale"
+        )
     dv = d.join(e, "doc_id").select(
         "doc_id", "lang", "embedding",
         F.sqrt(dot("embedding", "embedding")).alias("nrm"),

@@ -40,3 +40,11 @@ def test_q72_q82_run_under_cap(spark, sf_dir):
     assert similarity.q82_cosine_threshold_join(spark, sf_dir).columns == [
         "vec_a", "vec_b", "cosine"
     ]
+
+
+def test_q75_refuses_past_cap(spark, sf_dir, monkeypatch):
+    import cli_spark.operators.pipeline as pipeline
+
+    monkeypatch.setattr(pipeline, "Q75_MAX_VECS", 1)
+    with pytest.raises(ValueError, match=r"q83_lsh_ann_buckets"):
+        pipeline.q75_embedding_neardup_docs(spark, sf_dir)
