@@ -106,24 +106,37 @@ def q180_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q184_fuzzy_join_census",
+    # Distinct-name rollup: pair counts come from occurrence-count
+    # products over the DISTINCT name relation (cross pairs cx*cy,
+    # same-name pairs C(cx,2)) — identical census values to the
+    # row-level pair join, which the sf1 sweep measured at 2.5e9 row
+    # pairs on this 64-distinct-name column.
     oracle="""
 WITH np AS (
-  SELECT p_partkey, p_name,
+  SELECT p_name,
          string_split(p_name, ' ')[1] AS tok1,
-         length(p_name) AS len
-  FROM part
+         length(p_name) AS len,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM part GROUP BY p_name
+),
+cross_pairs AS (
+  SELECT a.tok1,
+         levenshtein(a.p_name, b.p_name) AS dist,
+         a.cnt * b.cnt AS pairs
+  FROM np a JOIN np b
+    ON a.tok1 = b.tok1 AND a.p_name < b.p_name
+   AND abs(a.len - b.len) <= 3
+),
+same_pairs AS (
+  SELECT tok1, 0 AS dist, cnt * (cnt - 1) // 2 AS pairs FROM np
 ),
 cand AS (
-  SELECT a.tok1,
-         levenshtein(a.p_name, b.p_name) AS dist
-  FROM np a JOIN np b
-    ON a.tok1 = b.tok1 AND a.p_partkey < b.p_partkey
-   AND abs(a.len - b.len) <= 3
+  SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
 )
 SELECT tok1 AS block_token,
-       COUNT(*) AS n_candidates,
-       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-       CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+       CAST(SUM(pairs) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN dist = 0 THEN pairs ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN dist <= 2 THEN pairs ELSE 0 END) AS BIGINT) AS n_close
 FROM cand GROUP BY tok1
 """,
     tags=("text", "mining", "fuzzy"),
@@ -132,33 +145,52 @@ def q184_fuzzy_join_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Levenshtein similarity join over part names: block on
     (first token, length band ±3), compute edit distance only inside
     blocks, and report the per-block census (candidates, exact dupes,
-    near matches at distance ≤ 2). This is the record-linkage shape —
-    the O(n²) metric is confined to blocks, and the blocking key is an
-    equi-join Catalyst hashes; an unblocked fuzzy join would be a
-    cartesian product no cluster survives at 10^10 rows."""
+    near matches at distance ≤ 2) — the record-linkage shape.
+
+    Round-6 rework: the census runs on the DISTINCT-name relation
+    (group names, carry occurrence counts, join names a < b, weight
+    each name pair by cx·cy and each same-name group by C(cx, 2)).
+    The row-level form — every part row against every block-mate —
+    was measured at 2.5e9 pairs at sf1 because the name vocabulary is
+    tiny relative to the corpus; the rollup bounds the fuzzy join by
+    VOCABULARY², which is the only shape that survives 10^10 rows of
+    low-cardinality strings. Census values are provably identical
+    (every row pair maps to exactly one name pair; levenshtein
+    depends only on the names)."""
     p = load_table(spark, sf_dir, "part")
-    np_ = p.select(
-        "p_partkey",
-        "p_name",
-        F.split("p_name", " ").getItem(0).alias("tok1"),
-        F.length("p_name").alias("len"),
+    np_ = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "p_name",
+            "cnt",
+            F.split("p_name", " ").getItem(0).alias("tok1"),
+            F.length("p_name").alias("len"),
+        )
     )
     a, b = np_.alias("a"), np_.alias("b")
-    cand = a.join(
+    cross_pairs = a.join(
         b,
         (F.col("a.tok1") == F.col("b.tok1"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.col("a.p_name") < F.col("b.p_name"))
         & (F.abs(F.col("a.len") - F.col("b.len")) <= 3),
     ).select(
         F.col("a.tok1").alias("tok1"),
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("pairs"),
     )
+    same_pairs = np_.select(
+        "tok1",
+        F.lit(0).alias("dist"),
+        F.expr("cnt * (cnt - 1) div 2").alias("pairs"),
+    )
+    cand = cross_pairs.unionByName(same_pairs)
     return cand.groupBy(F.col("tok1").alias("block_token")).agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+        F.sum("pairs").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("dist") == 0, F.col("pairs")).otherwise(0))
         .cast("long")
         .alias("n_exact"),
-        F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+        F.sum(F.when(F.col("dist") <= 2, F.col("pairs")).otherwise(0))
         .cast("long")
         .alias("n_close"),
     )
