@@ -128,3 +128,86 @@ def q119_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("table_name"), "row_count", "key_checksum")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# q205 column profiler: (column, kind) drives the canonical min/max
+# string form — bigint→decimal string, double→integer cents (monotone
+# quantization, engine-exact), timestamp→pinned strftime format,
+# varchar→identity. One wide aggregate then an unpivot: the profile
+# is ONE scan of the table regardless of column count.
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "varchar"),
+]
+
+
+def _prof_repr_sql(col: str, kind: str, agg: str) -> str:
+    if kind == "double":
+        return f"CAST(CAST(floor({agg}({col}) * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    if kind == "timestamp":
+        return f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({agg}({col}) AS VARCHAR)"
+
+
+def _prof_repr_spark(col: str, kind: str, agg) -> F.Column:
+    if kind == "double":
+        return F.floor(agg(col) * 100 + 0.5).cast("long").cast("string")
+    if kind == "timestamp":
+        return F.date_format(agg(col), "yyyy-MM-dd HH:mm:ss")
+    return agg(col).cast("string")
+
+
+@register(
+    "q205_column_profile",
+    oracle="WITH agg AS (SELECT COUNT(*) AS n_rows, "
+    + ", ".join(
+        f"COUNT({c}) AS nn_{i}, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{i}, "
+        f"{_prof_repr_sql(c, k, 'MIN')} AS mn_{i}, {_prof_repr_sql(c, k, 'MAX')} AS mx_{i}"
+        for i, (c, k) in enumerate(_PROFILE_COLS)
+    )
+    + " FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST(n_rows AS BIGINT) AS n_rows, "
+        f"CAST(n_rows - nn_{i} AS BIGINT) AS n_nulls, nd_{i} AS n_distinct, "
+        f"mn_{i} AS min_repr, mx_{i} AS max_repr FROM agg"
+        for i, (c, k) in enumerate(_PROFILE_COLS)
+    ),
+    tags=("audit", "profile", "stats"),
+)
+def q205_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiler over `orders`: per column, row
+    count, null count, exact distinct count, and canonical min/max
+    string representations (doubles as integer cents — a monotone
+    quantization, so min/max commute with it; timestamps in a pinned
+    format so both engines print identically).
+
+    Scale shape: ONE scan — a single wide aggregate computes every
+    column's stats at once (Spark plans the multi-DISTINCT via one
+    Expand + two-phase hash aggregate, still a single pass over the
+    parquet), then a `stack` unpivots the 1-row result into one row
+    per column. Profiling N columns never costs N scans; at 100 TB
+    swap exact COUNT(DISTINCT) for approx_count_distinct per column
+    and the same plan shape holds."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, (c, k) in enumerate(_PROFILE_COLS):
+        aggs.append(F.count(c).cast("long").alias(f"nn_{i}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{i}"))
+        aggs.append(_prof_repr_spark(c, k, F.min).alias(f"mn_{i}"))
+        aggs.append(_prof_repr_spark(c, k, F.max).alias(f"mx_{i}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', CAST(n_rows - nn_{i} AS BIGINT), nd_{i}, mn_{i}, mx_{i}"
+        for i, (c, _k) in enumerate(_PROFILE_COLS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")

@@ -342,3 +342,137 @@ def q165_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cdf_ppm"),
     )
+
+
+@register(
+    "q201_exact_substring_scrub",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+),
+pos AS (
+  SELECT doc_id, s.i AS i,
+         array_to_string(list_slice(words, s.i, s.i + {_SPAN_N} - 1), ' ') AS span
+  FROM w, unnest(generate_series(1, len(words) - {_SPAN_N} + 1)) AS s(i)
+  WHERE len(words) >= {_SPAN_N}
+),
+census AS (
+  SELECT span, COUNT(*) AS n_docs_with
+  FROM (SELECT DISTINCT doc_id, span FROM pos)
+  GROUP BY span
+),
+dup_pos AS (
+  SELECT p.doc_id, p.i, p.i + {_SPAN_N} - 1 AS ie
+  FROM pos p JOIN census c ON p.span = c.span
+  WHERE c.n_docs_with > 1
+),
+islands AS (
+  SELECT doc_id, i, ie,
+         CASE WHEN MAX(ie) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   >= i - 1
+              THEN 0 ELSE 1 END AS new_island
+  FROM dup_pos
+),
+numbered AS (
+  SELECT doc_id, i, ie,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM islands
+),
+merged AS (
+  SELECT doc_id, island_id, MIN(i) AS lo, MAX(ie) AS hi
+  FROM numbered GROUP BY doc_id, island_id
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(SUM(hi - lo + 1) AS BIGINT) AS n_dup_words
+  FROM merged GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.words) AS INTEGER) AS n_words,
+       COALESCE(p.n_islands, 0) AS n_islands,
+       COALESCE(p.n_dup_words, 0) AS n_dup_words,
+       CAST(floor(CAST((len(w.words) - COALESCE(p.n_dup_words, 0)) * 1000000 AS DOUBLE)
+                  / len(w.words)) AS BIGINT) AS kept_ppm
+FROM w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+WHERE len(w.words) >= {_SPAN_N}
+""",
+    tags=("training", "dedup", "spans", "scrub"),
+)
+def q201_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication audit (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every {_SPAN_N}-word span that also occurs in
+    another document marks its word positions as duplicated; adjacent
+    and overlapping marked spans merge into maximal islands
+    (gaps-and-islands over start positions), and the per-document
+    report says how many words survive the scrub (kept_ppm).
+
+    Unlike q163 (does a shared span EXIST per doc), this computes the
+    actual byte-level removal set — the number the C4/ExactSubstr
+    pipeline needs before cutting.
+
+    Scale shape: the position explode is linear in corpus tokens; the
+    census collapses to DISTINCT (doc, span) before its map-side
+    combined groupBy; the join back keys on the span string (at 100 TB:
+    xxhash64(span)); the island merge windows only over DUPLICATED
+    positions of a single document (tiny per-doc sets, partitioned by
+    doc_id — no global window)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = d.select("doc_id", _words_col().alias("words")).filter(
+        F.size("words") >= _SPAN_N
+    )
+    pos = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - _SPAN_N + 1),
+                lambda i: F.array_join(F.slice("words", i, _SPAN_N), " "),
+            )
+        ).alias("i0", "span"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "span")
+    census = (
+        pos.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    dup_pos = (
+        pos.join(census.filter(F.col("n_docs_with") > 1), "span")
+        .select("doc_id", "i", (F.col("i") + _SPAN_N - 1).alias("ie"))
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = dup_pos.withColumn(
+        "new_island",
+        F.when(F.max("ie").over(prev) >= F.col("i") - 1, 0).otherwise(1),
+    ).withColumn("island_id", F.sum("new_island").over(run))
+    merged = numbered.groupBy("doc_id", "island_id").agg(
+        F.min("i").alias("lo"), F.max("ie").alias("hi")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("n_dup_words"),
+    )
+    base = words.select("doc_id", F.size("words").alias("n_words"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+        F.coalesce("n_dup_words", F.lit(0)).cast("long").alias("n_dup_words"),
+        F.floor(
+            (F.col("n_words") - F.coalesce("n_dup_words", F.lit(0))).cast("double")
+            * 1000000
+            / F.col("n_words")
+        ).cast("long").alias("kept_ppm"),
+    )

@@ -19,7 +19,7 @@ signatures, compare only within buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
@@ -439,4 +439,152 @@ def q200_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("n_hits"),
         F.round(F.max("cosine"), 6).alias("max_cosine"),
         (F.sum(F.when(F.col("cosine") > 0.85, 1).otherwise(0)) > 0).alias("leaked"),
+    )
+
+
+@register(
+    "q204_ann_recall_audit",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {_sig_bits('[%s]', sql_dot)} AS bucket
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS q_id, embedding AS qe, bucket AS q_bucket
+  FROM sig
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 5
+),
+exact_scored AS (
+  SELECT q.q_id, e.vec_id AS nbr,
+         {sql_dot('e.embedding', 'q.qe')}
+           / (sqrt({sql_dot('e.embedding', 'e.embedding')})
+              * sqrt({sql_dot('q.qe', 'q.qe')})) AS cosine
+  FROM sig e CROSS JOIN queries q
+  WHERE e.vec_id != q.q_id
+),
+exact_topk AS (
+  SELECT q_id, nbr FROM (
+    SELECT q_id, nbr,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nbr) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= 10
+),
+ann_cand AS (
+  SELECT q.q_id, e.vec_id AS nbr,
+         {sql_dot('e.embedding', 'q.qe')}
+           / (sqrt({sql_dot('e.embedding', 'e.embedding')})
+              * sqrt({sql_dot('q.qe', 'q.qe')})) AS cosine
+  FROM sig e JOIN queries q ON e.bucket = q.q_bucket
+  WHERE e.vec_id != q.q_id
+),
+ann_topk AS (
+  SELECT q_id, nbr FROM (
+    SELECT q_id, nbr,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nbr) AS rnk
+    FROM ann_cand
+  ) WHERE rnk <= 10
+),
+cand_stats AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM ann_cand GROUP BY q_id
+),
+ann_stats AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann_topk GROUP BY q_id
+),
+ov AS (
+  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM exact_topk e JOIN ann_topk a ON e.q_id = a.q_id AND e.nbr = a.nbr
+  GROUP BY e.q_id
+)
+SELECT q.q_id,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       COALESCE(s.n_ann, 0) AS n_ann,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(o.n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+FROM queries q
+LEFT JOIN cand_stats c ON q.q_id = c.q_id
+LEFT JOIN ann_stats s ON q.q_id = s.q_id
+LEFT JOIN ov o ON q.q_id = o.q_id
+""",
+    tags=("similarity", "ann", "audit"),
+)
+def q204_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the LSH index (q83's 8-plane signature)
+    against exact brute force — the completeness check every ANN
+    deployment runs before trusting the approximate path: for 5
+    deterministic probe vectors (smallest md5(vec_id)), compare the
+    bucket-restricted top-10 with the exact top-10 and report overlap
+    and recall (ppm). Queries with an under-full bucket keep their
+    honest n_ann < 10 instead of padding.
+
+    Scale shape: the probe set is a broadcast TakeOrdered top-5; the
+    exact side is a linear scan per probe (5 × N quantized-int dots,
+    no shuffle beyond the top-K heaps); the ANN side is the q83
+    bucket equi-join. The audit itself joins two ≤ 50-row relations.
+    At 100 TB the probe set grows to ~1k sampled queries and the
+    exact side becomes the expensive-but-rare calibration job."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sig_expr = F.expr(_sig_bits("array(%s)", lambda a, b: _DOT.format(a=a, b=b)))
+    sig = e.select("vec_id", "embedding", sig_expr.alias("bucket"))
+    queries = (
+        sig.orderBy(F.md5(F.encode(F.col("vec_id").cast("string"), "utf-8")), "vec_id")
+        .limit(5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    cos = dot("embedding", "qe") / (
+        F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qe", "qe"))
+    )
+    exact_scored = (
+        sig.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("nbr"), cos.alias("cosine"))
+    )
+    rnk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nbr"))
+    exact_topk = (
+        exact_scored.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "nbr")
+    )
+    ann_cand = (
+        sig.join(
+            F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("nbr"), cos.alias("cosine"))
+    )
+    ann_topk = (
+        ann_cand.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "nbr")
+    )
+    cand_stats = ann_cand.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    ann_stats = ann_topk.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ann")
+    )
+    ov = (
+        exact_topk.join(ann_topk, ["q_id", "nbr"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        queries.select("q_id")
+        .join(cand_stats, "q_id", "left")
+        .join(ann_stats, "q_id", "left")
+        .join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr("COALESCE(n_overlap, 0) * 1000000 div 10")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
     )

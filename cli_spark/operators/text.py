@@ -285,3 +285,74 @@ def q95_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_es",
         "s_de",
     )
+
+
+@register(
+    "q206_bpe_pair_census",
+    oracle="""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+  FROM documents
+),
+pairs AS (
+  SELECT substr(word, s.i, 2) AS pair
+  FROM w, unnest(generate_series(1, length(word) - 1)) AS s(i)
+  WHERE length(word) >= 2
+),
+counted AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair
+),
+tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM counted)
+SELECT c.pair, c.n_occurrences,
+       CAST(c.n_occurrences * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(row_number() OVER (ORDER BY c.n_occurrences DESC, c.pair) AS BIGINT)
+         AS merge_rank
+FROM counted c CROSS JOIN tot t
+ORDER BY merge_rank
+LIMIT 30
+""",
+    tags=("text", "tokenizer", "bpe"),
+)
+def q206_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First merge round of byte-pair-encoding tokenizer training
+    (Gage 1994; Sennrich et al. 2016): count every adjacent character
+    pair inside every word occurrence across the corpus and rank the
+    top-30 merge candidates — the argmax of this census IS the first
+    BPE merge, and iterating it (re-pairing after each merge) is
+    tokenizer training.
+
+    Scale shape: the pair explode is linear in corpus characters and
+    collapses immediately through a map-side combined groupBy to at
+    most |alphabet|² rows; the normalizing total is a broadcast 1-row
+    cross join; the top-30 is a TakeOrdered over the tiny pair table.
+    No Python touches the row path — substring pairing stays inside
+    whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    tot = counted.agg(F.sum("n_occurrences").cast("long").alias("total"))
+    ranked = counted.crossJoin(F.broadcast(tot)).select(
+        "pair",
+        "n_occurrences",
+        F.expr("n_occurrences * 1000000 div total").cast("long").alias("share_ppm"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
+    return (
+        ranked.withColumn("merge_rank", F.row_number().over(w).cast("long"))
+        .orderBy("merge_rank")
+        .limit(30)
+    )

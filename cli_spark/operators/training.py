@@ -1106,3 +1106,202 @@ def q197_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("fill_ppm"),
     )
+
+
+@register(
+    "q202_dsir_importance",
+    oracle=f"""
+WITH split_docs AS (
+  SELECT doc_id, {_SQL_WORDS} AS words,
+         CASE WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 12 THEN 'train'
+              WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, split,
+         list_extract(words, s.i) || ' ' || list_extract(words, s.i + 1) AS bigram
+  FROM split_docs, unnest(generate_series(1, len(words) - 1)) AS s(i)
+  WHERE len(words) >= 2
+),
+target_cnt AS (
+  SELECT bigram, COUNT(*) AS t_cnt FROM bigrams WHERE split = 'test' GROUP BY bigram
+),
+raw_cnt AS (
+  SELECT bigram, COUNT(*) AS r_cnt FROM bigrams WHERE split = 'train' GROUP BY bigram
+),
+weights AS (
+  SELECT COALESCE(t.bigram, r.bigram) AS bigram,
+         CAST(floor(CAST((COALESCE(t.t_cnt, 0) + 1) * 1000000 AS DOUBLE)
+                    / (COALESCE(r.r_cnt, 0) + 1)) AS BIGINT) AS w_ppm
+  FROM target_cnt t FULL OUTER JOIN raw_cnt r ON t.bigram = r.bigram
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(COALESCE(w.w_ppm, 1000000)) AS BIGINT) AS weight_sum_ppm
+  FROM bigrams b LEFT JOIN weights w ON b.bigram = w.bigram
+  WHERE b.split = 'train'
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, weight_sum_ppm,
+       CAST(weight_sum_ppm // n_bigrams AS BIGINT) AS weight_avg_ppm,
+       weight_sum_ppm >= n_bigrams * 1000000 AS selected
+FROM scored
+""",
+    tags=("training", "dsir", "importance"),
+)
+def q202_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR), ratio-quantized: score every train-split document by how
+    much its hashed-n-gram (here: word-bigram) distribution leans
+    toward the target (test-split) distribution vs the raw (train)
+    distribution. Per-bigram weight = floor(1e6*(t_cnt+1)/(r_cnt+1))
+    (add-one smoothing, integer ppm instead of a float log-ratio so
+    both engines agree bitwise); a doc's score is the sum over its
+    bigram occurrences, and `selected` keeps docs whose average
+    weight exceeds parity (1e6 ppm) — a pure threshold, no global
+    rank, so selection is embarrassingly parallel at 100 TB.
+
+    Scale shape: bigram censuses collapse to vocab size with map-side
+    combine before the full-outer weight join; the score join keys on
+    the bigram (at 100 TB: xxhash64 feature buckets exactly as the
+    paper hashes features); unseen bigrams fall back to weight 1e6
+    (t=0,r=0 parity) via the LEFT join coalesce."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tagged = (
+        d.withColumn("md5_key", F.encode(F.col("doc_id").cast("string"), "utf-8"))
+        .withColumn(
+            "split",
+            F.when(_bucket_col("md5_key") < 12, "train")
+            .when(_bucket_col("md5_key") < 14, "val")
+            .otherwise("test"),
+        )
+        .withColumn("words", _words_col())
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("words"), i),
+                        F.element_at(F.col("words"), i + 1),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    target = (
+        tagged.filter(F.col("split") == "test")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    raw = (
+        tagged.filter(F.col("split") == "train")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    )
+    weights = target.join(raw, "bigram", "full").select(
+        "bigram",
+        F.floor(
+            (F.coalesce("t_cnt", F.lit(0)) + 1).cast("double") * 1000000
+            / (F.coalesce("r_cnt", F.lit(0)) + 1)
+        ).cast("long").alias("w_ppm"),
+    )
+    scored = (
+        tagged.filter(F.col("split") == "train")
+        .join(weights, "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce("w_ppm", F.lit(1000000))).cast("long").alias("weight_sum_ppm"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "weight_sum_ppm",
+        F.expr("weight_sum_ppm div n_bigrams").cast("long").alias("weight_avg_ppm"),
+        (F.col("weight_sum_ppm") >= F.col("n_bigrams") * 1000000).alias("selected"),
+    )
+
+
+@register(
+    "q203_temperature_sampling",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, {_SQL_WORDS} AS words FROM documents
+),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(words)) AS BIGINT) AS n_words
+  FROM w GROUP BY lang
+),
+q AS (
+  SELECT lang, n_docs, n_words,
+         CAST(floor(sqrt(CAST(n_words AS DOUBLE)) * 1000000) AS BIGINT) AS s_q
+  FROM per_lang
+),
+tot AS (
+  SELECT CAST(SUM(n_words) AS BIGINT) AS total_words,
+         CAST(SUM(s_q) AS BIGINT) AS total_q
+  FROM q
+)
+SELECT q.lang, q.n_docs, q.n_words,
+       CAST(q.n_words * 1000000 // t.total_words AS BIGINT) AS share_ppm,
+       CAST(q.s_q * 1000000 // t.total_q AS BIGINT) AS temp_share_ppm,
+       CAST((q.s_q * 1000000 // t.total_q) * 1000000
+            // GREATEST(q.n_words * 1000000 // t.total_words, 1) AS BIGINT) AS boost_ppm
+FROM q CROSS JOIN tot t
+""",
+    tags=("training", "sampling", "multilingual"),
+)
+def q203_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature sampling (mT5, Xue et al. 2021;
+    alpha = 0.5): per-language word counts become sampling shares
+    proportional to count^alpha, boosting low-resource languages.
+    sqrt is IEEE-correctly-rounded in both engines, so quantizing
+    floor(sqrt(n)*1e6) BEFORE the normalizing sum keeps every later
+    step in exact integer arithmetic (the sum of doubles would be
+    partition-order dependent; the sum of quantized BIGINTs is not).
+
+    Scale: one map-side-combined groupBy to ~languages rows; the
+    normalizer is a broadcast 1-row cross join. Output: raw share,
+    temperature share, and the boost ratio (all ppm)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.select("lang", F.size(_words_col()).alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+        )
+    )
+    q = per_lang.withColumn(
+        "s_q",
+        F.floor(F.sqrt(F.col("n_words").cast("double")) * 1000000).cast("long"),
+    )
+    tot = q.agg(
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("s_q").cast("long").alias("total_q"),
+    )
+    out = q.crossJoin(F.broadcast(tot))
+    share = F.expr("n_words * 1000000 div total_words")
+    temp_share = F.expr("s_q * 1000000 div total_q")
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        share.cast("long").alias("share_ppm"),
+        temp_share.cast("long").alias("temp_share_ppm"),
+        F.expr(
+            "(s_q * 1000000 div total_q) * 1000000"
+            " div GREATEST(n_words * 1000000 div total_words, 1)"
+        ).cast("long").alias("boost_ppm"),
+    )
