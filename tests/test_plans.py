@@ -418,3 +418,56 @@ def test_q200_decontamination_is_bucketed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan), plan
+
+
+def test_q201_scrub_no_cartesian_and_doc_partitioned_windows(spark, sf_dir):
+    """q201's census join keys on the span string and the island merge
+    windows partition by doc_id — never a cartesian pair join, never a
+    global (unpartitioned) window."""
+    plan = plan_of(spark, sf_dir, "q201_exact_substring_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Window " in line and "windowspecdefinition" in line:
+            assert "doc_id" in line  # every window is per-doc
+
+
+def test_q202_dsir_no_cartesian_two_phase_census(spark, sf_dir):
+    """q202's weight table comes from full-outer-joined censuses (both
+    map-side combined); the score join is a plain equi-join on the
+    bigram. No nested loop anywhere."""
+    plan = plan_of(spark, sf_dir, "q202_dsir_importance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # census map-side combine
+
+
+def test_q204_ann_side_is_equi_join(spark, sf_dir):
+    """q204's ANN candidate generation must stay the q83 bucket
+    equi-join (hash join on the signature), not a filtered cartesian;
+    the exact side is the one deliberate broadcast cross join (5
+    probe rows)."""
+    plan = plan_of(spark, sf_dir, "q204_ann_recall_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # only the exact-side probe cross-join may be a BNLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q205_profile_is_one_scan(spark, sf_dir):
+    """The column profiler reads `orders` exactly once — one wide
+    aggregate (multi-DISTINCT via a single Expand), then an unpivot.
+    N columns must never cost N scans."""
+    plan = plan_of(spark, sf_dir, "q205_column_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the single multi-distinct expansion
+
+
+def test_q206_bpe_census_collapses_before_topk(spark, sf_dir):
+    """q206's pair census is map-side combined and the top-30 rides a
+    tiny collapsed relation: the only BNLJ is the broadcast 1-row
+    total; partial_count proves the combine."""
+    plan = plan_of(spark, sf_dir, "q206_bpe_pair_census")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
