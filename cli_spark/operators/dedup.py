@@ -604,3 +604,110 @@ def q199_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+@register(
+    "q208_minhash_incremental",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hx AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+g AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM hx
+),
+sig AS (
+  SELECT doc_id,
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+catalog AS (
+  SELECT DISTINCT band_id, band_key FROM bands WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT * FROM bands WHERE doc_id % 10 >= 8
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bands,
+       CAST(SUM(CASE WHEN c.band_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       SUM(CASE WHEN c.band_key IS NOT NULL THEN 1 ELSE 0 END) > 0 AS near_dup_suspect
+FROM batch b
+LEFT JOIN catalog c ON b.band_id = c.band_id AND b.band_key = c.band_key
+GROUP BY b.doc_id
+""",
+    tags=("dedup", "incremental", "minhash"),
+)
+def q208_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening — the LSH complement of q196's
+    exact-hash admission gate: a new batch (doc_id % 10 >= 8) is
+    probed against the catalog's MinHash band keys (q73's
+    single-digest double-hashing signature), and a batch doc whose
+    signature collides with the catalog in ANY band is flagged a
+    near-dup suspect for downstream exact verification.
+
+    Scale shape: the catalog never ships documents or signatures —
+    it reduces to DISTINCT (band_id, bigint band_key) rows, exactly
+    the posting-list a production LSH index stores per increment;
+    the probe is one equi-join on those 12-byte keys and the verdict
+    aggregates per batch doc. At 100 TB the catalog side is a
+    bucketed table keyed on band_key and each daily increment joins
+    against it without rebuilding anything."""
+    sh = shingles_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+
+    def _band(i: int):
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
+            for i in range(_N_BANDS)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    catalog = (
+        bands.filter(F.col("doc_id") % 10 < 8)
+        .select("band_id", "band_key")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = bands.filter(F.col("doc_id") % 10 >= 8)
+    joined = batch.join(catalog, ["band_id", "band_key"], "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        (F.sum(F.coalesce("hit", F.lit(0))) > 0).alias("near_dup_suspect"),
+    )

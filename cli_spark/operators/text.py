@@ -356,3 +356,86 @@ def q206_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .limit(30)
     )
+
+
+@register(
+    "q207_langid_confusion",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(string_split(lower(text), ' '), ['the','and','of'])) AS s_en,
+         len(list_intersect(string_split(lower(text), ' '), ['le','la','et'])) AS s_fr,
+         len(list_intersect(string_split(lower(text), ' '), ['el','los','y'])) AS s_es,
+         len(list_intersect(string_split(lower(text), ' '), ['der','und','das'])) AS s_de
+  FROM documents
+),
+pred AS (
+  SELECT lang AS actual_lang,
+         CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+              WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+              WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+              WHEN s_es >= s_de THEN 'es'
+              ELSE 'de' END AS predicted_lang
+  FROM scored
+),
+cells AS (
+  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY actual_lang, predicted_lang
+),
+rows_tot AS (
+  SELECT actual_lang, CAST(SUM(n_docs) AS BIGINT) AS row_total FROM cells
+  GROUP BY actual_lang
+)
+SELECT c.actual_lang, c.predicted_lang, c.n_docs,
+       CAST(c.n_docs * 1000000 // r.row_total AS BIGINT) AS row_share_ppm,
+       c.actual_lang = c.predicted_lang AS agree
+FROM cells c JOIN rows_tot r ON c.actual_lang = r.actual_lang
+""",
+    tags=("text", "langid", "audit"),
+)
+def q207_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: the confusion matrix between the corpus's
+    claimed `lang` column and q95's marker-word language-ID — the
+    standard check before trusting either signal for filtering or
+    temperature sampling (q203). Each cell carries its share of the
+    actual-language row in ppm; `agree` marks the diagonal.
+
+    Scale shape: the per-doc prediction is a pure projection (no
+    shuffle); the matrix is a map-side combined groupBy to at most
+    |langs|² cells; row totals re-aggregate the cells (never a second
+    corpus scan) and join back on the tiny cell relation."""
+    d = load_table(spark, sf_dir, "documents")
+    low_words = F.array_distinct(F.split(F.lower("text"), " "))
+    scores = {
+        k: F.size(F.array_intersect(low_words, F.array(*[F.lit(m) for m in ms])))
+        for k, ms in _LANG_MARKERS.items()
+        if k != "zh"
+    }
+    pred = d.select(
+        F.col("lang").alias("actual_lang"),
+        scores["en"].alias("s_en"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+    ).select(
+        "actual_lang",
+        F.when(F.greatest("s_en", "s_fr", "s_es", "s_de") == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_fr", "s_es", "s_de"), "en")
+        .when(F.col("s_fr") >= F.greatest("s_es", "s_de"), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rows_tot = cells.groupBy("actual_lang").agg(
+        F.sum("n_docs").cast("long").alias("row_total")
+    )
+    return cells.join(rows_tot, "actual_lang").select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div row_total").cast("long").alias("row_share_ppm"),
+        (F.col("actual_lang") == F.col("predicted_lang")).alias("agree"),
+    )
