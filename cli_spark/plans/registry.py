@@ -235,6 +235,8 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q73_minhash_lsh",
     "q91_tfidf_top_terms",
     "q100_tumbling_window",
+    # rewritten round 6 second half (shared persisted distinct)
+    "q151_decontamination",
     # graph stack re-keyed round 6 on the q73 single-digest signature
     # (edge generator + shared oracle prelude changed → new candidate
     # graphs; 8× faster q76 after edge materialization)
