@@ -406,3 +406,161 @@ def q188_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("v_cents"),
     )
+
+
+@register(
+    "q209_event_transitions",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY {_T_US} ASC, event_id ASC) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST(t.n_trans * 1000000 // o.row_total AS BIGINT) AS p_ppm,
+       t.from_type = t.to_type AS self_loop
+FROM trans t JOIN tot o ON t.from_type = o.from_type
+""",
+    tags=("timeseries", "markov", "transitions"),
+)
+def q209_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next event type | current event type) as integer ppm, with each
+    user's stream ordered by (ts, event_id) and transitions never
+    crossing users — the behavioral model behind next-action
+    prediction, funnel leak analysis, and bot detection (bots show
+    degenerate near-1e6 self-loops).
+
+    Scale shape: ONE shuffle on user_id for the lead() window over
+    the raw stream, then a map-side combined groupBy to at most
+    |types|² cells; row totals re-aggregate the cells and join back
+    on the tiny matrix. The per-user window state is one row."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("row_total")
+    )
+    return trans.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("n_trans * 1000000 div row_total").cast("long").alias("p_ppm"),
+        (F.col("from_type") == F.col("to_type")).alias("self_loop"),
+    )
+
+
+@register(
+    "q210_cusum_changepoint",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.hour_us, h.c,
+         h.c * s.n_hours - s.total AS d,
+         s.n_hours, s.total
+  FROM hourly h JOIN stats s ON h.event_type = s.event_type
+),
+cusum AS (
+  SELECT event_type, hour_us, n_hours, total,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY hour_us ASC
+                      ROWS UNBOUNDED PRECEDING) AS cu
+  FROM dev
+),
+ranked AS (
+  SELECT event_type, hour_us, cu, n_hours, total,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cu) DESC, hour_us ASC) AS rnk
+  FROM cusum
+)
+SELECT event_type, n_hours, total AS total_events,
+       hour_us AS changepoint_hour_us,
+       CAST(cu AS BIGINT) AS max_abs_cusum_scaled
+FROM ranked WHERE rnk = 1
+""",
+    tags=("timeseries", "changepoint", "cusum"),
+)
+def q210_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) per event type: the
+    hour where the cumulative deviation of hourly event counts from
+    the type's mean rate peaks — the classic split point for "when
+    did the rate change". All-integer formulation: deviation is
+    c·n_hours − total (summing to 0 over the series, no division),
+    so the cumulative sum and its argmax are exact in both engines.
+    Hours with zero events don't appear in the series (documented;
+    a spine join would zero-fill them).
+
+    Scale shape: raw events collapse to (type, hour) counts with
+    map-side combine FIRST; every later step (stats join, running
+    sum, argmax window) runs on the tiny hourly relation partitioned
+    by event_type."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    dev = hourly.join(stats, "event_type").select(
+        "event_type",
+        "hour_us",
+        "n_hours",
+        "total",
+        (F.col("c") * F.col("n_hours") - F.col("total")).alias("d"),
+    )
+    cu_w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_us").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.select(
+        "event_type", "hour_us", "n_hours", "total",
+        F.sum("d").over(cu_w).alias("cu"),
+    )
+    rnk_w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cu")).desc(), F.col("hour_us").asc()
+    )
+    return (
+        cusum.withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("total").alias("total_events"),
+            F.col("hour_us").alias("changepoint_hour_us"),
+            F.col("cu").cast("long").alias("max_abs_cusum_scaled"),
+        )
+    )
