@@ -156,3 +156,98 @@ def test_waterfill_allocation_invariants(supplies):
     assert all(f <= s for f, s in zip(final, supplies))
     assert all(f >= a for f, a in zip(final, a1))
     assert sum(final) <= B
+
+
+# ------------------------------------------------- q201 island merge
+
+@given(
+    st.sets(st.integers(min_value=1, max_value=200), min_size=0, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_island_merge_matches_interval_union(starts):
+    """q201's windowed gaps-and-islands rule (new island iff start >
+    running max end + 1) must produce islands whose total length
+    equals the size of the union of the [i, i+SPAN-1] intervals —
+    the ground-truth removal set — and whose count equals the number
+    of maximal runs in that union."""
+    SPAN = 10
+    covered = set()
+    for i in starts:
+        covered.update(range(i, i + SPAN))
+    # reference islands: maximal runs of the covered set
+    ref_islands = 0
+    prev = None
+    for p in sorted(covered):
+        if prev is None or p > prev + 1:
+            ref_islands += 1
+        prev = p
+    # windowed rule over sorted starts (mirrors the SQL exactly)
+    n_islands, dup_words = 0, 0
+    run_max_end = None
+    lo = hi = None
+    for i in sorted(starts):
+        ie = i + SPAN - 1
+        if run_max_end is not None and run_max_end >= i - 1:
+            hi = max(hi, ie)
+        else:
+            if lo is not None:
+                n_islands += 1
+                dup_words += hi - lo + 1
+            lo, hi = i, ie
+        run_max_end = ie if run_max_end is None else max(run_max_end, ie)
+    if lo is not None:
+        n_islands += 1
+        dup_words += hi - lo + 1
+    assert dup_words == len(covered)
+    assert n_islands == ref_islands
+
+
+# ------------------------------------------------- q210 CUSUM algebra
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=50),
+    st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_deviations_sum_to_zero_and_shift_invariant(counts, shift):
+    """q210's integer deviation d_h = c_h·H − total telescopes to a
+    final cumulative sum of exactly zero, and adding a constant rate
+    to every hour leaves every deviation (hence the change-point
+    argmax) unchanged — the property that makes CUSUM a CHANGE
+    detector rather than a level detector."""
+    H = len(counts)
+    total = sum(counts)
+    devs = [c * H - total for c in counts]
+    cus = []
+    acc = 0
+    for d in devs:
+        acc += d
+        cus.append(acc)
+    assert cus[-1] == 0
+    shifted = [c + shift for c in counts]
+    total2 = sum(shifted)
+    devs2 = [c * H - total2 for c in shifted]
+    assert devs == devs2
+
+
+# ------------------------------------- q203 temperature-share algebra
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=8)
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_shares_bounded_and_monotone(counts):
+    """q203's quantize-then-normalize shares: each lang's ppm share is
+    floor-exact (sum over langs ≤ 1e6, short by at most n_langs), and
+    the sqrt temperature never inverts an ordering — a language with
+    more words never gets a smaller temperature share."""
+    # mirror the engine arithmetic exactly: IEEE double sqrt (correctly
+    # rounded, hence monotone), quantized via floor(·*1e6)
+    s = [math.floor(math.sqrt(float(c)) * 10**6) for c in counts]
+    S = sum(s)
+    shares = [x * 10**6 // S for x in s]
+    assert sum(shares) <= 10**6
+    assert sum(shares) >= 10**6 - len(counts)
+    order = sorted(range(len(counts)), key=lambda i: counts[i])
+    for a, b in zip(order, order[1:]):
+        assert shares[a] <= shares[b]
