@@ -60,6 +60,8 @@ EXTRA_QUERIES = [
 REPORTED_QUERIES = [
     "q76_dedup_connected_components",  # pointer-jumping min-label CC
     "q181_triangle_census",            # oriented wedge-closure join
+    "q201_exact_substring_scrub",      # span census + island merge (round 6)
+    "q208_minhash_incremental",        # LSH posting-list probe (round 6)
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
