@@ -588,3 +588,100 @@ def q204_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q211_int8_quantization_audit",
+    oracle="""
+WITH dims AS (
+  SELECT e.vec_id, e.label, s.i AS dim,
+         CAST(list_extract(e.embedding, s.i) AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS s(i)
+),
+stats AS (
+  SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim
+),
+quant AS (
+  SELECT d.vec_id, d.label, d.dim, d.x, s.lo, s.hi,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE floor((d.x - s.lo) * 255.0 / (s.hi - s.lo) + 0.5) END AS q
+  FROM dims d JOIN stats s ON d.dim = s.dim
+),
+err AS (
+  SELECT label,
+         CAST(floor(abs((CASE WHEN hi = lo THEN lo
+                              ELSE lo + q * (hi - lo) / 255.0 END) - x)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS e_ppb
+  FROM quant
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(e_ppb) AS BIGINT) AS sum_err_ppb,
+       CAST(SUM(e_ppb) // COUNT(*) AS BIGINT) AS mean_err_ppb,
+       CAST(MAX(e_ppb) AS BIGINT) AS max_err_ppb
+FROM err GROUP BY label
+""",
+    tags=("similarity", "quantization", "audit"),
+)
+def q211_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (256-level) per-dimension min-max quantization audit of
+    the embedding table — the "can this index serve quantized"
+    question every ANN deployment answers before trading 4× memory
+    for recall: quantize each dimension to its own [min, max] byte
+    scale, dequantize, and report absolute reconstruction error per
+    label in exact integer ppb.
+
+    Determinism note: every arithmetic step is a scalar IEEE op on
+    identical operands (subtract, multiply, divide, floor) — no
+    accumulation of floats ever happens (errors are quantized to
+    integer ppb BEFORE the per-label sum), so both engines agree
+    bitwise. Constant dimensions (hi = lo) quantize to 0 exactly.
+
+    Scale shape: posexplode is linear (64 rows per vector); the
+    per-dim stats collapse to 64 rows with map-side combined min/max
+    and broadcast back onto the stream; the audit aggregate is one
+    map-side combined groupBy(label). At 100 TB the stats pass and
+    the audit pass are two linear scans — exactly how a production
+    quantizer calibrates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "xf"),
+    ).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    quant = dims.join(F.broadcast(stats), "dim").select(
+        "label",
+        "x",
+        "lo",
+        "hi",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(
+            F.floor((F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")) + 0.5)
+        )
+        .alias("q"),
+    )
+    err = quant.select(
+        "label",
+        F.floor(
+            F.abs(
+                F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+                    F.col("lo") + F.col("q") * (F.col("hi") - F.col("lo")) / 255.0
+                )
+                - F.col("x")
+            )
+            * 1000000000.0
+            + 0.5
+        ).cast("long").alias("e_ppb"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("e_ppb").cast("long").alias("sum_err_ppb"),
+        F.expr("sum(e_ppb) div count(1)").cast("long").alias("mean_err_ppb"),
+        F.max("e_ppb").cast("long").alias("max_err_ppb"),
+    )
