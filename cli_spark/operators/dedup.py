@@ -711,3 +711,168 @@ def q208_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
         (F.sum(F.coalesce("hit", F.lit(0))) > 0).alias("near_dup_suspect"),
     )
+
+
+@register(
+    "q212_lsh_recall_audit",
+    oracle=f"""
+WITH sh0 AS ({_SQL_SHINGLES}),
+sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT 500
+),
+sh AS (
+  SELECT s.doc_id, s.shingles FROM sh0 s JOIN sample_ids i ON s.doc_id = i.doc_id
+  WHERE len(s.shingles) > 0
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+),
+hx AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+g AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM hx
+),
+sig AS (
+  SELECT doc_id,
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+tp AS (
+  SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_sample,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_cand_true,
+       CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST((SELECT COUNT(*) FROM tp) * 1000000
+                      // (SELECT COUNT(*) FROM cand) AS BIGINT) END
+         AS cand_precision_ppm,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST((SELECT COUNT(*) FROM tp) * 1000000
+                      // (SELECT COUNT(*) FROM truth) AS BIGINT) END
+         AS recall_ppm
+""",
+    tags=("dedup", "lsh", "audit"),
+)
+def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall/precision audit of the MinHash-LSH dedup path
+    (q73) against exact all-pairs Jaccard ground truth on a
+    deterministic 500-doc sample (smallest md5(doc_id)) — the text
+    twin of q204's ANN audit, and the number that decides the
+    band/row configuration at scale: recall_ppm says how many true
+    near-dup pairs the 4-band signature surfaces, cand_precision_ppm
+    says how much exact-verify work the buckets waste.
+
+    Scale shape: the quadratic ground-truth join runs ONLY on the
+    md5-sampled subset (the standard calibration protocol — exact
+    truth on a sample, never the corpus); the LSH side reuses q73's
+    single-digest arithmetic. Both sides and their intersection
+    reduce to three broadcast-sized pair sets before the 1-row
+    census."""
+    d = load_table(spark, sf_dir, "documents")
+    sample_ids = (
+        d.select("doc_id")
+        .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
+        .limit(500)
+    )
+    sh = (
+        shingles_df(spark, sf_dir)
+        .join(F.broadcast(sample_ids), "doc_id")
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    j = _jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(j >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+
+    def _band(i: int):
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
+            for i in range(_N_BANDS)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tp = truth.join(cand, ["doc_a", "doc_b"])
+    n_sample = sh.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_tp = tp.agg(F.count(F.lit(1)).cast("long").alias("n_cand_true"))
+    return (
+        n_sample.crossJoin(n_truth).crossJoin(n_cand).crossJoin(n_tp)
+        .select(
+            "n_sample",
+            "n_true_pairs",
+            "n_candidates",
+            "n_cand_true",
+            F.when(F.col("n_candidates") == 0, F.lit(1000000).cast("long"))
+            .otherwise(F.expr("n_cand_true * 1000000 div n_candidates").cast("long"))
+            .alias("cand_precision_ppm"),
+            F.when(F.col("n_true_pairs") == 0, F.lit(1000000).cast("long"))
+            .otherwise(F.expr("n_cand_true * 1000000 div n_true_pairs").cast("long"))
+            .alias("recall_ppm"),
+        )
+    )

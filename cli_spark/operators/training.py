@@ -1318,3 +1318,129 @@ def q203_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(n_words * 1000000 div total_words, 1)"
         ).cast("long").alias("boost_ppm"),
     )
+
+
+from cli_spark.operators.text import _SQL_STOPWORDS as _SQL_STOP, _STOPWORDS as _STOP
+
+
+@register(
+    "q213_curation_pipeline",
+    oracle=f"""
+WITH feat AS (
+  SELECT doc_id, source, n_chars, {_SQL_WORDS} AS words, text,
+         {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} AS bkt
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, source, n_chars, len(words) AS n_words, text, bkt
+  FROM feat
+  WHERE len(words) BETWEEN 20 AND 80
+    AND CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) * 10
+        BETWEEN len(words) * 30 AND len(words) * 100
+    AND len(list_filter(list_distinct(words),
+                        x -> list_contains({_SQL_STOP}, x))) >= 2
+    AND len(list_distinct(words)) * 2 >= len(words)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS dup_rn
+    FROM gated g
+  ) WHERE dup_rn = 1
+),
+capped AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rn
+    FROM deduped d
+  ) WHERE cap_rn <= 40
+),
+split_docs AS (
+  SELECT source, n_words, n_chars,
+         CASE WHEN bkt < 12 THEN 'train'
+              WHEN bkt < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM capped
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM split_docs GROUP BY split, source
+""",
+    tags=("training", "pipeline", "composite"),
+)
+def q213_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE logical plan — the DAG a
+    real training-data build runs nightly, composed from this
+    engine's own stage patterns: (1) Gopher-style quality gates
+    (q162's length / mean-word-length / stopword / diversity rules —
+    the dominance gate, which needs a per-doc term census, stays in
+    q162), (2) exact keep-first dedup on md5(text) (q71), (3) the
+    per-source retention cap at K=40 by deterministic md5 rank
+    (q152), (4) md5-bucket split assignment (q96), and (5) the
+    per-(split, source) doc/word/char budget rollup that feeds the
+    mixer (q98).
+
+    Catalyst fuses the whole chain: the quality gates run INSIDE the
+    scan (predicate stage, no shuffle), the dedup and cap windows are
+    two key-only shuffles over the surviving fraction, and the final
+    rollup is map-side combined. One query, three exchanges — the
+    scale property a stage-by-stage pipeline of separate jobs loses
+    (it would re-scan the corpus five times)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _words_col()
+    feat = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        words.alias("words"),
+        _bucket_col("CAST(doc_id AS STRING)").alias("bkt"),
+    )
+    n_words = F.size("words")
+    n_letters = F.aggregate(
+        F.transform("words", lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_distinct = F.size(F.array_distinct("words"))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("words"), F.array(*[F.lit(s) for s in _STOP])
+        )
+    )
+    gated = feat.filter(
+        n_words.between(20, 80)
+        & (n_letters * 10 >= n_words.cast("bigint") * 30)
+        & (n_letters * 10 <= n_words.cast("bigint") * 100)
+        & (n_stop >= 2)
+        & (n_distinct * 2 >= n_words)
+    ).select("doc_id", "source", "n_chars", n_words.alias("n_words"), "text", "bkt")
+    dup_w = Window.partitionBy(F.md5(F.encode("text", "utf-8"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("dup_rn", F.row_number().over(dup_w))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn", "text")
+    )
+    cap_w = Window.partitionBy("source").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id"
+    )
+    capped = (
+        deduped.withColumn("cap_rn", F.row_number().over(cap_w))
+        .filter(F.col("cap_rn") <= 40)
+    )
+    split_docs = capped.select(
+        "source",
+        "n_words",
+        "n_chars",
+        F.when(F.col("bkt") < 12, "train")
+        .when(F.col("bkt") < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return split_docs.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
