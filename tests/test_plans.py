@@ -471,3 +471,25 @@ def test_q206_bpe_census_collapses_before_topk(spark, sf_dir):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q213_pipeline_fuses_gates_into_scan(spark, sf_dir):
+    """The composite curation pipeline must keep its quality gates in
+    the scan stage (a Filter over the parquet scan, before any
+    exchange) and run the whole five-stage DAG with only key
+    shuffles — never a cartesian or a Python UDF."""
+    plan = plan_of(spark, sf_dir, "q213_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the two ranking windows (dedup, cap) + final agg: exchanges stay
+    # in the single digits — a stage-per-job pipeline would rescan
+    assert plan.count("Exchange") <= 6
+
+
+def test_q212_truth_side_is_sample_bounded(spark, sf_dir):
+    """q212's quadratic ground-truth join must be fed by the
+    broadcast-limited sample (a GlobalLimit/TakeOrdered appears under
+    the join), not by the full corpus."""
+    plan = plan_of(spark, sf_dir, "q212_lsh_recall_audit")
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
