@@ -338,3 +338,43 @@ def q179_streaming_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     return _drain_memory_sink(spark, agg, "stream_dedup")
+
+
+@register(
+    "q214_streaming_enrichment_true",
+    oracle=f"""
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("streaming", "stream-static", "join"),
+)
+def q214_streaming_enrichment_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming stream-static enrichment: readStream
+    over the events parquet, equi-joined against the STATIC customer
+    dimension (the canonical "enrich the stream with the dim table"
+    pattern — Spark re-plans the static side per micro-batch, so dim
+    updates between batches are picked up), then a per-segment
+    aggregation drained through the availableNow memory sink.
+
+    The static side is broadcast (dim-sized); the streaming state is
+    one row per market segment. This is the graded complement of
+    tests/test_streaming.py's stream-static semantics test — the
+    batch oracle must match exactly because every event joins (the
+    generator draws user_id from the customer key range) and no
+    watermark can drop rows from a complete-mode aggregation."""
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+    )
+    return _drain_memory_sink(spark, agg, "stream_enrich")
