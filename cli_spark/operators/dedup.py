@@ -680,13 +680,16 @@ def q208_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _band(i: int):
         return lambda x: x["g1"] + F.lit(i) * x["g2"]
 
+    # persisted: BOTH the catalog and batch branches consume the band
+    # relation, and in production the catalog posting list is durable
+    # index state anyway (q73's persist pattern; LRU-bounded at scale)
     sig = hashed.select(
         "doc_id",
         *[
             F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
             for i in range(_N_BANDS)
         ],
-    )
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
