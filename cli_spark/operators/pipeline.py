@@ -268,3 +268,84 @@ def q104_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "q217_split_balance_audit",
+    oracle=f"""
+WITH tagged AS (
+  SELECT source,
+         CASE WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 12 THEN 'train'
+              WHEN {_BUCKET.format(key="CAST(doc_id AS VARCHAR)")} < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+cells AS (
+  SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM tagged GROUP BY split, source
+),
+split_tot AS (
+  SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total FROM cells GROUP BY split
+),
+src_tot AS (
+  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_total FROM cells GROUP BY source
+),
+grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tagged)
+SELECT c.split, c.source, c.n_docs,
+       CAST(c.n_docs * 1000000 // st.split_total AS BIGINT) AS share_in_split_ppm,
+       CAST(so.src_total * 1000000 // g.n AS BIGINT) AS src_share_ppm,
+       CAST(abs(c.n_docs * 1000000 // st.split_total
+                - so.src_total * 1000000 // g.n) AS BIGINT) AS skew_ppm
+FROM cells c
+JOIN split_tot st ON c.split = st.split
+JOIN src_tot so ON c.source = so.source
+CROSS JOIN grand g
+""",
+    tags=("pipeline", "split", "audit"),
+)
+def q217_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit of the md5-bucket train/val/test assignment
+    (q96's buckets): each source's share WITHIN a split vs its share
+    of the whole corpus, and the absolute deviation in ppm — the
+    stratification sanity check run before trusting a holdout (a
+    source over-represented in test makes its eval non-comparable).
+    A correct hash split keeps skew_ppm small for every cell; a
+    biased key (e.g. splitting on a sorted id range) blows it up.
+
+    Scale shape: one map-side combined groupBy to |splits|×|sources|
+    cells; every later relation (split totals, source totals, grand
+    total) re-aggregates the cells — the corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "source",
+        F.when(_bucket_col("CAST(doc_id AS STRING)") < 12, "train")
+        .when(_bucket_col("CAST(doc_id AS STRING)") < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cells = tagged.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    split_tot = cells.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("split_total")
+    )
+    src_tot = cells.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("src_total")
+    )
+    grand = cells.agg(F.sum("n_docs").cast("long").alias("n"))
+    return (
+        cells.join(split_tot, "split")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            F.expr("n_docs * 1000000 div split_total").cast("long")
+            .alias("share_in_split_ppm"),
+            F.expr("src_total * 1000000 div n").cast("long").alias("src_share_ppm"),
+            F.expr(
+                "abs(n_docs * 1000000 div split_total - src_total * 1000000 div n)"
+            ).cast("long").alias("skew_ppm"),
+        )
+    )

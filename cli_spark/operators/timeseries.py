@@ -564,3 +564,74 @@ def q210_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cu").cast("long").alias("max_abs_cusum_scaled"),
         )
     )
+
+
+@register(
+    "q215_missing_hours",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, s.h AS hr
+  FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS s(h)
+)
+SELECT sp.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_spine_hours,
+       CAST(SUM(CASE WHEN h.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(SUM(CASE WHEN h.c IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS missing_ppm,
+       strftime(MIN(CASE WHEN h.c IS NULL THEN sp.hr END),
+                '%Y-%m-%d %H:%M:%S') AS first_missing_hour
+FROM spine sp LEFT JOIN hourly h
+  ON sp.event_type = h.event_type AND sp.hr = h.hr
+GROUP BY sp.event_type
+""",
+    tags=("timeseries", "spine", "gaps"),
+)
+def q215_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-hour detection via a generated calendar spine — the
+    completeness check q210's CUSUM documents as its blind spot:
+    per event type, generate every hour between the type's first and
+    last event (sequence + explode), anti-match against the observed
+    hourly census, and report gap counts plus the first silent hour
+    (the "when did the feed stop" query of every ingestion monitor).
+
+    Scale shape: the spine is generated from the BOUNDS relation
+    (|types| rows → |types| × hours spine rows — never from raw
+    events), the observed side is the map-side combined hourly
+    census, and the left join keys on (type, hour). Raw event volume
+    only affects the first census aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spine_hours"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.expr(
+            "sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) * 1000000 div count(1)"
+        ).cast("long").alias("missing_ppm"),
+        F.date_format(
+            F.min(F.when(F.col("c").isNull(), F.col("hr"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_missing_hour"),
+    )
