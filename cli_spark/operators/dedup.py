@@ -879,3 +879,132 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q218_containment_join",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hx AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+g AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM hx
+),
+sig AS (
+  SELECT doc_id,
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_shared,
+       CAST(LEAST(len(sa.shingles), len(sb.shingles)) AS BIGINT) AS n_smaller,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) * 1000000
+            // LEAST(len(sa.shingles), len(sb.shingles)) AS BIGINT)
+         AS containment_ppm
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+  AND len(list_intersect(sa.shingles, sb.shingles)) * 10
+      >= LEAST(len(sa.shingles), len(sb.shingles)) * 8
+""",
+    tags=("dedup", "containment", "lsh"),
+)
+def q218_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity join (Broder 1997's second resemblance
+    measure): |A∩B| / min(|A|, |B|) ≥ 0.8 over word-3-gram sets —
+    catches SUBSET duplication (a short doc embedded inside a long
+    one) that symmetric Jaccard structurally misses when sizes
+    differ (|A∩B|/|A∪B| is dragged down by the big doc's extra
+    shingles). The candidate set is q73's band-bucket equi-join, so
+    no all-pairs shape appears; the exact containment check is
+    integer arithmetic (n_shared·10 ≥ n_smaller·8).
+
+    Scale shape: identical to q73 — persisted narrow signatures,
+    bigint band keys, candidates only; the shingle arrays travel
+    only to the verify join of the (tiny) candidate set."""
+    sh = shingles_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+
+    def _band(i: int):
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
+            for i in range(_N_BANDS)
+        ],
+    ).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))
+        .filter(shared * 10 >= smaller * 8)
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.cast("long").alias("n_shared"),
+            smaller.cast("long").alias("n_smaller"),
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+                " div least(size(sh_a), size(sh_b))"
+            ).cast("long").alias("containment_ppm"),
+        )
+    )

@@ -1444,3 +1444,78 @@ def q213_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("n_words"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "q219_feature_hash_census",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+bigrams AS (
+  SELECT list_extract(words, s.i) || ' ' || list_extract(words, s.i + 1) AS bigram
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS s(i)
+  WHERE len(words) >= 2
+),
+hashed AS (
+  SELECT bigram,
+         (strpos('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1) AS bucket,
+         COUNT(*) AS cnt
+  FROM bigrams GROUP BY bigram
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+       COUNT(*) > 1 AS collided
+FROM hashed GROUP BY bucket
+""",
+    tags=("training", "features", "hashing"),
+)
+def q219_feature_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing collision census (Weinberger et al. 2009, the
+    hashing trick): map every corpus bigram into a 256-bucket feature
+    space via its md5's first byte and report, per bucket, how many
+    DISTINCT bigrams collided there and their total mass — the audit
+    that decides the feature-space size before training a hashed
+    linear model (DSIR's importance features, q202, hash the same
+    way at scale).
+
+    Scale shape: the bigram census collapses to vocab size with
+    map-side combine BEFORE bucketing (hashing rides the collapsed
+    relation — one md5 per distinct bigram, not per occurrence), and
+    the bucket rollup is a 256-row aggregate."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bigrams = (
+        d.withColumn("words", _words_col())
+        .filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("words"), i),
+                        F.element_at(F.col("words"), i + 1),
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hexpos = (
+        "(instr('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1)"
+    )
+    hashed = bigrams.select(F.expr(hexpos).alias("bucket"), "cnt")
+    return hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.sum("cnt").cast("long").alias("total_occurrences"),
+        (F.count(F.lit(1)) > 1).alias("collided"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_distinct_bigrams",
+        "total_occurrences",
+        "collided",
+    )
