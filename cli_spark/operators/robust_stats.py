@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cli_spark.operators.training import _SQL_WORDS, _words_col
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
@@ -297,4 +298,103 @@ def q174_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((total * total - s2) * CAST(1000000 AS BIGINT)"
             " div (total * total) AS BIGINT)"
         ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "q220_ks_drift_test",
+    oracle=f"""
+WITH lens AS (
+  SELECT source, CAST(len({_SQL_WORDS}) AS BIGINT) AS v
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+hist AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lens GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM hist
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM hist
+),
+scored AS (
+  SELECT c.v, t.n_a, t.n_b,
+         abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS d_scaled
+  FROM cum c CROSS JOIN tot t
+),
+best AS (
+  SELECT v, n_a, n_b, d_scaled,
+         row_number() OVER (ORDER BY d_scaled DESC, v ASC) AS rnk
+  FROM scored
+)
+SELECT n_a, n_b,
+       CAST(d_scaled AS BIGINT) AS d_scaled,
+       CAST(d_scaled * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm,
+       CAST(v AS BIGINT) AS at_value
+FROM best WHERE rnk = 1
+""",
+    tags=("stats", "drift", "ks"),
+)
+def q220_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    sources' document-length distributions — the distribution-shift
+    alarm a data pipeline raises when a feed changes character. The
+    KS supremum |F_a(v) − F_b(v)| is computed EXACTLY in integers by
+    cross-multiplying cumulative counts (|cum_a·n_b − cum_b·n_a|,
+    division deferred to the final ppm quantization), so both engines
+    agree bitwise — no float CDFs anywhere.
+
+    Scale shape: raw docs collapse to a value histogram with
+    map-side combine first; the cumulative window and argmax run on
+    the tiny value-support relation (≤ distinct lengths rows). The
+    single-partition window over the support is bounded by value
+    cardinality, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.size(_words_col()).cast("long").alias("v")
+    )
+    hist = lens.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    cum_w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "v",
+        F.sum("ca").over(cum_w).alias("cum_a"),
+        F.sum("cb").over(cum_w).alias("cum_b"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+            "d_scaled"
+        ),
+    )
+    rnk_w = Window.orderBy(F.col("d_scaled").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("d_scaled").cast("long").alias("d_scaled"),
+            F.expr("d_scaled * 1000000 div (n_a * n_b)").cast("long").alias("d_ppm"),
+            F.col("v").cast("long").alias("at_value"),
+        )
     )
