@@ -211,3 +211,72 @@ def q205_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+
+
+# Benford first-digit expectations, floor(log10(1+1/d)·1e6) — baked
+# integer literals so neither engine computes a log at runtime.
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+@register(
+    "q221_benford_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+expected(d, benford_ppm) AS (
+  VALUES {", ".join(f"({i+1}, {p})" for i, p in enumerate(_BENFORD_PPM))}
+)
+SELECT e.d AS digit,
+       COALESCE(o.n, 0) AS n_orders,
+       CAST(COALESCE(o.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(COALESCE(o.n, 0) * 1000000 // t.total - e.benford_ppm) AS BIGINT)
+         AS dev_ppm
+FROM expected e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+""",
+    tags=("audit", "benford", "stats"),
+)
+def q221_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    classic forensic screen for fabricated or truncated monetary
+    data: observed leading-digit shares vs the log-law expectation,
+    with the expectations baked in as integer ppm literals so no
+    transcendental function runs in either engine. (Synthetic
+    uniform-ish data FAILS Benford loudly — which is exactly what
+    the audit should report; the operator's value is the comparison
+    shape.)
+
+    Scale shape: one projection to leading digits (string slice of
+    the integer part — no float log), a 9-row census, and a
+    broadcast expectations join."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("long").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    expected = o.sparkSession.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_PPM)], "d long, benford_ppm long"
+    )
+    return (
+        expected.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.expr("COALESCE(n, 0) * 1000000 div total").cast("long").alias("obs_ppm"),
+            "benford_ppm",
+            F.expr(
+                "abs(COALESCE(n, 0) * 1000000 div total - benford_ppm)"
+            ).cast("long").alias("dev_ppm"),
+        )
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cli_spark.operators.text import _SQL_STOPWORDS, _STOPWORDS
+from cli_spark.operators.dedup import _SQL_SHINGLES as _SQL_SHINGLES_CS
 from cli_spark.operators.training import _SQL_WORDS, _words_col
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
@@ -475,4 +476,114 @@ def q201_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000
             / F.col("n_words")
         ).cast("long").alias("kept_ppm"),
+    )
+
+
+@register(
+    "q222_shingle_novelty",
+    oracle=f"""
+WITH sh AS ({{_SQL_SH}}),
+pos AS (
+  SELECT DISTINCT doc_id, u.s AS shingle
+  FROM sh, unnest(shingles) AS u(s)
+),
+firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM pos GROUP BY shingle
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM pos p JOIN firsts f ON p.shingle = f.shingle
+GROUP BY p.doc_id
+""".format(_SQL_SH=_SQL_SHINGLES_CS),
+    tags=("training", "novelty", "redundancy"),
+)
+def q222_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty under ingestion order: the
+    fraction of a doc's distinct word-3-grams that no EARLIER doc
+    (smaller doc_id) contains — the redundancy-growth curve that
+    says when a crawl stops adding information (novelty trends to
+    zero as the corpus saturates; dedup'd corpora hold it up).
+
+    Scale shape: distinct (doc, shingle) incidence first (map-side
+    combined), the first-occurrence relation is one min-aggregation
+    on the shingle key, and the verdict join keys on the shingle —
+    the q151/q163 two-phase pattern with an argmin instead of a
+    census."""
+    from cli_spark.operators.dedup import shingles_df
+    sh = shingles_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pos = (
+        sh.select("doc_id", F.explode("shingles").alias("shingle")).distinct()
+    )
+    firsts = pos.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = pos.join(firsts, "shingle")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000"
+            " div count(1)"
+        ).cast("long").alias("novelty_ppm"),
+    )
+
+
+@register(
+    "q223_heaps_vocab_growth",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+inc AS (
+  SELECT DISTINCT doc_id, u.t AS term FROM w, unnest(words) AS u(t)
+),
+firsts AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM inc GROUP BY term
+),
+buckets AS (
+  SELECT (first_doc // 50) * 50 AS bucket_lo,
+         CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM firsts GROUP BY 1
+)
+SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket_lo ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM buckets
+""",
+    tags=("training", "heaps", "vocab"),
+)
+def q223_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: new distinct terms
+    contributed by each 50-document ingestion bucket and the
+    cumulative vocabulary size — the companion diagnostic to q164's
+    Zipf census (Zipf describes the frequency SHAPE, Heaps how the
+    vocabulary GROWS; sublinear growth is the signature of natural
+    text, linear growth flags id-like junk tokens).
+
+    Scale shape: distinct (doc, term) incidence → argmin on the term
+    key → a bucket histogram of first occurrences; the cumulative
+    window runs over the tiny bucket relation."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    inc = (
+        d.select("doc_id", F.explode(_words_col()).alias("term")).distinct()
+    )
+    firsts = inc.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    buckets = firsts.groupBy(
+        (F.floor(F.col("first_doc") / 50) * 50).cast("long").alias("bucket_lo")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    cum_w = Window.orderBy(F.col("bucket_lo").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return buckets.select(
+        "bucket_lo",
+        "new_terms",
+        F.sum("new_terms").over(cum_w).cast("long").alias("cum_vocab"),
     )
