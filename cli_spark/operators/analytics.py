@@ -226,3 +226,81 @@ def q195_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(t_us - touch_t) div 1000000").alias("latency_s"),
         )
     )
+
+
+@register(
+    "q226_rfm_segmentation",
+    oracle="""
+WITH anchor AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+),
+per_cust AS (
+  SELECT o.o_custkey AS custkey,
+         CAST(a.max_day - MAX(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders o CROSS JOIN anchor a
+  GROUP BY o.o_custkey, a.max_day
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_quintile,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_quintile,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS BIGINT) AS m_quintile,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) * 100
+            + ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) * 10
+            + ntile(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS BIGINT)
+         AS rfm_code
+FROM per_cust
+""",
+    tags=("analytics", "rfm", "window"),
+)
+def q226_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    triple: days since last order (vs the corpus max date, so the
+    query is reproducible), order count, and lifetime spend in exact
+    integer cents, each cut into quintiles (NTILE(5) with custkey
+    tie-breaks so both engines bucket identically) and combined into
+    the 3-digit RFM code.
+
+    Scale shape: one groupBy(custkey) over orders (map-side
+    combined), then three global NTILE windows over the
+    customer-sized relation — at 100 TB the quintile boundaries
+    would come from approx percentiles instead of a global sort, but
+    the per-customer aggregate shape is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"), "max_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+        )
+        .select(
+            "custkey",
+            F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("custkey").asc())
+    out = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).cast("long").alias("r_quintile"),
+        F.ntile(5).over(f_w).cast("long").alias("f_quintile"),
+        F.ntile(5).over(m_w).cast("long").alias("m_quintile"),
+    )
+    return out.withColumn(
+        "rfm_code",
+        (F.col("r_quintile") * 100 + F.col("f_quintile") * 10 + F.col("m_quintile"))
+        .cast("long"),
+    )

@@ -288,3 +288,52 @@ def q185_word_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stutter_words"),
         (F.max("run_len") >= 3).alias("flag_heavy_stutter"),
     )
+
+
+@register(
+    "q227_malformed_json_census",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+       CAST(SUM(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     AND json_extract(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN CAST(COALESCE(json_extract(props, '$.k'), '0') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type
+""",
+    tags=("quality", "json", "census"),
+)
+def q227_malformed_json_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter census of the semi-structured column: per event
+    type, how many `props` payloads are NULL, syntactically invalid
+    JSON, or valid-but-missing the expected key — the triage query
+    every ingestion pipeline runs on its JSON side-channel before
+    trusting extracted fields (q54/q125 exercise the happy path;
+    this is the failure accounting). Spark's `from_json` yields a
+    NULL struct exactly when DuckDB's `json_valid` is false, which
+    is the semantic the census pins.
+
+    Scale shape: pure per-row projection (JSON parse inside codegen,
+    no Python) + one map-side combined groupBy on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return e.select(
+        "event_type",
+        F.col("props").isNull().alias("is_null"),
+        (F.col("props").isNotNull() & parsed.isNull()).alias("is_invalid"),
+        (parsed.isNotNull() & parsed["k"].isNotNull()).alias("has_k"),
+        F.when(parsed.isNotNull(), F.coalesce(parsed["k"], F.lit(0)))
+        .otherwise(0)
+        .alias("k_val"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("is_null"), 1).otherwise(0)).cast("long").alias("n_null_props"),
+        F.sum(F.when(F.col("is_invalid"), 1).otherwise(0)).cast("long").alias("n_invalid"),
+        F.sum(F.when(F.col("has_k"), 1).otherwise(0)).cast("long").alias("n_with_k"),
+        F.sum("k_val").cast("long").alias("k_sum"),
+    )

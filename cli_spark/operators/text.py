@@ -439,3 +439,67 @@ def q207_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_docs * 1000000 div row_total").cast("long").alias("row_share_ppm"),
         (F.col("actual_lang") == F.col("predicted_lang")).alias("agree"),
     )
+
+
+@register(
+    "q225_inverted_index",
+    oracle="""
+WITH inc AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+  FROM documents
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM inc GROUP BY term
+),
+top_terms AS (
+  SELECT term, doc_freq FROM df ORDER BY doc_freq DESC, term ASC LIMIT 20
+),
+postings AS (
+  SELECT i.term,
+         array_to_string(list_slice(list_sort(list(i.doc_id)), 1, 50), ',') AS posting_head,
+         CAST(SUM(i.doc_id) AS BIGINT) AS posting_checksum
+  FROM inc i JOIN top_terms t ON i.term = t.term
+  GROUP BY i.term
+)
+SELECT t.term, t.doc_freq, p.posting_head, p.posting_checksum
+FROM top_terms t JOIN postings p ON t.term = p.term
+""",
+    tags=("text", "index", "ir"),
+)
+def q225_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build for the top-20 document-frequency terms:
+    per term, the head of its sorted posting list (first 50 doc ids,
+    CSV-rendered for engine-portable comparison) and a full-list
+    checksum (sum of doc ids — order-free, so it verifies the WHOLE
+    posting set while only the head ships). This is the core IR
+    structure a search layer materializes from the corpus.
+
+    Scale shape: distinct (doc, term) incidence with map-side
+    combine; the df census picks top terms via TakeOrdered; postings
+    aggregate only rows matching the broadcast top-term set. At
+    100 TB posting lists shard by term hash — the same groupBy key."""
+    d = load_table(spark, sf_dir, "documents")
+    inc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    df_ = inc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    top_terms = df_.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(20)
+    postings = (
+        inc.join(F.broadcast(top_terms.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 50), ","
+            ).alias("posting_head"),
+            F.sum("doc_id").cast("long").alias("posting_checksum"),
+        )
+    )
+    return top_terms.join(postings, "term").select(
+        "term", "doc_freq", "posting_head", "posting_checksum"
+    )

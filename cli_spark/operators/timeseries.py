@@ -635,3 +635,72 @@ def q215_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("c").isNull(), F.col("hr"))), "yyyy-MM-dd HH:mm:ss"
         ).alias("first_missing_hour"),
     )
+
+
+@register(
+    "q224_rate_burst_flags",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour_us, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY hour_us ASC
+                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS trail_sum,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_us ASC
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS trail_n
+  FROM hourly
+)
+SELECT event_type, hour_us, c,
+       CAST(COALESCE(trail_sum, 0) AS BIGINT) AS trail_sum,
+       CAST(trail_n AS BIGINT) AS trail_n,
+       trail_n = 6 AND c * 6 > 3 * trail_sum AS burst
+FROM scored
+""",
+    tags=("timeseries", "burst", "window"),
+)
+def q224_rate_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: an hour is a burst when its event count
+    exceeds 3× the trailing 6-hour average (integer cross-multiplied
+    — c·6 > 3·Σtrail — so no division) with a FULL trailing window
+    (warm-up hours can't alarm). The streaming-monitor complement to
+    q210's offline change-point: CUSUM finds the one structural
+    break, this flags every transient spike.
+
+    Scale shape: raw events collapse to the hourly census first; the
+    trailing frame runs per event_type over the tiny census. The
+    window state is 6 rows per partition cursor."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    trail = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_us").asc())
+        .rowsBetween(-6, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_us",
+        "c",
+        F.sum("c").over(trail).alias("trail_sum0"),
+        F.count(F.lit(1)).over(trail).alias("trail_n"),
+    )
+    return scored.select(
+        "event_type",
+        "hour_us",
+        "c",
+        F.coalesce("trail_sum0", F.lit(0)).cast("long").alias("trail_sum"),
+        F.col("trail_n").cast("long").alias("trail_n"),
+        ((F.col("trail_n") == 6) & (F.col("c") * 6 > 3 * F.col("trail_sum0"))).alias(
+            "burst"
+        ),
+    )
