@@ -249,16 +249,48 @@ _ROUND_CHANGED: tuple[str, ...] = (
 )
 
 
+# Round 6 added more new queries than the driver's 50-row recording
+# window holds alongside _ROUND_CHANGED, so the never-graded set is
+# explicitly prioritized: flagship/composite operators first (these
+# earn driver rows THIS round), simpler census shapes trail into the
+# next round's window. Names absent from this tuple sort after it in
+# registration order.
+_FRESH_PRIORITY: tuple[str, ...] = (
+    "q201_exact_substring_scrub",   # ExactSubstr island merge
+    "q213_curation_pipeline",       # fused end-to-end composite
+    "q214_streaming_enrichment_true",
+    "q199_paragraph_dedup",
+    "q200_embedding_decontamination",
+    "q204_ann_recall_audit",
+    "q212_lsh_recall_audit",
+    "q205_column_profile",
+    "q208_minhash_incremental",
+    "q210_cusum_changepoint",
+    "q218_containment_join",
+    "q220_ks_drift_test",
+    "q225_inverted_index",
+    "q226_rfm_segmentation",
+    "q206_bpe_pair_census",
+    "q202_dsir_importance",
+    "q203_temperature_sampling",
+    "q207_langid_confusion",
+    "q217_split_balance_audit",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Order: this round's changed/new queries first, then the other
-    never-driver-graded oracle-backed queries (together these fill the
-    driver's 50-entry recording window), then already-graded queries,
-    then rows-only checks."""
+    never-driver-graded oracle-backed queries prioritized by
+    _FRESH_PRIORITY (together these fill the driver's 50-entry
+    recording window), then already-graded queries, then rows-only
+    checks."""
     reg = registry()
     changed = [reg[n] for n in _ROUND_CHANGED if n in reg]
     fresh = [s for n, s in reg.items()
              if s.oracle is not None and n not in _DRIVER_GRADED
              and n not in _ROUND_CHANGED]
+    prio = {n: i for i, n in enumerate(_FRESH_PRIORITY)}
+    fresh.sort(key=lambda s: prio.get(s.name, len(prio)))
     proven = [s for n, s in reg.items()
               if s.oracle is not None and n in _DRIVER_GRADED
               and n not in _ROUND_CHANGED]
