@@ -304,3 +304,77 @@ def q226_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_quintile") * 100 + F.col("f_quintile") * 10 + F.col("m_quintile"))
         .cast("long"),
     )
+
+
+@register(
+    "q228_hierarchical_shares",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+region_tot AS (
+  SELECT region, CAST(SUM(rev_cents) AS BIGINT) AS region_cents FROM rev GROUP BY region
+),
+grand AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM rev)
+SELECT v.region, v.nation, v.rev_cents,
+       CAST(v.rev_cents * 1000000 // rt.region_cents AS BIGINT) AS share_of_region_ppm,
+       CAST(rt.region_cents * 1000000 // g.total_cents AS BIGINT) AS region_share_ppm,
+       CAST(v.rev_cents * 1000000 // g.total_cents AS BIGINT) AS share_of_total_ppm
+FROM rev v
+JOIN region_tot rt ON v.region = rt.region
+CROSS JOIN grand g
+""",
+    tags=("analytics", "hierarchy", "shares"),
+)
+def q228_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent hierarchical rollup (region → nation): each
+    nation's revenue share of its region AND of the grand total, in
+    exact integer cents/ppm — the percent-of-parent drilldown every
+    OLAP frontend issues, expressed without GROUPING SETS by
+    re-aggregating the leaf relation (q21's rollup gives the levels;
+    this gives the RATIOS between them).
+
+    Scale shape: one fact aggregation to the (region, nation) leaf
+    grain with all three dims broadcast; parent and grand totals
+    re-aggregate the leaf relation (never a second fact scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    region_tot = rev.groupBy("region").agg(
+        F.sum("rev_cents").cast("long").alias("region_cents")
+    )
+    grand = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    return (
+        rev.join(region_tot, "region")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "region",
+            "nation",
+            "rev_cents",
+            F.expr("rev_cents * 1000000 div region_cents").cast("long")
+            .alias("share_of_region_ppm"),
+            F.expr("region_cents * 1000000 div total_cents").cast("long")
+            .alias("region_share_ppm"),
+            F.expr("rev_cents * 1000000 div total_cents").cast("long")
+            .alias("share_of_total_ppm"),
+        )
+    )

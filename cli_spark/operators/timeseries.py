@@ -704,3 +704,157 @@ def q224_rate_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burst"
         ),
     )
+
+
+@register(
+    "q229_session_paths",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, {_T_US} AS t_us, event_id,
+         CASE WHEN {_T_US} - lag({_T_US}) OVER (PARTITION BY user_id
+                ORDER BY {_T_US} ASC, event_id ASC) > 1800000000
+              OR lag({_T_US}) OVER (PARTITION BY user_id
+                ORDER BY {_T_US} ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_type, t_us, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+           ORDER BY t_us ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM sessions
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY t_us ASC, event_id ASC)
+),
+census AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM paths WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY e1, e2, e3
+)
+SELECT e1, e2, e3, n_paths,
+       CAST(row_number() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS BIGINT) AS rnk
+FROM census
+ORDER BY rnk LIMIT 15
+""",
+    tags=("timeseries", "paths", "sessions"),
+)
+def q229_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type TRIGRAM paths within 30-minute sessions — the
+    order-2 extension of q209's Markov matrix and the raw material of
+    funnel discovery ("what do users actually do in a sitting"):
+    sessionize by inactivity gap (lag + running sum of boundaries,
+    the q102 pattern), slide a 3-step lead window that never crosses
+    a session boundary, and TakeOrder the 15 most common paths.
+
+    Scale shape: ONE shuffle on user_id feeds both the
+    sessionization windows and the per-(user, session) path windows
+    (same partitioning, Spark reuses the exchange); the path census
+    collapses to |types|³ cells with map-side combine."""
+    e = load_table(spark, sf_dir, "events")
+    base_w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    ordered = e.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t_us"), "event_id"
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.lag("t_us").over(base_w).isNull()
+            | ((F.col("t_us") - F.lag("t_us").over(base_w)) > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = ordered.withColumn(
+        "session_id",
+        F.sum("new_session").over(base_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    path_w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    paths = sessions.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(path_w).alias("e2"),
+        F.lead("event_type", 2).over(path_w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    census = paths.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    rnk_w = Window.orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+    return (
+        census.withColumn("rnk", F.row_number().over(rnk_w).cast("long"))
+        .orderBy("rnk")
+        .limit(15)
+    )
+
+
+@register(
+    "q230_concurrent_intervals",
+    oracle="""
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 30 AS e
+  FROM orders
+),
+deltas AS (
+  SELECT s AS day, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS day, -1 AS d FROM iv
+),
+net AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day
+),
+running AS (
+  SELECT day, delta,
+         CAST(SUM(delta) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_open
+  FROM net
+),
+ranked AS (
+  SELECT day, n_open,
+         row_number() OVER (ORDER BY n_open DESC, day ASC) AS rnk
+  FROM running
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_open, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+""",
+    tags=("timeseries", "intervals", "sweep"),
+)
+def q230_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency sweep: treating each order as a 30-day open
+    interval, find the 10 days with the most simultaneously-open
+    orders — the classic "max concurrent sessions / open tickets /
+    room occupancy" question, solved with the +1/−1 delta sweep
+    (two projections + a running sum over the day spine) instead of
+    a quadratic day×interval containment join.
+
+    Scale shape: the fact table projects to (day, ±1) deltas that
+    collapse to the day-spine cardinality with map-side combine; the
+    running sum and top-K ride the tiny spine. Interval count never
+    touches the window."""
+    o = load_table(spark, sf_dir, "orders")
+    starts = o.select(F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d"))
+    ends = o.select(
+        F.date_add(F.to_date("o_orderdate"), 30).alias("day"), F.lit(-1).alias("d")
+    )
+    net = starts.union(ends).groupBy("day").agg(
+        F.sum("d").cast("long").alias("delta")
+    )
+    run_w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = net.select(
+        "day", F.sum("delta").over(run_w).cast("long").alias("n_open")
+    )
+    rnk_w = Window.orderBy(F.col("n_open").desc(), F.col("day").asc())
+    return (
+        running.withColumn("rnk", F.row_number().over(rnk_w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "n_open", "rnk"
+        )
+    )
