@@ -493,3 +493,35 @@ def test_q212_truth_side_is_sample_bounded(spark, sf_dir):
     the join), not by the full corpus."""
     plan = plan_of(spark, sf_dir, "q212_lsh_recall_audit")
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_q230_sweep_has_no_join(spark, sf_dir):
+    """The concurrency sweep must stay the ±1 delta formulation —
+    two projections + union + windows, never a day×interval join."""
+    plan = plan_of(spark, sf_dir, "q230_concurrent_intervals")
+    assert "Join" not in plan
+
+
+def test_q225_topk_terms_take_ordered(spark, sf_dir):
+    """The inverted index picks its top-df terms via
+    TakeOrderedAndProject and broadcasts them to the postings side."""
+    plan = plan_of(spark, sf_dir, "q225_inverted_index")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q228_dims_broadcast(spark, sf_dir):
+    """Hierarchical shares joins the fact to three broadcast dims and
+    re-aggregates the leaf — one fact exchange, no SMJ on dims."""
+    plan = plan_of(spark, sf_dir, "q228_hierarchical_shares")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q229_single_user_shuffle(spark, sf_dir):
+    """Sessionization and the path windows share the user_id
+    partitioning: exactly one exchange reads raw events (plus the
+    tiny census/top-K exchanges)."""
+    plan = plan_of(spark, sf_dir, "q229_session_paths")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
