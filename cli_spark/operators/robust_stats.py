@@ -398,3 +398,136 @@ def q220_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long").alias("at_value"),
         )
     )
+
+
+@register(
+    "q231_equiheight_histogram",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, l_orderkey, l_linenumber
+  FROM lineitem
+),
+binned AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC) AS bin
+  FROM vals
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM binned GROUP BY bin
+""",
+    tags=("stats", "histogram", "analyze"),
+)
+def q231_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (equi-depth) histogram of line-item prices — the
+    statistic a cost-based optimizer's ANALYZE collects for
+    selectivity estimation: ten equal-population bins with their
+    value boundaries and mass, computed over exact integer cents
+    with full-key tie-breaks so both engines draw identical bin
+    edges.
+
+    Scale shape: the global NTILE is the teaching form; at 100 TB
+    the same table comes from approx_percentile boundaries + one
+    bucketing pass (two linear scans, no global sort). The aggregate
+    per bin is map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy(
+        F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    binned = vals.select("cents", F.ntile(10).over(w).alias("bin"))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(F.col("bin").cast("long").alias("bin"), "n_rows", "lo_cents", "hi_cents", "sum_cents")
+
+
+@register(
+    "q232_theil_sen_slope",
+    oracle="""
+WITH sample_pts AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x_day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y_cents,
+         o_orderkey
+  FROM orders
+  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+  LIMIT 200
+),
+slopes AS (
+  SELECT CAST(floor(CAST((b.y_cents - a.y_cents) * 1000000 AS DOUBLE)
+                    / (b.x_day - a.x_day)) AS BIGINT) AS slope_scaled
+  FROM sample_pts a JOIN sample_pts b
+    ON a.o_orderkey < b.o_orderkey AND a.x_day != b.x_day
+),
+ranked AS (
+  SELECT slope_scaled,
+         row_number() OVER (ORDER BY slope_scaled ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_slopes,
+       CAST(MIN(CASE WHEN rn * 2 >= n + 1 THEN slope_scaled END) AS BIGINT)
+         AS median_slope_scaled
+FROM ranked
+""",
+    tags=("stats", "robust", "regression"),
+)
+def q232_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator: the median of pairwise
+    slopes between order dates and totals — the outlier-immune
+    answer to "is spend trending up" (q171's least-squares
+    complement; one wild order can't move a median of slopes). Run
+    on a deterministic md5 sample of 200 orders, the standard
+    protocol for an O(n²)-pair estimator; slopes are quantized to
+    integer micro-cents/day BEFORE ranking so the median is an
+    exact order statistic in both engines (lower median: first rank
+    with rn·2 ≥ n+1).
+
+    Scale shape: the quadratic pair join is sample×sample (19,900
+    pairs — broadcast-sized) and never touches the full fact
+    table."""
+    o = load_table(spark, sf_dir, "orders")
+    sample_pts = (
+        o.select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+            .cast("long")
+            .alias("x_day"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y_cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.md5(F.encode(F.col("o_orderkey").cast("string"), "utf-8")), "o_orderkey")
+        .limit(200)
+    )
+    a = sample_pts.alias("a")
+    b = sample_pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.x_day") != F.col("b.x_day")),
+    ).select(
+        F.floor(
+            ((F.col("b.y_cents") - F.col("a.y_cents")) * 1000000).cast("double")
+            / (F.col("b.x_day") - F.col("a.x_day"))
+        ).cast("long").alias("slope_scaled")
+    )
+    rank_w = Window.orderBy(F.col("slope_scaled").asc())
+    ranked = slopes.select(
+        "slope_scaled",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes"),
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("slope_scaled"))
+        ).cast("long").alias("median_slope_scaled"),
+    )
