@@ -569,3 +569,60 @@ def test_stateful_event_time_timeout_expiry(spark, stream_dir):
         assert live2["n"].max() == 2
     finally:
         q.stop()
+
+
+def test_replay_source_multibatch_equals_batch(spark, sf_dir):
+    """The replay Python DataSource must deliver the events table in
+    MULTIPLE micro-batches (the single-file testdata otherwise
+    arrives in one batch and cross-batch semantics go unexercised)
+    and the streamed windowed aggregate must equal the batch result
+    exactly."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.tables import load_table
+
+    register_replay_source(spark)
+    path = f"{sf_dir}/events.parquet"
+    batch_total = load_table(spark, sf_dir, "events").count()
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", path)
+        .option("batchRows", 400)
+        .load()
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = "replay_mb_" + uuid.uuid4().hex[:6]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, time.time()
+        while idle < 3 and time.time() - t0 < 120:
+            time.sleep(0.4)
+            p = q.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 2, "replay must split into micro-batches"
+        assert sum(p["numInputRows"] for p in data_batches) == batch_total
+        sink = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        q.stop()
+    batch = load_table(spark, sf_dir, "events").groupBy(
+        F.window("ts", "1 hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert sink.exceptAll(batch).count() == 0
+    assert batch.exceptAll(sink).count() == 0
