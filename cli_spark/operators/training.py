@@ -1519,3 +1519,81 @@ def q219_feature_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_occurrences",
         "collided",
     )
+
+
+@register(
+    "q234_lm_fluency_score",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+bigrams AS (
+  SELECT doc_id, list_extract(words, s.i) AS w1, list_extract(words, s.i + 1) AS w2
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS s(i)
+  WHERE len(words) >= 2
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+lm AS (
+  SELECT c12.w1, c12.w2,
+         CAST(c12.n12 * 1000000 // c1.n1 AS BIGINT) AS p_ppm
+  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lm.p_ppm) AS BIGINT) AS p_sum_ppm,
+       CAST(SUM(lm.p_ppm) // COUNT(*) AS BIGINT) AS fluency_ppm,
+       CAST(MIN(lm.p_ppm) AS BIGINT) AS worst_bigram_ppm
+FROM bigrams b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+GROUP BY b.doc_id
+""",
+    tags=("training", "lm", "fluency"),
+)
+def q234_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring — the perplexity stand-in that needs
+    no neural model and no logarithm: every document's bigrams are
+    scored by the corpus conditional P(w2|w1) in integer ppm (q155's
+    LM table applied back to the corpus), and a doc's fluency is the
+    mean (and worst-case) conditional probability of its transitions.
+    Low fluency_ppm = improbable word sequences (gibberish,
+    boilerplate keyboard-mash); low worst_bigram_ppm pinpoints the
+    single most broken transition.
+
+    Scale shape: the LM table collapses to bigram-vocab size (two
+    stacked map-side-combined aggregations — never a second corpus
+    scan); scoring joins the per-occurrence stream against the LM on
+    the bigram key (at 100 TB: xxhash64(bigram), same as q151's
+    plan) and re-aggregates per doc."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bigrams = (
+        d.withColumn("words", _words_col())
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("words"), i).alias("w1"),
+                        F.element_at(F.col("words"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    lm = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr("n12 * 1000000 div n1").cast("long").alias("p_ppm")
+    )
+    return (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_ppm").cast("long").alias("p_sum_ppm"),
+            F.expr("sum(p_ppm) div count(1)").cast("long").alias("fluency_ppm"),
+            F.min("p_ppm").cast("long").alias("worst_bigram_ppm"),
+        )
+    )
