@@ -1,0 +1,156 @@
+"""Embedding-matrix statistics — per-dimension variance ranking and
+the covariance block over the leading dimensions.
+
+These are the offline-analytics passes an embedding index runs before
+choosing a compression/indexing scheme (which dims carry signal, how
+correlated they are — the inputs to PCA/OPQ decisions), expressed as
+exact integer moment sums so the oracle hash is bit-stable:
+
+* coordinates quantize at 1e-6 (floor(x·1e6 + 0.5) — a float32
+  embedding has ~7 significant digits, so the quantization is below
+  coordinate noise);
+* moment accumulators are decimal(38,0) in Spark (wide_sum) mirroring
+  DuckDB's HUGEINT widening — squared-moment sums overflow int64 at
+  scale (determinism.py module note); outputs are cast back to BIGINT
+  (safe: the *sums* at graded scale are < 2^63, only the n·Σq² rank
+  comparison needs the wide type, and that stays internal);
+* q242 is one scan → posexplode → 64-group aggregate (map-side
+  combine collapses each partition to 64 rows before the exchange);
+  q243 never explodes at all — the 8×8 covariance grid is 36 paired
+  products computed as plain projection columns in the scan stage and
+  aggregated per label, then unpivoted with stack(). One scan, no
+  join, no shuffle wider than |labels|·36 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.functions.determinism import wide_sum
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+_Q = "CAST(floor(CAST({x} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+_N_DIMS_COV = 8  # q243: covariance over the leading 8 dims (36 pairs)
+
+
+@register(
+    "q242_dim_variance_rank",
+    oracle=f"""
+WITH coords AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         {_Q.format(x="unnest(embedding)")} AS q
+  FROM embeddings
+),
+moments AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS sum_q,
+         SUM(q * q) AS ssq
+  FROM coords GROUP BY dim
+)
+SELECT dim, n, sum_q, CAST(ssq AS BIGINT) AS sumsq_q,
+       CAST(row_number() OVER (
+         ORDER BY n * ssq - CAST(sum_q AS HUGEINT) * sum_q DESC, dim ASC)
+         AS BIGINT) AS var_rank
+FROM moments
+""",
+    tags=("embeddings", "statistics"),
+)
+def q242_dim_variance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding matrix: exact
+    integer moment sums (n, Σq, Σq²) per dimension and the dimensions
+    ranked by variance numerator n·Σq² − (Σq)² — every n is identical,
+    so the rank equals the variance rank without any division. The
+    rank comparison runs in wide integers (decimal(38,0) vs HUGEINT),
+    the emitted sums fit BIGINT at graded scales. One posexplode →
+    64-group aggregate; the ranking window sees 64 rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coords = e.select(
+        F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.expr(_Q.format(x="x")).alias("q"),
+    )
+    moments = coords.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+        wide_sum(F.col("q") * F.col("q")).alias("ssq"),
+    )
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("ssq")
+        - F.col("sum_q").cast("decimal(38,0)") * F.col("sum_q").cast("decimal(38,0)")
+    )
+    w = Window.orderBy(var_num.desc(), F.col("dim").asc())
+    return moments.select(
+        "dim",
+        "n",
+        "sum_q",
+        F.col("ssq").cast("long").alias("sumsq_q"),
+        F.row_number().over(w).cast("long").alias("var_rank"),
+    )
+
+
+def _cov_pairs() -> list[tuple[int, int]]:
+    return [
+        (i, j)
+        for i in range(1, _N_DIMS_COV + 1)
+        for j in range(1, _N_DIMS_COV + 1)
+        if i <= j
+    ]
+
+
+@register(
+    "q243_covariance_blocks",
+    oracle=f"""
+WITH q AS (
+  SELECT label,
+         {", ".join(_Q.format(x=f"embedding[{i}]") + f" AS q{i}" for i in range(1, _N_DIMS_COV + 1))}
+  FROM embeddings
+),
+agg AS (
+  SELECT label, COUNT(*) AS n,
+         {", ".join(f"CAST(SUM(q{i}) AS BIGINT) AS s{i}" for i in range(1, _N_DIMS_COV + 1))},
+         {", ".join(f"CAST(SUM(q{i} * q{j}) AS BIGINT) AS s{i}_{j}" for i, j in _cov_pairs())}
+  FROM q GROUP BY label
+)
+{" UNION ALL ".join(
+    f"SELECT label, n, {i} AS i, {j} AS j, s{i}_{j} AS s_ij, s{i} AS s_i, s{j} AS s_j FROM agg"
+    for i, j in _cov_pairs()
+)}
+""",
+    tags=("embeddings", "statistics", "covariance"),
+)
+def q243_covariance_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance block of the leading 8 embedding dimensions per
+    label: for every dim pair i ≤ j the exact integer sums (n, Σqᵢqⱼ,
+    Σqᵢ, Σqⱼ) from which cov = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ)/n² follows. The 36
+    paired products are plain projection columns inside the scan stage
+    (no explode, no self-join — the classic unpivoted-Gram trick), one
+    aggregate per label, then a stack() unpivot of the |labels|-row
+    result into the (label, i, j) grid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = _cov_pairs()
+    qcols = [
+        F.expr(_Q.format(x=f"element_at(embedding, {i})")).alias(f"q{i}")
+        for i in range(1, _N_DIMS_COV + 1)
+    ]
+    q = e.select("label", *qcols)
+    agg = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(1, _N_DIMS_COV + 1)],
+        *[
+            wide_sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("long").alias(f"s{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+    stack_args = ", ".join(
+        f"{i}, {j}, s{i}_{j}, s{i}, s{j}" for i, j in pairs
+    )
+    return agg.select(
+        "label",
+        "n",
+        F.expr(f"stack({len(pairs)}, {stack_args})").alias("i", "j", "s_ij", "s_i", "s_j"),
+    ).select("label", "n", "i", "j", "s_ij", "s_i", "s_j")

@@ -91,6 +91,8 @@ def _load_all() -> None:
     import cli_spark.operators.mining  # noqa: F401
     import cli_spark.operators.seasonal  # noqa: F401
     import cli_spark.operators.resampling  # noqa: F401
+    import cli_spark.operators.lexical  # noqa: F401
+    import cli_spark.operators.embed_stats  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
     import cli_spark.sources.hgt_queries  # noqa: F401
     import cli_spark.sources.multimodal  # noqa: F401
