@@ -378,3 +378,46 @@ def q214_streaming_enrichment_true(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _drain_memory_sink(spark, agg, "stream_enrich")
+
+
+@register(
+    "q246_streaming_sliding_true",
+    oracle=f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - i.i * (INTERVAL '15 minutes') AS ws,
+         value
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM expanded
+GROUP BY ws
+""",
+    tags=("streaming", "true_stream", "window"),
+)
+def q246_streaming_sliding_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming run of the SLIDING window aggregation
+    (1-hour windows every 15 minutes — q101's streaming sibling, the
+    same F.window expression under readStream): watermarked, drained
+    through the availableNow memory sink in complete mode. Every event
+    belongs to exactly 4 windows; the streaming state is one row per
+    open window, and the watermark (wider than the data span) never
+    drops a row, so the result must equal the ×4-expansion batch
+    oracle exactly."""
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return _drain_memory_sink(spark, agg, "stream_sliding")
