@@ -280,6 +280,14 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q203_temperature_sampling",
     "q207_langid_confusion",
     "q217_split_balance_audit",
+    # session-2 additions: graded-head candidates for round 7's window
+    "q246_streaming_sliding_true",
+    "q239_poisson_bootstrap",
+    "q238_weighted_systematic_sample",
+    "q245_interpurchase_quantiles",
+    "q244_pareto_revenue_curve",
+    "q237_autocorr_lags",
+    "q242_dim_variance_rank",
 )
 
 

@@ -525,3 +525,68 @@ def test_q229_single_user_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q229_session_paths")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_q235_ewma_single_window_single_shuffle(spark, sf_dir):
+    """q235's 8 lag taps must share ONE window spec over one user_id
+    exchange — 8 separate Window nodes (or sorts) would be the
+    regression."""
+    plan = plan_of(spark, sf_dir, "q235_ewma_dyadic")
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q238_systematic_sample_two_phase(spark, sf_dir):
+    """q238's global cumulative weight must use the two-phase bucket
+    shape: the only SinglePartition exchange feeds the 16-row offsets
+    window, the corpus-side running sum is bucket-partitioned, and
+    the offsets come back via broadcast."""
+    plan = plan_of(spark, sf_dir, "q238_weighted_systematic_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_q239_bootstrap_no_join_partial_agg(spark, sf_dir):
+    """q239's 32× replica expansion must collapse by partial
+    aggregation before the exchange (explode + two-phase hash agg),
+    with no join anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "q239_poisson_bootstrap")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q243_covariance_no_explode_no_join_one_shuffle(spark, sf_dir):
+    """q243's Gram block must come from projection columns inside the
+    scan stage: no per-coordinate explode of the embedding array
+    (stack() after the per-label agg is the only Generate, over
+    |labels| rows), no join, exactly one shuffle."""
+    plan = plan_of(spark, sf_dir, "q243_covariance_blocks")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the one Generate is the final stack() unpivot AFTER aggregation,
+    # so it must sit above the final HashAggregate in the plan text
+    gen = plan.index("Generate")
+    agg = plan.index("HashAggregate")
+    assert gen < agg, plan  # executed-plan text prints top-down
+
+
+def test_q244_pareto_dims_broadcast_windows_on_census(spark, sf_dir):
+    """q244: all three dimension joins broadcast (no fact shuffle for
+    dims), and no SinglePartition exchange — the cumulative windows
+    run region-partitioned over the banded census."""
+    plan = plan_of(spark, sf_dir, "q244_pareto_revenue_curve")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q245_quantiles_from_census_not_sort(spark, sf_dir):
+    """q245's quantiles must be located on the (segment, gap) census —
+    no global sort of the gaps and no single-partition exchange; the
+    per-customer lag partitions on o_custkey."""
+    plan = plan_of(spark, sf_dir, "q245_interpurchase_quantiles")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
