@@ -468,9 +468,13 @@ def q156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(iters: int, k: int) -> str:
+def _kmeans_ctes(iters: int, k: int) -> tuple[list[str], str]:
     """Unrolled Lloyd iterations as a CTE chain mirroring the Spark
-    loop below step for step (same quantized-integer arithmetic)."""
+    loop below step for step (same quantized-integer arithmetic).
+    Returns (cte_list, final_membership_name) where the final CTE
+    ``m{iters+1}`` holds (vec_id, cid, d2, rn) with rn=1 rows being
+    the final assignment — shared by q158 and the SemDeDup pass
+    (semdedup.py) so both oracles run the identical clustering."""
     ctes = [f"q AS ({_SQL_QDIMS})",
             f"c0 AS (SELECT vec_id AS cid, pos, qv AS cv FROM q WHERE vec_id < {k})"]
     prev = "c0"
@@ -496,10 +500,15 @@ def _kmeans_sql(iters: int, k: int) -> str:
     ctes.append(
         f"m{fin} AS (SELECT vec_id, cid, d2, row_number() OVER "
         f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a{fin})")
+    return ctes, f"m{fin}"
+
+
+def _kmeans_sql(iters: int, k: int) -> str:
+    ctes, members = _kmeans_ctes(iters, k)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT cid AS cluster_id, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS wcss
-FROM m{fin} WHERE rn = 1 GROUP BY cid
+FROM {members} WHERE rn = 1 GROUP BY cid
 """)
 
 
@@ -507,26 +516,10 @@ _KMEANS_K = 4
 _KMEANS_ITERS = 2
 
 
-@register(
-    "q158_kmeans_lloyd",
-    oracle=_kmeans_sql(_KMEANS_ITERS, _KMEANS_K),
-    tags=("training", "kmeans", "iterative"),
-)
-def q158_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means (k=4, 2 unrolled Lloyd iterations, seeds
-    = the k lowest vec_ids): cluster sizes and within-cluster sum of
-    squares — the clustering pass a data pipeline uses for topic
-    balancing / IVF coarse quantizers (q84 consumes exactly such
-    centroids).
-
-    Every step is exact-integer: quantized coordinates, integer
-    squared distances, argmin with (distance, cluster) tie-break, and
-    floor(mean+0.5) centroid updates — so 2 iterations land on
-    IDENTICAL centroids in both engines (no float drift across
-    rounds). Scale shape per iteration: one broadcast join of the
-    k×64-row centroid relation against the exploded dims, partial-agg
-    reduction to (vec, cluster) distances, and a k×64 re-aggregation;
-    vectors never shuffle."""
+def _kmeans_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment (vec_id, cid, d2) after _KMEANS_ITERS
+    deterministic iterations — the Spark mirror of _kmeans_ctes'
+    membership CTE, shared by q158 and semdedup.py's q247."""
 
     def assign(q: DataFrame, cent: DataFrame) -> DataFrame:
         d = (
@@ -556,7 +549,30 @@ def q158_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cv")
             )
         )
-    final = assign(q, cent)
+    return assign(q, cent).select("vec_id", "cid", "d2")
+
+
+@register(
+    "q158_kmeans_lloyd",
+    oracle=_kmeans_sql(_KMEANS_ITERS, _KMEANS_K),
+    tags=("training", "kmeans", "iterative"),
+)
+def q158_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=4, 2 unrolled Lloyd iterations, seeds
+    = the k lowest vec_ids): cluster sizes and within-cluster sum of
+    squares — the clustering pass a data pipeline uses for topic
+    balancing / IVF coarse quantizers (q84 consumes exactly such
+    centroids).
+
+    Every step is exact-integer: quantized coordinates, integer
+    squared distances, argmin with (distance, cluster) tie-break, and
+    floor(mean+0.5) centroid updates — so 2 iterations land on
+    IDENTICAL centroids in both engines (no float drift across
+    rounds). Scale shape per iteration: one broadcast join of the
+    k×64-row centroid relation against the exploded dims, partial-agg
+    reduction to (vec, cluster) distances, and a k×64 re-aggregation;
+    vectors never shuffle."""
+    final = _kmeans_membership(spark, sf_dir)
     return final.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("d2").cast("long").alias("wcss"),

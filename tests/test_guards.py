@@ -48,3 +48,11 @@ def test_q75_refuses_past_cap(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(pipeline, "Q75_MAX_VECS", 1)
     with pytest.raises(ValueError, match=r"q83_lsh_ann_buckets"):
         pipeline.q75_embedding_neardup_docs(spark, sf_dir)
+
+
+def test_q247_refuses_oversized_clusters(spark, sf_dir, monkeypatch):
+    import cli_spark.operators.semdedup as semdedup
+
+    monkeypatch.setattr(semdedup, "Q247_MAX_CLUSTER", 1)
+    with pytest.raises(ValueError, match=r"raise k"):
+        semdedup.q247_semdedup_prune(spark, sf_dir)

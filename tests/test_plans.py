@@ -590,3 +590,14 @@ def test_q245_quantiles_from_census_not_sort(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(o_custkey" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_q247_semdedup_pairs_are_cluster_equi_join(spark, sf_dir):
+    """q247's pair stage must be an equi-join on cluster id (the
+    SemDeDup pair-space bound) — no BroadcastNestedLoopJoin /
+    CartesianProduct anywhere, and no Python eval nodes (the dot
+    product runs in JVM higher-order functions)."""
+    plan = plan_of(spark, sf_dir, "q247_semdedup_prune")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
