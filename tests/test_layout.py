@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cli_spark.plans.registry import registry
 
 
@@ -68,3 +70,41 @@ def test_normalize_timestamps_bigint_rebuild_scoped_to_events(spark):
 
     ev = normalize_timestamps(df, table="events")
     assert dict(ev.dtypes)["ts"] == "timestamp"  # rebuilt for events
+
+
+def test_bucketed_smb_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Storage bucketing eliminates the join shuffle entirely: two
+    tables written bucketBy(4, key) + sortBy(key) join with NO
+    Exchange and NO explicit Sort on the probe path — the co-located,
+    co-sorted join a 100 TB star schema relies on (bucket the fact
+    table once, every subsequent join on that key is shuffle-free).
+    Broadcast is disabled to force the merge path; the assert is that
+    bucketing, not broadcast, removed the exchanges."""
+    from cli_spark.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (o.write.format("parquet").bucketBy(4, "o_custkey").sortBy("o_custkey")
+       .option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders"))
+    (c.write.format("parquet").bucketBy(4, "c_custkey").sortBy("c_custkey")
+       .option("path", str(tmp_path / "b_customer")).saveAsTable("b_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the plain (shuffled) join
+        n_bucketed = joined.count()
+        n_plain = o.join(c, F.col("o_custkey") == F.col("c_custkey")).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
