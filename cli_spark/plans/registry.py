@@ -95,6 +95,7 @@ def _load_all() -> None:
     import cli_spark.operators.embed_stats  # noqa: F401
     import cli_spark.operators.curves  # noqa: F401
     import cli_spark.operators.semdedup  # noqa: F401
+    import cli_spark.operators.attribution  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
     import cli_spark.sources.hgt_queries  # noqa: F401
     import cli_spark.sources.multimodal  # noqa: F401

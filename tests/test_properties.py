@@ -251,3 +251,25 @@ def test_temperature_shares_bounded_and_monotone(counts):
     order = sorted(range(len(counts)), key=lambda i: counts[i])
     for a, b in zip(order, order[1:]):
         assert shares[a] <= shares[b]
+
+
+@given(st.integers(min_value=1, max_value=40))
+@settings(max_examples=60, deadline=None)
+def test_position_attribution_credits_sum_to_unit(n):
+    """q248's U-shaped credit split: for any journey length n the
+    per-touch ppm credits sum to exactly 1,000,000 — the floor-divided
+    middle share plus its one-ppm remainder distribution loses
+    nothing."""
+    if n == 1:
+        credits = [1000000]
+    elif n == 2:
+        credits = [500000, 500000]
+    else:
+        base, rem = divmod(200000, n - 2)
+        credits = (
+            [400000]
+            + [base + (1 if j <= rem else 0) for j in range(1, n - 1)]
+            + [400000]
+        )
+    assert len(credits) == n
+    assert sum(credits) == 1000000
