@@ -290,6 +290,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q244_pareto_revenue_curve",
     "q237_autocorr_lags",
     "q242_dim_variance_rank",
+    "q247_semdedup_prune",
+    "q248_position_attribution",
+    "q249_kcore_2core",
 )
 
 

@@ -308,3 +308,87 @@ def q123_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return d.mapInPandas(_resize, schema).orderBy("doc_id")
+
+
+@register(
+    "q250_audio_wav_stats",
+    # The oracle recomputes every decoded statistic from the same
+    # construction: sample count from md5 byte 3 (200 + db[3]·7 —
+    # never a multiple of 16, so the cyclic remainder is always
+    # exercised), file size from the canonical RIFF layout (44 + n),
+    # sample sum/sum-of-squares from full 16-byte digest cycles plus
+    # the prefix remainder, and the order-sensitive first/last
+    # samples from their stream positions. A decoder that misread the
+    # chunk walk, data offset, or sample width would fail the size,
+    # first/last, or moment columns.
+    oracle=f"""
+WITH b AS ({_SQL_DIGEST_BYTES}),
+n AS (SELECT doc_id, db, 200 + db[3] * 7 AS n FROM b)
+SELECT doc_id,
+       44 + n AS wav_bytes,
+       n AS n_samples,
+       8000 AS sample_rate,
+       n // 8 AS duration_ms,
+       CAST((n // 16) * list_sum(db)
+            + COALESCE(list_sum(db[1 : n % 16]), 0) AS BIGINT) AS sum_s,
+       CAST((n // 16) * list_sum(list_transform(db, x -> x * x))
+            + COALESCE(list_sum(list_transform(db[1 : n % 16], x -> x * x)), 0)
+            AS BIGINT) AS sumsq_s,
+       db[1] AS s_first,
+       db[(n - 1) % 16 + 1] AS s_last,
+       list_max(db) AS peak,
+       list_min(db) AS trough
+FROM n
+""",
+    tags=("multimodal", "wav", "pandas_udf"),
+)
+def q250_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurization over binary WAV columns via mapInPandas:
+    each document's payload becomes a REAL RIFF/WAVE PCM file
+    (synthesized 8-bit mono samples from its md5 digest — the testdata
+    ships no audio files) which `decode_wav` then actually parses:
+    RIFF magic + size check, chunk walk, fmt profile validation, PCM
+    sample recovery. Every emitted statistic (loudness moments, peak/
+    trough, order-sensitive first/last sample, container size) comes
+    from the DECODED samples, so a parser bug surfaces as an oracle
+    mismatch. Same production shape as q121: Arrow-batched,
+    per-partition, swap the synthesis for `binaryFile` bytes and this
+    is a distributed audio feature extractor."""
+    from cli_spark.sources.wav import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    schema = (
+        "doc_id long, wav_bytes int, n_samples int, sample_rate int, "
+        "duration_ms int, sum_s long, sumsq_s long, s_first int, "
+        "s_last int, peak int, trough int"
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("doc_id", "wav_bytes", "n_samples", "sample_rate",
+                     "duration_ms", "sum_s", "sumsq_s", "s_first", "s_last",
+                     "peak", "trough")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                digest = hashlib.md5(bytes(blob)).digest()
+                n = 200 + digest[2] * 7
+                stream = (digest * ((n + 15) // 16))[:n]
+                wav = encode_wav(np.frombuffer(stream, dtype=np.uint8), 8000)
+                samples, rate = decode_wav(wav)  # the real parse
+                s64 = samples.astype(np.int64)
+                recs["doc_id"].append(doc_id)
+                recs["wav_bytes"].append(len(wav))
+                recs["n_samples"].append(len(samples))
+                recs["sample_rate"].append(rate)
+                recs["duration_ms"].append(len(samples) * 1000 // rate)
+                recs["sum_s"].append(int(s64.sum()))
+                recs["sumsq_s"].append(int((s64 * s64).sum()))
+                recs["s_first"].append(int(samples[0]))
+                recs["s_last"].append(int(samples[-1]))
+                recs["peak"].append(int(samples.max()))
+                recs["trough"].append(int(samples.min()))
+            yield pd.DataFrame(recs)
+
+    return d.mapInPandas(_featurize, schema).orderBy("doc_id")
