@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
@@ -161,5 +162,155 @@ def q241_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ttr_ppm",
             F.expr("_types * 1000000 div _tokens").alias("pooled_ttr_ppm"),
             "low_diversity_docs",
+        )
+    )
+
+
+# q251: fixed-width token windows ("segments") — synthetic docs carry
+# no sentence punctuation, so segmentation is positional. Marker sets
+# mirror text._LANG_MARKERS (q95) so the per-segment classifier is the
+# same heuristic applied at sub-document granularity.
+_SEG_TOKENS = 20
+_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "und", "das"),
+}
+
+
+def _sql_marker_count(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return f"CAST(SUM(CASE WHEN term IN ({lst}) THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+@register(
+    "q251_codeswitch_segments",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         (generate_subscripts(string_split(lower(text), ' '), 1) - 1)
+           // {_SEG_TOKENS} AS seg,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+seg_scores AS (
+  SELECT doc_id, lang, seg,
+         {_sql_marker_count("en")} AS s_en,
+         {_sql_marker_count("fr")} AS s_fr,
+         {_sql_marker_count("es")} AS s_es,
+         {_sql_marker_count("de")} AS s_de
+  FROM toks GROUP BY doc_id, lang, seg
+),
+pred AS (
+  SELECT doc_id, lang, seg,
+         CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+              WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+              WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+              WHEN s_es >= s_de THEN 'es'
+              ELSE 'de' END AS p
+  FROM seg_scores
+),
+switches AS (
+  SELECT doc_id, lang, p, seg,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY seg ASC)
+                   IS DISTINCT FROM p
+              AND lag(p) OVER (PARTITION BY doc_id ORDER BY seg ASC)
+                   IS NOT NULL
+              THEN 1 ELSE 0 END AS sw
+  FROM pred
+),
+dom AS (
+  SELECT doc_id, p AS dominant_lang, COUNT(*) AS cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY COUNT(*) DESC, p ASC) AS rn
+  FROM pred GROUP BY doc_id, p
+)
+SELECT s.doc_id, s.lang AS actual_lang,
+       COUNT(*) AS n_segments,
+       CAST(SUM(s.sw) AS BIGINT) AS n_switches,
+       MAX(d.dominant_lang) AS dominant_lang,
+       CAST(MAX(d.cnt) * 1000000 // COUNT(*) AS BIGINT) AS dominant_seg_ppm
+FROM switches s
+JOIN (SELECT doc_id, dominant_lang, cnt FROM dom WHERE rn = 1) d
+  ON d.doc_id = s.doc_id
+GROUP BY s.doc_id, s.lang
+""",
+    tags=("text", "langid", "codeswitch"),
+)
+def q251_codeswitch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection: the q95 marker-word language-ID
+    applied per 20-token segment, rolled up per document — segment
+    count, language switches between adjacent segments, and the
+    dominant segment language with its share. Multilingual corpora
+    need this BELOW document granularity: a doc-level lang label
+    hides embedded runs of another language (the mC4/ROOTS cleaning
+    step). One explode pass → (doc, seg) aggregate (map-side combine
+    collapses tokens locally), then doc-partitioned windows over the
+    tiny segment relation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term"),
+    ).select(
+        "doc_id", "lang", F.expr(f"pos div {_SEG_TOKENS}").alias("seg"), "term"
+    )
+    score = lambda lang: F.sum(
+        F.when(F.col("term").isin(*_MARKERS[lang]), 1).otherwise(0)
+    ).alias(f"s_{lang}")
+    seg_scores = toks.groupBy("doc_id", "lang", "seg").agg(
+        score("en"), score("fr"), score("es"), score("de")
+    )
+    pred = seg_scores.select(
+        "doc_id",
+        "lang",
+        "seg",
+        F.when(F.greatest("s_en", "s_fr", "s_es", "s_de") == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_fr", "s_es", "s_de"), "en")
+        .when(F.col("s_fr") >= F.greatest("s_es", "s_de"), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("p"),
+    )
+    w_seg = Window.partitionBy("doc_id").orderBy(F.col("seg").asc())
+    lagged = F.lag("p").over(w_seg)
+    switches = pred.select(
+        "doc_id",
+        "lang",
+        "p",
+        "seg",
+        F.when(lagged.isNotNull() & ~lagged.eqNullSafe(F.col("p")), 1)
+        .otherwise(0)
+        .alias("sw"),
+    )
+    dom = (
+        pred.groupBy("doc_id", "p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("p").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p").alias("dominant_lang"), "cnt")
+    )
+    return (
+        switches.join(dom, "doc_id")
+        .groupBy("doc_id", F.col("lang").alias("actual_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("sw").alias("n_switches"),
+            F.max("dominant_lang").alias("dominant_lang"),
+            F.max("cnt").alias("_cnt"),
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "n_segments",
+            "n_switches",
+            "dominant_lang",
+            F.expr("_cnt * 1000000 div n_segments").alias("dominant_seg_ppm"),
         )
     )
