@@ -62,6 +62,8 @@ REPORTED_QUERIES = [
     "q181_triangle_census",            # oriented wedge-closure join
     "q201_exact_substring_scrub",      # span census + island merge (round 6)
     "q208_minhash_incremental",        # LSH posting-list probe (round 6)
+    "q247_semdedup_prune",             # k-means-bounded cosine dedup (round 6)
+    "q249_kcore_2core",                # iterative degree peeling (round 6)
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

@@ -601,3 +601,29 @@ def test_q247_semdedup_pairs_are_cluster_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The engine exposes all three equi-join physical strategies via
+    hints — the knob a 100 TB deployment turns when the optimizer's
+    default is wrong for a specific join (e.g. forcing shuffle-hash
+    for a skew-free big-big join to skip both sorts, or merge when
+    the build side would not fit executor memory)."""
+    from pyspark.sql import functions as F
+
+    from cli_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cond = o.o_custkey == c.c_custkey
+        shj = o.join(c.hint("shuffle_hash"), cond)
+        assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+        smj = o.join(c.hint("merge"), cond)
+        assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+        bhj = o.join(F.broadcast(c), cond)
+        assert "BroadcastHashJoin" in bhj._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
