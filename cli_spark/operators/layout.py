@@ -22,6 +22,7 @@ Both are 100-TB techniques whose *math* must be exact and portable:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
@@ -239,4 +240,141 @@ def q115_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("bloom_pass") & F.col("is_member"), 1).otherwise(0))
         .cast("long")
         .alias("false_negatives"),
+    )
+
+
+# q252: the two physical layouts compared — 64 date-sorted "files"
+# (buckets cut at row-count quantile boundaries of the sort column,
+# derived from a day census, NOT from a global ntile window) vs 64
+# hash-scattered files; and the scan predicate a reader would push.
+_N_FILES = 64
+_SQL_DAY = "epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000"
+_SQL_D1 = "epoch_us(TIMESTAMP '1995-03-01') // 86400000000"
+_SQL_D2 = "epoch_us(TIMESTAMP '1995-05-31') // 86400000000"
+
+
+@register(
+    "q252_zonemap_skipping",
+    oracle=f"""
+WITH days AS (
+  SELECT {_SQL_DAY} AS day, COUNT(*) AS c FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT day, c,
+         SUM(c) OVER (ORDER BY day ASC) - c AS cum_before,
+         SUM(c) OVER () AS total
+  FROM days
+),
+sorted_zone AS (
+  SELECT CAST(cum_before * {_N_FILES} // total AS BIGINT) AS file_id,
+         MIN(day) AS min_day, MAX(day) AS max_day,
+         CAST(SUM(c) AS BIGINT) AS n_rows
+  FROM cum GROUP BY 1
+),
+hash_zone AS (
+  SELECT (instr('0123456789abcdef',
+            substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                       CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) * 4
+         + instr('0123456789abcdef',
+             substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                        CAST(l_linenumber AS VARCHAR)), 2, 1)) - 1 AS file_id,
+         MIN({_SQL_DAY}) AS min_day, MAX({_SQL_DAY}) AS max_day,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+tagged AS (
+  SELECT 'shipdate_sorted' AS layout, file_id, n_rows,
+         CASE WHEN max_day < {_SQL_D1} OR min_day > {_SQL_D2} THEN 1 ELSE 0 END AS skip
+  FROM sorted_zone
+  UNION ALL
+  SELECT 'hash_scattered', file_id, n_rows,
+         CASE WHEN max_day < {_SQL_D1} OR min_day > {_SQL_D2} THEN 1 ELSE 0 END
+  FROM hash_zone
+)
+SELECT layout,
+       COUNT(*) AS n_files,
+       CAST(SUM(skip) AS BIGINT) AS files_skipped,
+       CAST(SUM(CASE WHEN skip = 1 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN skip = 1 THEN n_rows ELSE 0 END) * 1000000
+            // SUM(n_rows) AS BIGINT) AS skip_ppm
+FROM tagged
+GROUP BY layout
+""",
+    tags=("layout", "zonemap", "pruning"),
+)
+def q252_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping audit: cut lineitem into 64 'files'
+    under two layouts — shipdate-SORTED (file boundaries at row-count
+    quantiles of the sort column, derived from a day census with one
+    tiny cumulative window, never a global ntile over the facts) and
+    HASH-scattered — compute each file's (min, max) shipdate zone map,
+    and count how many files a 3-month predicate can skip. The sorted
+    layout skips ~95% of rows, the hash layout ~0 — the measured
+    argument for sort-ordered writes (q113's z-order is the 2-D
+    variant) that row-group pruning at 100 TB rests on. The hash-side
+    zone maps are one hash aggregation; map-side combine reduces each
+    scan partition to ≤64 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").alias("day"),
+    )
+    d1 = F.expr("unix_micros(TIMESTAMP '1995-03-01') div 86400000000")
+    d2 = F.expr("unix_micros(TIMESTAMP '1995-05-31') div 86400000000")
+
+    days = li.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = days.select(
+        "day",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    sorted_zone = (
+        cum.select(
+            F.expr(f"cum_before * {_N_FILES} div total").alias("file_id"), "day", "c"
+        )
+        .groupBy("file_id")
+        .agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"),
+             F.sum("c").alias("n_rows"))
+    )
+    hash_key = (
+        "CAST(l_orderkey AS STRING) || ':' || CAST(l_linenumber AS STRING)"
+    )
+    hash_zone = (
+        li.select(
+            F.expr(
+                f"(instr('0123456789abcdef', substr(md5({hash_key}), 1, 1)) - 1) * 4"
+                f" + instr('0123456789abcdef', substr(md5({hash_key}), 2, 1)) - 1"
+            ).alias("file_id"),
+            "day",
+        )
+        .groupBy("file_id")
+        .agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+    skip = lambda df: F.when((F.col("max_day") < d1) | (F.col("min_day") > d2), 1).otherwise(0)
+    tagged = (
+        sorted_zone.select(F.lit("shipdate_sorted").alias("layout"), "n_rows",
+                           skip(sorted_zone).alias("skip"))
+        .unionByName(
+            hash_zone.select(F.lit("hash_scattered").alias("layout"), "n_rows",
+                             skip(hash_zone).alias("skip"))
+        )
+    )
+    return tagged.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("skip").alias("files_skipped"),
+        F.sum(F.when(F.col("skip") == 1, F.col("n_rows")).otherwise(0)).alias("rows_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+    ).select(
+        "layout",
+        "n_files",
+        "files_skipped",
+        "rows_skipped",
+        "rows_total",
+        F.expr("rows_skipped * 1000000 div rows_total").alias("skip_ppm"),
     )
