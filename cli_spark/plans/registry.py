@@ -293,6 +293,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q247_semdedup_prune",
     "q248_position_attribution",
     "q249_kcore_2core",
+    "q250_audio_wav_stats",
+    "q251_codeswitch_segments",
+    "q252_zonemap_skipping",
+    "q253_sorted_neighborhood_pairs",
 )
 
 
