@@ -378,3 +378,72 @@ def q228_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_of_total_ppm"),
         )
     )
+
+
+@register(
+    "q255_user_feature_vector",
+    oracle="""
+WITH ref AS (
+  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us FROM events
+)
+SELECT e.user_id,
+       CAST((r.ref_us - MAX(epoch_us(CAST(e.ts AS TIMESTAMP)))) // 86400000000
+            AS BIGINT) AS days_since_last,
+       COUNT(*) AS n_events_all,
+       CAST(SUM(CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                          > r.ref_us - 7 * 86400000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_events_7d,
+       CAST(SUM(CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                          > r.ref_us - 30 * 86400000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_events_30d,
+       CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS purchase_ppm,
+       COUNT(DISTINCT e.event_type) AS n_types,
+       CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                     THEN CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS purchase_cents
+FROM events e CROSS JOIN ref r
+GROUP BY e.user_id, r.ref_us
+""",
+    tags=("analytics", "features", "ml"),
+)
+def q255_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature assembly as of the corpus watermark:
+    recency (days since last event), trailing 7-/30-day activity
+    counts, purchase propensity in ppm, type diversity, and lifetime
+    purchase cents — the feature-engineering pass a churn/LTV model
+    trains on, computed in ONE scan. The reference timestamp is a
+    1-row broadcast (cross join), every window is a conditional
+    aggregate rather than a time-window self-join, and all outputs
+    are exact integers. Shuffle: one exchange on user_id with
+    map-side partial aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("ref_us"))
+    t_us = F.unix_micros(F.col("ts"))
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    is_p = F.col("event_type") == "purchase"
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id", "ref_us")
+        .agg(
+            F.max(t_us).alias("_last_us"),
+            F.count(F.lit(1)).alias("n_events_all"),
+            F.sum(F.when(t_us > F.col("ref_us") - 7 * 86400000000, 1).otherwise(0))
+            .alias("n_events_7d"),
+            F.sum(F.when(t_us > F.col("ref_us") - 30 * 86400000000, 1).otherwise(0))
+            .alias("n_events_30d"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias("_n_purch"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.when(is_p, cents).otherwise(0)).alias("purchase_cents"),
+        )
+        .select(
+            "user_id",
+            F.expr("(ref_us - _last_us) div 86400000000").alias("days_since_last"),
+            "n_events_all",
+            "n_events_7d",
+            "n_events_30d",
+            F.expr("_n_purch * 1000000 div n_events_all").alias("purchase_ppm"),
+            "n_types",
+            "purchase_cents",
+        )
+    )

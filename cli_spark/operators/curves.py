@@ -210,3 +210,79 @@ def q245_interpurchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
         ).alias("p90_days"),
     )
+
+
+@register(
+    "q254_weighted_median_price",
+    oracle="""
+WITH census AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, cents, w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY cents ASC) AS cum,
+         SUM(w) OVER (PARTITION BY grp ORDER BY cents ASC) - w AS cum_before,
+         SUM(w) OVER (PARTITION BY grp) AS n
+  FROM census
+)
+SELECT grp,
+       CAST(MAX(n) AS BIGINT) AS total_weight,
+       COUNT(*) AS n_price_points,
+       CAST(SUM(CASE WHEN cum_before < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                     THEN cents ELSE 0 END) AS BIGINT) AS wmedian_lo_cents,
+       CAST(SUM(CASE WHEN cum_before < (n + 2) // 2 AND (n + 2) // 2 <= cum
+                     THEN cents ELSE 0 END) AS BIGINT) AS wmedian_hi_cents,
+       CAST(SUM(CASE WHEN cum_before < (n + 9) // 10 AND (n + 9) // 10 <= cum
+                     THEN cents ELSE 0 END) AS BIGINT) AS wp10_cents,
+       CAST(SUM(CASE WHEN cum_before < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum
+                     THEN cents ELSE 0 END) AS BIGINT) AS wp90_cents
+FROM cum
+GROUP BY grp
+""",
+    tags=("analytics", "quantiles", "weighted"),
+)
+def q254_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted price quantiles per return flag: the weighted
+    median / p10 / p90 located on a (group, price) census where each
+    price point carries its total quantity as weight — 'the median
+    dollar of volume', not the median line item. Same scale shape as
+    q245: reduce to a census, locate ranks by cumulative weights,
+    integer-exact element picks (lo/hi median bracket the even-total
+    case). No global sort, no per-row window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    census = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("grp", "cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("cents").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = census.select(
+        "grp",
+        "cents",
+        "w",
+        F.sum("w").over(w_cum).alias("cum"),
+        (F.sum("w").over(w_cum) - F.col("w")).alias("cum_before"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("n"),
+    )
+    pick_at = lambda r: F.sum(
+        F.when((F.col("cum_before") < r) & (r <= F.col("cum")), F.col("cents")).otherwise(0)
+    )
+    return cum.groupBy("grp").agg(
+        F.max("n").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_price_points"),
+        pick_at(F.expr("(n + 1) div 2")).alias("wmedian_lo_cents"),
+        pick_at(F.expr("(n + 2) div 2")).alias("wmedian_hi_cents"),
+        pick_at(F.expr("(n + 9) div 10")).alias("wp10_cents"),
+        pick_at(F.expr("(9 * n + 9) div 10")).alias("wp90_cents"),
+    )
