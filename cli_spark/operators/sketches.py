@@ -326,3 +326,95 @@ def q191_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_either"),
         )
     )
+
+
+def _sql_key_sketch(rel: str, key: str) -> str:
+    """Per-key-count CMS rows for one join side (d=4 × w=256)."""
+    return f"""(
+  WITH kc AS (SELECT {key} AS k, COUNT(*) AS n FROM {rel} GROUP BY 1)
+  {' UNION ALL '.join(
+      f"SELECT {i} AS i, {_bucket_sql(i, 'CAST(k AS VARCHAR)', 'duck')} AS bucket,"
+      f" CAST(SUM(n) AS BIGINT) AS bucket_n FROM kc GROUP BY 1, 2"
+      for i in range(_D)
+  )}
+)"""
+
+
+@register(
+    "q256_join_size_estimate",
+    oracle=f"""
+WITH se AS (SELECT * FROM {_sql_key_sketch("events", "user_id")} s),
+sc AS (SELECT * FROM {_sql_key_sketch("customer", "c_custkey")} s),
+per_row AS (
+  SELECT se.i, CAST(SUM(se.bucket_n * sc.bucket_n) AS BIGINT) AS est
+  FROM se JOIN sc ON se.i = sc.i AND se.bucket = sc.bucket
+  GROUP BY se.i
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_size
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT x.exact_size,
+       CAST(MIN(p.est) AS BIGINT) AS cms_est,
+       CAST((MIN(p.est) - x.exact_size) * 1000000 // x.exact_size AS BIGINT)
+         AS overest_ppm
+FROM per_row p CROSS JOIN exact x
+GROUP BY x.exact_size
+""",
+    tags=("sketch", "cms", "optimizer"),
+)
+def q256_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min inner products
+    (Cormode & Muthukrishnan 2005 §4.2: |A ⋈ B| ≈ min_i Σ_b
+    cms_A[i][b]·cms_B[i][b], one-sided over-estimate) — the sketch
+    statistic a cost-based optimizer consults before choosing a join
+    strategy, audited against the true join size. Each side reduces
+    to per-key counts (map-side combinable), sketches are ≤ d·w = 1024
+    rows each, the inner product is a join of two TINY relations, and
+    the exact size (the audit) is the only full join. At 100 TB the
+    sketches are a metadata artifact: estimating a join costs no
+    shuffle of either fact table."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+
+    def key_sketch(df: DataFrame, key: str) -> DataFrame:
+        kc = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        pairs = kc.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.expr(_bucket_sql(i, "k", "spark")).alias("bucket"),
+                        )
+                        for i in range(_D)
+                    ]
+                )
+            ).alias("rb"),
+        ).select("rb.i", "rb.bucket", "n")
+        return pairs.groupBy("i", "bucket").agg(F.sum("n").cast("long").alias("bucket_n"))
+
+    se = key_sketch(e, "user_id")
+    sc = key_sketch(c, "c_custkey")
+    per_row = (
+        se.alias("a")
+        .join(F.broadcast(sc.alias("b")), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("a.bucket_n") * F.col("b.bucket_n")).cast("long").alias("est"))
+    )
+    exact = e.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("user_id"))), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_size"))
+    return (
+        per_row.crossJoin(F.broadcast(exact))
+        .groupBy("exact_size")
+        .agg(F.min("est").cast("long").alias("cms_est"))
+        .select(
+            "exact_size",
+            "cms_est",
+            F.expr("(cms_est - exact_size) * 1000000 div exact_size").alias("overest_ppm"),
+        )
+    )
