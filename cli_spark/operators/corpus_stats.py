@@ -587,3 +587,88 @@ def q223_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_terms",
         F.sum("new_terms").over(cum_w).cast("long").alias("cum_vocab"),
     )
+
+
+@register(
+    "q257_source_overlap_matrix",
+    oracle="""
+WITH sh AS (
+  SELECT source,
+         CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+              generate_series(1, len(w)-2),
+              i -> list_extract(w,i) || ' ' || list_extract(w,i+1) || ' ' ||
+                   list_extract(w,i+2)))
+              ELSE []::VARCHAR[] END AS shingles
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+),
+ss AS (SELECT DISTINCT source, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       sa.n AS n_a, sb.n AS n_b, i.n_common,
+       CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+    tags=("corpus", "similarity", "dedup"),
+)
+def q257_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: 3-gram-shingle Jaccard between
+    every pair of sources — the crawl-dedup triage report ("which
+    feeds mirror each other?") that decides source-level dedup order
+    before any per-document work. Each source reduces to its DISTINCT
+    shingle set first (two-level agg, map-side combined); the pair
+    census is an equi-join ON SHINGLE, so fan-out per shingle is
+    bounded by the number of sources carrying it (≤ |sources|²
+    per shingle, never a doc-pair explosion), and the |sources|²-row
+    matrix joins back against broadcast set sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ss = (
+        d.select("source", F.explode(sh).alias("s"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "s")
+    b = ss.select(F.col("source").alias("source_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)").alias("jaccard_ppm"),
+        )
+    )
