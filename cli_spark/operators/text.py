@@ -503,3 +503,87 @@ def q225_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms.join(postings, "term").select(
         "term", "doc_freq", "posting_head", "posting_checksum"
     )
+
+
+@register(
+    "q258_vocab_coverage",
+    oracle="""
+WITH w AS (
+  SELECT lang,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+  FROM documents
+),
+pairs AS (
+  SELECT lang, substr(word, s.i, 2) AS pair
+  FROM w, unnest(generate_series(1, length(word) - 1)) AS s(i)
+  WHERE length(word) >= 2
+),
+by_lang AS (
+  SELECT lang, pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY lang, pair
+),
+vocab AS (
+  SELECT pair FROM (
+    SELECT pair, SUM(n) AS tot FROM by_lang GROUP BY pair
+    ORDER BY tot DESC, pair ASC LIMIT 30
+  )
+)
+SELECT b.lang,
+       CAST(SUM(b.n) AS BIGINT) AS total_pairs,
+       CAST(SUM(CASE WHEN v.pair IS NOT NULL THEN b.n ELSE 0 END) AS BIGINT)
+         AS covered_pairs,
+       CAST(SUM(CASE WHEN v.pair IS NOT NULL THEN b.n ELSE 0 END) * 1000000
+            // SUM(b.n) AS BIGINT) AS coverage_ppm
+FROM by_lang b LEFT JOIN vocab v ON v.pair = b.pair
+GROUP BY b.lang
+""",
+    tags=("text", "tokenizer", "coverage"),
+)
+def q258_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: what share of each
+    language's adjacent-pair occurrences the global top-30 BPE merge
+    vocabulary (q206's census head) covers — the per-language fairness
+    check run after every tokenizer training round (a vocab trained on
+    the majority language under-covers the rest; this query measures
+    exactly that, in ppm). The pair stream collapses per (lang, pair)
+    map-side; the global vocab is a TakeOrdered over the pair table
+    and broadcasts back onto the per-lang census — the facts are
+    touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("word"),
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    by_lang = pairs.groupBy("lang", "pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = (
+        by_lang.groupBy("pair")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("pair").asc())
+        .limit(30)
+        .select("pair", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        by_lang.join(F.broadcast(vocab), "pair", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("total_pairs"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), F.col("n")).otherwise(0))
+            .alias("covered_pairs"),
+        )
+        .select(
+            "lang",
+            "total_pairs",
+            "covered_pairs",
+            F.expr("covered_pairs * 1000000 div total_pairs").alias("coverage_ppm"),
+        )
+    )
