@@ -297,6 +297,11 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q251_codeswitch_segments",
     "q252_zonemap_skipping",
     "q253_sorted_neighborhood_pairs",
+    "q254_weighted_median_price",
+    "q255_user_feature_vector",
+    "q256_join_size_estimate",
+    "q257_source_overlap_matrix",
+    "q258_vocab_coverage",
 )
 
 
