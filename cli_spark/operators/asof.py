@@ -112,3 +112,85 @@ def q60_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("asof_ts")).alias("asof_ts"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "q259_nearest_event_join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe,
+         CASE WHEN event_type = 'error' THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+           AS err_us
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+),
+scanned AS (
+  SELECT user_id, event_id, t_us, is_probe,
+         last_value(err_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+         first_value(err_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+  FROM tagged
+)
+SELECT event_id, user_id,
+       t_us - back_us AS back_gap_us,
+       fwd_us - t_us AS fwd_gap_us,
+       CASE
+         WHEN back_us IS NULL AND fwd_us IS NULL THEN 'none'
+         WHEN fwd_us IS NULL THEN 'backward'
+         WHEN back_us IS NULL THEN 'forward'
+         WHEN t_us - back_us <= fwd_us - t_us THEN 'backward'
+         ELSE 'forward' END AS nearest
+FROM scanned
+WHERE is_probe = 1
+""",
+    tags=("asof", "window", "join"),
+)
+def q259_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-event join: for every purchase, the gap
+    to the closest 'error' event before AND after it in the same
+    user's stream, plus which side wins (ties → backward — q60's
+    as-of convention). The whole join is ONE ordered window pass over
+    the merged, pre-filtered stream (IGNORE NULLS carry-forward for
+    the backward side, the mirrored forward frame for the other) —
+    no self-join, no range join, one shuffle on user_id. An error
+    event at the exact probe timestamp counts as backward with gap 0
+    (it sorts before the probe only by event_id; the frame includes
+    CURRENT ROW, matching the oracle exactly)."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_probe"),
+        F.when(F.col("event_type") == "error", F.unix_micros(F.col("ts"))).alias("err_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    scanned = tagged.select(
+        "user_id",
+        "event_id",
+        "t_us",
+        "is_probe",
+        F.last("err_us", ignorenulls=True).over(w_back).alias("back_us"),
+        F.first("err_us", ignorenulls=True).over(w_fwd).alias("fwd_us"),
+    )
+    back_gap = F.col("t_us") - F.col("back_us")
+    fwd_gap = F.col("fwd_us") - F.col("t_us")
+    return scanned.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        back_gap.alias("back_gap_us"),
+        fwd_gap.alias("fwd_gap_us"),
+        F.when(F.col("back_us").isNull() & F.col("fwd_us").isNull(), "none")
+        .when(F.col("fwd_us").isNull(), "backward")
+        .when(F.col("back_us").isNull(), "forward")
+        .when(back_gap <= fwd_gap, "backward")
+        .otherwise("forward")
+        .alias("nearest"),
+    )

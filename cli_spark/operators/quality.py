@@ -337,3 +337,98 @@ def q227_malformed_json_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("has_k"), 1).otherwise(0)).cast("long").alias("n_with_k"),
         F.sum("k_val").cast("long").alias("k_sum"),
     )
+
+
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@register(
+    "q260_decile_lift_table",
+    oracle="""
+WITH labeled AS (
+  SELECT doc_id,
+         CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '),
+                x -> list_contains(['a','the','of','to','and','in','is','on'], x)))
+                * 1000000 AS DOUBLE)
+              / len(list_filter(string_split(lower(text), ' '), x -> x != '')))
+           AS BIGINT) AS score_ppm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+census AS (
+  SELECT score_ppm, COUNT(*) AS c, CAST(SUM(pos) AS BIGINT) AS p
+  FROM labeled GROUP BY score_ppm
+),
+cum AS (
+  SELECT score_ppm, c, p,
+         SUM(c) OVER (ORDER BY score_ppm ASC) - c AS cum_before,
+         SUM(c) OVER () AS total,
+         SUM(p) OVER () AS total_pos
+  FROM census
+)
+SELECT CAST(cum_before * 10 // total AS BIGINT) AS decile,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(p) * 1000000 // SUM(c) AS BIGINT) AS pos_rate_ppm,
+       CASE WHEN MAX(total_pos) = 0 THEN NULL
+            ELSE CAST(SUM(p) * MAX(total) * 1000000
+                      // (SUM(c) * MAX(total_pos)) AS BIGINT) END AS lift_ppm
+FROM cum
+GROUP BY 1
+""",
+    tags=("quality", "ml-eval", "lift"),
+)
+def q260_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard model-evaluation gains chart,
+    here scoring docs by English-stopword density as a predictor of
+    the lang='en' label: per score decile the positive rate and its
+    lift over the base rate, all integer ppm (NULL lift if the corpus
+    has no positives — pinned identically in both engines). Deciles
+    are cut on the SCORE CENSUS by cumulative count (ties share a
+    decile — deterministic, unlike ntile's arbitrary tie splits, and
+    the window runs over |distinct scores| rows, not documents). The
+    facts see one projection and one census shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    stop = F.filter(
+        F.split(F.lower("text"), " "),
+        lambda x: x.isin("a", "the", "of", "to", "and", "in", "is", "on"),
+    )
+    labeled = d.select(
+        F.floor(
+            (F.size(stop) * F.lit(1000000)).cast("double") / F.size(words)
+        ).cast("long").alias("score_ppm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    census = labeled.groupBy("score_ppm").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    w_cum = Window.orderBy(F.col("score_ppm").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = census.select(
+        "score_ppm",
+        "c",
+        "p",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(w_all).alias("total"),
+        F.sum("p").over(w_all).alias("total_pos"),
+    )
+    return (
+        cum.groupBy(F.expr("cum_before * 10 div total").alias("decile"))
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum("p").alias("n_pos"),
+            F.max("total").alias("_t"),
+            F.max("total_pos").alias("_tp"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_docs").alias("pos_rate_ppm"),
+            F.expr("CASE WHEN _tp = 0 THEN NULL "
+                   "ELSE n_pos * _t * 1000000 div (n_docs * _tp) END").alias("lift_ppm"),
+        )
+    )

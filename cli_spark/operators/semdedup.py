@@ -152,13 +152,15 @@ def q247_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_ppm") >= _TAU_PPM)
     )
     sizes = mem.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    pairs = dup.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-    dropped = dup.select("cid", "vb").distinct().groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_dropped")
+    # ONE aggregation over the pair relation for both censuses — dup's
+    # lineage is the quadratic pair join, so a second consumer would
+    # execute it twice (countDistinct(vb) ≡ the distinct-dropped count)
+    stats = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("vb").alias("n_dropped"),
     )
     return (
-        sizes.join(pairs, "cid", "left")
-        .join(dropped, "cid", "left")
+        sizes.join(stats, "cid", "left")
         .select(
             F.col("cid").alias("cluster_id"),
             "n_members",

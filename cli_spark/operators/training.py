@@ -519,7 +519,12 @@ _KMEANS_ITERS = 2
 def _kmeans_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final Lloyd assignment (vec_id, cid, d2) after _KMEANS_ITERS
     deterministic iterations — the Spark mirror of _kmeans_ctes'
-    membership CTE, shared by q158 and semdedup.py's q247."""
+    membership CTE, shared by q158 and semdedup.py's q247. The result
+    is localCheckpoint()ed: the assignment's lineage is the whole
+    unrolled Lloyd loop, and q247 consumes it on BOTH sides of its
+    pair join plus twice more for censuses — without truncation every
+    consumer re-executes the clustering (measured 5× recompute at
+    sf1 before the checkpoint was added)."""
 
     def assign(q: DataFrame, cent: DataFrame) -> DataFrame:
         d = (
@@ -549,7 +554,7 @@ def _kmeans_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cv")
             )
         )
-    return assign(q, cent).select("vec_id", "cid", "d2")
+    return assign(q, cent).select("vec_id", "cid", "d2").localCheckpoint()
 
 
 @register(
