@@ -592,15 +592,16 @@ def test_q245_quantiles_from_census_not_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
-def test_q247_semdedup_pairs_are_cluster_equi_join(spark, sf_dir):
-    """q247's pair stage must be an equi-join on cluster id (the
-    SemDeDup pair-space bound) — no BroadcastNestedLoopJoin /
-    CartesianProduct anywhere, and no Python eval nodes (the dot
-    product runs in JVM higher-order functions)."""
+def test_q247_semdedup_pairs_are_grouped_gemm(spark, sf_dir):
+    """q247's pair stage must be the cluster-grouped Gram GEMM
+    (FlatMapGroupsInPandas — the sanctioned Arrow escape), never an
+    all-pairs join: no BroadcastNestedLoopJoin / CartesianProduct,
+    and no row-at-a-time BatchEvalPython."""
     plan = plan_of(spark, sf_dir, "q247_semdedup_prune")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
