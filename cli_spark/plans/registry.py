@@ -302,6 +302,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q256_join_size_estimate",
     "q257_source_overlap_matrix",
     "q258_vocab_coverage",
+    "q259_nearest_event_join",
+    "q260_decile_lift_table",
 )
 
 
