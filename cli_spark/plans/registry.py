@@ -244,6 +244,10 @@ _ROUND_CHANGED: tuple[str, ...] = (
     "q100_tumbling_window",
     # rewritten round 6 second half (shared persisted distinct)
     "q151_decontamination",
+    # q158's final Lloyd assignment gained a localCheckpoint in the
+    # session-2 SemDeDup work (no semantic change; re-grade anyway
+    # per the changed-this-round discipline)
+    "q158_kmeans_lloyd",
     # graph stack re-keyed round 6 on the q73 single-digest signature
     # (edge generator + shared oracle prelude changed → new candidate
     # graphs; 8× faster q76 after edge materialization)
