@@ -273,3 +273,55 @@ def test_position_attribution_credits_sum_to_unit(n):
         )
     assert len(credits) == n
     assert sum(credits) == 1000000
+
+
+@given(st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_systematic_sample_spans_conserve_slots(weights):
+    """q238's slot arithmetic: summed over all docs, the spans
+    (slot boundaries crossed) equal exactly K — every slot is assigned
+    to exactly one doc, regardless of weight distribution."""
+    K = 50
+    total = sum(weights)
+    cb = 0
+    spans = 0
+    for w in weights:
+        spans += (cb + w) * K // total - cb * K // total
+        cb += w
+    assert spans == K
+
+
+@given(st.integers(min_value=0, max_value=65535))
+@settings(max_examples=200, deadline=None)
+def test_poisson_thresholds_are_monotone_partition(u16):
+    """q239's baked inverse-CDF thresholds partition [0, 65536) into
+    exactly one count per u16 draw, and the count is the number of
+    thresholds at or below the draw."""
+    thresholds = (24109, 48219, 60273, 64292, 65296)
+    count = next((k for k, t in enumerate(thresholds) if u16 < t), 5)
+    assert count == sum(1 for t in thresholds if u16 >= t)
+    assert 0 <= count <= 5
+
+
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=100),
+                          st.integers(min_value=1, max_value=9)),
+                min_size=1, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_census_quantile_location_matches_sorted_expansion(pairs):
+    """q245/q254's rank-location arithmetic over a value census picks
+    the same element as naive sorting of the expanded multiset, for
+    the lower-median rank and the p90 rank."""
+    census = {}
+    for v, c in pairs:
+        census[v] = census.get(v, 0) + c
+    expanded = sorted(v for v, c in census.items() for _ in range(c))
+    n = len(expanded)
+    for rank in {(n + 1) // 2, (9 * n + 9) // 10}:
+        cum_before = 0
+        picked = None
+        for v in sorted(census):
+            cum = cum_before + census[v]
+            if cum_before < rank <= cum:
+                picked = v
+            cum_before = cum
+        assert picked == expanded[rank - 1]
