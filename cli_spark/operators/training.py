@@ -516,15 +516,14 @@ _KMEANS_K = 4
 _KMEANS_ITERS = 2
 
 
-def _kmeans_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+_KMEANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kmeans_membership_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final Lloyd assignment (vec_id, cid, d2) after _KMEANS_ITERS
-    deterministic iterations — the Spark mirror of _kmeans_ctes'
-    membership CTE, shared by q158 and semdedup.py's q247. The result
-    is localCheckpoint()ed: the assignment's lineage is the whole
-    unrolled Lloyd loop, and q247 consumes it on BOTH sides of its
-    pair join plus twice more for censuses — without truncation every
-    consumer re-executes the clustering (measured 5× recompute at
-    sf1 before the checkpoint was added)."""
+    deterministic iterations as a LAZY plan — the Spark mirror of
+    _kmeans_ctes' membership CTE (tests/test_plans.py gates on this
+    form, where the per-iteration broadcast joins are visible)."""
 
     def assign(q: DataFrame, cent: DataFrame) -> DataFrame:
         d = (
@@ -554,7 +553,22 @@ def _kmeans_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cv")
             )
         )
-    return assign(q, cent).select("vec_id", "cid", "d2").localCheckpoint()
+    return assign(q, cent).select("vec_id", "cid", "d2")
+
+
+def _kmeans_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized, session-cached Lloyd assignment: the lineage is
+    the whole unrolled loop and q247 consumes it on both sides of its
+    pair stage plus twice more for censuses — without localCheckpoint
+    every consumer re-executes the clustering (measured 5× recompute
+    at sf1), and the (applicationId, sf_dir) cache shares the
+    materialization across queries exactly like graph._EDGE_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMEANS_CACHE.get(key)
+    if cached is None:
+        cached = _kmeans_membership_plan(spark, sf_dir).localCheckpoint()
+        _KMEANS_CACHE[key] = cached
+    return cached
 
 
 @register(
