@@ -531,3 +531,63 @@ def q232_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") * 2 >= F.col("n") + 1, F.col("slope_scaled"))
         ).cast("long").alias("median_slope_scaled"),
     )
+
+
+@register(
+    "q261_chi2_independence",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+margins AS (
+  SELECT lang, source, o,
+         SUM(o) OVER (PARTITION BY lang) AS row_n,
+         SUM(o) OVER (PARTITION BY source) AS col_n,
+         SUM(o) OVER () AS total
+  FROM cells
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(MAX(total) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(floor(CAST(o * o AS DOUBLE) * CAST(total AS DOUBLE)
+                           * 1000000.0
+                           / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)))
+                AS BIGINT))
+            - MAX(total) * 1000000 AS BIGINT) AS chi2_micro
+FROM margins
+""",
+    tags=("stats", "chi2", "independence"),
+)
+def q261_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence statistic for the lang ×
+    source contingency grid, via the margin form χ² = N·(Σ O²/(R·C))
+    − N — the data-drift / stratification-bias test over two
+    categorical columns. The contingency census is the only full-data
+    aggregation; margins come from windows over the |langs|·|sources|
+    grid. The statistic is emitted ×1e6 (chi2_micro) with each cell's
+    O²·N·1e6/(R·C) term FLOORED TO AN INTEGER before the sum — the
+    per-cell double expression is identical (hence bit-identical) in
+    both engines, and the cross-cell sum is then exact integer
+    arithmetic, immune to float summation order (the project-wide
+    quantize-then-sum rule; summing raw doubles would hash-diverge
+    under AQE partition reordering). A large χ² means source
+    composition differs by language (mixture drift)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    margins = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("total"),
+    )
+    term = F.floor(
+        (F.col("o") * F.col("o")).cast("double")
+        * F.col("total").cast("double")
+        * F.lit(1000000.0)
+        / (F.col("row_n").cast("double") * F.col("col_n").cast("double"))
+    ).cast("long")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("total").alias("n_docs"),
+        (F.sum(term) - F.max("total") * F.lit(1000000)).cast("long")
+        .alias("chi2_micro"),
+    )
