@@ -308,6 +308,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q258_vocab_coverage",
     "q259_nearest_event_join",
     "q260_decile_lift_table",
+    "q261_chi2_independence",
+    "q262_degree_assortativity",
+    "q263_lang_modularity",
 )
 
 
