@@ -421,3 +421,85 @@ def q246_streaming_sliding_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_memory_sink(spark, agg, "stream_sliding")
+
+
+@register(
+    "q264_streaming_join_true",
+    oracle=f"""
+SELECT p.user_id,
+       COUNT(*) AS n_pairs,
+       {sql_dsum('e.value')} AS error_value_sum
+FROM events p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL '30 minutes'
+ AND e.ts <= p.ts
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+GROUP BY p.user_id
+""",
+    tags=("streaming", "true_stream", "stream-stream"),
+)
+def q264_streaming_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-STREAM interval join: two independent readStream
+    instances over the events parquet (purchases, errors), inner-
+    joined per user on an event-time interval (errors in the 30
+    minutes before each purchase), drained through a foreachBatch
+    parquet sink — the q160 pattern, because a raw join's output is
+    per-pair (unbounded) and so must land in a distributed sink, not
+    a driver-resident memory table. Both sides carry watermarks (the
+    state-cleanup contract a production stream-stream join needs);
+    under availableNow every match emits within the run, so the
+    per-user pair census over the sink equals the batch interval-join
+    oracle exactly."""
+    import shutil
+    import tempfile
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "365 days")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "365 days")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    )
+    out_root = tempfile.mkdtemp(prefix="q264_pairs_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_root}/pairs")
+
+    query = (
+        joined.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    try:
+        pairs = spark.read.parquet(f"{out_root}/pairs")
+        result = (
+            pairs.groupBy(F.col("p_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                dsum(F.col("e_value")).alias("error_value_sum"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
