@@ -153,3 +153,69 @@ def q112_hgt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "q265_hgt_slope_stats",
+    # Ground truth recomputed with INDEPENDENT numpy arithmetic from
+    # the deterministic fixture definition (central differences over
+    # the synth trig field, voids masked from BOTH step endpoints) —
+    # the same VALUES-literal oracle style as q110–q112.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 56647, 56647, 3588184, 5128423, 100, 143, 22317, 20297),
+  ('N46E007', 56647, 56647, 3575198, 5126561, 100, 143, 22312, 20298),
+  ('S01W072', 56647, 56647, 3620347, 5166145, 100, 143, 23107, 19619)
+) AS t(cell, n_dx, n_dy, sum_abs_dx, sum_abs_dy, max_abs_dx, max_abs_dy,
+       n_steep_dx, n_steep_dy)
+""",
+    tags=("hgt", "tier_a", "terrain"),
+)
+def q265_hgt_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain-derivative pass over the decoded elevation grid [A6]:
+    per cell, the adjacent-sample difference field (the discrete
+    slope a hillshade/gradient product computes) — step counts, total
+    and maximum absolute rise in both axes, and steep-step censuses
+    (|Δ| > 80 east-west, > 120 north-south). A step is valid only if
+    BOTH endpoints are non-void [A8]. The differences are vectorized
+    numpy inside the same Arrow-batched mapInPandas as the grid
+    decode — one pass over the raw bytes, no point-level shuffle (the
+    per-cell stats aggregate inside the decoder), and the tiny
+    3-row rollup is the only thing that leaves Python."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = (
+        "cell string, n_dx long, n_dy long, sum_abs_dx long, sum_abs_dy long, "
+        "max_abs_dx long, max_abs_dy long, n_steep_dx long, n_steep_dy long"
+    )
+
+    def _slopes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("cell", "n_dx", "n_dy", "sum_abs_dx", "sum_abs_dy",
+                     "max_abs_dx", "max_abs_dy", "n_steep_dx", "n_steep_dy")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                valid = g != hgt.VOID
+                both_h = valid[:, 1:] & valid[:, :-1]
+                both_v = valid[1:, :] & valid[:-1, :]
+                dx = (g[:, 1:] - g[:, :-1])[both_h]
+                dy = (g[1:, :] - g[:-1, :])[both_v]
+                recs["cell"].append(cell)
+                recs["n_dx"].append(int(both_h.sum()))
+                recs["n_dy"].append(int(both_v.sum()))
+                recs["sum_abs_dx"].append(int(np.abs(dx).sum()))
+                recs["sum_abs_dy"].append(int(np.abs(dy).sum()))
+                recs["max_abs_dx"].append(int(np.abs(dx).max()))
+                recs["max_abs_dy"].append(int(np.abs(dy).max()))
+                recs["n_steep_dx"].append(int((np.abs(dx) > 80).sum()))
+                recs["n_steep_dy"].append(int((np.abs(dy) > 120).sum()))
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_slopes, schema).orderBy("cell")
