@@ -311,6 +311,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q261_chi2_independence",
     "q262_degree_assortativity",
     "q263_lang_modularity",
+    "q264_streaming_join_true",
+    "q265_hgt_slope_stats",
 )
 
 
