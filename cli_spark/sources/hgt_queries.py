@@ -219,3 +219,66 @@ def q265_hgt_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return raw.mapInPandas(_slopes, schema).orderBy("cell")
+
+
+ACQUIRE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "hgt_acquire")
+
+
+@register(
+    "q266_hgt_acquire_pipeline",
+    # Same closed-form literals as q110: the acquire path must land
+    # byte-identical grids (catalog → fetch → unzip → decode), so the
+    # decode rollup equals the direct-read rollup exactly.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 58081, 57482, 599, -1499, 1499, -2644097),
+  ('N46E007', 58081, 57482, 599, -1499, 1499, 2867479),
+  ('S01W072', 58081, 57482, 599, -1498, 1498, 1578258)
+) AS t(cell, n_points, n_valid, n_void, min_alt, max_alt, sum_alt)
+""",
+    tags=("hgt", "tier_a", "acquire"),
+)
+def q266_hgt_acquire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full acquire pipeline as ONE graded lineage
+    [A1→A2→A3→A6→A8]: dataset catalog JSON → distributed fetch
+    (file:// URLs in this offline env; skip-if-exists semantics) →
+    zip extract fused with the binaryFile scan → numpy grid decode →
+    per-cell rollup. The rollup literals equal q110's direct-read
+    numbers, proving the acquire path lands byte-identical grids.
+    Fetch parallelism is Spark tasks over the catalog relation (the
+    reference's worker pool [A13] replaced by the scheduler);
+    everything below the catalog is the same mapInPandas decode as
+    q110."""
+    import json
+
+    src = os.path.join(ACQUIRE_DIR, "remote")
+    dest = os.path.join(ACQUIRE_DIR, "landing")
+    cat_path = os.path.join(ACQUIRE_DIR, "catalog.json")
+    marker = os.path.join(ACQUIRE_DIR, ".ready")
+    if not os.path.exists(marker):
+        os.makedirs(src, exist_ok=True)
+        catalog = {}
+        for cell, phase in hgt.FIXTURE_CELLS:
+            zpath = hgt.write_fixture(src, cell, 241, phase, zipped=True)
+            catalog[cell] = {"url": f"file://{zpath}", "zip": os.path.basename(zpath)}
+        with open(cat_path, "w") as fh:
+            json.dump(catalog, fh)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    cat = hgt.load_catalog(spark, cat_path)
+    hgt.fetch_catalog(cat, dest).collect()  # A2: pooled fetch, skip-if-exists
+    raw = hgt.read_hgt_zips(spark, dest)    # A3: unzip fused with the scan
+    pts = hgt.decode_points(raw)            # A6/A8
+    return (
+        pts.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("alt").alias("n_valid"),
+            (F.count(F.lit(1)) - F.count("alt")).alias("n_void"),
+            F.min("alt").alias("min_alt"),
+            F.max("alt").alias("max_alt"),
+            F.sum("alt").alias("sum_alt"),
+        )
+        .orderBy("cell")
+    )
