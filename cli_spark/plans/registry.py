@@ -313,6 +313,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q263_lang_modularity",
     "q264_streaming_join_true",
     "q265_hgt_slope_stats",
+    "q266_hgt_acquire_pipeline",
 )
 
 
