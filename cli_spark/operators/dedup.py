@@ -1008,3 +1008,143 @@ def q218_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("containment_ppm"),
         )
     )
+
+
+@register(
+    "q267_minhash_estimator_audit",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+audited AS (
+  SELECT c.doc_a, c.doc_b,
+         (CASE WHEN xa.h0 = xb.h0 THEN 1 ELSE 0 END
+          + CASE WHEN xa.h1 = xb.h1 THEN 1 ELSE 0 END
+          + CASE WHEN xa.h2 = xb.h2 THEN 1 ELSE 0 END
+          + CASE WHEN xa.h3 = xb.h3 THEN 1 ELSE 0 END) * 250000 AS est_ppm,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+           // len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard_ppm
+  FROM cand c
+  JOIN sig xa ON xa.doc_id = c.doc_a
+  JOIN sig xb ON xb.doc_id = c.doc_b
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_ppm, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       CAST(est_ppm - jaccard_ppm AS BIGINT) AS err_ppm
+FROM audited
+""",
+    tags=("dedup", "minhash", "audit"),
+)
+def q267_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every band-bucket candidate pair,
+    the signature-agreement Jaccard ESTIMATE (matching minhashes / 4 —
+    the unbiased Broder estimator, coarse at 4 hashes by design)
+    against the exact shingle Jaccard, with the signed error. This is
+    the calibration readout that justifies (or indicts) a deployment's
+    (bands × rows) choice — run it on a sample before fixing
+    signature width at 100 TB. Same narrow-signature construction as
+    q73 (one md5 per shingle, array_min signatures, bigint band keys);
+    the exact verify touches only candidate pairs."""
+    sh = shingles_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+
+    def _band(i: int):
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
+            for i in range(_N_BANDS)
+        ],
+    ).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    xa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_BANDS)],
+    )
+    xb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_BANDS)],
+    )
+    est = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(1, _N_BANDS)),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    ) * F.lit(250000)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.cast("long").alias("est_ppm"),
+            (inter * F.lit(1000000)).alias("_num"),
+            union.alias("_den"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            F.expr("_num div _den").alias("jaccard_ppm"),
+            F.expr("est_ppm - _num div _den").alias("err_ppm"),
+        )
+    )

@@ -392,3 +392,80 @@ def q250_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return d.mapInPandas(_featurize, schema).orderBy("doc_id")
+
+
+@register(
+    "q268_audio_downsample",
+    # The oracle replays the decimation over the cyclic digest: kept
+    # samples sit at even stream positions, which cycle through the 8
+    # EVEN digest residues with period 8 — full-period sums plus the
+    # even-list prefix remainder, the thumbnail size from RIFF layout
+    # arithmetic, and the order-sensitive last kept sample from its
+    # stream position. Mishandling stride, container re-encode, or
+    # sample order fails size/last/sum independently.
+    oracle=f"""
+WITH b AS ({_SQL_DIGEST_BYTES}),
+n AS (
+  SELECT doc_id, db,
+         list_transform(generate_series(0, 7), i -> db[2 * i + 1]) AS evens,
+         200 + db[3] * 7 AS n
+  FROM b
+),
+d AS (SELECT doc_id, db, evens, n, (n + 1) // 2 AS n_ds FROM n)
+SELECT doc_id,
+       44 + n AS wav_bytes,
+       44 + n_ds AS ds_bytes,
+       n_ds AS n_samples_ds,
+       4000 AS sample_rate_ds,
+       CAST((n_ds // 8) * list_sum(evens)
+            + COALESCE(list_sum(evens[1 : n_ds % 8]), 0) AS BIGINT) AS sum_ds,
+       db[1] AS s_first_ds,
+       db[(2 * (n_ds - 1)) % 16 + 1] AS s_last_ds
+FROM d
+""",
+    tags=("multimodal", "wav", "resample", "pandas_udf"),
+)
+def q268_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio downsampling over binary WAV columns: decode the real
+    RIFF container (q250's synthesis), decimate 2:1 (every second
+    sample — the naive resampler; a production kernel would filter
+    first, same plumbing), re-encode at the halved rate, then decode
+    the THUMBNAIL again and emit its statistics — a full
+    decode→transform→encode→decode round trip per document, the audio
+    analogue of q123's image resize. Arrow-batched mapInPandas, one
+    pass, no driver round-trip."""
+    from cli_spark.sources.wav import decode_wav, encode_wav
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    schema = (
+        "doc_id long, wav_bytes int, ds_bytes int, n_samples_ds int, "
+        "sample_rate_ds int, sum_ds long, s_first_ds int, s_last_ds int"
+    )
+
+    def _downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("doc_id", "wav_bytes", "ds_bytes", "n_samples_ds",
+                     "sample_rate_ds", "sum_ds", "s_first_ds", "s_last_ds")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                digest = hashlib.md5(bytes(blob)).digest()
+                n = 200 + digest[2] * 7
+                stream = (digest * ((n + 15) // 16))[:n]
+                wav = encode_wav(np.frombuffer(stream, dtype=np.uint8), 8000)
+                samples, rate = decode_wav(wav)          # real parse
+                ds = samples[::2]                         # 2:1 decimation
+                dswav = encode_wav(ds, rate // 2)         # real re-encode
+                out, out_rate = decode_wav(dswav)         # real re-parse
+                recs["doc_id"].append(doc_id)
+                recs["wav_bytes"].append(len(wav))
+                recs["ds_bytes"].append(len(dswav))
+                recs["n_samples_ds"].append(len(out))
+                recs["sample_rate_ds"].append(out_rate)
+                recs["sum_ds"].append(int(out.astype(np.int64).sum()))
+                recs["s_first_ds"].append(int(out[0]))
+                recs["s_last_ds"].append(int(out[-1]))
+            yield pd.DataFrame(recs)
+
+    return d.mapInPandas(_downsample, schema).orderBy("doc_id")
