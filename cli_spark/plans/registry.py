@@ -314,6 +314,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q264_streaming_join_true",
     "q265_hgt_slope_stats",
     "q266_hgt_acquire_pipeline",
+    "q267_minhash_estimator_audit",
+    "q268_audio_downsample",
 )
 
 
