@@ -171,3 +171,16 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == 25
     assert back.exceptAll(src).count() == 0
     assert src.exceptAll(back).count() == 0
+
+
+def test_read_jdbc_rejects_partition_column_without_bounds(spark):
+    """ADVICE r5: partition_column without both bounds must raise a
+    clear ValueError instead of passing the literal string 'None' as
+    a JDBC option and failing with a parse error at runtime."""
+    import pytest
+
+    from cli_spark.sources.sinks import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:derby:memory:x", "t",
+                  partition_column="id", lower_bound=None, upper_bound=None)
