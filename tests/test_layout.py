@@ -108,3 +108,25 @@ def test_bucketed_smb_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the
+    join key, joined to a FILTERED dim, must plan a dynamicpruning
+    subquery on the partition column — at 100 TB this is what turns
+    a full fact scan into reading only the partitions the dim filter
+    selects."""
+    from cli_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    fact_path = str(tmp_path / "li_by_supp")
+    li.write.partitionBy("l_suppkey").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 5000
+    ).select("s_suppkey")
+    joined = fact.join(dim, fact.l_suppkey == dim.s_suppkey)
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized, optimized
