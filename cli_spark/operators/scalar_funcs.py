@@ -444,3 +444,56 @@ def q67_map_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(merged), F.lit(0).cast("long"), lambda acc, v: acc + v
         ).alias("values_total"),
     )
+
+
+@register(
+    "q269_decimal_exact_pack",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR) AS sum_disc_price,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("scalar", "decimal", "types"),
+)
+def q269_decimal_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic surface: money columns cast to
+    DECIMAL(18,2), summed and multiplied under decimal rules — the
+    type a financial schema actually stores, where float drift is not
+    an option. Decimal sums are exact and order-independent in BOTH
+    engines (Spark widens the accumulator per SQL rules; DuckDB
+    likewise), so no quantization layer is needed; results cross the
+    hash boundary as canonical strings to avoid dtype-object
+    mismatches. The doubles→decimal cast itself rounds the shortest
+    repr identically here because the source values are 2-decimal
+    money.
+
+    Scale: decimal aggregation partial-combines exactly like longs
+    (the accumulator is an UnsafeRow fixed-width decimal) — same
+    one-exchange plan as q01."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).alias("_sp"),
+            F.sum(price * disc).alias("_sdp"),
+            F.min(price).alias("_mnp"),
+            F.max(price).alias("_mxp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_sp").cast("string").alias("sum_price"),
+            F.col("_sdp").cast("string").alias("sum_disc_price"),
+            F.col("_mnp").cast("string").alias("min_price"),
+            F.col("_mxp").cast("string").alias("max_price"),
+            "n",
+        )
+    )
