@@ -316,6 +316,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q266_hgt_acquire_pipeline",
     "q267_minhash_estimator_audit",
     "q268_audio_downsample",
+    "q269_decimal_exact_pack",
 )
 
 
