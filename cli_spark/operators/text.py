@@ -587,3 +587,97 @@ def q258_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered_pairs * 1000000 div total_pairs").alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "q270_lexical_cosine_pairs",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens WHERE term != ''
+       GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens WHERE term != ''
+       GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) * 1000.0, 0)
+              AS BIGINT) AS wq
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  WHERE df.df <= 25
+),
+norms AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT)
+         AS cos_ppm
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE CAST(floor(CAST(d.dot AS DOUBLE) * 1000000.0
+           / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT)
+      >= 300000
+""",
+    tags=("text", "tfidf", "similarity"),
+)
+def q270_lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical (TF-IDF) cosine similarity pairs — the
+    inverted-index similarity join (Bayardo et al. 2007 "Scaling Up
+    All Pairs Similarity Search" family): vectors over RARE terms
+    only (df ≤ 25 — the prefix-filtering idea: frequent terms carry
+    no discriminating signal and explode the posting join), pair dot
+    products via the term-postings equi-join, cosine ≥ 0.30 emitted.
+    Weights are q91's smoothed TF-IDF quantized at 1e-3 (round —
+    same cross-libm stability contract as q91), so dots and norms
+    are exact integers; the final cosine uses the identical-IEEE
+    floor(·1e6/sqrt) expression. Posting-join fan-out is bounded by
+    df² per term — the df cap makes the pair space linear-ish in
+    corpus size, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= 25)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                * F.lit(1000.0),
+                0,
+            ).cast("long").alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = F.floor(
+        F.col("dot").cast("double") * F.lit(1000000.0)
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", cos.cast("long").alias("cos_ppm"))
+        .filter(F.col("cos_ppm") >= 300000)
+    )
