@@ -317,6 +317,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q267_minhash_estimator_audit",
     "q268_audio_downsample",
     "q269_decimal_exact_pack",
+    "q270_lexical_cosine_pairs",
 )
 
 
