@@ -503,3 +503,75 @@ def q264_streaming_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q271_streaming_multibatch_true",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "true_stream", "multibatch"),
+)
+def q271_streaming_multibatch_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE MULTI-micro-batch streaming: the events table replayed
+    through the custom `replay` Python DataSource in 500-row batches
+    (the single-file testdata otherwise arrives in ONE batch and
+    cross-batch state accumulation never executes — q103's documented
+    limitation), aggregated under complete mode so per-window state
+    must accumulate correctly ACROSS batches. The result is read
+    after the source reports exhaustion; complete-mode aggregation is
+    batch-slicing-invariant, so it must equal the batch oracle
+    exactly whatever the batch boundaries."""
+    import time
+    import uuid as _uuid
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", 500)
+        .load()
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    name = "replay_graded_" + _uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, time.time()
+        while idle < 3 and time.time() - t0 < 180:
+            time.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
