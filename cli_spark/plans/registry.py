@@ -318,6 +318,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q268_audio_downsample",
     "q269_decimal_exact_pack",
     "q270_lexical_cosine_pairs",
+    "q271_streaming_multibatch_true",
+    "q272_dedup_manifest",
 )
 
 
