@@ -634,3 +634,23 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
         assert "BroadcastHashJoin" in bhj._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_similarity_joins_have_no_cartesian(spark, sf_dir):
+    """Every bounded-pair-space similarity join added in round 6 must
+    plan as equi-joins (posting/band/cluster keys) — never a nested-
+    loop/cartesian pair explosion."""
+    for name in [
+        "q253_sorted_neighborhood_pairs",
+        "q257_source_overlap_matrix",
+        "q267_minhash_estimator_audit",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # q270 carries 1-row scalar broadcasts (n_docs) that plan as
+    # BroadcastNestedLoopJoin Cross — legitimate; its PAIR stage must
+    # still be the term equi-join and never a cartesian
+    plan = plan_of(spark, sf_dir, "q270_lexical_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [term" in plan
