@@ -447,3 +447,86 @@ def q255_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_cents",
         )
     )
+
+
+@register(
+    "q273_ab_proportion_test",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(conv) AS BIGINT) AS conversions
+  FROM flagged GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'A' THEN conversions END) AS c_a,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'B' THEN conversions END) AS c_b
+  FROM arms
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       CAST(floor((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0
+            / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+            AS BIGINT) AS z_micro
+FROM wide
+""",
+    tags=("analytics", "abtest", "stats"),
+)
+def q273_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between experiment arms (deterministic
+    parity split on user_id): per-arm event counts and purchase
+    conversions, rates in ppm, and the pooled-variance z statistic
+    ×1e6 — the A/B-test readout, computed from one census pass. The
+    z expression is written as the IDENTICAL IEEE double chain in
+    both engines (every operand an exact int→double cast, pooled rate
+    computed once per operand position), so floor(z·1e6) matches
+    bit-for-bit. Everything before it is exact integer arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    flagged = e.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    arms = flagged.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("conversions")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conversions"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conversions"))).alias("c_b"),
+    )
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = F.floor(
+        (
+            F.col("c_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+        )
+        * F.lit(1000000.0)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+        )
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.expr("c_a * 1000000 div n_a").alias("rate_a_ppm"),
+        F.expr("c_b * 1000000 div n_b").alias("rate_b_ppm"),
+        z.cast("long").alias("z_micro"),
+    )
