@@ -320,6 +320,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q270_lexical_cosine_pairs",
     "q271_streaming_multibatch_true",
     "q272_dedup_manifest",
+    "q273_ab_proportion_test",
 )
 
 
