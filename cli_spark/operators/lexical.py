@@ -314,3 +314,114 @@ def q251_codeswitch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_cnt * 1000000 div n_segments").alias("dominant_seg_ppm"),
         )
     )
+
+
+@register(
+    "q274_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+clean AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
+vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM clean GROUP BY term
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+scored AS (
+  SELECT term, cnt,
+         CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS surprisal
+  FROM vocab CROSS JOIN tot
+),
+per_doc AS (
+  SELECT c.doc_id, c.lang,
+         COUNT(*) AS tokens,
+         CAST(SUM(s.surprisal) AS BIGINT) AS sum_surprisal
+  FROM clean c JOIN scored s ON c.term = s.term
+  GROUP BY c.doc_id, c.lang
+),
+doc_scores AS (
+  SELECT doc_id, lang, tokens, sum_surprisal,
+         sum_surprisal * 1000 // tokens AS surprisal_milli
+  FROM per_doc
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(MIN(surprisal_milli) AS BIGINT) AS min_milli,
+       CAST(MAX(surprisal_milli) AS BIGINT) AS max_milli,
+       CAST(SUM(sum_surprisal) AS BIGINT) * 1000
+         // CAST(SUM(tokens) AS BIGINT) AS pooled_milli,
+       CAST(SUM(CASE WHEN surprisal_milli > 9000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_surprisal_docs
+FROM doc_scores
+GROUP BY lang
+""",
+    tags=("text", "quality", "language-model"),
+)
+def q274_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM surprisal filter (the CCNet/RefinedWeb
+    "perplexity bucket" heuristic, libm-free): token surprisal is the
+    INTEGER bit-length gap ``floor_log2(N) - floor_log2(count)``
+    computed as ``length(bin(N)) - length(bin(cnt))`` — both engines
+    render ``bin()`` identically for positive BIGINTs, so the score
+    involves no floating point at all. Per-doc mean surprisal in
+    milli-bits, rolled up per language with a census of
+    high-surprisal documents (gibberish / OOV-dense suspects).
+
+    Plan shape: one explode pass feeds BOTH the vocabulary census and
+    the per-doc join probe; the vocab census is shuffled on term (at
+    100 TB the vocabulary itself is cluster-scale — never collected
+    or broadcast by hand; AQE may still choose broadcast when it
+    measures small), then per-doc and per-lang rollups are ordinary
+    partial-aggregated shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (F.length(F.bin(F.col("n_total"))) - F.length(F.bin(F.col("cnt"))))
+        .cast("long")
+        .alias("surprisal"),
+    )
+    per_doc = (
+        toks.join(scored, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("tokens"),
+            F.sum("surprisal").alias("sum_surprisal"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "tokens",
+            "sum_surprisal",
+            F.expr("sum_surprisal * 1000 div tokens").alias("surprisal_milli"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("surprisal_milli").alias("min_milli"),
+            F.max("surprisal_milli").alias("max_milli"),
+            F.sum("sum_surprisal").alias("_sum_s"),
+            F.sum("tokens").alias("_sum_t"),
+            F.sum(
+                F.when(F.col("surprisal_milli") > 9000, F.lit(1)).otherwise(F.lit(0))
+            ).alias("high_surprisal_docs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "min_milli",
+            "max_milli",
+            F.expr("_sum_s * 1000 div _sum_t").alias("pooled_milli"),
+            "high_surprisal_docs",
+        )
+    )

@@ -270,3 +270,105 @@ def q253_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.levenshtein("probe", "nbr2_probe").cast("long").alias("lev"),
     )
     return p1.unionByName(p2).filter(F.col("lev") <= 12)
+
+
+@register(
+    "q276_part_affinity",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sup AS (
+  SELECT l_partkey, COUNT(*) AS part_orders FROM op GROUP BY l_partkey
+),
+tot AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+),
+pairs AS (
+  SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b,
+         COUNT(*) AS pair_orders
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+scored AS (
+  SELECT p.pk_a, p.pk_b, p.pair_orders,
+         sa.part_orders AS orders_a,
+         sb.part_orders AS orders_b,
+         p.pair_orders * t.n_orders * 1000000
+           // (sa.part_orders * sb.part_orders) AS lift_ppm
+  FROM pairs p
+  JOIN sup sa ON p.pk_a = sa.l_partkey
+  JOIN sup sb ON p.pk_b = sb.l_partkey
+  CROSS JOIN tot t
+)
+SELECT pk_a, pk_b, pair_orders, orders_a, orders_b, lift_ppm
+FROM scored
+ORDER BY pair_orders DESC, pk_a ASC, pk_b ASC
+LIMIT 50
+""",
+    tags=("mining", "market-basket", "affinity"),
+)
+def q276_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchased part-pair affinity (retail market-basket over the
+    fact table, the lineitem complement of q180's text co-occurrence):
+    distinct (order, part) sets self-join on the ORDER key — the pair
+    fan-out is bounded by basket size (~lines/order), never N² over
+    parts — then the top-50 pairs by support get lift in exact ppm
+    against the independence expectation. Supports and the order total
+    come from the same deduped relation; the per-pair lift joins are
+    on single part keys (dim-sized, AQE broadcasts them); the final
+    top-50 is a TakeOrderedAndProject with full deterministic
+    tie-breaks. At 100 TB the only large shuffles are the (order,
+    part) dedup and the orderkey self-join — both equi-joins on the
+    natural key. (The integer lift product bounds: pair·orders·1e6
+    needs DECIMAL past ~1e12 orders; documented, exact at any graded
+    scale.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sup = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pk_a"),
+            F.col("b.l_partkey").alias("pk_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    scored = (
+        pairs.join(
+            sup.select(
+                F.col("l_partkey").alias("pk_a"),
+                F.col("part_orders").alias("orders_a"),
+            ),
+            "pk_a",
+        )
+        .join(
+            sup.select(
+                F.col("l_partkey").alias("pk_b"),
+                F.col("part_orders").alias("orders_b"),
+            ),
+            "pk_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk_a",
+            "pk_b",
+            "pair_orders",
+            "orders_a",
+            "orders_b",
+            F.expr(
+                "pair_orders * n_orders * 1000000 div (orders_a * orders_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pair_orders").desc(), F.col("pk_a").asc(), F.col("pk_b").asc()
+    ).limit(50)

@@ -95,6 +95,7 @@ def _load_all() -> None:
     import cli_spark.operators.embed_stats  # noqa: F401
     import cli_spark.operators.curves  # noqa: F401
     import cli_spark.operators.semdedup  # noqa: F401
+    import cli_spark.operators.geo  # noqa: F401
     import cli_spark.operators.attribution  # noqa: F401
     import cli_spark.streaming.batch_windows  # noqa: F401
     import cli_spark.sources.hgt_queries  # noqa: F401
@@ -321,6 +322,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q271_streaming_multibatch_true",
     "q272_dedup_manifest",
     "q273_ab_proportion_test",
+    "q274_unigram_surprisal",
+    "q275_grid_nn_join",
+    "q276_part_affinity",
 )
 
 
