@@ -325,6 +325,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q274_unigram_surprisal",
     "q275_grid_nn_join",
     "q276_part_affinity",
+    "q277_hgt_hypsometry",
+    "q278_bpe_round2",
 )
 
 

@@ -282,3 +282,70 @@ def q266_hgt_acquire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "q277_hgt_hypsometry",
+    # Ground truth recomputed with INDEPENDENT numpy arithmetic from
+    # the fixture definition (np.floor(alt/500) bands over the valid
+    # samples, cumulative share ×1e6 floor-divided by the valid
+    # count) — the same VALUES-literal oracle style as q110–q112.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', -3, 7744, 134720),
+  ('N00E000', -2, 10993, 325962),
+  ('N00E000', -1, 11811, 531435),
+  ('N00E000', 0, 10633, 716415),
+  ('N00E000', 1, 9470, 881162),
+  ('N00E000', 2, 6831, 1000000),
+  ('N46E007', -3, 6786, 118054),
+  ('N46E007', -2, 9321, 280209),
+  ('N46E007', -1, 10728, 466841),
+  ('N46E007', 0, 11679, 670018),
+  ('N46E007', 1, 11161, 864183),
+  ('N46E007', 2, 7807, 1000000),
+  ('S01W072', -3, 6607, 114940),
+  ('S01W072', -2, 10214, 292630),
+  ('S01W072', -1, 11243, 488222),
+  ('S01W072', 0, 11067, 680752),
+  ('S01W072', 1, 10704, 866967),
+  ('S01W072', 2, 7647, 1000000)
+) AS t(cell, band, n_points, cum_share_ppm)
+""",
+    tags=("hgt", "tier_a", "terrain"),
+)
+def q277_hgt_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypsometric curve per cell [A6+A8]: 500 m elevation-band census
+    over the valid decoded samples with the cumulative
+    share-below-band in ppm — the elevation-distribution product
+    (complement of q265's gradient pass). Unlike q265, the decoded
+    POINTS leave the decoder and the banding/rollup runs as ordinary
+    engine aggregation: floor-banding is a scan-stage projection,
+    the (cell, band) census partial-aggregates map-side, and the
+    cumulative window runs over the ~7 band rows per cell — the same
+    plan at any number of cells. Voids [A8] drop out via alt IS NULL
+    before banding."""
+    from pyspark.sql.window import Window
+
+    pts = hgt.decode_points(_raw(spark)).filter(F.col("alt").isNotNull())
+    census = pts.select(
+        "cell", F.floor(F.col("alt") / F.lit(500.0)).cast("long").alias("band")
+    ).groupBy("cell", "band").agg(F.count(F.lit(1)).alias("n_points"))
+    w = (
+        Window.partitionBy("cell")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("cell")
+    return census.select(
+        "cell",
+        "band",
+        "n_points",
+        F.sum("n_points").over(w).alias("_cum"),
+        F.sum("n_points").over(tot).alias("_tot"),
+    ).select(
+        "cell",
+        "band",
+        "n_points",
+        F.expr("_cum * 1000000 div _tot").alias("cum_share_ppm"),
+    ).orderBy("cell", "band")
