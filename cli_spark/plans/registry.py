@@ -327,6 +327,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q276_part_affinity",
     "q277_hgt_hypsometry",
     "q278_bpe_round2",
+    "q279_streaming_watermark_drop",
 )
 
 

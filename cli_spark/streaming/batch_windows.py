@@ -575,3 +575,160 @@ def q271_streaming_multibatch_true(spark: SparkSession, sf_dir: str) -> DataFram
     out = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "q279_streaming_watermark_drop",
+    # The oracle SIMULATES Spark's batched watermark protocol exactly,
+    # as pinned empirically against Spark 4.1.2 (see docstring):
+    #   wm_reported(N) = runmax(batch max event time through N-1) - delay
+    #   drop in batch N : window_end <= wm_reported(N-1)   [non-strict]
+    #   emit (ever)     : window_end <= global_max - delay [non-strict]
+    # Batch slicing is deterministic: rows replay ordered by
+    # (md5(event_id), event_id) in ceil-sized batches mirrored below.
+    oracle=f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM events),
+bsz AS (
+  SELECT GREATEST(500, CAST(ceil(cnt / 40.0) AS BIGINT)) AS rows_per_batch FROM n
+),
+ordered AS (
+  SELECT event_type, value,
+         epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+         (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 AS win_end_us,
+         row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+           AS rn
+  FROM events
+),
+batched AS (
+  SELECT o.*, (o.rn - 1) // b.rows_per_batch AS batch
+  FROM ordered o CROSS JOIN bsz b
+),
+batch_max AS (
+  SELECT batch, MAX(ts_us) AS bmax FROM batched GROUP BY batch
+),
+thresholds AS (
+  SELECT batch,
+         MAX(bmax) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - 7200000000 AS drop_thr
+  FROM batch_max
+),
+kept AS (
+  SELECT r.win_start_us, r.event_type, r.value
+  FROM batched r JOIN thresholds t ON r.batch = t.batch
+  WHERE t.drop_thr IS NULL OR r.win_end_us > t.drop_thr
+),
+final_wm AS (SELECT MAX(ts_us) - 7200000000 AS wm FROM ordered)
+SELECT strftime(to_timestamp(k.win_start_us // 1000000), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       k.event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('k.value')} AS value_sum
+FROM kept k CROSS JOIN final_wm f
+WHERE k.win_start_us + 3600000000 <= f.wm
+GROUP BY k.win_start_us, k.event_type
+""",
+    tags=("streaming", "true_stream", "watermark", "late_data"),
+)
+def q279_streaming_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming watermark semantics, GRADED: events are
+    re-ordered by (md5(event_id), event_id) — an adversarial arrival
+    order where event time is uncorrelated with arrival — replayed in
+    deterministic micro-batches through the `replay` DataSource, and
+    aggregated per (1 h window, event_type) under a 2-hour watermark
+    in APPEND mode. Late rows really are dropped and finalized windows
+    really are evicted, across ~40 real micro-batches.
+
+    The oracle replays Spark's watermark protocol in SQL, pinned by
+    experiment against Spark 4.1.2 (three boundary probes, this
+    session): the reported watermark of batch N is the running max
+    event time through batch N-1 minus the delay; the LATE-ROW FILTER
+    of batch N uses the watermark reported with batch N-1 (one batch
+    of extra lag — a row arriving in the batch right after its
+    window's eviction threshold was reached is still merged); both
+    the drop and the final-emission comparisons are non-strict on
+    window end. Because the drop threshold lags eviction by exactly
+    one batch, an evicted window can never re-form — the append sink
+    holds at most one row per group, which is what makes this
+    exactly-graded.
+
+    Scale shape: the scrambled replay fixture is a one-off test
+    harness (repartition(1) + in-partition sort — no driver
+    collect); the streaming plan itself is the production shape:
+    watermarked source → windowed hash aggregation with RocksDB-able
+    keyed state, bounded by live-window count, not stream length."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = max(500, -(-n // 40))  # ceil
+    tmp = tempfile.mkdtemp(prefix="q279_replay_")
+    try:
+        (
+            e.select(
+                "event_id",
+                "ts",
+                "event_type",
+                "value",
+                F.md5(F.col("event_id").cast("string")).alias("_k"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("_k", "event_id")
+            .drop("_k")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value")).alias("value_sum"),
+            )
+            .select(
+                ts_str(F.col("window.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+                "value_sum",
+            )
+        )
+        name = "wmdrop_" + uuid.uuid4().hex[:8]
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        sink = spark.table(name)
+        out = spark.createDataFrame(sink.collect(), sink.schema)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
