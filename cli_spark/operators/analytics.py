@@ -530,3 +530,80 @@ def q273_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c_b * 1000000 div n_b").alias("rate_b_ppm"),
         z.cast("long").alias("z_micro"),
     )
+
+
+@register(
+    "q281_bot_regularity",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_us
+  FROM events
+),
+gaps AS (
+  SELECT user_id, (ts_us - prev_us) // 60000000 AS gap_m
+  FROM seq WHERE prev_us IS NOT NULL
+),
+per_user AS (
+  SELECT user_id,
+         COUNT(*) AS n_gaps,
+         CAST(SUM(gap_m) AS BIGINT) AS sum_m,
+         CAST(SUM(gap_m * gap_m) AS BIGINT) AS sumsq_m
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       sum_m // n_gaps AS mean_gap_m,
+       CASE WHEN sum_m = 0 THEN NULL
+            ELSE n_gaps * sumsq_m * 1000 // (sum_m * sum_m) - 1000 END
+         AS disp_pml,
+       CASE WHEN n_gaps >= 20 AND sum_m > 0
+                 AND n_gaps * sumsq_m * 1000 // (sum_m * sum_m) - 1000 < 50
+            THEN 1 ELSE 0 END AS is_bot
+FROM per_user
+WHERE n_gaps >= 10
+""",
+    tags=("analytics", "behavioral", "anomaly"),
+)
+def q281_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness from inter-arrival regularity: per user, the
+    squared coefficient of variation of event gaps (minutes), as the
+    exact integer dispersion per-mille ``n·Σx²·1000 div (Σx)² − 1000``
+    — organic humans are bursty (high dispersion), scripted clients
+    are metronomic (near 0). One lag window per user plus a moment
+    rollup; gaps are floor-divided to integer minutes so every term is
+    overflow-safe BIGINT arithmetic identical in both engines (ties
+    inside the lag ordering broken on event_id). Users with < 10 gaps
+    are suppressed; the bot verdict needs ≥ 20 gaps, nonzero total
+    time, and dispersion < 5%."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    gaps = seq.filter(F.col("prev_us").isNotNull()).select(
+        "user_id", F.expr("(ts_us - prev_us) div 60000000").alias("gap_m")
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_m").alias("sum_m"),
+        F.sum(F.col("gap_m") * F.col("gap_m")).alias("sumsq_m"),
+    )
+    disp = F.expr("n_gaps * sumsq_m * 1000 div (sum_m * sum_m) - 1000")
+    return per_user.filter(F.col("n_gaps") >= 10).select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_m div n_gaps").alias("mean_gap_m"),
+        F.when(F.col("sum_m") == 0, F.lit(None).cast("long"))
+        .otherwise(disp)
+        .alias("disp_pml"),
+        F.when(
+            (F.col("n_gaps") >= 20) & (F.col("sum_m") > 0) & (disp < 50),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_bot"),
+    )

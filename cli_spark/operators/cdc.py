@@ -150,3 +150,140 @@ def q148_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.timestamp_micros(F.min("t_us"))).alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# q280: deterministic change feed for the MERGE — class from an md5
+# byte of the order key ('chg' salt): <48 DELETE, 48..127 UPDATE,
+# >=224 INSERT (re-keyed +1e9 so inserts never collide with targets).
+_CHG_BYTE = (
+    "(instr('0123456789abcdef', substr(md5('chg' || CAST({k} AS {s})), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5('chg' || CAST({k} AS {s})), 2, 1)) - 1"
+)
+
+
+def _merge_hash48(s: str) -> str:
+    key = (
+        f"CAST(o_orderkey AS {s}) || '|' || o_orderstatus || '|' || "
+        f"CAST(cents AS {s})"
+    )
+    digits = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({key}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"({digits})"
+
+
+@register(
+    "q280_merge_into",
+    oracle=f"""
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         {_CHG_BYTE.format(k="o_orderkey", s="VARCHAR")} AS b
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, 'D' AS op, NULL AS new_status,
+         CAST(NULL AS BIGINT) AS new_cents
+  FROM target WHERE b < 48
+  UNION ALL
+  SELECT o_orderkey, 'U', 'U', cents + 500 FROM target WHERE b >= 48 AND b < 128
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'I', 'I', cents // 2 FROM target WHERE b >= 224
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN c.op = 'U' THEN c.new_status
+              WHEN c.op = 'I' THEN c.new_status
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.op = 'U' THEN c.new_cents
+              WHEN c.op = 'I' THEN c.new_cents
+              ELSE t.cents END AS cents,
+         c.op
+  FROM target t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT (SELECT COUNT(*) FROM target) AS n_target,
+       (SELECT COUNT(*) FROM changes WHERE op = 'D') AS n_deletes,
+       (SELECT COUNT(*) FROM changes WHERE op = 'U') AS n_updates,
+       (SELECT COUNT(*) FROM changes WHERE op = 'I') AS n_inserts,
+       COUNT(*) AS n_final,
+       CAST(bit_xor({_merge_hash48('VARCHAR')}) AS BIGINT) AS final_checksum
+FROM merged
+""",
+    tags=("cdc", "merge", "lakehouse"),
+)
+def q280_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain parquet (the lakehouse upsert,
+    no table format required): a deterministic change feed (delete /
+    update / insert classes from an md5 byte of the key) is applied to
+    the orders snapshot through ONE full outer join on the key —
+    WHEN MATCHED AND op='D' THEN DELETE, WHEN MATCHED AND op='U' THEN
+    UPDATE, WHEN NOT MATCHED THEN INSERT, ELSE keep. The result is
+    proven by row-class censuses plus an order-independent 48-bit XOR
+    content checksum over (key, status, cents) — the q119 portability
+    construction — so a wrong merge on any single row flips the hash.
+
+    Scale shape: the merge is exactly one shuffle (equi-join on the
+    key); censuses ride the same pass. This is the batch complement
+    of q160's streaming foreachBatch merge."""
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(_CHG_BYTE.format(k="o_orderkey", s="STRING")).alias("b"),
+    )
+    deletes = t.filter(F.col("b") < 48).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("long").alias("new_cents"),
+    )
+    updates = t.filter((F.col("b") >= 48) & (F.col("b") < 128)).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("U").alias("new_status"),
+        (F.col("cents") + 500).alias("new_cents"),
+    )
+    inserts = t.filter(F.col("b") >= 224).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("I").alias("new_status"),
+        F.expr("cents div 2").alias("new_cents"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    target = t.select("o_orderkey", "o_orderstatus", "cents")
+    merged = (
+        target.alias("t")
+        .join(changes.alias("c"), "o_orderkey", "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.new_status"))
+            .otherwise(F.col("t.o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.new_cents"))
+            .otherwise(F.col("t.cents"))
+            .alias("cents"),
+        )
+    )
+    counts = (
+        changes.groupBy()
+        .agg(
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+            F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_updates"),
+            F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_inserts"),
+        )
+    )
+    n_target = target.groupBy().agg(F.count(F.lit(1)).alias("n_target"))
+    final = merged.groupBy().agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.bit_xor(F.expr(_merge_hash48("STRING"))).cast("long").alias("final_checksum"),
+    )
+    return (
+        n_target.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(final))
+        .select("n_target", "n_deletes", "n_updates", "n_inserts",
+                "n_final", "final_checksum")
+    )

@@ -131,3 +131,73 @@ def q107_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+@register(
+    "q282_block_sampling_bias",
+    oracle=f"""
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         {_BYTE.format(key="'blk' || CAST(doc_id // 64 AS VARCHAR)")} AS blk_b,
+         {_BYTE.format(key="'row' || CAST(doc_id AS VARCHAR)")} AS row_b
+  FROM documents
+),
+stats AS (
+  SELECT 'corpus' AS method, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) * 1000 // COUNT(*) AS mean_chars_milli,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000000 // COUNT(*) AS en_share_ppm
+  FROM tagged
+  UNION ALL
+  SELECT 'block64', COUNT(*),
+         CAST(SUM(n_chars) AS BIGINT) * 1000 // COUNT(*),
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000000 // COUNT(*)
+  FROM tagged WHERE blk_b < 64
+  UNION ALL
+  SELECT 'row', COUNT(*),
+         CAST(SUM(n_chars) AS BIGINT) * 1000 // COUNT(*),
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000000 // COUNT(*)
+  FROM tagged WHERE row_b < 64
+)
+SELECT method, n_docs, mean_chars_milli, en_share_ppm FROM stats
+""",
+    tags=("sampling", "methodology", "audit"),
+)
+def q282_block_sampling_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-sampling bias audit (the TABLESAMPLE-methodology
+    question): a 25% BLOCK sample (whole 64-doc blocks elected by one
+    md5 byte of the block id — what SYSTEM sampling does to avoid
+    random I/O) versus a 25% ROW sample (md5 byte per doc) versus the
+    full corpus, compared on doc count, mean length (milli-chars) and
+    English share (ppm). When storage order correlates with content
+    (ingestion batches by source), block sampling inherits that
+    correlation as bias; this query quantifies it with exact integer
+    statistics. One scan: both sample verdicts are projection-stage
+    predicates, each census is a conditional aggregate — no second
+    pass, no shuffle beyond the 3-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "lang",
+        "n_chars",
+        _byte_col("'blk' || CAST(doc_id div 64 AS STRING)").alias("blk_b"),
+        _byte_col("'row' || CAST(doc_id AS STRING)").alias("row_b"),
+    )
+
+    def census(method: str, cond):
+        src = tagged.filter(cond) if cond is not None else tagged
+        return src.groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(n_chars) * 1000 div count(1)").alias("mean_chars_milli"),
+            F.expr(
+                "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 div count(1)"
+            ).alias("en_share_ppm"),
+        ).select(F.lit(method).alias("method"), "n_docs", "mean_chars_milli",
+                 "en_share_ppm")
+
+    return (
+        census("corpus", None)
+        .unionByName(census("block64", F.col("blk_b") < 64))
+        .unionByName(census("row", F.col("row_b") < 64))
+    )

@@ -328,6 +328,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q277_hgt_hypsometry",
     "q278_bpe_round2",
     "q279_streaming_watermark_drop",
+    "q280_merge_into",
+    "q281_bot_regularity",
+    "q282_block_sampling_bias",
 )
 
 
