@@ -654,3 +654,26 @@ def test_similarity_joins_have_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q270_lexical_cosine_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin [term" in plan
+
+
+def test_round6_batch2_joins_plan_shapes(spark, sf_dir):
+    """Session-3 join-bearing queries keep their scale shapes:
+
+    * q275 grid NN: the candidate stage is a hash equi-join on the
+      grid-cell key (never a point-pair nested loop);
+    * q276 affinity: the pair stage is an equi-join on l_orderkey
+      (basket-bounded), not a cartesian over parts;
+    * q280 MERGE: exactly one full-outer equi-join applies the feed.
+    """
+    p275 = plan_of(spark, sf_dir, "q275_grid_nn_join")
+    assert "CartesianProduct" not in p275
+    assert "BroadcastNestedLoopJoin" not in p275
+
+    p276 = plan_of(spark, sf_dir, "q276_part_affinity")
+    assert "CartesianProduct" not in p276
+    # only 1-row total relations may nested-loop (scalar broadcast)
+    assert "l_orderkey" in p276
+
+    p280 = plan_of(spark, sf_dir, "q280_merge_into")
+    assert "CartesianProduct" not in p280
+    assert "FullOuter" in p280
