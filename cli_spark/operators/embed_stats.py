@@ -154,3 +154,114 @@ def q243_covariance_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(f"stack({len(pairs)}, {stack_args})").alias("i", "j", "s_ij", "s_i", "s_j"),
     ).select("label", "n", "i", "j", "s_ij", "s_i", "s_j")
+
+
+_Q3 = "CAST(floor(CAST({x} AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "q283_pca_power_iteration",
+    oracle=f"""
+WITH coords AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         {_Q3.format(x="unnest(embedding)")} AS q
+  FROM embeddings
+),
+gram AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS g
+  FROM coords a JOIN coords b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+u1 AS (
+  SELECT i, CAST(SUM(g) AS BIGINT) AS u FROM gram GROUP BY i
+),
+v1 AS (
+  SELECT i, u // 4194304 AS v FROM u1
+),
+u2 AS (
+  SELECT g.i,
+         SUM(CAST(g.g AS HUGEINT) * CAST(v.v AS HUGEINT)) AS u
+  FROM gram g JOIN v1 v ON g.j = v.i
+  GROUP BY g.i
+),
+norm AS (SELECT MAX(abs(u)) AS m FROM u2),
+ray AS (
+  SELECT CAST(SUM(u2.u * CAST(v1.v AS HUGEINT))
+              // SUM(CAST(v1.v AS HUGEINT) * CAST(v1.v AS HUGEINT))
+              AS BIGINT) AS eig_scaled
+  FROM u2 JOIN v1 ON u2.i = v1.i
+)
+SELECT u2.i AS dim,
+       v1.v AS v1,
+       CAST(u2.u * 1000000 // norm.m AS BIGINT) AS align_ppm,
+       ray.eig_scaled
+FROM u2 JOIN v1 ON u2.i = v1.i CROSS JOIN norm CROSS JOIN ray
+""",
+    tags=("embeddings", "pca", "iterative"),
+)
+def q283_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by TWO unrolled power-iteration steps in exact integer
+    arithmetic — the PCA/OPQ preprocessing decision input, computed
+    without a linear-algebra library and bit-identical in both
+    engines: coordinates quantize at 1e-3, the 64×64 Gram accumulates
+    as exact integer outer products (pairwise dim join per vector —
+    fan-out bounded by d², not N²), v₀ = 1, u₁ = G·v₀ rescaled by a
+    fixed 2²² shift (both engines truncate division toward zero,
+    verified), u₂ = G·v₁ accumulated in 38-digit wide integers
+    (decimal(38,0) vs HUGEINT), then per-dim alignment ppm against
+    max|u₂| and the scaled Rayleigh quotient ⟨u₂,v₁⟩/⟨v₁,v₁⟩.
+
+    Scale shape: one shuffle builds the Gram (groupBy (i,j) with
+    map-side combine to ≤ d² rows per partition); each iteration is a
+    d²-row join against a d-row relation — broadcastable at any
+    corpus size because the Gram never grows with N."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coords = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.expr(_Q3.format(x="x")).alias("q"),
+    )
+    a, b = coords.alias("a"), coords.alias("b")
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("g"))
+    )
+    u1 = gram.groupBy("i").agg(F.sum("g").alias("u"))
+    v1 = u1.select("i", F.expr("u div 4194304").alias("v"))
+    u2 = (
+        gram.join(v1.select(F.col("i").alias("j"), "v"), "j")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.expr("CAST(g AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))")
+            ).alias("u")
+        )
+    )
+    norm = u2.agg(F.max(F.abs(F.col("u"))).alias("m"))
+    ray = (
+        u2.join(v1, "i")
+        .agg(
+            F.expr(
+                "CAST(SUM(u * CAST(v AS DECIMAL(38,0)))"
+                " div SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("eig_scaled")
+        )
+    )
+    return (
+        u2.join(v1, "i")
+        .crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("v1"),
+            F.expr("CAST(u * 1000000 div m AS BIGINT)").alias("align_ppm"),
+            "eig_scaled",
+        )
+    )

@@ -331,6 +331,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q280_merge_into",
     "q281_bot_regularity",
     "q282_block_sampling_bias",
+    "q283_pca_power_iteration",
 )
 
 
