@@ -349,3 +349,112 @@ def q217_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("skew_ppm"),
         )
     )
+
+
+@register(
+    "q284_epoch_shuffle_audit",
+    oracle="""
+WITH r1 AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('e1|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+r2 AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('e2|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+joined AS (
+  SELECT r1.rk - r2.rk AS d FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS s2,
+         CAST(MAX(abs(d)) AS BIGINT) AS max_disp
+  FROM joined
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(s2 AS BIGINT) AS sum_d2,
+       max_disp,
+       CAST((CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) - 6 * s2)
+            * 1000000
+            // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+            AS BIGINT) AS rho_ppm,
+       CASE WHEN abs(CAST((CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+                           - 6 * s2) * 1000000
+                     // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+                     AS BIGINT)) < 20000
+            THEN 1 ELSE 0 END AS epochs_independent
+FROM agg
+""",
+    tags=("pipeline", "shuffle", "determinism", "audit"),
+)
+def q284_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic shuffle audit: training epochs e1 and
+    e2 order the corpus by md5('e{k}|'||doc_id) — reproducible,
+    engine-portable "random" shuffles — and the audit proves the two
+    epoch orders are statistically independent via the exact Spearman
+    rank correlation (q172's 1 − 6Σd²/(n(n²−1)) in ppm, wide-integer
+    arithmetic since n³ overflows int64 at corpus scale; both engines
+    truncate the signed division identically).
+
+    Scale shape: each epoch's GLOBAL rank uses the q194 two-phase
+    pattern — rank within 16 md5-prefix buckets, then add broadcast
+    bucket offsets — so no window ever sees more than ~1/16 of the
+    corpus in one partition and the plan carries no SinglePartition
+    sort over facts. The epoch join shuffles on doc_id; the moment
+    rollup is one scalar row."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def epoch_rank(tag: str) -> DataFrame:
+        keyed = d.select(
+            "doc_id",
+            F.md5(F.concat(F.lit(tag + "|"), F.col("doc_id").cast("string"))).alias("k"),
+        ).withColumn("bucket", F.substring("k", 1, 1))
+        win = Window.partitionBy("bucket").orderBy("k", "doc_id")
+        local = keyed.withColumn("lrk", F.row_number().over(win))
+        counts = (
+            local.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "off",
+                F.sum("c").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+            )
+            .select("bucket", F.coalesce("off", F.lit(0)).alias("off"))
+        )
+        return local.join(F.broadcast(counts), "bucket").select(
+            "doc_id", (F.col("off") + F.col("lrk")).alias("rk")
+        )
+
+    r1 = epoch_rank("e1")
+    r2 = epoch_rank("e2").withColumnRenamed("rk", "rk2")
+    joined = r1.join(r2, "doc_id").select((F.col("rk") - F.col("rk2")).alias("d"))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))")
+        ).alias("s2"),
+        F.max(F.abs(F.col("d"))).cast("long").alias("max_disp"),
+    )
+    rho = F.expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)"
+        " - 6 * s2) * 1000000"
+        " div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))"
+        " AS BIGINT)"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s2").cast("long").alias("sum_d2"),
+        "max_disp",
+        rho.alias("rho_ppm"),
+        F.when(F.abs(rho) < 20000, F.lit(1)).otherwise(F.lit(0))
+        .alias("epochs_independent"),
+    )

@@ -432,3 +432,62 @@ def q260_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "ELSE n_pos * _t * 1000000 div (n_docs * _tp) END").alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "q286_k_anonymity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, n_chars // 100 AS len_band FROM documents
+),
+groups AS (
+  SELECT lang, source, len_band, COUNT(*) AS k
+  FROM qi GROUP BY lang, source, len_band
+)
+SELECT lang,
+       COUNT(*) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS docs_at_risk,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(SUM(k) AS BIGINT) AS risk_ppm
+FROM groups
+GROUP BY lang
+""",
+    tags=("quality", "privacy", "k-anonymity"),
+)
+def q286_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang,
+    source, 100-char length band) — the release-safety question for a
+    published corpus: how many documents sit in equivalence classes
+    smaller than k = 5, i.e. re-identifiable by their metadata alone
+    (Sweeney 2002). Two-level aggregation: the QI-group census
+    partial-aggregates map-side (bounded by the QI grid, not the
+    corpus), then a per-language rollup reports group counts, the
+    minimum class size, and the at-risk document share in exact ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = (
+        d.select("lang", "source", F.expr("n_chars div 100").alias("len_band"))
+        .groupBy("lang", "source", "len_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_docs"),
+            F.min("k").cast("long").alias("min_k"),
+            F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).alias("small_groups"),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias("docs_at_risk"),
+        )
+        .select(
+            "lang",
+            "n_groups",
+            "n_docs",
+            "min_k",
+            "small_groups",
+            "docs_at_risk",
+            F.expr("docs_at_risk * 1000000 div n_docs").alias("risk_ppm"),
+        )
+    )

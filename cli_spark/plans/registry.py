@@ -332,6 +332,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q281_bot_regularity",
     "q282_block_sampling_bias",
     "q283_pca_power_iteration",
+    "q284_epoch_shuffle_audit",
+    "q285_streaming_dedup_multibatch",
+    "q286_k_anonymity_audit",
+    "q287_hgt_aspect_census",
 )
 
 

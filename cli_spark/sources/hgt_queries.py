@@ -349,3 +349,75 @@ def q277_hgt_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         F.expr("_cum * 1000000 div _tot").alias("cum_share_ppm"),
     ).orderBy("cell", "band")
+
+
+@register(
+    "q287_hgt_aspect_census",
+    # Independent-numpy ground truth over the deterministic fixture
+    # (central differences, 5-point validity mask, integer octant
+    # rule) — VALUES-literal oracle style of q110–q112/q265. The
+    # trig field has no doubly-flat interior point, so no FLAT rows.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 'E', 8807),
+  ('N00E000', 'N', 19161),
+  ('N00E000', 'S', 18272),
+  ('N00E000', 'W', 7934),
+  ('N46E007', 'E', 7913),
+  ('N46E007', 'N', 18499),
+  ('N46E007', 'S', 18920),
+  ('N46E007', 'W', 8842),
+  ('S01W072', 'E', 7670),
+  ('S01W072', 'N', 20842),
+  ('S01W072', 'S', 17477),
+  ('S01W072', 'W', 8185)
+) AS t(cell, aspect, n_points)
+""",
+    tags=("hgt", "tier_a", "terrain"),
+)
+def q287_hgt_aspect_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinal-aspect census per cell [A6+A8]: every interior sample
+    whose 4-neighborhood is fully valid classifies by its dominant
+    central-difference gradient — E/W when |Δx| ≥ |Δy| (sign of Δx),
+    else N/S (sign of Δy; +row is southward in the north-first grid
+    [A4 trap]) — the integer skeleton of a hillshade/aspect raster
+    product. Vectorized numpy inside the decode mapInPandas (same
+    one-pass shape as q265): only the per-(cell, aspect) counts leave
+    Python."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = "cell string, aspect string, n_points long"
+
+    def _aspects(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"cell": [], "aspect": [], "n_points": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                ok = (v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2]
+                      & v[2:, 1:-1] & v[:-2, 1:-1])
+                dx = (g[1:-1, 2:] - g[1:-1, :-2])[ok]
+                dy = (g[2:, 1:-1] - g[:-2, 1:-1])[ok]
+                flat = (dx == 0) & (dy == 0)
+                ew = (~flat) & (np.abs(dx) >= np.abs(dy))
+                ns = (~flat) & ~ew
+                for aspect, cnt in (
+                    ("E", int((ew & (dx > 0)).sum())),
+                    ("W", int((ew & (dx < 0)).sum())),
+                    ("S", int((ns & (dy > 0)).sum())),
+                    ("N", int((ns & (dy < 0)).sum())),
+                    ("FLAT", int(flat.sum())),
+                ):
+                    if cnt:
+                        recs["cell"].append(cell)
+                        recs["aspect"].append(aspect)
+                        recs["n_points"].append(cnt)
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_aspects, schema).orderBy("cell", "aspect")

@@ -732,3 +732,90 @@ def q279_streaming_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q285_streaming_dedup_multibatch",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, md5(substr(text, 1, 100)) AS h FROM documents
+),
+kept AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT lang,
+       COUNT(*) AS n_unique,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM kept WHERE rn = 1
+GROUP BY lang
+""",
+    tags=("streaming", "true_stream", "dedup", "multibatch"),
+)
+def q285_streaming_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE cross-batch streaming dedup: documents replay through the
+    `replay` DataSource in ~20 micro-batches and a stateful
+    `dropDuplicates` on the 100-char-prefix hash (the boilerplate
+    key — exact-text dups are zero in this corpus, prefix dups are
+    real) emits each key's FIRST-seen row; duplicates arriving in
+    LATER batches are suppressed by keyed state, which is the part a
+    single-batch run never exercises (q179's documented limitation).
+    Emitted rows flow through a distributed foreachBatch parquet sink
+    (per-row output is unbounded at scale — the memory-sink contract
+    forbids it), and the per-language census of survivors is graded
+    exactly: replay order is doc_id order, so first-seen ≡ min doc_id
+    per key, which the oracle states as a keep-first window."""
+    import shutil
+    import tempfile
+    import time
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    bsz = max(50, -(-n // 20))
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("batchRows", bsz)
+        .load()
+    )
+    deduped = stream.select(
+        "doc_id", "lang", F.md5(F.expr("substring(text, 1, 100)")).alias("h")
+    ).dropDuplicates(["h"])
+    out_root = tempfile.mkdtemp(prefix="q285_dedup_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(f"{out_root}/kept")
+
+        query = (
+            deduped.writeStream.foreachBatch(sink)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        kept = spark.read.parquet(f"{out_root}/kept")
+        result = kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
