@@ -1148,3 +1148,175 @@ def q267_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("est_ppm - _num div _den").alias("err_ppm"),
         )
     )
+
+
+# q290: 8-hash double-hashing family h_i = g1 + i*(g2 div 8) (g2
+# scaled so i=7 stays under 2^61 — ANSI-safe), banded three ways.
+_SWEEP_CONFIGS = (("b8_r1", 8, 1), ("b4_r2", 4, 2), ("b2_r4", 2, 4))
+
+
+def _sweep_sql_keys(bands: int, rows: int) -> str:
+    """UNION ALL arms producing (doc_id, band_id, band_key) for one
+    (bands, rows) config — band key is the xor-fold of its r hashes."""
+    arms = []
+    for k in range(bands):
+        hs = [f"h{k * rows + j}" for j in range(rows)]
+        key = hs[0]
+        for h in hs[1:]:
+            key = f"xor({key}, {h})"
+        arms.append(f"SELECT doc_id, {k} AS band_id, {key} AS band_key FROM sig")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "q290_lsh_parameter_sweep",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) // 8 AS g2
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(g1 + {i} * g2) AS h{i}" for i in range(8))}
+  FROM hx GROUP BY doc_id
+),
+{", ".join(
+    f'''bands_{name} AS ({_sweep_sql_keys(b, r)}),
+cand_{name} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{name} a JOIN bands_{name} b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+),
+stats_{name} AS (
+  SELECT '{name}' AS config, {b} AS bands, {r} AS rows_per_band,
+         COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+  FROM cand_{name} c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)'''
+    for name, b, r in _SWEEP_CONFIGS
+)}
+SELECT config, bands, rows_per_band, n_candidates, n_true,
+       CASE WHEN n_candidates = 0 THEN NULL
+            ELSE n_true * 1000000 // n_candidates END AS precision_ppm
+FROM (SELECT * FROM stats_b8_r1 UNION ALL
+      SELECT * FROM stats_b4_r2 UNION ALL
+      SELECT * FROM stats_b2_r4)
+""",
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-tuning sweep — the sizing decision behind q73: ONE
+    8-minhash signature set (double hashing, g2 scaled by 8 so the
+    7th family member stays under 2^61), banded three ways from the
+    SAME signatures — (8 bands × 1 row), (4 × 2), (2 × 4) — with
+    band keys xor-folded per band. Per config: candidate-pair count
+    and how many candidates verify at Jaccard ≥ 0.5, precision in
+    ppm — the empirical S-curve tradeoff (more rows per band → fewer,
+    cleaner candidates) that picks (b, r) before a 100 TB dedup run.
+
+    Plan shape: signatures are narrow array_min expressions (no
+    explode shuffle), persisted once and shared by all three configs;
+    each config's candidate stage is an equi-join on (band_id, int64
+    key); verification joins candidates back to the cached shingle
+    sets. The whole sweep costs three bounded candidate joins — never
+    an all-pairs comparison."""
+    sh = shingles_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                # integer shift, never float /: a double mantissa
+                # can't hold a 60-bit hash exactly
+                F.shiftright(
+                    F.conv(F.substring(m, 17, 15), 16, 10).cast("long"), 3
+                ).alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+
+    def _fam(i: int):
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(F.transform(F.col("hs"), _fam(i))).alias(f"h{i}")
+            for i in range(8)
+        ],
+    ).persist()
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = _jaccard(F.col("sh_a"), F.col("sh_b"))
+
+    outs = []
+    for name, bcount, rcount in _SWEEP_CONFIGS:
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band_id"),
+                            F.expr(
+                                "^".join(
+                                    f"h{k * rcount + jj}" for jj in range(rcount)
+                                )
+                            ).alias("band_key"),
+                        )
+                        for k in range(bcount)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_key")
+        a_s, b_s = bands.alias("a"), bands.alias("b")
+        cand = (
+            a_s.join(
+                b_s,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        stats = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(j >= 0.5, 1).otherwise(0)).alias("n_true"),
+            )
+            .select(
+                F.lit(name).alias("config"),
+                F.lit(bcount).alias("bands"),
+                F.lit(rcount).alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN NULL"
+                    " ELSE n_true * 1000000 div n_candidates END"
+                ).alias("precision_ppm"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -336,6 +336,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q285_streaming_dedup_multibatch",
     "q286_k_anonymity_audit",
     "q287_hgt_aspect_census",
+    "q288_sql_udf_surface",
+    "q289_try_arithmetic_pack",
+    "q290_lsh_parameter_sweep",
 )
 
 
