@@ -71,3 +71,71 @@ def q19_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_sum").cast("double") / scale / F.col("n_events")).alias("value_avg"),
         )
     )
+
+
+# portable simulated partitioner: md5-derived integer mod P (Spark's
+# Murmur3 partitioner is engine-private — the SKEW STRUCTURE is
+# identical under any uniform hash, which is what the audit needs)
+_PART = (
+    "((instr('0123456789abcdef', substr(md5({k}), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5({k}), 2, 1)) - 1) % {p}"
+)
+
+_N_PARTS = 32
+
+
+@register(
+    "q292_shuffle_skew_forecast",
+    oracle=f"""
+WITH keyed AS (
+  SELECT {_PART.format(k="CAST(o_custkey AS VARCHAR)", p=_N_PARTS)} AS part
+  FROM orders
+),
+per_part AS (
+  SELECT part, COUNT(*) AS n_rows FROM keyed GROUP BY part
+),
+stats AS (
+  SELECT COUNT(*) AS n_parts,
+         CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+         CAST(MIN(n_rows) AS BIGINT) AS min_rows
+  FROM per_part
+)
+SELECT n_parts, total_rows, max_rows, min_rows,
+       max_rows * n_parts * 1000 // total_rows AS max_over_mean_pml,
+       CASE WHEN max_rows * n_parts * 1000 // total_rows > 2000
+            THEN 1 ELSE 0 END AS needs_salting
+FROM stats
+""",
+    tags=("skew", "planning", "audit"),
+)
+def q292_shuffle_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew forecast for a join/agg key: simulate
+    the hash partitioner (md5-derived byte mod 32 — engine-portable;
+    skew structure is partitioner-invariant under any uniform hash)
+    over o_custkey and report the per-partition row distribution —
+    max/mean ratio in per-mille and a needs-salting verdict at the 2×
+    threshold AQE's skew-join handling uses. This is the statistic a
+    100 TB job checks BEFORE launching the shuffle (q19 is the salted
+    fix; this is the detector). One scan, map-side-combined census of
+    32 partitions, scalar verdict row."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.expr(_PART.format(k="CAST(o_custkey AS STRING)", p=_N_PARTS)).alias("part")
+    )
+    per_part = keyed.groupBy("part").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = per_part.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.min("n_rows").alias("min_rows"),
+    )
+    ratio = F.expr("max_rows * n_parts * 1000 div total_rows")
+    return stats.select(
+        "n_parts",
+        "total_rows",
+        "max_rows",
+        "min_rows",
+        ratio.alias("max_over_mean_pml"),
+        F.when(ratio > 2000, F.lit(1)).otherwise(F.lit(0)).alias("needs_salting"),
+    )

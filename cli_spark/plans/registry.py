@@ -339,6 +339,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q288_sql_udf_surface",
     "q289_try_arithmetic_pack",
     "q290_lsh_parameter_sweep",
+    "q291_label_propagation",
+    "q292_shuffle_skew_forecast",
 )
 
 
