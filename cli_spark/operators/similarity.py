@@ -685,3 +685,157 @@ def q211_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(e_ppb) div count(1)").cast("long").alias("mean_err_ppb"),
         F.max("e_ppb").cast("long").alias("max_err_ppb"),
     )
+
+
+@register(
+    "q293_hybrid_search_agreement",
+    oracle=f"""
+WITH probes AS (
+  SELECT doc_id AS probe_id FROM documents
+  WHERE doc_id IN (SELECT vec_id FROM embeddings)
+  ORDER BY md5('probe' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 5
+),
+ev AS (
+  SELECT vec_id AS doc_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+pe AS (
+  SELECT p.probe_id, e.embedding AS p_emb, e.nrm AS p_nrm
+  FROM probes p JOIN ev e ON e.doc_id = p.probe_id
+),
+emb_ranked AS (
+  SELECT pe.probe_id, ev.doc_id,
+         row_number() OVER (
+           PARTITION BY pe.probe_id
+           ORDER BY {sql_dot('ev.embedding', 'pe.p_emb')} / (ev.nrm * pe.p_nrm)
+                    DESC, ev.doc_id ASC) AS rn
+  FROM ev CROSS JOIN pe WHERE ev.doc_id <> pe.probe_id
+),
+emb_top AS (SELECT probe_id, doc_id, rn FROM emb_ranked WHERE rn <= 10),
+terms AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS ts
+  FROM documents
+),
+pt AS (
+  SELECT p.probe_id, t.ts AS p_ts FROM probes p JOIN terms t ON t.doc_id = p.probe_id
+),
+lex_ranked AS (
+  SELECT pt.probe_id, t.doc_id,
+         row_number() OVER (
+           PARTITION BY pt.probe_id
+           ORDER BY len(list_intersect(t.ts, pt.p_ts)) * 1000000
+                    // len(list_distinct(list_concat(t.ts, pt.p_ts))) DESC,
+                    t.doc_id ASC) AS rn
+  FROM terms t CROSS JOIN pt WHERE t.doc_id <> pt.probe_id
+),
+lex_top AS (SELECT probe_id, doc_id, rn FROM lex_ranked WHERE rn <= 10)
+SELECT p.probe_id,
+       COALESCE(o.n_overlap, 0) AS overlap10,
+       e1.doc_id AS top1_emb,
+       l1.doc_id AS top1_lex,
+       CASE WHEN e1.doc_id = l1.doc_id THEN 1 ELSE 0 END AS top1_match
+FROM probes p
+LEFT JOIN (
+  SELECT e.probe_id, COUNT(*) AS n_overlap
+  FROM emb_top e JOIN lex_top l ON e.probe_id = l.probe_id AND e.doc_id = l.doc_id
+  GROUP BY e.probe_id
+) o ON o.probe_id = p.probe_id
+JOIN (SELECT probe_id, doc_id FROM emb_top WHERE rn = 1) e1 ON e1.probe_id = p.probe_id
+JOIN (SELECT probe_id, doc_id FROM lex_top WHERE rn = 1) l1 ON l1.probe_id = p.probe_id
+""",
+    tags=("similarity", "retrieval", "evaluation"),
+)
+def q293_hybrid_search_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval modality agreement: for 5 md5-elected probe
+    documents, compare the EMBEDDING top-10 (exact quantized-int
+    cosine, the q80 ranking) against the LEXICAL top-10 (distinct-term
+    Jaccard in exact integer ppm) — overlap@10 and top-1 agreement per
+    probe, the offline evaluation that decides how to weight a hybrid
+    (BM25 + dense) ranker. Sparse and dense retrieval disagreeing is
+    the signal that reranking is worth its cost.
+
+    Scale shape: the 5-row probe relation broadcasts onto both the
+    vector relation and the term relation (two linear scans, no pair
+    explosion); per-probe top-10s are bounded windows; the overlap
+    join touches ≤ 50 rows per side. Both rankings carry full
+    deterministic tie-breaks."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    covered = d.join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    probes = (
+        covered.orderBy(
+            F.md5(F.concat(F.lit("probe"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+        .limit(5)
+        .select(F.col("doc_id").alias("probe_id"))
+    )
+    ev = e.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+    )
+    pe = probes.join(
+        ev.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_nrm"),
+        ),
+        "probe_id",
+    )
+    cos = dot("embedding", "p_emb") / (F.col("nrm") * F.col("p_nrm"))
+    we = Window.partitionBy("probe_id").orderBy(cos.desc(), F.col("doc_id").asc())
+    emb_top = (
+        ev.crossJoin(F.broadcast(pe))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "doc_id", "rn")
+    )
+    terms = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("ts"),
+    )
+    pt = probes.join(
+        terms.select(F.col("doc_id").alias("probe_id"), F.col("ts").alias("p_ts")),
+        "probe_id",
+    )
+    jac = F.expr(
+        "size(array_intersect(ts, p_ts)) * 1000000"
+        " div size(array_distinct(concat(ts, p_ts)))"
+    )
+    wl = Window.partitionBy("probe_id").orderBy(jac.desc(), F.col("doc_id").asc())
+    lex_top = (
+        terms.crossJoin(F.broadcast(pt))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "doc_id", "rn")
+    )
+    overlap = (
+        emb_top.join(lex_top, ["probe_id", "doc_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    e1 = emb_top.filter(F.col("rn") == 1).select("probe_id", F.col("doc_id").alias("top1_emb"))
+    l1 = lex_top.filter(F.col("rn") == 1).select("probe_id", F.col("doc_id").alias("top1_lex"))
+    return (
+        probes.join(overlap, "probe_id", "left")
+        .join(e1, "probe_id")
+        .join(l1, "probe_id")
+        .select(
+            "probe_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("overlap10"),
+            "top1_emb",
+            "top1_lex",
+            F.when(F.col("top1_emb") == F.col("top1_lex"), 1).otherwise(0)
+            .alias("top1_match"),
+        )
+    )

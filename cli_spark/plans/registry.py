@@ -341,6 +341,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q290_lsh_parameter_sweep",
     "q291_label_propagation",
     "q292_shuffle_skew_forecast",
+    "q293_hybrid_search_agreement",
 )
 
 
