@@ -607,3 +607,62 @@ def q281_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_bot"),
     )
+
+
+@register(
+    "q295_event_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_funnels,
+       CAST(len(regexp_extract_all(s, 've')) AS BIGINT) AS n_abandons,
+       CAST(length(s) AS BIGINT) AS seq_len
+FROM seq
+""",
+    tags=("analytics", "cep", "pattern"),
+)
+def q295_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex event processing without the
+    clause (Spark has none): each user's event stream becomes an
+    ordered initial-letter string — one grouped aggregation with an
+    order-stabilized struct sort, the q28 idiom — and sequence
+    patterns run as regexes over it: `vc*p` (view, any clicks, then
+    purchase — the conversion funnel with noise tolerance) and `ve`
+    (view straight into error — the abandonment signature). Both
+    engines scan leftmost-non-overlapping with greedy star, verified
+    equivalent. Per-user strings are bounded by per-user activity, so
+    the pattern stage is a scan-stage projection; the only shuffle is
+    the per-user collect."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("i"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("rec")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("s"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.expr("regexp_count(s, 'vc*p')").cast("long").alias("n_funnels"),
+        F.expr("regexp_count(s, 've')").cast("long").alias("n_abandons"),
+        F.length("s").cast("long").alias("seq_len"),
+    )

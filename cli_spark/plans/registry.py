@@ -342,6 +342,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q291_label_propagation",
     "q292_shuffle_skew_forecast",
     "q293_hybrid_search_agreement",
+    "q294_stateful_running_totals_graded",
+    "q295_event_pattern_match",
 )
 
 

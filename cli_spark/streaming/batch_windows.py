@@ -819,3 +819,138 @@ def q285_streaming_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q294_stateful_running_totals_graded",
+    # Batch size mirrored from the Spark side (max(500, ceil(n/25)));
+    # events.parquet row order IS event_id order (verified at every
+    # sf), so the oracle reconstructs each event's micro-batch from
+    # its row number and counts the distinct batches per user — the
+    # cross-batch state evidence — while totals are plain censuses.
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS cnt FROM events),
+bsz AS (
+  SELECT GREATEST(500, CAST(ceil(cnt / 25.0) AS BIGINT)) AS rows_per_batch FROM n
+),
+batched AS (
+  SELECT e.user_id, e.value,
+         (e.event_id) // b.rows_per_batch AS batch
+  FROM events e CROSS JOIN bsz b
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       COUNT(DISTINCT batch) AS n_update_batches
+FROM batched GROUP BY user_id
+""",
+    tags=("streaming", "true_stream", "stateful", "multibatch"),
+)
+def q294_stateful_running_totals_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED custom stateful operator (applyInPandasWithState): the
+    events table replays in ~25 micro-batches and a GroupState keyed
+    per user accumulates (event count, exact integer cents, update
+    count) ACROSS batches, emitting the running value each time the
+    key appears (update mode). The run is proven stateful, not
+    re-aggregated: the driver keeps each user's LAST emission, whose
+    update count must equal the number of distinct micro-batches that
+    carried that user — reconstructed independently by the oracle
+    from row numbers — while count/cents equal the batch census.
+    State is integer cents, so cross-batch accumulation is exact and
+    order-free.
+
+    Scale shape: keys hash-shard across executors via the groupBy;
+    state is one small row per user in the state store (RocksDB in
+    production); per-batch output rides a distributed foreachBatch
+    parquet sink."""
+    import shutil
+    import tempfile
+    import time
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = max(500, -(-n // 25))
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", bsz)
+        .load()
+    )
+
+    def _update(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        cnt, cents, ub = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            cnt += len(pdf)
+            cents += int(
+                (pdf["value"].astype(float) * 100.0 + 0.5).apply(
+                    lambda x: int(x // 1)
+                ).sum()
+            )
+        ub += 1
+        state.update((cnt, cents, ub))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "value_cents": [cents],
+                "n_update_batches": [ub],
+            }
+        )
+
+    totals = stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id long, n_events long, value_cents long, "
+        "n_update_batches long",
+        stateStructType="cnt long, cents long, ub long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out_root = tempfile.mkdtemp(prefix="q294_state_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(
+                f"{out_root}/upd"
+            )
+
+        query = (
+            totals.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        upd = spark.read.parquet(f"{out_root}/upd")
+        from pyspark.sql.window import Window as _Win
+
+        last = (
+            upd.withColumn(
+                "rn",
+                F.row_number().over(
+                    _Win.partitionBy("user_id").orderBy(F.col("_b").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events", "value_cents", "n_update_batches")
+        )
+        out = spark.createDataFrame(last.collect(), last.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
