@@ -816,3 +816,93 @@ def q278_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .limit(30)
     )
+
+
+@register(
+    "q296_bm25_scores",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+clean AS (SELECT doc_id, term FROM tokens WHERE term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM clean GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM clean GROUP BY doc_id),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM clean GROUP BY term),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (c.n_docs - df.df) * 1000000 // c.n_docs AS idf_ppm,
+         tf.tf * 2200 AS num_milli,
+         tf.tf * 1000 + 1200 * (250 + 750 * dl.dl * c.n_docs
+                                // c.total_tokens) // 1000 AS den_milli
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN corpus c
+),
+ranked AS (
+  SELECT doc_id, term,
+         idf_ppm * num_milli // den_milli AS bm25_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY idf_ppm * num_milli // den_milli DESC,
+                                     term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, bm25_micro, rnk
+FROM ranked WHERE rnk <= 5 AND doc_id % 10 = 0
+""",
+    tags=("text", "bm25", "retrieval"),
+)
+def q296_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term ranking (Robertson–Spärck Jones family) in EXACT
+    integer arithmetic — the retrieval scorer behind every lexical
+    search engine, here with k1 = 1.2, b = 0.75 scaled to milli-units
+    and a rational idf proxy (N − df)/N in ppm (the probabilistic
+    idf numerator — transcendental-free, so the score is bit-stable
+    across engines; q91 carries the classic ln() form). Per-doc top-5
+    terms for the doc_id % 10 sample slice, with the q91 optimization:
+    the output slice pushes into the tf branch while document
+    frequencies and the average document length aggregate over the
+    FULL corpus — the "score a slice against global statistics"
+    shape. Length normalization is the real BM25 saturation curve:
+    den = tf + k1·(1 − b + b·dl/avgdl), all floor-divided in a fixed
+    order mirrored on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf_all = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    sliced = tf_all.filter(F.col("doc_id") % 10 == 0)
+    scored = (
+        sliced.join(dl, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(n_docs - df) * 1000000 div n_docs").alias("idf_ppm"),
+            F.expr("tf * 2200").alias("num_milli"),
+            F.expr(
+                "tf * 1000 + 1200 * (250 + 750 * dl * n_docs div total_tokens)"
+                " div 1000"
+            ).alias("den_milli"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    score = F.expr("idf_ppm * num_milli div den_milli")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        scored.withColumn("bm25_micro", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "bm25_micro", "rnk")
+    )

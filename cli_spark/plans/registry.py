@@ -344,6 +344,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q293_hybrid_search_agreement",
     "q294_stateful_running_totals_graded",
     "q295_event_pattern_match",
+    "q296_bm25_scores",
+    "q297_incremental_cc",
 )
 
 
