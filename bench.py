@@ -64,6 +64,7 @@ REPORTED_QUERIES = [
     "q208_minhash_incremental",        # LSH posting-list probe (round 6)
     "q247_semdedup_prune",             # k-means-bounded cosine dedup (round 6)
     "q249_kcore_2core",                # iterative degree peeling (round 6)
+    "q290_lsh_parameter_sweep",        # 3-config band-join sweep (round 6, session 3)
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

@@ -666,3 +666,96 @@ def q295_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regexp_count(s, 've')").cast("long").alias("n_abandons"),
         F.length("s").cast("long").alias("seq_len"),
     )
+
+
+@register(
+    "q298_cohort_ltv_matrix",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+firsts AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY o_custkey),
+joined AS (
+  SELECT f.cohort_m, o.m - f.cohort_m AS offset_m, o.o_custkey, o.cents
+  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+  WHERE o.m - f.cohort_m <= 11
+),
+cells AS (
+  SELECT cohort_m, offset_m,
+         COUNT(DISTINCT o_custkey) AS active_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM joined GROUP BY cohort_m, offset_m
+),
+sized AS (
+  SELECT f.cohort_m, COUNT(*) AS cohort_size FROM firsts f GROUP BY f.cohort_m
+)
+SELECT c.cohort_m, c.offset_m, s.cohort_size, c.active_customers,
+       c.revenue_cents,
+       CAST(SUM(c.revenue_cents) OVER (
+         PARTITION BY c.cohort_m ORDER BY c.offset_m
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents,
+       CAST(SUM(c.revenue_cents) OVER (
+         PARTITION BY c.cohort_m ORDER BY c.offset_m
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) // s.cohort_size
+         AS ltv_cents_per_customer
+FROM cells c JOIN sized s ON c.cohort_m = s.cohort_m
+""",
+    tags=("analytics", "cohort", "ltv"),
+)
+def q298_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — q129's retention grid with the
+    MONETARY dimension: customers cohorted by first-order month
+    (integer month index, no date arithmetic ambiguity), revenue in
+    exact cents per (cohort, months-since-first) cell for the first
+    12 months, cumulated per cohort into LTV-per-customer — the
+    payback-curve table subscription analytics runs nightly.
+
+    Two shuffles: the first-order census (map-side combined) and the
+    cohort join + cell rollup on the customer key; the cumulative
+    window runs over ≤ 12 rows per cohort. Integer month index
+    year·12+month−1 is identical in both engines; cents stay exact
+    BIGINT end-to-end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    joined = (
+        o.join(firsts, "o_custkey")
+        .withColumn("offset_m", F.col("m") - F.col("cohort_m"))
+        .filter(F.col("offset_m") <= 11)
+    )
+    cells = joined.groupBy("cohort_m", "offset_m").agg(
+        F.countDistinct("o_custkey").alias("active_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    sized = firsts.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_size"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(sized, "cohort_m")
+        .withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .select(
+            "cohort_m",
+            "offset_m",
+            "cohort_size",
+            "active_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents div cohort_size").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+    )

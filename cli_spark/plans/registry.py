@@ -346,6 +346,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q295_event_pattern_match",
     "q296_bm25_scores",
     "q297_incremental_cc",
+    "q298_cohort_ltv_matrix",
 )
 
 
