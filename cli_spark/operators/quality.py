@@ -491,3 +491,112 @@ def q286_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("docs_at_risk * 1000000 div n_docs").alias("risk_ppm"),
         )
     )
+
+
+@register(
+    "q300_release_scorecard",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(text) AS h_full,
+         md5(substr(text, 1, 100)) AS h_prefix,
+         len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS n_words,
+         len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                       x -> x != ''))) AS n_distinct
+  FROM documents
+),
+per_lang AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT h_full) AS n_unique_texts,
+         COUNT(*) - COUNT(DISTINCT h_prefix) AS n_prefix_dups,
+         CAST(SUM(CASE WHEN n_words BETWEEN 20 AND 80
+                        AND n_distinct * 2 >= n_words
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass
+  FROM feat GROUP BY lang
+),
+qi AS (
+  SELECT lang, source, n_chars // 100 AS band, COUNT(*) AS k
+  FROM feat GROUP BY lang, source, n_chars // 100
+),
+risk AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) * 1000000
+           // CAST(SUM(k) AS BIGINT) AS risk_ppm
+  FROM qi GROUP BY lang
+)
+SELECT p.lang, p.n_docs, p.n_unique_texts, p.n_prefix_dups, p.n_gate_pass,
+       p.n_gate_pass * 1000000 // p.n_docs AS gate_pass_ppm,
+       r.risk_ppm,
+       CASE WHEN p.n_gate_pass * 1000000 // p.n_docs > 500000
+                 AND r.risk_ppm < 100000
+            THEN 1 ELSE 0 END AS releasable
+FROM per_lang p JOIN risk r ON p.lang = r.lang
+""",
+    tags=("quality", "release", "scorecard", "composite"),
+)
+def q300_release_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RELEASE SCORECARD — the one-page gate a dataset publish
+    runs, fusing four stacks into a single two-shuffle plan: per
+    language, exact-duplicate pressure (distinct full-text hashes),
+    boilerplate pressure (100-char-prefix collisions, q285's key),
+    quality-gate pass share (length + diversity rules from the
+    Gopher family), and the k-anonymity at-risk share over the
+    (lang, source, length-band) quasi-identifier grid (q286), with an
+    integer releasable verdict (pass share > 50%, re-identification
+    risk < 10%).
+
+    One scan computes every per-doc feature as projection columns;
+    the per-lang census and the QI census are two map-side-combined
+    aggregations joined on the 5-row language key."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    feat = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.encode("text", "utf-8")).alias("h_full"),
+        F.md5(F.expr("substring(text, 1, 100)")).alias("h_prefix"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    per_lang = feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h_full").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("h_prefix")).alias("n_prefix_dups"),
+        F.sum(
+            F.when(
+                F.col("n_words").between(20, 80)
+                & (F.col("n_distinct") * 2 >= F.col("n_words")),
+                1,
+            ).otherwise(0)
+        ).alias("n_gate_pass"),
+    )
+    qi = feat.groupBy("lang", "source", F.expr("n_chars div 100").alias("band")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    risk = qi.groupBy("lang").agg(
+        F.expr(
+            "SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 div SUM(k)"
+        ).alias("risk_ppm")
+    )
+    return (
+        per_lang.join(risk, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_unique_texts",
+            "n_prefix_dups",
+            "n_gate_pass",
+            F.expr("n_gate_pass * 1000000 div n_docs").alias("gate_pass_ppm"),
+            "risk_ppm",
+            F.when(
+                (F.expr("n_gate_pass * 1000000 div n_docs") > 500000)
+                & (F.col("risk_ppm") < 100000),
+                1,
+            )
+            .otherwise(0)
+            .alias("releasable"),
+        )
+    )

@@ -347,6 +347,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q296_bm25_scores",
     "q297_incremental_cc",
     "q298_cohort_ltv_matrix",
+    "q299_hgt_contour_crossings",
+    "q300_release_scorecard",
 )
 
 

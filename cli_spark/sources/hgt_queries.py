@@ -421,3 +421,72 @@ def q287_hgt_aspect_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return raw.mapInPandas(_aspects, schema).orderBy("cell", "aspect")
+
+
+@register(
+    "q299_hgt_contour_crossings",
+    # Independent-numpy goldens (level-set crossings of adjacent
+    # valid sample pairs at -500/0/+500 m) — VALUES-literal oracle
+    # style of q110–q112/q265/q287.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', -500, 1897, 2735, 4632),
+  ('N00E000', 0, 1131, 2541, 3672),
+  ('N00E000', 500, 1626, 2388, 4014),
+  ('N46E007', -500, 1561, 2362, 3923),
+  ('N46E007', 0, 1127, 2547, 3674),
+  ('N46E007', 500, 1937, 2709, 4646),
+  ('S01W072', -500, 1791, 2480, 4271),
+  ('S01W072', 0, 1335, 2619, 3954),
+  ('S01W072', 500, 1783, 2496, 4279)
+) AS t(cell, level, h_crossings, v_crossings, total_crossings)
+""",
+    tags=("hgt", "tier_a", "terrain"),
+)
+def q299_hgt_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour-line crossing census per cell [A6+A8]: for each level
+    in {−500, 0, +500} m, count adjacent valid sample pairs that
+    straddle the level (one endpoint above, one at-or-below) along
+    both grid axes — the integer skeleton of marching-squares
+    contouring (crossing count ≈ total contour length in sample
+    units). Vectorized numpy inside the decode mapInPandas; only the
+    9-row census leaves Python."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = (
+        "cell string, level long, h_crossings long, v_crossings long, "
+        "total_crossings long"
+    )
+    levels = (-500, 0, 500)
+
+    def _cross(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("cell", "level", "h_crossings", "v_crossings",
+                     "total_crossings")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                bh = v[:, 1:] & v[:, :-1]
+                bv = v[1:, :] & v[:-1, :]
+                ah, bh_ = g[:, 1:][bh], g[:, :-1][bh]
+                av, bv_ = g[1:, :][bv], g[:-1, :][bv]
+                for level in levels:
+                    ch = int((((ah > level) & (bh_ <= level))
+                              | ((ah <= level) & (bh_ > level))).sum())
+                    cv = int((((av > level) & (bv_ <= level))
+                              | ((av <= level) & (bv_ > level))).sum())
+                    recs["cell"].append(cell)
+                    recs["level"].append(level)
+                    recs["h_crossings"].append(ch)
+                    recs["v_crossings"].append(cv)
+                    recs["total_crossings"].append(ch + cv)
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_cross, schema).orderBy("cell", "level")
