@@ -1,0 +1,92 @@
+"""`df.write.format("checksum")` — a Spark 4 Python DataSource
+WRITER (the batch-sink counterpart of the custom readers in
+hgt_datasource.py / replay_datasource.py, completing the Python
+DataSource surface: batch read, streaming read, batch write).
+
+The sink materializes an order/partitioning-independent integrity
+manifest instead of the data itself: every executor task hashes its
+partition's rows (stable '|'-joined rendering → md5 → 48-bit int,
+xor-folded) and ships (row_count, checksum) back as its commit
+message; the driver's commit() folds task messages into ONE manifest
+JSON. Because xor is commutative/associative, the manifest is
+identical under any row order or partition count — the same
+portability contract as q119's table checksums, packaged as a sink.
+
+Scale: the executor→driver traffic is one tiny commit message per
+task regardless of data volume; abort() leaves nothing behind
+(the manifest writes atomically at commit via rename).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.types import Row, StructType
+
+
+class ChecksumCommit(WriterCommitMessage):
+    def __init__(self, n_rows: int, checksum: int):
+        self.n_rows = n_rows
+        self.checksum = checksum
+
+
+def _row_hash48(values) -> int:
+    rendered = "|".join("\\N" if v is None else str(v) for v in values)
+    digest = hashlib.md5(rendered.encode("utf-8")).hexdigest()
+    return int(digest[:12], 16)
+
+
+class ChecksumWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("checksum sink requires a path option")
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator: Iterator[Row]) -> ChecksumCommit:
+        n, acc = 0, 0
+        for row in iterator:
+            n += 1
+            acc ^= _row_hash48([row[c] for c in self.columns])
+        return ChecksumCommit(n, acc)
+
+    def commit(self, messages) -> None:
+        n = sum(m.n_rows for m in messages)
+        acc = 0
+        for m in messages:
+            acc ^= m.checksum
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        final = os.path.join(self.path, "manifest.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "row_count": n,
+                    "checksum48": acc,
+                    "columns": self.columns,
+                    "n_tasks": len(messages),
+                },
+                fh,
+            )
+        os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        pass  # nothing durable is written before commit
+
+
+class ChecksumDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "checksum"
+
+    def writer(self, schema: StructType, overwrite: bool) -> ChecksumWriter:
+        return ChecksumWriter(self.options, schema)
+
+
+def register_checksum_sink(spark) -> None:
+    """Idempempotently register the sink on this session."""
+    spark.dataSource.register(ChecksumDataSource)

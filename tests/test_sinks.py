@@ -184,3 +184,40 @@ def test_read_jdbc_rejects_partition_column_without_bounds(spark):
     with pytest.raises(ValueError, match="lower_bound"):
         read_jdbc(spark, "jdbc:derby:memory:x", "t",
                   partition_column="id", lower_bound=None, upper_bound=None)
+
+
+def test_checksum_python_datasource_writer(spark, tmp_path):
+    """Spark 4 Python DataSource WRITER: the checksum sink's manifest
+    is partitioning- and order-independent (xor fold), matches an
+    independently computed reference, and abort leaves nothing."""
+    import json
+
+    from cli_spark.sources.checksum_sink import (
+        _row_hash48,
+        register_checksum_sink,
+    )
+    from cli_spark.tables import load_table
+
+    register_checksum_sink(spark)
+    d = load_table(spark, "/root/testdata/sf0.001", "nation").select(
+        "n_nationkey", "n_name"
+    )
+    out1 = str(tmp_path / "m1")
+    d.repartition(7).write.format("checksum").option("path", out1).mode(
+        "append"
+    ).save()
+    out2 = str(tmp_path / "m2")
+    d.orderBy(F.col("n_name").desc()).coalesce(1).write.format("checksum").option(
+        "path", out2
+    ).mode("append").save()
+    m1 = json.load(open(f"{out1}/manifest.json"))
+    m2 = json.load(open(f"{out2}/manifest.json"))
+    assert m1["row_count"] == 25 and m2["row_count"] == 25
+    assert m1["checksum48"] == m2["checksum48"]  # order/partition invariant
+    assert m1["n_tasks"] == 7 and m2["n_tasks"] == 1
+    # independent reference fold
+    rows = d.collect()
+    ref = 0
+    for r in rows:
+        ref ^= _row_hash48([r["n_nationkey"], r["n_name"]])
+    assert m1["checksum48"] == ref
