@@ -591,3 +591,91 @@ def q261_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(term) - F.max("total") * F.lit(1000000)).cast("long")
         .alias("chi2_micro"),
     )
+
+
+@register(
+    "q301_anova_f",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+piv AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS s_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_c,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_e,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN cents ELSE 0 END) AS BIGINT) AS s_e,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_e,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS s_p,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_p,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_s,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN cents ELSE 0 END) AS BIGINT) AS s_s,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_s,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_v,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS s_v,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_v
+  FROM c
+)
+SELECT n_c + n_e + n_p + n_s + n_v AS n_total,
+       n_c, n_e, n_p, n_s, n_v,
+       s_c, s_e, s_p, s_s, s_v,
+       4 AS df_between,
+       (n_c + n_e + n_p + n_s + n_v) - 5 AS df_within,
+       CAST(floor((((CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) + CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) + CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) + CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) + CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)
+           - CAST(s_c + s_e + s_p + s_s + s_v AS DOUBLE) * CAST(s_c + s_e + s_p + s_s + s_v AS DOUBLE)
+             / CAST(n_c + n_e + n_p + n_s + n_v AS DOUBLE)) / 4.0)
+          / ((CAST(q_c + q_e + q_p + q_s + q_v AS DOUBLE) - (CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) + CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) + CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) + CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) + CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))) / CAST((n_c + n_e + n_p + n_s + n_v) - 5 AS DOUBLE))) * 1000000.0) AS BIGINT) AS f_micro
+FROM piv
+""",
+    tags=("analytics", "stats", "anova"),
+)
+def q301_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across the 5 event-type groups on
+    integer cents — does mean spend differ by event type? The pivot
+    trick that made q273's z exact: because the group set is FIXED,
+    per-group (n, Σx, Σx²) become pivoted COLUMNS of one scalar row,
+    so the between/within sum-of-squares chain is a single
+    fixed-operand-order IEEE double expression — no float aggregation
+    whose summation order could differ between engines — and
+    floor(F·1e6) matches bit-for-bit. Everything upstream is exact
+    integer conditional aggregation in one scan (q261's chi² tests
+    independence of categorical margins; this tests equality of
+    continuous group means — the other classic omnibus)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    # each pivoted aggregate carries its alias inside the expr string
+    piv = c.groupBy().agg(
+        *[F.expr(x.strip())
+          for x in """SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS s_c,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_c,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_e,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN cents ELSE 0 END) AS BIGINT) AS s_e,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_e,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS s_p,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_p,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_s,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN cents ELSE 0 END) AS BIGINT) AS s_s,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_s,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_v,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) AS BIGINT) AS s_v,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_v""".replace("\n", " ").split(",")]
+    )
+    return piv.selectExpr(
+        "n_c + n_e + n_p + n_s + n_v AS n_total",
+        "n_c", "n_e", "n_p", "n_s", "n_v",
+        "s_c", "s_e", "s_p", "s_s", "s_v",
+        "4 AS df_between",
+        "(n_c + n_e + n_p + n_s + n_v) - 5 AS df_within",
+        """CAST(floor((((CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) + CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) + CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) + CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) + CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)
+           - CAST(s_c + s_e + s_p + s_s + s_v AS DOUBLE) * CAST(s_c + s_e + s_p + s_s + s_v AS DOUBLE)
+             / CAST(n_c + n_e + n_p + n_s + n_v AS DOUBLE)) / 4.0)
+          / ((CAST(q_c + q_e + q_p + q_s + q_v AS DOUBLE) - (CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) + CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) + CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) + CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) + CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))) / CAST((n_c + n_e + n_p + n_s + n_v) - 5 AS DOUBLE))) * 1000000.0) AS BIGINT) AS f_micro""",
+    )

@@ -349,6 +349,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q298_cohort_ltv_matrix",
     "q299_hgt_contour_crossings",
     "q300_release_scorecard",
+    "q301_anova_f",
 )
 
 
