@@ -619,11 +619,13 @@ piv AS (
          CAST(SUM(CASE WHEN event_type = 'view' THEN cents * cents ELSE 0 END) AS BIGINT) AS q_v
   FROM c
 )
-SELECT n_c + n_e + n_p + n_s + n_v AS n_total,
-       n_c, n_e, n_p, n_s, n_v,
+SELECT CAST(n_c + n_e + n_p + n_s + n_v AS BIGINT) AS n_total,
+       CAST(n_c AS BIGINT) AS n_c, CAST(n_e AS BIGINT) AS n_e,
+       CAST(n_p AS BIGINT) AS n_p, CAST(n_s AS BIGINT) AS n_s,
+       CAST(n_v AS BIGINT) AS n_v,
        s_c, s_e, s_p, s_s, s_v,
        4 AS df_between,
-       (n_c + n_e + n_p + n_s + n_v) - 5 AS df_within,
+       CAST((n_c + n_e + n_p + n_s + n_v) - 5 AS BIGINT) AS df_within,
        CAST(floor((((CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) + CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) + CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) + CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) + CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE)
            - CAST(s_c + s_e + s_p + s_s + s_v AS DOUBLE) * CAST(s_c + s_e + s_p + s_s + s_v AS DOUBLE)
              / CAST(n_c + n_e + n_p + n_s + n_v AS DOUBLE)) / 4.0)
