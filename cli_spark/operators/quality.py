@@ -600,3 +600,72 @@ def q300_release_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("releasable"),
         )
     )
+
+
+@register(
+    "q302_char_class_census",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g'))
+           AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(replace(text, ' ', '')) AS n_space
+  FROM documents
+)
+SELECT lang, source,
+       CAST(SUM(n) AS BIGINT) AS chars,
+       CAST(SUM(n_alpha) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT)
+         AS alpha_ppm,
+       CAST(SUM(n_digit) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT)
+         AS digit_ppm,
+       CAST(SUM(n_space) AS BIGINT) * 1000000 // CAST(SUM(n) AS BIGINT)
+         AS space_ppm,
+       CAST(SUM(n - n_alpha - n_digit - n_space) AS BIGINT) * 1000000
+         // CAST(SUM(n) AS BIGINT) AS other_ppm,
+       CAST(SUM(CASE WHEN (n_alpha + n_space) * 10 < n * 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS suspect_docs
+FROM per_doc GROUP BY lang, source
+""",
+    tags=("quality", "charclass", "gates"),
+)
+def q302_char_class_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per (lang, source) — the
+    RefinedWeb/C4 symbol-ratio gate that catches OCR garbage, base64
+    blobs and markup residue: alphabetic / digit / whitespace / other
+    shares in exact ppm, counted by regex-strip length differences
+    (identical regexp_replace semantics both engines), plus a census
+    of suspect documents where letters+spaces fall below 70% of
+    characters. Pure scan-stage projection; one map-side-combined
+    rollup to the (lang, source) grid."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.length("text").alias("n"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.lower("text"), "[a-z]", ""))
+        ).alias("n_alpha"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digit"),
+        (
+            F.length("text") - F.length(F.replace("text", F.lit(" "), F.lit("")))
+        ).alias("n_space"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.sum("n").alias("chars"),
+        F.expr("SUM(n_alpha) * 1000000 div SUM(n)").alias("alpha_ppm"),
+        F.expr("SUM(n_digit) * 1000000 div SUM(n)").alias("digit_ppm"),
+        F.expr("SUM(n_space) * 1000000 div SUM(n)").alias("space_ppm"),
+        F.expr(
+            "SUM(n - n_alpha - n_digit - n_space) * 1000000 div SUM(n)"
+        ).alias("other_ppm"),
+        F.sum(
+            F.when((F.col("n_alpha") + F.col("n_space")) * 10 < F.col("n") * 7, 1)
+            .otherwise(0)
+        ).alias("suspect_docs"),
+    )

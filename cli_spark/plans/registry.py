@@ -350,6 +350,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q299_hgt_contour_crossings",
     "q300_release_scorecard",
     "q301_anova_f",
+    "q302_char_class_census",
 )
 
 
