@@ -372,3 +372,70 @@ def q276_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pair_orders").desc(), F.col("pk_a").asc(), F.col("pk_b").asc()
     ).limit(50)
+
+
+@register(
+    "q303_bipartite_projection",
+    oracle="""
+WITH pc AS (
+  SELECT DISTINCT l.l_partkey AS part, o.o_custkey AS cust
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pop AS (
+  SELECT part, COUNT(*) AS buyers FROM pc GROUP BY part
+),
+kept AS (
+  SELECT pc.part, pc.cust
+  FROM pc JOIN pop ON pc.part = pop.part
+  WHERE pop.buyers BETWEEN 2 AND 25
+),
+pairs AS (
+  SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS shared_parts
+  FROM kept a JOIN kept b ON a.part = b.part AND a.cust < b.cust
+  GROUP BY a.cust, b.cust
+)
+SELECT cust_a, cust_b, shared_parts
+FROM pairs
+ORDER BY shared_parts DESC, cust_a ASC, cust_b ASC
+LIMIT 100
+""",
+    tags=("mining", "graph", "bipartite"),
+)
+def q303_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite-graph projection with HUB PRUNING — the standard
+    customers-through-parts co-purchase graph (the transpose of
+    q276's part pairs): distinct (part, customer) incidences
+    self-join on the part key, but ONLY through parts with 2–25
+    buyers. Hub exclusion is what makes bipartite projection feasible
+    at scale — a part bought by B customers contributes B² pairs, so
+    unpruned hubs dominate cost while carrying no signal (everyone
+    buys them; TF-IDF's idf logic applied to graph construction). The
+    buyer census is dim-sized and joins back as a filter before any
+    pair is formed; per-part fan-out is then ≤ 25²; the top-100 is a
+    TakeOrderedAndProject with full tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust"))
+        .distinct()
+    )
+    pop = pc.groupBy("part").agg(F.count(F.lit(1)).alias("buyers"))
+    kept = pc.join(
+        pop.filter(F.col("buyers").between(2, 25)).select("part"), "part"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    return pairs.orderBy(
+        F.col("shared_parts").desc(), F.col("cust_a").asc(), F.col("cust_b").asc()
+    ).limit(100)

@@ -351,6 +351,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q300_release_scorecard",
     "q301_anova_f",
     "q302_char_class_census",
+    "q303_bipartite_projection",
 )
 
 
