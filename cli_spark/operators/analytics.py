@@ -759,3 +759,82 @@ def q298_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q304_leadtime_quantiles",
+    oracle="""
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+census AS (
+  SELECT priority, lead_days, COUNT(*) AS c FROM lt GROUP BY priority, lead_days
+),
+cum AS (
+  SELECT priority, lead_days, c,
+         SUM(c) OVER (PARTITION BY priority ORDER BY lead_days
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY priority) AS n
+  FROM census
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN cc * 2 >= n THEN lead_days END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cc * 10 >= n * 9 THEN lead_days END) AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN cc * 100 >= n * 99 THEN lead_days END) AS BIGINT) AS p99_days,
+       CAST(MAX(lead_days) AS BIGINT) AS max_days
+FROM cum GROUP BY priority
+""",
+    tags=("analytics", "quantiles", "supply-chain"),
+)
+def q304_leadtime_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lead-time SLA report: integer days from order to
+    line shipment, exact p50/p90/p99 per order priority LOCATED BY
+    CUMULATIVE COUNTS over a (priority, lead_days) census — the q245
+    histogram-quantile pattern on a join-derived measure. The census
+    is map-side-combined to |priorities|×|distinct day values| rows
+    before any window runs, so the quantile stage never sorts fact
+    rows — the difference between sorting 100 TB of lineitems and
+    windowing a few hundred census rows. Discrete quantile rule
+    (smallest value with cum·k ≥ n·q) is exact integer arithmetic,
+    cross-multiplied to avoid division."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lead_days"),
+    )
+    census = lt.groupBy("priority", "lead_days").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("lead_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("priority")
+    cum = census.select(
+        "priority",
+        "lead_days",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    return cum.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("lead_days")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("cc") * 10 >= F.col("n") * 9, F.col("lead_days")))
+        .cast("long")
+        .alias("p90_days"),
+        F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("lead_days")))
+        .cast("long")
+        .alias("p99_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
+    )

@@ -265,3 +265,81 @@ def q283_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eig_scaled",
         )
     )
+
+
+@register(
+    "q305_centroid_drift",
+    oracle=f"""
+WITH coords AS (
+  SELECT label, vec_id % 2 AS half,
+         generate_subscripts(embedding, 1) AS dim,
+         {_Q.format(x="unnest(embedding)")} AS q
+  FROM embeddings
+),
+sums AS (
+  SELECT label, half, dim,
+         COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s
+  FROM coords GROUP BY label, half, dim
+),
+wide AS (
+  SELECT label, dim,
+         MAX(CASE WHEN half = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN half = 0 THEN s END) AS s_a,
+         MAX(CASE WHEN half = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN half = 1 THEN s END) AS s_b
+  FROM sums GROUP BY label, dim
+)
+SELECT label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(abs(s_a * n_b - s_b * n_a)) AS BIGINT)
+         // (MAX(n_a) * MAX(n_b)) AS l1_drift_q,
+       CAST(MAX(abs(s_a * n_b - s_b * n_a) // (n_a * n_b)) AS BIGINT)
+         AS max_dim_drift_q
+FROM wide GROUP BY label
+""",
+    tags=("embeddings", "drift", "monitoring"),
+)
+def q305_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift between two deterministic halves of
+    the index (vec_id parity — the stand-in for "last month's
+    embeddings vs this month's"): per label, the L1 distance between
+    half-centroids and the worst single dimension, in exact quantized
+    units via cross-multiplied rationals (s_a·n_b − s_b·n_a over
+    n_a·n_b — no floating-point means anywhere). This is the
+    re-embedding / model-rot monitor an embedding index runs on every
+    refresh: drift above threshold means the ANN index and stored
+    vectors disagree and a rebuild is due. One posexplode pass,
+    map-side-combined (label, half, dim) moment census, 64-row-per-
+    label arithmetic after that."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coords = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos") + 1).alias("dim"),
+        F.expr(_Q.format(x="x")).alias("q"),
+    )
+    sums = coords.groupBy("label", "half", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    wide = sums.groupBy("label", "dim").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("half") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("half") == 1, F.col("s"))).alias("s_b"),
+    )
+    return wide.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(SUM(abs(s_a * n_b - s_b * n_a)) AS BIGINT)"
+            " div (MAX(n_a) * MAX(n_b))"
+        ).alias("l1_drift_q"),
+        F.expr(
+            "CAST(MAX(abs(s_a * n_b - s_b * n_a) div (n_a * n_b)) AS BIGINT)"
+        ).alias("max_dim_drift_q"),
+    )

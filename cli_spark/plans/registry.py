@@ -352,6 +352,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q301_anova_f",
     "q302_char_class_census",
     "q303_bipartite_projection",
+    "q304_leadtime_quantiles",
+    "q305_centroid_drift",
 )
 
 
