@@ -354,6 +354,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q303_bipartite_projection",
     "q304_leadtime_quantiles",
     "q305_centroid_drift",
+    "q306_streaming_topk_complete",
 )
 
 

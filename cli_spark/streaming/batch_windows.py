@@ -954,3 +954,74 @@ def q294_stateful_running_totals_graded(spark: SparkSession, sf_dir: str) -> Dat
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q306_streaming_topk_complete",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 10
+""",
+    tags=("streaming", "true_stream", "topk", "multibatch"),
+)
+def q306_streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming top-K maintenance: the leaderboard query under
+    complete output mode — per-user aggregation state accumulates
+    across ~20 replay micro-batches and the sink re-ranks the top-10
+    most active users after every batch (sort + limit are legal under
+    complete mode precisely because the full aggregated state is
+    re-emitted). The final sink content must equal the batch top-10
+    exactly — complete-mode aggregation is batch-slicing-invariant
+    and the rank has full tie-breaks. The memory sink holds K rows,
+    not the keyed state, so the driver footprint is K regardless of
+    user cardinality."""
+    import time
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = max(500, -(-n // 20))
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", bsz)
+        .load()
+    )
+    ranked = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    name = "topk_" + uuid.uuid4().hex[:8]
+    query = (
+        ranked.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, time.time()
+        while idle < 5 and time.time() - t0 < 240:
+            time.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
