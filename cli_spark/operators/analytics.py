@@ -838,3 +838,127 @@ def q304_leadtime_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_days"),
         F.max("lead_days").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "q307_ab_funnel_conversion",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT u.user_id,
+         MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > u.first_view
+             THEN 1 ELSE 0 END) AS converted
+  FROM u JOIN events e ON e.user_id = u.user_id
+  WHERE u.first_view IS NOT NULL
+  GROUP BY u.user_id
+),
+arms AS (
+  SELECT u.arm,
+         COUNT(*) AS viewers,
+         CAST(SUM(c.converted) AS BIGINT) AS conversions
+  FROM u JOIN conv c ON u.user_id = c.user_id
+  GROUP BY u.arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN viewers END) AS n_a,
+         MAX(CASE WHEN arm = 'A' THEN conversions END) AS c_a,
+         MAX(CASE WHEN arm = 'B' THEN viewers END) AS n_b,
+         MAX(CASE WHEN arm = 'B' THEN conversions END) AS c_b
+  FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, c_a,
+       CAST(n_b AS BIGINT) AS n_b, c_b,
+       CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+       CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL ELSE
+       CAST(floor((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0
+            / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+            AS BIGINT) END AS z_micro
+FROM wide
+""",
+    tags=("analytics", "abtest", "funnel"),
+)
+def q307_ab_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on an ORDERED funnel metric — q273
+    tested raw event proportions; real experiments test "viewed, then
+    later purchased" per USER: each arm's denominator is its viewer
+    count, a conversion requires a purchase event strictly after the
+    user's first view (sequence constraint, not co-occurrence), and
+    the two-proportion z comes from the same fixed-operand-order IEEE
+    chain as q273 so floor(z·1e6) is bit-exact. Shuffles: the
+    per-user funnel census (map-side combined) and one user-key join;
+    the arm pivot is 2 rows."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+    ).withColumn(
+        "arm", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    )
+    viewers = u.filter(F.col("first_view").isNotNull())
+    conv = (
+        viewers.join(e, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_view")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = (
+        viewers.join(conv, "user_id")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("viewers"),
+            F.sum("converted").alias("conversions"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("viewers"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conversions"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("viewers"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conversions"))).alias("c_b"),
+    )
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = F.floor(
+        (
+            F.col("c_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+        )
+        * F.lit(1000000.0)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        )
+    )
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        "c_a",
+        F.col("n_b").cast("long").alias("n_b"),
+        "c_b",
+        F.expr("c_a * 1000000 div n_a").alias("rate_a_ppm"),
+        F.expr("c_b * 1000000 div n_b").alias("rate_b_ppm"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(z.cast("long"))
+        .alias("z_micro"),
+    )

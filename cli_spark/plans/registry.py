@@ -355,6 +355,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q304_leadtime_quantiles",
     "q305_centroid_drift",
     "q306_streaming_topk_complete",
+    "q307_ab_funnel_conversion",
 )
 
 
