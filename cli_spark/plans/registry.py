@@ -356,6 +356,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q305_centroid_drift",
     "q306_streaming_topk_complete",
     "q307_ab_funnel_conversion",
+    "q308_cross_source_contamination",
 )
 
 
