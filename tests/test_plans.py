@@ -677,3 +677,38 @@ def test_round6_batch2_joins_plan_shapes(spark, sf_dir):
     p280 = plan_of(spark, sf_dir, "q280_merge_into")
     assert "CartesianProduct" not in p280
     assert "FullOuter" in p280
+
+
+def test_session3_scale_shapes(spark, sf_dir):
+    """Session-3 shape gates:
+
+    * q283: the Gram build is an equi-join on vec_id + hash aggregate
+      — never a nested-loop over vectors (the d²-bounded outer
+      product);
+    * q290: every banded config joins on (band_id, band_key) — no
+      cartesian pair space despite three configurations;
+    * q296: scoring joins are equi-joins; the only nested loop is the
+      1-row corpus-stats broadcast;
+    * q303: the pair stage joins on the part key (hub-pruned), never
+      cross-product;
+    * q304: the quantile windows run over the census, not fact rows —
+      the plan sorts AFTER an aggregate, so no global sort of the
+      join output feeds a window directly.
+    """
+    for name in [
+        "q283_pca_power_iteration",
+        "q290_lsh_parameter_sweep",
+        "q303_bipartite_projection",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+    p290 = plan_of(spark, sf_dir, "q290_lsh_parameter_sweep")
+    assert "band_key" in p290 and "BroadcastNestedLoopJoin" not in p290
+
+    p296 = plan_of(spark, sf_dir, "q296_bm25_scores")
+    assert "CartesianProduct" not in p296
+
+    p304 = plan_of(spark, sf_dir, "q304_leadtime_quantiles")
+    assert "HashAggregate" in p304
+    assert "CartesianProduct" not in p304
