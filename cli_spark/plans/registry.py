@@ -117,10 +117,29 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + r04 + r05 green rows (171 distinct,
-# no fails; 169 listed — the two *_stub queries renamed *_bmp in
-# round 6 are tracked via _ROUND_CHANGED instead).
+# Union of CORRECTNESS_r01 + r03 + r04 + r05 + r06 green rows (202
+# distinct names currently in the registry, no fails ever recorded
+# after r01; q121/q123 *_stub → *_bmp renames were re-graded green
+# under their new names in r06).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r06 greens newly recorded (33) ---
+    "q101_sliding_window", "q120_binary_metadata",
+    "q121_media_featurize_bmp", "q123_resize_bmp",
+    "q170_revenue_share", "q172_spearman_rank_corr",
+    "q173_mad_outliers", "q174_gini_diversity",
+    "q177_skyline_frontier", "q178_key_gap_census",
+    "q179_streaming_dedup_true", "q180_term_cooccurrence",
+    "q184_fuzzy_join_census", "q188_linear_interpolation",
+    "q191_bitmap_retention", "q199_paragraph_dedup",
+    "q200_embedding_decontamination", "q201_exact_substring_scrub",
+    "q202_dsir_importance", "q203_temperature_sampling",
+    "q204_ann_recall_audit", "q205_column_profile",
+    "q206_bpe_pair_census", "q207_langid_confusion",
+    "q208_minhash_incremental", "q210_cusum_changepoint",
+    "q212_lsh_recall_audit", "q213_curation_pipeline",
+    "q214_streaming_enrichment_true", "q218_containment_join",
+    "q220_ks_drift_test", "q225_inverted_index",
+    "q226_rfm_segmentation",
     # --- r05 greens (50) ---
     "q102_session_windows", "q110_hgt_decode_stats",
     "q111_hgt_point_lookup", "q112_hgt_tiles",
@@ -209,154 +228,128 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # spilling past the 50-entry recording window (update each round
 # alongside _DRIVER_GRADED).
 #
-# Round 6: the 15 queries with no current-oracle driver row (q66/q67
-# were graded r1 as `no_oracle` before their oracles existed, so they
-# sit in _DRIVER_GRADED but need re-grading; the other 13 have never
-# been in a recording window), then this round's actual changes, then
-# round 5's three big rewrites that sorted into the proven tail and
-# missed r5's window (ADVICE round 5).
+# Round 7: queries whose implementation changed this round (each
+# takes one window slot so the new code earns a driver row
+# immediately; kept minimal so the never-graded backlog drains).
 _ROUND_CHANGED: tuple[str, ...] = (
-    # never-(re)-graded (VERDICT r5 "do this" #1)
-    "q66_spark_native_funcs",       # graded r1 pre-oracle
-    "q67_map_ops_pack",             # graded r1 pre-oracle
-    "q101_sliding_window",
-    "q120_binary_metadata",
-    "q170_revenue_share",
-    "q172_spearman_rank_corr",
-    "q173_mad_outliers",
-    "q174_gini_diversity",
-    "q177_skyline_frontier",
-    "q178_key_gap_census",
-    "q179_streaming_dedup_true",
-    "q180_term_cooccurrence",
-    "q184_fuzzy_join_census",
-    "q188_linear_interpolation",
-    "q191_bitmap_retention",
-    # changed round 6
-    "q74_simhash_hamming",          # banded pigeonhole join (no cartesian)
-    "q82_cosine_threshold_join",    # quadratic-cap guard added
-    "q194_global_row_ids",          # eqNullSafe lang join + NULLS LAST
-    "q197_budget_waterfill",        # zero-total degenerate case pinned
-    "q121_media_featurize_bmp",     # real BMP decode replacing sha256 stub
-    "q123_resize_bmp",              # real BMP decode replacing sha256 stub
-    # rewritten round 5, missed r5's recording window (ADVICE r5)
-    "q73_minhash_lsh",
-    "q91_tfidf_top_terms",
-    "q100_tumbling_window",
-    # rewritten round 6 second half (shared persisted distinct)
-    "q151_decontamination",
-    # q158's final Lloyd assignment gained a localCheckpoint in the
-    # session-2 SemDeDup work (no semantic change; re-grade anyway
-    # per the changed-this-round discipline)
-    "q158_kmeans_lloyd",
-    # graph stack re-keyed round 6 on the q73 single-digest signature
-    # (edge generator + shared oracle prelude changed → new candidate
-    # graphs; 8× faster q76 after edge materialization)
-    "q76_dedup_connected_components",
-    "q77_dedup_clusters",
-    "q176_bfs_hop_levels",
-    "q181_triangle_census",
-    "q182_degree_distribution",
-    "q183_pagerank_integer",
+    "q122_frame_sample_avi",        # real RIFF/AVI frame decode replacing sha256 stub
 )
 
 
-# Round 6 added more new queries than the driver's 50-row recording
-# window holds alongside _ROUND_CHANGED, so the never-graded set is
-# explicitly prioritized: flagship/composite operators first (these
-# earn driver rows THIS round), simpler census shapes trail into the
-# next round's window. Names absent from this tuple sort after it in
-# registration order.
+# Round 7 window plan (VERDICT r6 #1): 92 oracle-backed queries have
+# never received a driver CORRECTNESS row. The window holds ~50, so
+# the backlog is explicitly ordered — the heavy round-6 families the
+# judge named first (SemDeDup, k-core, PCA, watermark/stateful/top-K
+# TRUE-streaming, ANOVA, contamination), then the TRUE-streaming and
+# HGT pipelines, then the rest; the ~42 simpler census shapes trail
+# into round 8's window. Names absent from this tuple sort after it
+# in registration order (i.e. brand-new round-7 queries default to
+# the round-8 head unless listed).
 _FRESH_PRIORITY: tuple[str, ...] = (
-    "q201_exact_substring_scrub",   # ExactSubstr island merge
-    "q213_curation_pipeline",       # fused end-to-end composite
-    "q214_streaming_enrichment_true",
-    "q199_paragraph_dedup",
-    "q200_embedding_decontamination",
-    "q204_ann_recall_audit",
-    "q212_lsh_recall_audit",
-    "q205_column_profile",
-    "q208_minhash_incremental",
-    "q210_cusum_changepoint",
-    "q218_containment_join",
-    "q220_ks_drift_test",
-    "q225_inverted_index",
-    "q226_rfm_segmentation",
-    "q206_bpe_pair_census",
-    "q202_dsir_importance",
-    "q203_temperature_sampling",
-    "q207_langid_confusion",
-    "q217_split_balance_audit",
-    # session-2 additions: graded-head candidates for round 7's window
-    "q246_streaming_sliding_true",
-    "q239_poisson_bootstrap",
-    "q238_weighted_systematic_sample",
-    "q245_interpurchase_quantiles",
-    "q244_pareto_revenue_curve",
-    "q237_autocorr_lags",
-    "q242_dim_variance_rank",
+    # --- judge-named heavy round-6 families (VERDICT r6 #1) ---
     "q247_semdedup_prune",
-    "q248_position_attribution",
     "q249_kcore_2core",
+    "q283_pca_power_iteration",
+    "q279_streaming_watermark_drop",
+    "q294_stateful_running_totals_graded",
+    "q301_anova_f",
+    "q306_streaming_topk_complete",
+    "q308_cross_source_contamination",
+    "q290_lsh_parameter_sweep",
+    # --- remaining TRUE-streaming graded set ---
+    "q264_streaming_join_true",
+    "q271_streaming_multibatch_true",
+    "q285_streaming_dedup_multibatch",
+    "q246_streaming_sliding_true",
+    # --- Tier-A HGT depth queries ---
+    "q266_hgt_acquire_pipeline",
+    "q265_hgt_slope_stats",
+    "q277_hgt_hypsometry",
+    "q287_hgt_aspect_census",
+    "q299_hgt_contour_crossings",
+    # --- SQL-surface + media + embedding-stats families ---
+    "q280_merge_into",
+    "q288_sql_udf_surface",
+    "q289_try_arithmetic_pack",
+    "q269_decimal_exact_pack",
     "q250_audio_wav_stats",
+    "q268_audio_downsample",
+    "q243_covariance_blocks",
+    "q242_dim_variance_rank",
+    "q305_centroid_drift",
+    # --- dedup / text / graph round-6 additions ---
+    "q267_minhash_estimator_audit",
+    "q272_dedup_manifest",
+    "q297_incremental_cc",
+    "q253_sorted_neighborhood_pairs",
+    "q222_shingle_novelty",
+    "q296_bm25_scores",
+    "q274_unigram_surprisal",
+    "q278_bpe_round2",
+    "q234_lm_fluency_score",
+    "q258_vocab_coverage",
+    "q291_label_propagation",
+    "q303_bipartite_projection",
+    "q262_degree_assortativity",
+    "q263_lang_modularity",
+    "q233_common_neighbor_scores",
+    # --- release/audit composites ---
+    "q300_release_scorecard",
+    "q302_char_class_census",
+    "q284_epoch_shuffle_audit",
+    "q286_k_anonymity_audit",
+    "q292_shuffle_skew_forecast",
+    "q293_hybrid_search_agreement",
+    "q295_event_pattern_match",
+    # ^ 49 above + q122_frame_sample_avi in _ROUND_CHANGED = the
+    #   50-slot round-7 window. Everything below heads round 8.
+    "q307_ab_funnel_conversion",
+    # --- round-8 spill: new round-7 queries first, then the
+    #     remaining round-6 census shapes in numeric order ---
+    "q309_simhash64_blocks",
+    "q310_streaming_restart_recovery",
+    "q209_event_transitions",
+    "q211_int8_quantization_audit",
+    "q215_missing_hours",
+    "q216_cluster_family_stats",
+    "q217_split_balance_audit",
+    "q219_feature_hash_census",
+    "q221_benford_audit",
+    "q223_heaps_vocab_growth",
+    "q224_rate_burst_flags",
+    "q227_malformed_json_census",
+    "q228_hierarchical_shares",
+    "q229_session_paths",
+    "q230_concurrent_intervals",
+    "q231_equiheight_histogram",
+    "q232_theil_sen_slope",
+    "q235_ewma_dyadic",
+    "q236_hour_of_week_profile",
+    "q237_autocorr_lags",
+    "q238_weighted_systematic_sample",
+    "q239_poisson_bootstrap",
+    "q240_stopword_profile",
+    "q241_type_token_ratio",
+    "q244_pareto_revenue_curve",
+    "q245_interpurchase_quantiles",
+    "q248_position_attribution",
     "q251_codeswitch_segments",
     "q252_zonemap_skipping",
-    "q253_sorted_neighborhood_pairs",
     "q254_weighted_median_price",
     "q255_user_feature_vector",
     "q256_join_size_estimate",
     "q257_source_overlap_matrix",
-    "q258_vocab_coverage",
     "q259_nearest_event_join",
     "q260_decile_lift_table",
     "q261_chi2_independence",
-    "q262_degree_assortativity",
-    "q263_lang_modularity",
-    "q264_streaming_join_true",
-    "q265_hgt_slope_stats",
-    "q266_hgt_acquire_pipeline",
-    "q267_minhash_estimator_audit",
-    "q268_audio_downsample",
-    "q269_decimal_exact_pack",
     "q270_lexical_cosine_pairs",
-    "q271_streaming_multibatch_true",
-    "q272_dedup_manifest",
     "q273_ab_proportion_test",
-    "q274_unigram_surprisal",
     "q275_grid_nn_join",
     "q276_part_affinity",
-    "q277_hgt_hypsometry",
-    "q278_bpe_round2",
-    "q279_streaming_watermark_drop",
-    "q280_merge_into",
     "q281_bot_regularity",
     "q282_block_sampling_bias",
-    "q283_pca_power_iteration",
-    "q284_epoch_shuffle_audit",
-    "q285_streaming_dedup_multibatch",
-    "q286_k_anonymity_audit",
-    "q287_hgt_aspect_census",
-    "q288_sql_udf_surface",
-    "q289_try_arithmetic_pack",
-    "q290_lsh_parameter_sweep",
-    "q291_label_propagation",
-    "q292_shuffle_skew_forecast",
-    "q293_hybrid_search_agreement",
-    "q294_stateful_running_totals_graded",
-    "q295_event_pattern_match",
-    "q296_bm25_scores",
-    "q297_incremental_cc",
     "q298_cohort_ltv_matrix",
-    "q299_hgt_contour_crossings",
-    "q300_release_scorecard",
-    "q301_anova_f",
-    "q302_char_class_census",
-    "q303_bipartite_projection",
     "q304_leadtime_quantiles",
-    "q305_centroid_drift",
-    "q306_streaming_topk_complete",
-    "q307_ab_funnel_conversion",
-    "q308_cross_source_contamination",
 )
 
 
