@@ -147,7 +147,10 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
     # green in r05, then renamed *_bmp in round 6 when the sha256
     # stub became a real BMP decode — the renamed queries sit in
     # _ROUND_CHANGED below for fresh grading)
-    "q122_frame_sample_stub", "q124_streaming_session_true",
+    # (q122_frame_sample_stub was graded green r05, then replaced in
+    # round 7 by the real AVI decode q122_frame_sample_avi — tracked
+    # in _ROUND_CHANGED for fresh grading)
+    "q124_streaming_session_true",
     "q131_tpch_q4_order_priority", "q132_tpch_q9_profit",
     "q133_tpch_q13_custdist", "q134_tpch_q14_promo_revenue",
     "q135_tpch_q15_top_supplier", "q136_tpch_q17_small_qty_revenue",

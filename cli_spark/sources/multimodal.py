@@ -8,10 +8,11 @@ order, BGR channel order), inside Arrow-batched mapInPandas. The
 testdata ships no image files, so each document's BMP payload is
 synthesized deterministically from its md5 digest — which is exactly
 what lets DuckDB recompute every decoded statistic for the hash-graded
-oracle. Only q122's video frame decode remains a documented STUB
-(sha256-derived frame features; no video container parser is
-feasible offline) — its one-to-many mapInPandas plumbing is still
-hash-graded.
+oracle. Video decode is REAL too (round 7): q122 encodes + parses a
+genuine uncompressed RIFF/AVI container per document
+(`cli_spark.sources.avi` — nested LIST walk, stream headers, DIB
+frames), so every media family (image/audio/video) now runs an actual
+container codec; no stubs remain.
 """
 
 from __future__ import annotations
@@ -154,66 +155,115 @@ def q121_media_featurize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q122_frame_sample_stub",
-    # Stub per-frame features are sha256(payload || '|' || idx) — an
-    # ASCII suffix keeps the digest expressible in DuckDB's
-    # sha256(VARCHAR), so the one-to-many expansion is hash-graded.
-    # n_frames = 1 + n_bytes % 30, sampled every STRIDE=5 → frame
-    # indices generate_series(0, n_bytes % 30, 5).
-    oracle="""
-WITH base AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents
+    "q122_frame_sample_avi",
+    # The oracle recomputes every decoded statistic from the same
+    # construction: dims from the first two md5 bytes, frame count
+    # from byte 4, container size from the RIFF/AVI layout arithmetic
+    # (12-byte RIFF header + 200-byte hdrl LIST + movi LIST overhead
+    # + n_frames × (8-byte chunk header + padded DIB frame)), and the
+    # per-frame pixel features from the cyclic digest shifted one byte
+    # per frame index (frame k pixel byte p = db[(k+p) mod 16]). The
+    # order-sensitive corner pixels catch row-order / channel-order /
+    # frame-order bugs; the sum catches stride/padding bugs; the size
+    # catches header-layout bugs.
+    oracle=f"""
+WITH b AS ({_SQL_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id, db, 4 + db[1] % 13 AS w, 4 + db[2] % 11 AS h,
+         1 + db[4] % 30 AS nf
+  FROM b
 ),
-frames AS (
-  SELECT doc_id, text, f.idx
-  FROM base
-  CROSS JOIN LATERAL (
-    SELECT unnest(generate_series(0, n_bytes % 30, 5)) AS idx
-  ) f
+c AS (
+  SELECT doc_id, db, w, h, nf, w * h * 3 AS len3,
+         (w * 3 + (4 - (w * 3) % 4) % 4) * h AS fs
+  FROM dims
 ),
-hx AS (
-  SELECT doc_id, idx, sha256(text || '|' || CAST(idx AS VARCHAR)) AS d
-  FROM frames
+fr AS (
+  SELECT doc_id, db, w, h, nf, len3, fs, u.k
+  FROM c CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, nf - 1, 5)) AS k
+  ) u
 )
-SELECT doc_id, idx AS frame_idx, idx * 40 AS ts_ms,
-       round(CAST(concat('0x', substr(d, 1, 2)) AS INT) / 255.0, 6) AS f0,
-       round(CAST(concat('0x', substr(d, 3, 2)) AS INT) / 255.0, 6) AS f1,
-       round(CAST(concat('0x', substr(d, 5, 2)) AS INT) / 255.0, 6) AS f2,
-       round(CAST(concat('0x', substr(d, 7, 2)) AS INT) / 255.0, 6) AS f3
-FROM hx
+SELECT doc_id, k AS frame_idx, k * 40 AS ts_ms, nf AS n_frames,
+       w, h,
+       224 + nf * (8 + fs) AS avi_bytes,
+       CAST((len3 // 16) * list_sum(db)
+            + COALESCE(list_sum(list_transform(
+                generate_series(1, len3 % 16),
+                i -> db[(k + i - 1) % 16 + 1])), 0) AS BIGINT) AS sum_px,
+       db[k % 16 + 1] AS r0,
+       db[(k + 1) % 16 + 1] AS g0,
+       db[(k + 2) % 16 + 1] AS b0,
+       db[(k + len3 - 3) % 16 + 1] AS r_last,
+       db[(k + len3 - 2) % 16 + 1] AS g_last,
+       db[(k + len3 - 1) % 16 + 1] AS b_last
+FROM fr
 """,
-    tags=("multimodal", "stub", "frame_sample"),
+    tags=("multimodal", "avi", "frame_sample", "pandas_udf"),
 )
-def q122_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over "video" binary columns: one-to-many
-    mapInPandas expansion — every payload yields ceil(n_frames/stride)
-    sampled-frame rows with per-frame features. The frame decode is
-    the documented STUB (sha256-derived, deterministic); the Spark
-    shape — binary in, multiple typed rows out, no driver round-trip,
-    linear per-partition work — is the real production plumbing for
-    `ffmpeg`-style samplers."""
+def q122_frame_sample_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary video columns via mapInPandas: each
+    document's payload becomes a REAL uncompressed RIFF/AVI file
+    (synthesized DIB frames from its md5 digest — the testdata ships
+    no video files) which `decode_avi` then actually parses: RIFF
+    form + size check, nested hdrl/strl/movi LIST walk, MainAVIHeader
+    / AVIStreamHeader / BITMAPINFOHEADER validation, per-frame
+    bottom-up BGR padded-stride undo. Every emitted statistic (frame
+    pixel sum, order-sensitive corner pixels, container size, frame
+    count, timing from the stream-header rate) comes from the DECODED
+    frame stack, so a container or frame-layout bug surfaces as an
+    oracle mismatch. The one-to-many shape — binary in, one row per
+    sampled frame out (stride 5), linear per-partition work, no driver
+    round-trip — is the production `ffmpeg`-sampler plumbing."""
+    from cli_spark.sources.avi import decode_avi, encode_avi
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
-    schema = "doc_id long, frame_idx int, ts_ms int, f0 double, f1 double, f2 double, f3 double"
+    schema = (
+        "doc_id long, frame_idx int, ts_ms int, n_frames int, w int, h int, "
+        "avi_bytes int, sum_px long, r0 int, g0 int, b0 int, "
+        "r_last int, g_last int, b_last int"
+    )
     STRIDE = 5
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = {"doc_id": [], "frame_idx": [], "ts_ms": [],
-                    "f0": [], "f1": [], "f2": [], "f3": []}
+            recs = {k: [] for k in
+                    ("doc_id", "frame_idx", "ts_ms", "n_frames", "w", "h",
+                     "avi_bytes", "sum_px", "r0", "g0", "b0",
+                     "r_last", "g_last", "b_last")}
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                payload = bytes(blob)
-                n_frames = 1 + len(payload) % 30  # STUB: "container header"
-                for idx in range(0, n_frames, STRIDE):
-                    # ASCII frame suffix (not packed bytes) so the
-                    # DuckDB oracle can recompute the same digest
-                    h = hashlib.sha256(payload + b"|" + str(idx).encode()).digest()
+                digest = hashlib.md5(bytes(blob)).digest()
+                w = 4 + digest[0] % 13
+                h = 4 + digest[1] % 11
+                nf = 1 + digest[3] % 30
+                len3 = w * h * 3
+                # frame k's RGB stream = cyclic digest shifted k bytes
+                stream = (digest * ((len3 + nf + 15) // 16 + 1))
+                frames = np.stack([
+                    np.frombuffer(stream[k:k + len3], dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    for k in range(nf)
+                ])
+                avi = encode_avi(frames, fps=25)
+                decoded, fps = decode_avi(avi)  # the real parse
+                for k in range(0, decoded.shape[0], STRIDE):
+                    fr = decoded[k]
                     recs["doc_id"].append(doc_id)
-                    recs["frame_idx"].append(idx)
-                    recs["ts_ms"].append(idx * 40)  # 25 fps
-                    for j in range(4):
-                        recs[f"f{j}"].append(round(h[j] / 255.0, 6))
+                    recs["frame_idx"].append(k)
+                    recs["ts_ms"].append(k * 1000 // fps)
+                    recs["n_frames"].append(decoded.shape[0])
+                    recs["w"].append(fr.shape[1])
+                    recs["h"].append(fr.shape[0])
+                    recs["avi_bytes"].append(len(avi))
+                    recs["sum_px"].append(int(fr.sum(dtype=np.int64)))
+                    recs["r0"].append(int(fr[0, 0, 0]))
+                    recs["g0"].append(int(fr[0, 0, 1]))
+                    recs["b0"].append(int(fr[0, 0, 2]))
+                    recs["r_last"].append(int(fr[-1, -1, 0]))
+                    recs["g_last"].append(int(fr[-1, -1, 1]))
+                    recs["b_last"].append(int(fr[-1, -1, 2]))
             yield pd.DataFrame(recs)
 
     return d.mapInPandas(_sample, schema).orderBy("doc_id", "frame_idx")
