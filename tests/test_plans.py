@@ -404,6 +404,18 @@ def test_q74_simhash_banded_no_cartesian(spark, sf_dir):
             or "ShuffledHashJoin" in plan), plan
 
 
+def test_q309_simhash64_blocks_no_cartesian(spark, sf_dir):
+    """q309's candidate join must be the Manku block-probe equi-join
+    on (block_id, block_val) — never an all-pairs nested-loop over
+    fingerprints — and the 64-bit fingerprint build must be ONE wide
+    aggregation (no 64-way bit explode feeding a shuffle)."""
+    plan = plan_of(spark, sf_dir, "q309_simhash64_blocks")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan), plan
+
+
 def test_q199_segment_dedup_no_join_no_global_window(spark, sf_dir):
     """q199's only shuffles are the segment-partitioned first-wins
     window and the per-doc rebuild agg: no join of any kind, and no
