@@ -84,3 +84,29 @@ def test_random_graph_matches_union_find(spark, local_max_edges):
 
     got = _cc(spark, range(n), pairs, local_max_edges)
     assert got == expected
+
+
+def test_edge_cache_lru_bounds_multi_sf_sessions():
+    """Two (or many) sf_dirs in one long session must not leak
+    checkpointed edge relations: the cache holds at most
+    _EDGE_CACHE_MAX entries, evicts the least-recently-used one, and
+    a get() refreshes recency (VERDICT r6 #7)."""
+    from cli_spark.operators import graph as G
+
+    saved = dict(G._EDGE_CACHE)
+    G._EDGE_CACHE.clear()
+    try:
+        for i in range(6):
+            G._edge_cache_put(("app", f"/sf{i}"), object())
+        assert len(G._EDGE_CACHE) == G._EDGE_CACHE_MAX
+        assert ("app", "/sf0") not in G._EDGE_CACHE
+        assert ("app", "/sf1") not in G._EDGE_CACHE
+        # touching the oldest survivor makes it most-recent …
+        assert G._edge_cache_get(("app", "/sf2")) is not None
+        G._edge_cache_put(("app", "/sf6"), object())
+        # … so the eviction hits /sf3, not /sf2
+        assert ("app", "/sf2") in G._EDGE_CACHE
+        assert ("app", "/sf3") not in G._EDGE_CACHE
+    finally:
+        G._EDGE_CACHE.clear()
+        G._EDGE_CACHE.update(saved)
