@@ -577,6 +577,162 @@ def q271_streaming_multibatch_true(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+def _run_restart_recovery(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Shared engine for q310: run the replayed windowed aggregation
+    with a checkpoint, STOP the query mid-stream, restart it from the
+    same checkpoint, drain to exhaustion, and return (result,
+    evidence). Evidence records where phase 1 stopped and the offset
+    phase 2 resumed from, so tests can assert the restart really was
+    a mid-stream recovery rather than a fresh start."""
+    import json
+    import shutil
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    import pyarrow.parquet as pq
+
+    register_replay_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="cli_spark_ckpt_")
+    # ~10 micro-batches at ANY scale factor (parquet footer read is
+    # driver-side metadata only), so the kill always lands mid-stream
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+
+    def build() -> DataFrame:
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+        )
+        return (
+            stream.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value")).alias("value_sum"),
+            )
+            .select(
+                ts_str(F.col("window.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+                "value_sum",
+            )
+        )
+
+    evidence: dict = {}
+    try:
+        # ---- phase 1: run a few micro-batches, then kill the query
+        name1 = "restart_p1_" + _uuid.uuid4().hex[:8]
+        q1 = (
+            build().writeStream.format("memory")
+            .queryName(name1)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= 1 and p["numInputRows"] > 0:
+                break
+            time.sleep(0.05)
+        q1.stop()
+        q1.awaitTermination()
+        p1 = spark.table(name1)
+        p1_rows, p1_schema = p1.collect(), p1.schema
+        part = sum(r["n_events"] for r in p1_rows)
+        evidence["phase1_events"] = int(part)
+        evidence["batch_rows"] = batch_rows
+        spark.catalog.dropTempView(name1)
+
+        # ---- phase 2: restart from the SAME checkpoint, drain fully
+        name2 = "restart_p2_" + _uuid.uuid4().hex[:8]
+        q2 = (
+            build().writeStream.format("memory")
+            .queryName(name2)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 3 and time.time() - t0 < 180:
+                time.sleep(0.3)
+                p = q2.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            q2.stop()
+            q2.awaitTermination()
+        for p in q2.recentProgress:
+            src = (p.get("sources") or [{}])[0]
+            so = src.get("startOffset")
+            if so is not None:
+                if isinstance(so, str):
+                    # Python stream sources report the offset dict's
+                    # repr (single quotes), not JSON
+                    try:
+                        so = json.loads(so)
+                    except ValueError:
+                        import ast
+
+                        so = ast.literal_eval(so)
+                evidence["phase2_start_row"] = int(so.get("row", 0))
+                break
+        sink = spark.table(name2)
+        rows = sink.collect()
+        if rows:
+            out = spark.createDataFrame(rows, sink.schema)
+        else:
+            # phase 1 won the race and consumed every batch before the
+            # stop landed; with no new data, complete mode re-emits
+            # nothing — phase 1's full-state snapshot IS the answer
+            evidence["phase1_completed_stream"] = True
+            out = spark.createDataFrame(p1_rows, p1_schema)
+        spark.catalog.dropTempView(name2)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out, evidence
+
+
+@register(
+    "q310_streaming_restart_recovery",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "true_stream", "checkpoint", "recovery"),
+)
+def q310_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming CHECKPOINT RECOVERY, graded (VERDICT r6 #8): the
+    replayed event stream's windowed aggregation is started with a
+    checkpoint directory, STOPPED after the first committed
+    micro-batches (a simulated driver crash — the stop point is
+    intentionally timing-dependent), then RESTARTED from the same
+    checkpoint and drained to exhaustion. The restarted query resumes
+    from the recorded replay offset with its state-store contents
+    intact, so the final complete-mode result must equal the
+    uninterrupted batch aggregation EXACTLY — any lost state
+    undercounts, any replayed-and-recounted batch overcounts, so a
+    bit-exact oracle match IS the exactly-once evidence. Offset
+    resumption (not a silent from-zero rerun) is asserted separately
+    in tests/test_streaming.py via the recovery evidence dict."""
+    out, _evidence = _run_restart_recovery(spark, sf_dir)
+    return out
+
+
 @register(
     "q279_streaming_watermark_drop",
     # The oracle SIMULATES Spark's batched watermark protocol exactly,

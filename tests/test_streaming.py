@@ -626,3 +626,45 @@ def test_replay_source_multibatch_equals_batch(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
     assert sink.exceptAll(batch).count() == 0
     assert batch.exceptAll(sink).count() == 0
+
+
+def test_replay_restart_recovery_midstream(spark, sf_dir):
+    """VERDICT r6 #8: kill a checkpointed replay-source query
+    MID-STREAM and restart it from the same checkpoint — the restart
+    must resume from the recorded offset (not silently re-run from
+    row 0) and the final result must be bit-identical to the
+    uninterrupted batch aggregation (state recovered + no batch
+    double-counted = exactly-once)."""
+    from cli_spark.streaming.batch_windows import _run_restart_recovery
+
+    out, ev = _run_restart_recovery(spark, sf_dir)
+
+    total = 10_000 if "0.01" in sf_dir else None
+    got_total = out.agg(F.sum("n_events")).collect()[0][0]
+    if total is not None:
+        assert got_total == total, ev
+
+    # phase 2 resumed from a COMMITTED nonzero offset: genuine
+    # recovery, not a fresh start (phase 1 must also have stopped
+    # before the end, or the "restart" proves nothing)
+    assert ev.get("phase2_start_row", 0) > 0, ev
+    assert ev["phase1_events"] < got_total, ev
+    assert ev["phase2_start_row"] <= ev["phase1_events"] + 1000, ev
+
+    # identical to the uninterrupted run (batch semantics)
+    from cli_spark.plans.registry import registry
+
+    batch = registry()["q100_tumbling_window"]
+    # q100 groups hourly without event_type; compare via re-agg
+    re_agg = (
+        out.groupBy("window_start")
+        .agg(F.sum("n_events").alias("n_events"))
+        .orderBy("window_start")
+        .collect()
+    )
+    expected = {
+        r["window_start"]: r["n_events"]
+        for r in batch.fn(spark, sf_dir).collect()
+    }
+    for r in re_agg:
+        assert expected[r["window_start"]] == r["n_events"]
