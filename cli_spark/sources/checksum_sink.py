@@ -12,6 +12,14 @@ JSON. Because xor is commutative/associative, the manifest is
 identical under any row order or partition count — the same
 portability contract as q119's table checksums, packaged as a sink.
 
+Collision scope (ADVICE r6): xor-folding means any row appearing an
+EVEN number of times cancels to zero — the manifest detects any
+single wrong/missing/extra row, but two datasets that differ by
+swapping one even-multiplicity row set for another hash identically.
+The row_count field narrows (but does not close) that window; a
+multiset-exact manifest would fold (hash, count) pairs or add a
+sum-mod-2^64 component alongside the xor.
+
 Scale: the executor→driver traffic is one tiny commit message per
 task regardless of data volume; abort() leaves nothing behind
 (the manifest writes atomically at commit via rename).
@@ -88,5 +96,5 @@ class ChecksumDataSource(DataSource):
 
 
 def register_checksum_sink(spark) -> None:
-    """Idempempotently register the sink on this session."""
+    """Idempotently register the sink on this session."""
     spark.dataSource.register(ChecksumDataSource)

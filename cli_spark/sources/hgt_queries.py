@@ -290,6 +290,8 @@ def q266_hgt_acquire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture definition (np.floor(alt/500) bands over the valid
     # samples, cumulative share ×1e6 floor-divided by the valid
     # count) — the same VALUES-literal oracle style as q110–q112.
+    # Regenerable: scripts_hgt_goldens.py::hypsometry_rows (pinned by
+    # tests/test_hgt.py::test_terrain_goldens_match_checked_in_script).
     oracle="""
 SELECT * FROM (VALUES
   ('N00E000', -3, 7744, 134720),
@@ -357,6 +359,8 @@ def q277_hgt_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (central differences, 5-point validity mask, integer octant
     # rule) — VALUES-literal oracle style of q110–q112/q265. The
     # trig field has no doubly-flat interior point, so no FLAT rows.
+    # Regenerable: scripts_hgt_goldens.py::aspect_rows (pinned by
+    # tests/test_hgt.py::test_terrain_goldens_match_checked_in_script).
     oracle="""
 SELECT * FROM (VALUES
   ('N00E000', 'E', 8807),
@@ -427,7 +431,9 @@ def q287_hgt_aspect_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q299_hgt_contour_crossings",
     # Independent-numpy goldens (level-set crossings of adjacent
     # valid sample pairs at -500/0/+500 m) — VALUES-literal oracle
-    # style of q110–q112/q265/q287.
+    # style of q110–q112/q265/q287. Regenerable:
+    # scripts_hgt_goldens.py::contour_rows (pinned by
+    # tests/test_hgt.py::test_terrain_goldens_match_checked_in_script).
     oracle="""
 SELECT * FROM (VALUES
   ('N00E000', -500, 1897, 2735, 4632),

@@ -923,7 +923,18 @@ def q285_streaming_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFra
     (per-row output is unbounded at scale — the memory-sink contract
     forbids it), and the per-language census of survivors is graded
     exactly: replay order is doc_id order, so first-seen ≡ min doc_id
-    per key, which the oracle states as a keep-first window."""
+    per key, which the oracle states as a keep-first window.
+
+    ORDERING DEPENDENCY (ADVICE r6): when duplicates of a key CO-OCCUR
+    in one micro-batch, `dropDuplicates` keeps whichever row its tasks
+    encounter first — "first ≡ min doc_id" then holds only because the
+    replay source emits a SINGLE ordered partition and Spark's shuffle
+    reads preserve per-mapper order, so the state store always meets
+    the lower doc_id first. A multi-partition source voids that
+    guarantee; the production form would pre-collapse each batch to
+    its min-doc_id row per key (deterministic reduce) before the
+    stateful dedup. The single-partition replay contract is asserted
+    by this query's bit-exact oracle match across ~20 batches."""
     import shutil
     import tempfile
     import time

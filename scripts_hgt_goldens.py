@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Regenerate the VALUES-literal oracles for the Tier-A terrain
+queries q277 (hypsometry), q287 (aspect census) and q299 (contour
+crossings) from the fixture DEFINITION alone (ADVICE r6: the goldens'
+independent-numpy provenance must be reproducible from a checked-in
+script, not a comment).
+
+This script never imports the query implementations or touches Spark:
+it rebuilds each fixture grid from `synth_grid` (the same deterministic
+trig field the engine's fixtures serialize to big-endian .hgt files),
+applies the mathematical definition of each statistic in plain numpy,
+and prints the VALUES blocks embedded in cli_spark/sources/
+hgt_queries.py. tests/test_hgt.py::test_terrain_goldens_match_checked_
+in_script asserts the printed rows equal the registry oracles, so any
+drift between fixture, implementation and golden is caught.
+
+Definitions (what the numbers MEAN, independent of how Spark computes
+them):
+
+* hypsometry — over valid samples, band = floor(alt / 500 m); per
+  (cell, band): sample count and cumulative share of samples in bands
+  <= band, in ppm (floor division).
+* aspect — for every interior sample whose 4-neighborhood is fully
+  valid: dx = east - west, dy = south - north (row index grows
+  southward in the north-first HGT grid); dominant axis = E/W when
+  |dx| >= |dy| (ties to the x axis), sign gives the cardinal; exactly
+  flat points (dx = dy = 0) are excluded as FLAT.
+* contour crossings — for level L in {-500, 0, +500}: count of
+  adjacent valid sample pairs (along rows = h, along columns = v)
+  with one endpoint > L and the other <= L.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cli_spark.sources.hgt import FIXTURE_CELLS, VOID, synth_grid
+
+N = 241  # fixture grid edge (cli_spark/sources/hgt.py::ensure_fixtures)
+
+
+def _grids() -> list[tuple[str, np.ndarray]]:
+    return [(cell, synth_grid(N, phase).astype(np.int64))
+            for cell, phase in sorted(FIXTURE_CELLS)]
+
+
+def hypsometry_rows() -> list[tuple]:
+    rows = []
+    for cell, g in _grids():
+        alt = g[g != VOID]
+        bands = np.floor_divide(alt, 500)
+        uniq, counts = np.unique(bands, return_counts=True)
+        tot = int(counts.sum())
+        cum = 0
+        for band, cnt in zip(uniq.tolist(), counts.tolist()):
+            cum += cnt
+            rows.append((cell, band, cnt, cum * 1_000_000 // tot))
+    return rows
+
+
+def aspect_rows() -> list[tuple]:
+    rows = []
+    for cell, g in _grids():
+        v = g != VOID
+        ok = (v[1:-1, 1:-1] & v[1:-1, 2:] & v[1:-1, :-2]
+              & v[2:, 1:-1] & v[:-2, 1:-1])
+        dx = (g[1:-1, 2:] - g[1:-1, :-2])[ok]
+        dy = (g[2:, 1:-1] - g[:-2, 1:-1])[ok]
+        flat = (dx == 0) & (dy == 0)
+        ew = (~flat) & (np.abs(dx) >= np.abs(dy))
+        ns = (~flat) & ~ew
+        for aspect, cnt in (
+            ("E", int((ew & (dx > 0)).sum())),
+            ("N", int((ns & (dy < 0)).sum())),
+            ("S", int((ns & (dy > 0)).sum())),
+            ("W", int((ew & (dx < 0)).sum())),
+            ("FLAT", int(flat.sum())),
+        ):
+            if cnt:
+                rows.append((cell, aspect, cnt))
+    return sorted(rows)
+
+
+def contour_rows() -> list[tuple]:
+    rows = []
+    for cell, g in _grids():
+        v = g != VOID
+        bh = v[:, 1:] & v[:, :-1]
+        bv = v[1:, :] & v[:-1, :]
+        ah, bh_ = g[:, 1:][bh], g[:, :-1][bh]
+        av, bv_ = g[1:, :][bv], g[:-1, :][bv]
+        for level in (-500, 0, 500):
+            ch = int((((ah > level) & (bh_ <= level))
+                      | ((ah <= level) & (bh_ > level))).sum())
+            cv = int((((av > level) & (bv_ <= level))
+                      | ((av <= level) & (bv_ > level))).sum())
+            rows.append((cell, level, ch, cv, ch + cv))
+    return rows
+
+
+def _values_block(rows: list[tuple], cols: str) -> str:
+    def lit(x):
+        return f"'{x}'" if isinstance(x, str) else str(x)
+
+    body = ",\n".join("  (" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({cols})"
+
+
+def main() -> None:
+    print("-- q277_hgt_hypsometry")
+    print(_values_block(hypsometry_rows(),
+                        "cell, band, n_points, cum_share_ppm"))
+    print("\n-- q287_hgt_aspect_census")
+    print(_values_block(aspect_rows(), "cell, aspect, n_points"))
+    print("\n-- q299_hgt_contour_crossings")
+    print(_values_block(
+        contour_rows(),
+        "cell, level, h_crossings, v_crossings, total_crossings"))
+
+
+if __name__ == "__main__":
+    main()

@@ -261,3 +261,25 @@ def test_hgt_datasource_fully_pruned_scan_returns_zero_rows(spark, fixture_dir):
         .filter(F.col("lat") >= 80.0)
     )
     assert out.count() == 0
+
+
+def test_terrain_goldens_match_checked_in_script(duck):
+    """ADVICE r6: the q277/q287/q299 VALUES-literal oracles must be
+    regenerable from the checked-in independent-numpy script
+    (scripts_hgt_goldens.py computes them from the fixture DEFINITION
+    alone — no Spark, no query implementations), so the goldens'
+    provenance is reproducible rather than asserted in a comment."""
+    import scripts_hgt_goldens as G
+    from cli_spark.plans.registry import registry
+
+    reg = registry()
+    for qname, fn in (
+        ("q277_hgt_hypsometry", G.hypsometry_rows),
+        ("q287_hgt_aspect_census", G.aspect_rows),
+        ("q299_hgt_contour_crossings", G.contour_rows),
+    ):
+        oracle_rows = sorted(
+            tuple(r) for r in duck.execute(reg[qname].oracle).fetchall()
+        )
+        script_rows = sorted(tuple(r) for r in fn())
+        assert script_rows == oracle_rows, qname
