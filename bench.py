@@ -54,10 +54,12 @@ EXTRA_QUERIES = [
     "q157_embedding_outliers",  # centroid distance outlier cut
 ]
 
-# Iterative/graph classes tracked round-over-round (VERDICT r5 #7):
-# REPORTED in queries{} but NOT summed into `value` — their baselines
-# predate their promotion and the headline sum must stay comparable.
-REPORTED_QUERIES = [
+# Iterative/graph classes, promoted into the declared 18-class
+# headline in round 7 (VERDICT r6 #6) now that they carry baselines
+# (BASELINE.md "Headline sums v2"): summed into `value_18class`;
+# `value` stays the 11-class sum and `value_7class` the original 7,
+# so every historical series remains comparable.
+PROMOTED_QUERIES = [
     "q76_dedup_connected_components",  # pointer-jumping min-label CC
     "q181_triangle_census",            # oriented wedge-closure join
     "q201_exact_substring_scrub",      # span census + island merge (round 6)
@@ -113,8 +115,9 @@ def main() -> None:
     times.update({name: timed(name, sf_dir, N_RUNS) for name in EXTRA_QUERIES})
     headline_total = round(sum(times.values()), 4)
     # iterative classes run many jobs per invocation — warm + min of 2
-    # keeps their tracking cost bounded
-    times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
+    # keeps their tracking cost bounded (declared in BASELINE.md v2)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED_QUERIES})
+    total_18 = round(sum(times.values()), 4)
 
     out = {
         "metric": "headline query warm latency (sum over 11 query classes, min of 5)",
@@ -123,6 +126,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "value_7class": legacy_total,
+        "value_18class": total_18,
         "loadavg": loadavg,
         "runs": N_RUNS,
     }

@@ -78,12 +78,17 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
     return out
 
 
-def ensure_scaled(spark: SparkSession, src_dir: str, dst_dir: str) -> str:
+def ensure_scaled(spark: SparkSession, src_dir: str, dst_dir: str,
+                  replicas: int = REPLICAS) -> str:
     """Materialize the scaled dataset under dst_dir (idempotent: a
-    marker file skips regeneration). Returns dst_dir."""
+    marker file skips regeneration). ``replicas`` sets the scale-up
+    factor (10 = the bench's sf1 tier; 30 = the sf3 tier the
+    near-linear classes are swept at). Returns dst_dir."""
     marker = os.path.join(dst_dir, _MARKER)
     if os.path.exists(marker):
         return dst_dir
+    if replicas * _STRIDE >= 2 ** 62:
+        raise ValueError(f"replicas={replicas} would overflow shifted keys")
     os.makedirs(dst_dir, exist_ok=True)
     for table in TABLE_NAMES:
         base = load_table(spark, src_dir, table)
@@ -91,9 +96,9 @@ def ensure_scaled(spark: SparkSession, src_dir: str, dst_dir: str) -> str:
             scaled = base
         else:
             scaled = base
-            for i in range(1, REPLICAS):
+            for i in range(1, replicas):
                 scaled = scaled.unionByName(_replica(base, table, i))
         scaled.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{table}.parquet"))
     with open(marker, "w") as f:
-        f.write(f"replicas={REPLICAS} stride={_STRIDE} src={src_dir}\n")
+        f.write(f"replicas={replicas} stride={_STRIDE} src={src_dir}\n")
     return dst_dir

@@ -194,3 +194,93 @@ def q259_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("forward")
         .alias("nearest"),
     )
+
+
+@register(
+    "q314_point_in_time_features",
+    # Native DuckDB ASOF against the embargoed lookup time; the
+    # census aggregates per (feature type found, purchase hour) with
+    # an exact integer gap sum in seconds.
+    oracle="""
+WITH labels AS (
+  SELECT event_id, user_id, ts, ts - INTERVAL 30 MINUTE AS lts
+  FROM events WHERE event_type = 'purchase'
+),
+feats AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type <> 'purchase'
+),
+joined AS (
+  SELECT l.event_id, l.ts,
+         r.event_type AS feat_type,
+         CASE WHEN r.user_id IS NULL THEN NULL
+              ELSE epoch_us(l.lts) // 1000000 - epoch_us(r.ts) // 1000000
+         END AS gap_s
+  FROM labels l
+  ASOF LEFT JOIN feats r
+    ON l.user_id = r.user_id AND l.lts >= r.ts
+)
+SELECT COALESCE(feat_type, 'none') AS feature_type,
+       COUNT(*) AS n_labels,
+       CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS sum_gap_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM joined
+GROUP BY COALESCE(feat_type, 'none')
+""",
+    tags=("join", "asof", "feature_store", "leakage"),
+)
+def q314_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup with an embargo — THE
+    training-data leakage guard in feature-store pipelines: for every
+    label event (purchase) join the user's latest feature event at or
+    before label time MINUS a 30-minute embargo, so features that
+    could only be known within the embargo window can never leak into
+    training rows (the "time-travel join" of Feast/production feature
+    stores). Census per feature type found: label count and exact
+    integer gap statistics in seconds.
+
+    Scale shape: the as-of resolves as ONE union + doc-keyed running
+    window over user_id (asof_join helper — no join explosion, no
+    range cross product); the census is bounded by the event-type
+    grid. The embargo is applied to the LOOKUP time, not the feature
+    filter, so correctness does not depend on feature-side
+    pre-filtering."""
+    e = load_table(spark, sf_dir, "events")
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lts"),
+    )
+    feats = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("fts"),
+        F.col("event_id").alias("feat_id"),
+        F.col("event_type").alias("feat_type"),
+    )
+    joined = asof_join(
+        labels,
+        feats.withColumnRenamed("fts", "lts"),
+        on="user_id",
+        left_ts="lts",
+        right_ts="lts",
+        right_payload=["feat_id", "feat_type", "lts"],
+        right_seq="feat_id",
+    )
+    gap_s = (
+        F.unix_timestamp("lts") - F.unix_timestamp("asof_lts")
+    ).cast("long")
+    return (
+        joined.select(
+            F.coalesce(F.col("asof_feat_type"), F.lit("none")).alias("feature_type"),
+            F.when(F.col("asof_feat_type").isNotNull(), gap_s).alias("gap_s"),
+        )
+        .groupBy("feature_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_labels"),
+            F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias("sum_gap_s"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    )

@@ -523,6 +523,100 @@ def q309_simhash64_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q311_winnowing_fingerprints",
+    # Winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    # k-gram hashes at every char position, each window of W
+    # consecutive positions selects its minimum hash with RIGHTMOST
+    # tie-break, selections dedupe. The combo key encodes that rule
+    # for a plain MIN aggregate: lexicographic min of
+    # h || '#' || zero-padded (10^7 - pos) is (min h, max pos).
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, length(text) - 7 AS np
+  FROM documents WHERE length(text) >= 11
+),
+pos AS (
+  SELECT doc_id, np, u.p,
+         md5(substr(text, u.p, 8)) || '#' ||
+           lpad(CAST(10000000 - u.p AS VARCHAR), 8, '0') AS key
+  FROM base CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, np)) AS p
+  ) u
+),
+win AS (
+  SELECT doc_id, np, p,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM pos
+),
+selected AS (
+  SELECT DISTINCT doc_id, np, sel FROM win WHERE p <= np - 3
+)
+SELECT doc_id,
+       CAST(MAX(np) AS BIGINT) AS n_kgrams,
+       COUNT(*) AS n_selected,
+       COUNT(DISTINCT substr(sel, 1, 32)) AS n_distinct_fp,
+       COUNT(*) * 1000000 // CAST(MAX(np) AS BIGINT) AS density_ppm
+FROM selected GROUP BY doc_id
+""",
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def q311_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k = 8-char gram, slide
+    a W = 4-position window, keep each window's minimum hash with the
+    paper's rightmost tie-break, and dedupe the selections — the
+    position-robust fingerprinting layer between q94's plain rolling
+    hash and the shingle-set methods (a single inserted char shifts
+    every downstream k-gram, but winnowing still selects ~the same
+    hashes, and the guarantee bounds density to ~2/(W+1)).
+
+    Spark shape: the per-position relation explodes linearly in
+    corpus characters (the q201 ExactSubstr scale class), the
+    rightmost-min rule compiles to ONE doc-partitioned running MIN
+    over a 4-row frame via the order-encoding combo key (no
+    per-window subquery, no self-join), and selections collapse by
+    DISTINCT before the per-doc census — every shuffle is keyed by
+    doc_id, so the plan is embarrassingly doc-parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 11)
+    base = d.select(
+        "doc_id", "text", (F.length("text") - 7).alias("np")
+    )
+    pos = base.select(
+        "doc_id",
+        "np",
+        F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "np",
+        "p",
+        F.concat(
+            F.md5(F.encode(F.expr("substring(text, p, 8)"), "utf-8")),
+            F.lit("#"),
+            F.lpad((F.lit(10_000_000) - F.col("p")).cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    selected = (
+        pos.select(
+            "doc_id", "np", "p", F.min("key").over(w).alias("sel")
+        )
+        .filter(F.col("p") <= F.col("np") - 3)
+        .select("doc_id", "np", "sel")
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.max("np").cast("long").alias("n_kgrams"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.countDistinct(F.substring("sel", 1, 32)).alias("n_distinct_fp"),
+        F.expr("count(1) * 1000000 div max(np)").alias("density_ppm"),
+    )
+
+
+@register(
     "q196_incremental_dedup",
     oracle="""
 WITH hashed AS (

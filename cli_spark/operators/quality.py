@@ -494,6 +494,69 @@ def q286_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q313_l_diversity_audit",
+    oracle="""
+WITH groups AS (
+  SELECT source, n_chars // 100 AS len_band,
+         COUNT(*) AS k,
+         COUNT(DISTINCT lang) AS l
+  FROM documents GROUP BY source, n_chars // 100
+)
+SELECT source,
+       COUNT(*) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS weak_groups,
+       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS docs_at_risk,
+       CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(SUM(k) AS BIGINT) AS risk_ppm
+FROM groups
+GROUP BY source
+""",
+    tags=("quality", "privacy", "l-diversity"),
+)
+def q313_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE'06 — the
+    refinement of q286's k-anonymity): a quasi-identifier group
+    (source, 100-char length band) is safe only if its SENSITIVE
+    attribute (here: lang) takes at least l = 3 distinct values —
+    k-anonymous groups whose members all share one sensitive value
+    still leak it. Per source: group census, the minimum diversity,
+    and the share of documents in under-diverse groups in exact ppm.
+    Same two-level scale shape as q286: the QI census partial-
+    aggregates map-side and is bounded by the QI grid, never the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = (
+        d.select("source", F.expr("n_chars div 100").alias("len_band"), "lang")
+        .groupBy("source", "len_band")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("lang").alias("l"),
+        )
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_docs"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).alias("weak_groups"),
+            F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0)).alias("docs_at_risk"),
+        )
+        .select(
+            "source",
+            "n_groups",
+            "n_docs",
+            "min_l",
+            "weak_groups",
+            "docs_at_risk",
+            F.expr("docs_at_risk * 1000000 div n_docs").alias("risk_ppm"),
+        )
+    )
+
+
+@register(
     "q300_release_scorecard",
     oracle="""
 WITH feat AS (

@@ -311,6 +311,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     #     remaining round-6 census shapes in numeric order ---
     "q309_simhash64_blocks",
     "q310_streaming_restart_recovery",
+    "q311_winnowing_fingerprints",
+    "q312_rouge1_pair_audit",
+    "q313_l_diversity_audit",
+    "q314_point_in_time_features",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",

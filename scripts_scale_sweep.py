@@ -1,11 +1,17 @@
-"""sf0.1 → sf1 scale sweep for a named subset of registry queries.
+"""sf0.1 → sf1 (and optionally sf3) scale sweep for a named subset
+of registry queries.
 
-Usage: python scripts_scale_sweep.py [qname ...]
+Usage: python scripts_scale_sweep.py [--sf3] [qname ...]
 Times each query warm (min of 2) at sf0.1 and at the synthetic sf1
 (cli_spark.bench_scale; cached under .bench_sf1) and prints one JSON
 line per query with the sf1/sf0.1 ratio — linear scaling lands near
 10 on local[32]; super-linear growth flags a plan that would not
 survive the next 100×.
+
+With --sf3 a 30×-replica tier (cached under .bench_sf3) is added and
+the sf3/sf1 ratio reported — linear ≈ 3. This is the VERDICT r6 #4
+check: the classes whose sf1 ratios sat nearest linear (q267 9.2,
+q276 7.0, q290 7.4) must hold at the next tier.
 """
 
 from __future__ import annotations
@@ -33,7 +39,9 @@ DEFAULT = [
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    with_sf3 = "--sf3" in args
+    names = [a for a in args if not a.startswith("--")] or DEFAULT
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1 = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
@@ -47,6 +55,9 @@ def main() -> None:
     spark = get_spark(app_name="cli_spark-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_scaled(spark, sf01, sf1)
+    sf3 = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf3")
+    if with_sf3:
+        ensure_scaled(spark, sf01, sf3, replicas=30)
     qs = all_queries()
 
     def timed(name: str, at: str) -> float:
@@ -64,6 +75,11 @@ def main() -> None:
         t1 = timed(name, sf1)
         out[name] = {"sf0.1": t01, "sf1": t1,
                      "ratio": round(t1 / t01, 2) if t01 > 0 else None}
+        if with_sf3:
+            t3 = timed(name, sf3)
+            out[name]["sf3"] = t3
+            out[name]["ratio_sf3_sf1"] = (
+                round(t3 / t1, 2) if t1 > 0 else None)
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps({"sweep": out}))
 
