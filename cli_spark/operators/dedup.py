@@ -617,6 +617,105 @@ def q311_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q315_winnowing_match",
+    # The MOSS match step over q311's selection: distinct winnowed
+    # fingerprints per doc, stop-fingerprints (shared by > 10 docs)
+    # dropped like stopwords, pair census over the surviving posting
+    # lists, pairs sharing >= 2 fingerprints reported.
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, length(text) - 7 AS np
+  FROM documents WHERE length(text) >= 11
+),
+pos AS (
+  SELECT doc_id, np, u.p,
+         md5(substr(text, u.p, 8)) || '#' ||
+           lpad(CAST(10000000 - u.p AS VARCHAR), 8, '0') AS key
+  FROM base CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, np)) AS p
+  ) u
+),
+win AS (
+  SELECT doc_id, np, p,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id, substr(sel, 1, 32) AS h
+  FROM win WHERE p <= np - 3
+),
+df AS (SELECT h, COUNT(*) AS nd FROM fp GROUP BY h),
+kept AS (
+  SELECT fp.doc_id, fp.h FROM fp JOIN df ON fp.h = df.h WHERE df.nd <= 10
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared_fp FROM pairs WHERE shared_fp >= 2
+""",
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def q315_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing MATCH detection — the second half of the MOSS
+    pipeline (Schleimer et al., SIGMOD'03 §4): q311's selected
+    fingerprints become per-doc posting sets, fingerprints shared by
+    more than 10 documents are dropped as stop-patterns (the paper's
+    treatment of boilerplate — exactly the mega-bucket guard, applied
+    where it is semantically justified: a fingerprint in everything
+    identifies nothing), and surviving posting lists join into a pair
+    census; pairs sharing >= 2 fingerprints are the local-similarity
+    candidates that shingle-set methods (q73) miss when the overlap
+    is a contiguous passage rather than diffuse vocabulary.
+
+    Scale shape: the fingerprint relation is linear in corpus chars
+    (winnowing density ~2/(W+1) of positions); the document-frequency
+    census map-side combines; the pair join runs over posting lists
+    capped at 10 docs — at most 45 pairs per fingerprint, so the
+    candidate space is linear in distinct fingerprints, never
+    quadratic in corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 11)
+    base = d.select("doc_id", "text", (F.length("text") - 7).alias("np"))
+    pos = base.select(
+        "doc_id",
+        "np",
+        F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "np",
+        "p",
+        F.concat(
+            F.md5(F.encode(F.expr("substring(text, p, 8)"), "utf-8")),
+            F.lit("#"),
+            F.lpad((F.lit(10_000_000) - F.col("p")).cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    fp = (
+        pos.select("doc_id", "np", "p", F.min("key").over(w).alias("sel"))
+        .filter(F.col("p") <= F.col("np") - 3)
+        .select("doc_id", F.substring("sel", 1, 32).alias("h"))
+        .distinct()
+    )
+    df_census = fp.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    kept = fp.join(df_census.filter(F.col("nd") <= 10), "h").select("doc_id", "h")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, ["h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 2)
+    )
+
+
+@register(
     "q196_incremental_dedup",
     oracle="""
 WITH hashed AS (

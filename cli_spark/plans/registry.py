@@ -315,6 +315,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q312_rouge1_pair_audit",
     "q313_l_diversity_audit",
     "q314_point_in_time_features",
+    "q315_winnowing_match",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
