@@ -458,3 +458,77 @@ def q284_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(rho) < 20000, F.lit(1)).otherwise(F.lit(0))
         .alias("epochs_independent"),
     )
+
+
+@register(
+    "q317_federated_join",
+    # The three sides carry identical data to the parquet originals
+    # (CSV and JDBC copies are written from them), so the federated
+    # plan must produce exactly the all-parquet answer.
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+    tags=("sources", "federation", "jdbc", "csv"),
+)
+def q317_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated three-source join — one logical plan over THREE
+    storage systems: customers stay in parquet, nation is re-read
+    from a CSV export, region is served by the embedded Derby
+    DATABASE over JDBC. This is the lakehouse reality at 100 TB —
+    facts in columnar files, dimensions in operational stores — and
+    the point is that Catalyst treats all three as relations: the
+    same broadcast-dimension star-join plan as q17, with column
+    pruning pushed into every source (the CSV reader parses only the
+    projected columns; the JDBC scan SELECTs only what the plan
+    needs). Side materialization is per-(session, dataset) cached and
+    byte-identical to the parquet originals, so the federated answer
+    must equal the single-source oracle exactly."""
+    import os as _os
+    import tempfile
+
+    from cli_spark.sources.sinks import read_csv, read_jdbc, write_jdbc
+
+    c = load_table(spark, sf_dir, "customer")
+    nation_pq = load_table(spark, sf_dir, "nation")
+    region_pq = load_table(spark, sf_dir, "region")
+
+    import hashlib as _hl
+
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    root = _os.path.join(tempfile.gettempdir(), f"cli_spark_fed_{tag}")
+    csv_dir = _os.path.join(root, "nation_csv")
+    marker = _os.path.join(root, ".ready")
+    url = f"jdbc:derby:memory:fed_{tag};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    if not _os.path.exists(marker):
+        nation_pq.select("n_nationkey", "n_name", "n_regionkey").coalesce(1)\
+            .write.mode("overwrite").option("header", "true").csv(csv_dir)
+        write_jdbc(
+            region_pq.select("r_regionkey", "r_name"),
+            url, "region_fed", mode="overwrite", properties=dict(props),
+        )
+        _os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    n = read_csv(
+        spark, csv_dir, "n_nationkey long, n_name string, n_regionkey long"
+    )
+    r = read_jdbc(spark, url, "region_fed", properties=dict(props))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(n["n_name"].alias("nation"), r["r_name"].alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(c["c_acctbal"] * 100).cast("long")).alias("acctbal_cents"),
+        )
+    )

@@ -189,3 +189,46 @@ def q56_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(trimmed_mean("o_totalprice").alias("trimmed_mean_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q316_map_in_arrow_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    tags=("udf", "arrow", "map_in_arrow"),
+)
+def q316_map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the zero-copy end of the Python eval spectrum
+    (q59 row-at-a-time < pandas UDFs < raw Arrow RecordBatches): the
+    transform touches pyarrow.compute kernels only, so batches never
+    convert to pandas objects at all — the shape for per-batch work
+    where even the Arrow→pandas step is measurable at 100 TB (byte
+    lengths, substring counts, dictionary ops). Emitted statistics
+    (UTF-8 byte length, space count, char count) are exact integers
+    recomputed by the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _stats(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces", "n_chars"],
+            )
+
+    return d.mapInArrow(
+        _stats, "doc_id long, n_bytes long, n_spaces long, n_chars long"
+    )

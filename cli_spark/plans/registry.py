@@ -316,6 +316,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q313_l_diversity_audit",
     "q314_point_in_time_features",
     "q315_winnowing_match",
+    "q316_map_in_arrow_stats",
+    "q317_federated_join",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
