@@ -318,6 +318,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q315_winnowing_match",
     "q316_map_in_arrow_stats",
     "q317_federated_join",
+    "q318_streaming_outer_join_true",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",

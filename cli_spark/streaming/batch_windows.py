@@ -1192,3 +1192,163 @@ def q306_streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "q318_streaming_outer_join_true",
+    # Matched pairs equal the batch interval join (no drops: arrival
+    # is near event-time order and the 2 h delay dominates disorder);
+    # null-side emission follows Spark's outer-join state eviction,
+    # pinned empirically on Spark 4.1.2: an unmatched left row emits
+    # exactly when the FINAL global watermark — the MIN of the two
+    # sources' max event times minus the delay, reached via the
+    # trailing no-data micro-batches — passes STRICTLY above its
+    # latest possible match time (p_ts). Purchases at-or-above the
+    # final watermark stay in state and never emit; the oracle
+    # reproduces that exact cut.
+    oracle=f"""
+WITH pur AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT user_id AS e_user, ts AS e_ts, value AS e_value
+  FROM events WHERE event_type = 'error'
+),
+inner_j AS (
+  SELECT p.p_id, p.p_user, e.e_value
+  FROM pur p JOIN err e
+    ON e.e_user = p.p_user
+   AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND e.e_ts <= p.p_ts
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(p_ts) FROM pur), (SELECT MAX(e_ts) FROM err))
+         - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT p_user AS u, COUNT(*) AS n_pairs, {sql_dsum('e_value')} AS err_value_sum
+  FROM inner_j GROUP BY p_user
+),
+unmatched AS (
+  SELECT p.p_user AS u, COUNT(*) AS n_unmatched
+  FROM pur p
+  LEFT JOIN (SELECT DISTINCT p_id FROM inner_j) m ON p.p_id = m.p_id
+  WHERE m.p_id IS NULL AND p.p_ts < (SELECT w FROM wm)
+  GROUP BY p.p_user
+)
+SELECT COALESCE(a.u, b.u) AS user_id,
+       COALESCE(a.n_pairs, 0) AS n_pairs,
+       COALESCE(b.n_unmatched, 0) AS n_unmatched,
+       COALESCE(a.err_value_sum, 0.0) AS err_value_sum
+FROM matched a FULL OUTER JOIN unmatched b ON a.u = b.u
+""",
+    tags=("streaming", "true_stream", "outer_join", "watermark"),
+)
+def q318_streaming_outer_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-STREAM LEFT OUTER interval join — the hardest
+    stateful join semantic: matches emit as both sides arrive across
+    micro-batches, and an unmatched purchase emits its null row ONLY
+    once the global watermark (min across both input streams) proves
+    no future error can still match it. Both sides replay the events
+    file through the `replay` DataSource in ~10 batches under a
+    2-hour watermark; per-row join output is unbounded at scale, so
+    it lands in a distributed foreachBatch parquet sink (the q264
+    contract), and the graded result is the per-user census of
+    matched pairs and watermark-released null rows. Purchases above
+    the final watermark are still in the join state when the stream
+    ends — exactly as in production, where they'd emit on the next
+    day's data — and the oracle reproduces that strict cut."""
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+        )
+
+    pur = (
+        src().filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    err = (
+        src().filter(F.col("event_type") == "error")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+    )
+    joined = pur.join(
+        err,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    out_root = tempfile.mkdtemp(prefix="q318_outer_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(f"{out_root}/rows")
+
+        query = (
+            joined.writeStream.foreachBatch(sink)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        rows = spark.read.parquet(f"{out_root}/rows")
+        matched = (
+            rows.filter(F.col("e_user").isNotNull())
+            .groupBy(F.col("p_user").alias("u"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                dsum(F.col("e_value")).alias("err_value_sum"),
+            )
+        )
+        unmatched = (
+            rows.filter(F.col("e_user").isNull())
+            .groupBy(F.col("p_user").alias("u"))
+            .agg(F.count(F.lit(1)).alias("n_unmatched"))
+        )
+        result = (
+            matched.join(unmatched, "u", "full_outer")
+            .select(
+                F.col("u").alias("user_id"),
+                F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                F.coalesce("n_unmatched", F.lit(0)).alias("n_unmatched"),
+                F.coalesce("err_value_sum", F.lit(0.0)).alias("err_value_sum"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
