@@ -839,3 +839,98 @@ def q293_hybrid_search_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top1_match"),
         )
     )
+
+
+@register(
+    "q320_mrl_truncation_audit",
+    # Exact fixed-point dots (the _SQL_DOT/_DOT 1e-12 quantization)
+    # on the full 64 dims vs the 16-dim prefix; top-10 per query by
+    # (score desc, vec_id) on both sides; overlap census per query.
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe, embedding[1:16] AS qe16
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, embedding, embedding[1:16] AS e16
+  FROM embeddings WHERE vec_id >= 5
+),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         {sql_dot('c.embedding', 'q.qe')} AS s_full,
+         {sql_dot('c.e16', 'q.qe16')} AS s_trunc
+  FROM c CROSS JOIN q
+),
+rf AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY s_full DESC, vec_id) AS r
+  FROM scored
+),
+rt AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY s_trunc DESC, vec_id) AS r
+  FROM scored
+),
+tf AS (SELECT q_id, vec_id FROM rf WHERE r <= 10),
+tt AS (SELECT q_id, vec_id FROM rt WHERE r <= 10),
+ov AS (
+  SELECT tf.q_id, COUNT(*) AS n_overlap
+  FROM tf JOIN tt ON tf.q_id = tt.q_id AND tf.vec_id = tt.vec_id
+  GROUP BY tf.q_id
+)
+SELECT q.q_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) * 1000000 // (20 - COALESCE(ov.n_overlap, 0))
+         AS jaccard_ppm
+FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN ov ON q.q_id = ov.q_id
+""",
+    tags=("similarity", "embeddings", "matryoshka"),
+)
+def q320_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al., NeurIPS'22 MRL):
+    how much of each query's full-dimension top-10 survives when
+    vectors are truncated to their 16-dim prefix — the measurement
+    that decides whether an index can serve the cheap prefix tier and
+    rerank with full vectors (the standard MRL deployment). Five
+    query vectors against the corpus: exact fixed-point dot products
+    at both widths, top-10 per (query, width) with vec_id
+    tie-breaks, overlap and set-Jaccard in exact ppm.
+
+    Scale shape: the query side is a broadcast 5-row relation (the
+    q80 contract — never a vector cross product between corpus rows);
+    per-query ranking is TakeOrdered-sized (top-10 of a partitioned
+    window over q_id); truncation is a zero-copy array slice, scored
+    in the same scan pass as the full dot."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.slice("embedding", 1, 16).alias("qe16"),
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, 16).alias("e16"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        dot("embedding", "qe").alias("s_full"),
+        dot("e16", "qe16").alias("s_trunc"),
+    )
+    from pyspark.sql.window import Window
+
+    wf = Window.partitionBy("q_id").orderBy(F.col("s_full").desc(), F.col("vec_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.col("s_trunc").desc(), F.col("vec_id"))
+    tf = scored.withColumn("r", F.row_number().over(wf)).filter("r <= 10").select("q_id", "vec_id")
+    tt = scored.withColumn("r", F.row_number().over(wt)).filter("r <= 10").select("q_id", "vec_id")
+    ov = tf.join(tt, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    qs = q.select("q_id").distinct()
+    return qs.join(ov, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.expr(
+            "coalesce(n_overlap, 0) * 1000000 div (20 - coalesce(n_overlap, 0))"
+        ).alias("jaccard_ppm"),
+    )

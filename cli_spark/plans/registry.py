@@ -319,6 +319,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q316_map_in_arrow_stats",
     "q317_federated_join",
     "q318_streaming_outer_join_true",
+    "q319_hgt_flow_direction",
+    "q320_mrl_truncation_audit",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",

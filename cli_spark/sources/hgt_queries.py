@@ -496,3 +496,97 @@ def q299_hgt_contour_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return raw.mapInPandas(_cross, schema).orderBy("cell", "level")
+
+
+@register(
+    "q319_hgt_flow_direction",
+    # Independent-numpy goldens (D8 steepest-descent census, fixed-
+    # point sqrt(2), ESRI codes, lowest-code ties, 0 = pit/flat) —
+    # VALUES-literal oracle style of q110-q112/q265/q287/q299.
+    # Regenerable: scripts_hgt_goldens.py::flow_rows (pinned by
+    # tests/test_hgt.py::test_terrain_goldens_match_checked_in_script).
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 0, 47),
+  ('N00E000', 1, 3088),
+  ('N00E000', 2, 7917),
+  ('N00E000', 4, 6549),
+  ('N00E000', 8, 8678),
+  ('N00E000', 16, 3403),
+  ('N00E000', 32, 8383),
+  ('N00E000', 64, 6162),
+  ('N00E000', 128, 7592),
+  ('N46E007', 0, 43),
+  ('N46E007', 1, 3192),
+  ('N46E007', 2, 8572),
+  ('N46E007', 4, 6558),
+  ('N46E007', 8, 7622),
+  ('N46E007', 16, 2846),
+  ('N46E007', 32, 7669),
+  ('N46E007', 64, 6683),
+  ('N46E007', 128, 8634),
+  ('S01W072', 0, 35),
+  ('S01W072', 1, 3063),
+  ('S01W072', 2, 9197),
+  ('S01W072', 4, 6999),
+  ('S01W072', 8, 8705),
+  ('S01W072', 16, 2882),
+  ('S01W072', 32, 7343),
+  ('S01W072', 64, 5864),
+  ('S01W072', 128, 7731)
+) AS t(cell, direction, n_points)
+""",
+    tags=("hgt", "tier_a", "terrain", "hydrology"),
+)
+def q319_hgt_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow-direction census per cell [A6+A8] — the first step of
+    every raster hydrology product (O'Callaghan & Mark 1984; the ESRI
+    FlowDirection tool): each interior sample with a fully-valid 3x3
+    neighborhood points at its steepest-descent neighbor by
+    drop/distance, diagonal distance handled in exact fixed-point
+    (cardinal weight = drop x 1414214, diagonal = drop x 1000000 --
+    integer arithmetic, so both engines and the golden script agree
+    bit-for-bit, no float sqrt(2)), ESRI power-of-two codes with
+    lowest-code tie-break, 0 for pits/flats. Vectorized numpy inside
+    the decode mapInPandas (the q287 one-pass shape): eight shifted
+    subtractions, one argmax, one bincount -- only the <=9-row census
+    per cell leaves Python, the same plan at any number of cells."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = "cell string, direction int, n_points long"
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+
+    def _flow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"cell": [], "direction": [], "n_points": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                ok = v[1:-1, 1:-1].copy()
+                ws = []
+                for code, dr, dc in dirs:  # ascending code order
+                    ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    ws.append((g[1:-1, 1:-1] - zn)
+                              * (CARD if dr == 0 or dc == 0 else DIAG))
+                stack = np.stack(ws)
+                best = np.argmax(stack, axis=0)   # first max = lowest code
+                bestw = np.max(stack, axis=0)
+                code_arr = np.array([c for c, _, _ in dirs])[best]
+                code_arr = np.where(bestw > 0, code_arr, 0)[ok]
+                uniq, counts = np.unique(code_arr, return_counts=True)
+                for code, cnt in zip(uniq.tolist(), counts.tolist()):
+                    recs["cell"].append(cell)
+                    recs["direction"].append(int(code))
+                    recs["n_points"].append(int(cnt))
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_flow, schema).orderBy("cell", "direction")

@@ -98,6 +98,43 @@ def contour_rows() -> list[tuple]:
     return rows
 
 
+def flow_rows() -> list[tuple]:
+    """D8 flow-direction census: for every interior sample whose full
+    3×3 neighborhood is valid, direction = steepest-descent neighbor
+    by drop/distance with fixed-point sqrt(2) ≈ 1.414214 (cardinal
+    weight = drop × 1414214, diagonal = drop × 1000000), ESRI codes
+    (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128; row index grows
+    southward), ties to the LOWEST code, no positive drop → 0."""
+    CARD, DIAG = 1414214, 1000000
+    # (code, row offset, col offset) in ascending code order
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+    rows = []
+    for cell, g in _grids():
+        v = g != VOID
+        ok = np.ones_like(v[1:-1, 1:-1])
+        for _c, dr, dc in dirs:
+            ok = ok & v[1 + dr:g.shape[0] - 1 + dr, 1 + dc:g.shape[1] - 1 + dc]
+        ok = ok & v[1:-1, 1:-1]
+        zc = g[1:-1, 1:-1]
+        ws, codes = [], []
+        for code, dr, dc in dirs:
+            zn = g[1 + dr:g.shape[0] - 1 + dr, 1 + dc:g.shape[1] - 1 + dc]
+            w = (zc - zn) * (CARD if dr == 0 or dc == 0 else DIAG)
+            ws.append(w)
+            codes.append(code)
+        stack = np.stack(ws)              # ascending code order
+        best = np.argmax(stack, axis=0)   # first max = lowest code
+        bestw = np.max(stack, axis=0)
+        code_arr = np.array(codes)[best]
+        code_arr = np.where(bestw > 0, code_arr, 0)
+        code_arr = code_arr[ok]
+        uniq, counts = np.unique(code_arr, return_counts=True)
+        for code, cnt in zip(uniq.tolist(), counts.tolist()):
+            rows.append((cell, code, cnt))
+    return rows
+
+
 def _values_block(rows: list[tuple], cols: str) -> str:
     def lit(x):
         return f"'{x}'" if isinstance(x, str) else str(x)
@@ -116,6 +153,8 @@ def main() -> None:
     print(_values_block(
         contour_rows(),
         "cell, level, h_crossings, v_crossings, total_crossings"))
+    print("\n-- q319_hgt_flow_direction")
+    print(_values_block(flow_rows(), "cell, direction, n_points"))
 
 
 if __name__ == "__main__":
