@@ -532,3 +532,65 @@ def q317_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(c["c_acctbal"] * 100).cast("long")).alias("acctbal_cents"),
         )
     )
+
+
+@register(
+    "q321_schema_evolution_merge",
+    # The two generations are deterministic doc_id-parity slices of
+    # `documents`, so the merged-scan census is fully recomputable:
+    # generation-1 files predate the `source` column and must surface
+    # NULL for it after the merge.
+    oracle="""
+SELECT lang,
+       1 + doc_id % 2 AS gen,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, 1 + doc_id % 2
+""",
+    tags=("sources", "schema_evolution", "lakehouse"),
+)
+def q321_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations — the lakehouse
+    reality that a 100 TB table is written by YEARS of jobs with
+    drifting schemas: generation-1 files (even doc_ids) predate the
+    `source` column, generation-2 files carry it. One scan with
+    `mergeSchema` + partition discovery (`gen=N` directories) reads
+    both: Catalyst unions the file schemas, back-fills NULL for
+    columns absent in old footers, and exposes the directory key as a
+    partition column — no rewrite of historical data. The census
+    proves the semantics: every gen-1 row surfaces NULL `source`,
+    every gen-2 row keeps it, and n_chars sums survive the merge
+    exactly. Generation materialization is per-(session, dataset)
+    cached; at scale this is the one-time migration nobody runs
+    because merge-on-read is free."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|evo".encode()
+    ).hexdigest()[:12]
+    root = _os.path.join(tempfile.gettempdir(), f"cli_spark_evo_{tag}")
+    marker = _os.path.join(root, ".ready")
+    if not _os.path.exists(marker):
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(_os.path.join(root, "gen=1"))
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars", "source"
+        ).write.mode("overwrite").parquet(_os.path.join(root, "gen=2"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(_os.path.join(root, "gen=1"), _os.path.join(root, "gen=2"))
+    )
+    return merged.groupBy("lang", "gen").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("source").alias("n_with_source"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

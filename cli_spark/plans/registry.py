@@ -321,6 +321,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q318_streaming_outer_join_true",
     "q319_hgt_flow_direction",
     "q320_mrl_truncation_audit",
+    "q321_schema_evolution_merge",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
