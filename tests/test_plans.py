@@ -730,3 +730,41 @@ def test_session3_scale_shapes(spark, sf_dir):
     p304 = plan_of(spark, sf_dir, "q304_leadtime_quantiles")
     assert "HashAggregate" in p304
     assert "CartesianProduct" not in p304
+
+
+def test_round7_additions_plan_shapes(spark, sf_dir):
+    """Round-7 operators keep their scale shapes:
+
+    * q311/q315 winnowing: the rightmost-min rule is ONE doc-
+      partitioned running window (no self-join for selection); q315's
+      match stage joins on the fingerprint hash (stop-capped posting
+      lists), never doc×doc;
+    * q312 ROUGE: candidates ride the band-edge relation and overlap
+      joins are keyed by word — no cartesian anywhere;
+    * q320 MRL: the query side is a 5-row broadcast (nested-loop over
+      a broadcast scalar side is the q80 contract), corpus rows never
+      pair with each other.
+    """
+    for name in ["q311_winnowing_fingerprints", "q315_winnowing_match",
+                 "q312_rouge1_pair_audit"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    p315 = plan_of(spark, sf_dir, "q315_winnowing_match")
+    assert "SortMergeJoin" in p315 or "ShuffledHashJoin" in p315 \
+        or "BroadcastHashJoin" in p315
+    p320 = plan_of(spark, sf_dir, "q320_mrl_truncation_audit")
+    assert "CartesianProduct" not in p320
+
+
+def test_q317_federation_prunes_every_source(spark, sf_dir):
+    """q317's federated star join must broadcast both dimension sides
+    and push column pruning into each source: the JDBC scan's
+    ReadSchema carries only the projected region columns and the scan
+    of the parquet fact side reads only the join/agg columns."""
+    plan = plan_of(spark, sf_dir, "q317_federated_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # fact-side parquet scan pruned to the 2 needed columns
+    assert "c_nationkey" in plan and "c_acctbal" in plan
+    assert "c_comment" not in plan and "c_phone" not in plan
