@@ -1632,3 +1632,124 @@ def q234_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_ppm").cast("long").alias("worst_bigram_ppm"),
         )
     )
+
+
+def _pq_sql(n_sub: int, sub_dim: int, iters: int, k: int) -> str:
+    """Product-quantization oracle: one q158-style unrolled Lloyd CTE
+    chain PER SUBSPACE (prefixed names, pos restricted to the
+    subspace's dim range; _SQL_QDIMS pos is 1-based), unioned into the
+    per-(subspace, cluster) census."""
+    ctes = [f"q AS ({_SQL_QDIMS})"]
+    arms = []
+    for s in range(n_sub):
+        p = f"s{s}_"
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        ctes.append(
+            f"{p}q AS (SELECT vec_id, pos, qv FROM q WHERE pos BETWEEN {lo} AND {hi})")
+        ctes.append(
+            f"{p}c0 AS (SELECT vec_id AS cid, pos, qv AS cv FROM {p}q WHERE vec_id < {k})")
+        prev = f"{p}c0"
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"{p}a{i} AS (SELECT q.vec_id, c.cid, "
+                f"CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2 "
+                f"FROM {p}q q JOIN {prev} c ON q.pos = c.pos GROUP BY q.vec_id, c.cid)")
+            ctes.append(
+                f"{p}m{i} AS (SELECT vec_id, cid, d2, row_number() OVER "
+                f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM {p}a{i})")
+            ctes.append(
+                f"{p}c{i} AS (SELECT m.cid, q.pos, "
+                f"CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv "
+                f"FROM {p}q q JOIN (SELECT vec_id, cid FROM {p}m{i} WHERE rn = 1) m "
+                f"ON q.vec_id = m.vec_id GROUP BY m.cid, q.pos)")
+            prev = f"{p}c{i}"
+        fin = iters + 1
+        ctes.append(
+            f"{p}a{fin} AS (SELECT q.vec_id, c.cid, "
+            f"CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2 "
+            f"FROM {p}q q JOIN {prev} c ON q.pos = c.pos GROUP BY q.vec_id, c.cid)")
+        ctes.append(
+            f"{p}m{fin} AS (SELECT vec_id, cid, d2, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM {p}a{fin})")
+        arms.append(
+            f"SELECT {s} AS subspace, cid AS cluster_id, COUNT(*) AS n_members, "
+            f"CAST(SUM(d2) AS BIGINT) AS sse FROM {p}m{fin} WHERE rn = 1 "
+            f"GROUP BY cid")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+_PQ_SUB, _PQ_DIM = 4, 16
+
+
+@register(
+    "q322_pq_codebook",
+    oracle=_pq_sql(_PQ_SUB, _PQ_DIM, _KMEANS_ITERS, _KMEANS_K),
+    tags=("training", "ann", "product_quantization", "iterative"),
+)
+def q322_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al., TPAMI'11
+    — the memory layer under every billion-vector ANN index): the
+    64-dim space splits into 4 independent 16-dim subspaces, each
+    running the q158 deterministic Lloyd (k = 4, 2 unrolled
+    iterations, exact quantized-integer arithmetic, lowest-vec_id
+    seeds), and the audit reports per-(subspace, centroid) membership
+    and quantization SSE — the readout that sizes PQ's
+    accuracy/memory tradeoff (4 subspaces × 4 codes = 1 byte per
+    vector here; production uses 8–16 × 256).
+
+    Scale shape: identical to q158 per subspace — centroid relations
+    broadcast (k × sub_dim rows), distances partial-aggregate from the
+    exploded-dim relation, vectors never shuffle; the 4 subspaces
+    share ONE scan of the exploded dims (the pos filter splits it),
+    so PQ costs the same passes as one full-width k-means."""
+    q_all = _qdims(spark, sf_dir).select("vec_id", "pos", "qv")
+
+    def assign(qd: DataFrame, cent: DataFrame) -> DataFrame:
+        d = (
+            qd.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    outs = []
+    for s in range(_PQ_SUB):
+        lo, hi = s * _PQ_DIM, (s + 1) * _PQ_DIM - 1
+        qd = q_all.filter((F.col("pos") >= lo) & (F.col("pos") <= hi))
+        cent = qd.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cv")
+        )
+        for _ in range(_KMEANS_ITERS):
+            members = assign(qd, cent).select("vec_id", "cid")
+            cent = (
+                qd.join(members, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)) + 0.5)
+                    .cast("long")
+                    .alias("cv")
+                )
+            )
+        outs.append(
+            assign(qd, cent)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum("d2").cast("long").alias("sse"),
+            )
+            .select(
+                F.lit(s).alias("subspace"),
+                F.col("cid").alias("cluster_id"),
+                "n_members",
+                "sse",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -322,6 +322,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q319_hgt_flow_direction",
     "q320_mrl_truncation_audit",
     "q321_schema_evolution_merge",
+    "q322_pq_codebook",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
