@@ -323,6 +323,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q320_mrl_truncation_audit",
     "q321_schema_evolution_merge",
     "q322_pq_codebook",
+    "q323_quality_representative",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
