@@ -962,3 +962,153 @@ def q307_ab_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(z.cast("long"))
         .alias("z_micro"),
     )
+
+
+@register(
+    "q324_group_kfold",
+    # Folds are md5(custkey) mod 5 — group-ATOMIC by construction
+    # (every order of a customer shares the fold), which the census
+    # re-proves by counting distinct folds per customer.
+    oracle="""
+WITH assigned AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(concat('0x', substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS fold,
+         o.o_totalprice
+  FROM orders o
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(DISTINCT fold) AS n_folds
+  FROM assigned GROUP BY o_custkey
+)
+SELECT a.fold,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT a.o_custkey) AS n_customers,
+       CAST(SUM(CAST(round(a.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST((SELECT COUNT(*) FROM per_cust WHERE n_folds > 1) AS BIGINT)
+         AS leaky_customers
+FROM assigned a
+GROUP BY a.fold
+""",
+    tags=("ml", "split", "kfold", "leakage"),
+)
+def q324_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (sklearn's GroupKFold contract,
+    done the distributed way): every order lands in the fold of its
+    CUSTOMER's hash — md5(custkey) mod 5 — so no customer ever spans
+    folds and per-user signal cannot leak from train folds into the
+    validation fold. The census reports per-fold order/customer
+    counts and exact price mass, plus the leaky-customer count, which
+    the construction forces to 0 and the query re-proves rather than
+    assumes (the audit a pipeline runs after any refactor of the
+    assignment rule).
+
+    Scale shape: assignment is a scan-stage hash projection (no
+    shuffle); the fold census partial-aggregates; the leakage check
+    is a customer-keyed two-level aggregation — all bounded by key
+    cardinality, never order pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    assigned = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5
+        ).alias("fold"),
+        "o_totalprice",
+    )
+    leaky = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("n_folds"))
+        .filter(F.col("n_folds") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_customers"))
+    )
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("price_cents"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("fold", "n_orders", "n_customers", "price_cents", "leaky_customers")
+    )
+
+
+@register(
+    "q325_oof_target_encoding",
+    # Out-of-fold mean per nation: (total − own fold) / (n − own n),
+    # all in exact cents with floor division; folds from q324's rule.
+    oracle="""
+WITH base AS (
+  SELECT o.o_orderkey, c.c_nationkey,
+         CAST(concat('0x', substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS fold,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+fold_sums AS (
+  SELECT c_nationkey, fold, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM base GROUP BY c_nationkey, fold
+),
+nat_tot AS (
+  SELECT c_nationkey, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+  FROM fold_sums GROUP BY c_nationkey
+)
+SELECT f.c_nationkey, f.fold, f.n AS n_in_fold,
+       CASE WHEN t.nt - f.n = 0 THEN NULL
+            ELSE (t.st - f.s) // (t.nt - f.n) END AS oof_mean_cents
+FROM fold_sums f JOIN nat_tot t ON f.c_nationkey = t.c_nationkey
+""",
+    tags=("ml", "target_encoding", "leakage"),
+)
+def q325_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-free way to turn a
+    categorical (customer nation) into a numeric feature: each fold's
+    encoding for a nation is the mean order value computed ONLY from
+    the other folds ((total − own-fold sum) / (total n − own-fold n),
+    exact integer cents), so a row never sees a statistic its own
+    label contributed to — naive whole-dataset means are the classic
+    silent overfit in tabular pipelines. Folds come from q324's
+    group-atomic hash rule.
+
+    Scale shape: ONE (nation, fold) census over the joined facts
+    (partial-aggregated map-side, bounded by 25 nations × 5 folds),
+    then the leave-one-fold-out arithmetic runs on that tiny relation
+    via a second aggregation + join — the fact table is scanned once
+    and never re-shuffled per fold (the naive per-fold-loop plan
+    would scan it k times)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_nationkey",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("long") % 5
+            ).alias("fold"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    fold_sums = base.groupBy("c_nationkey", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    nat_tot = fold_sums.groupBy("c_nationkey").agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    return (
+        fold_sums.join(nat_tot, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            F.when(F.col("nt") - F.col("n") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(st - s) div (nt - n)")
+            ).alias("oof_mean_cents"),
+        )
+    )

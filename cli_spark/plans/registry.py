@@ -324,6 +324,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q321_schema_evolution_merge",
     "q322_pq_codebook",
     "q323_quality_representative",
+    "q324_group_kfold",
+    "q325_oof_target_encoding",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
