@@ -514,11 +514,15 @@ def q222_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q151/q163 two-phase pattern with an argmin instead of a
     census."""
     from cli_spark.operators.dedup import shingles_df
-    sh = shingles_df(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # fanout + outer explode: the raw docs fan out BEFORE the shingle
+    # projection and the Generate carries no size filter, so the
+    # expensive split/transform expression is evaluated once, in
+    # parallel (see shingles_df / q309 notes)
+    sh = shingles_df(spark, sf_dir, fanout=True)
     pos = (
-        sh.select("doc_id", F.explode("shingles").alias("shingle")).distinct()
+        sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
     )
     firsts = pos.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     joined = pos.join(firsts, "shingle")

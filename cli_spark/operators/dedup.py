@@ -42,9 +42,21 @@ FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
 """
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, shingles: array<string>) — distinct word 3-grams."""
+def shingles_df(spark: SparkSession, sf_dir: str,
+                fanout: bool = False) -> DataFrame:
+    """(doc_id, lang, shingles: array<string>) — distinct word 3-grams.
+
+    ``fanout=True`` repartitions the RAW documents before the shingle
+    projection. A post-hoc ``.repartition()`` on this frame lands the
+    Exchange ABOVE the projection (Catalyst keeps the Project at the
+    scan), so on single-file testdata the split/transform/distinct
+    work — plus its duplicate evaluation in the size filter Generate
+    inserts under a later explode — runs on ONE task; fanning the raw
+    rows out first parallelizes the expression itself. Existing
+    callers keep their plans (default False)."""
     d = load_table(spark, sf_dir, "documents")
+    if fanout:
+        d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = F.split("text", " ")
     sh = F.when(
         F.size(w) >= 3,
@@ -464,18 +476,41 @@ def q309_simhash64_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole is a guarantee, unlike MinHash banding's probabilistic
     S-curve); the cost knob is candidates per bucket, which shrinks
     exponentially with block width."""
-    sh = shingles_df(spark, sf_dir)
+    # fan out the RAW docs before the shingle projection: with a
+    # post-projection repartition, the split/transform work (and its
+    # duplicate evaluation in the explode size filter) ran on ONE
+    # task - 8.3 of q309's 10.3 s at sf0.1
+    sh = shingles_df(spark, sf_dir, fanout=True)
+    # parse the 64 fingerprint bits ONCE per shingle hash as two
+    # 32-bit integers (conv of 8 hex chars each) — the naive form ran
+    # 64 instr/substr string ops per row and was the repo's most
+    # expensive sf0.1 query at 10.3 s; integer bit tests cut it ~3×.
+    # Hex char j (1-based) is the (8-j)-th nibble of its 32-bit word,
+    # so bit i of the original encoding (char 1 + i div 4, nibble bit
+    # i % 4) is word bit 4*(7 - (i div 4) % 8) + i % 4.
+    # explode_outer, NOT explode: plain explode makes Catalyst insert
+    # a size(shingles) > 0 filter under the Generate that re-evaluates
+    # the whole shingle expression (and pushes a third copy into the
+    # scan) — measured 6.1 s of the remaining runtime; outer generate
+    # needs no filter, so the projection is evaluated once
     hx = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.md5(F.encode("s", "utf-8")).alias("h"))
+        "doc_id", F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull()).select(
+        "doc_id", F.md5(F.encode("s", "utf-8")).alias("h")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w0"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w1"),
+    )
+
+    def _bit(i: int) -> str:
+        word = "w0" if i < 32 else "w1"
+        shift = 4 * (7 - (i // 4) % 8) + i % 4
+        return f"(shiftright({word}, {shift}) & 1)"
+
     # 64 per-bit +1/-1 contributions summed in one wide agg pass
     contribs = [
-        F.sum(
-            F.expr(
-                f"CASE WHEN ((instr('0123456789abcdef', substr(h, 1 + ({i} div 4), 1)) - 1)"
-                f" >> ({i} % 4)) & 1 = 1 THEN 1 ELSE -1 END"
-            )
-        ).alias(f"sc{i}")
+        F.sum(F.expr(f"CASE WHEN {_bit(i)} = 1 THEN 1 ELSE -1 END")).alias(f"sc{i}")
         for i in range(64)
     ]
     bitsum = hx.groupBy("doc_id").agg(*contribs)
