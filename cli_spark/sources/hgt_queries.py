@@ -590,3 +590,108 @@ def q319_hgt_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return raw.mapInPandas(_flow, schema).orderBy("cell", "direction")
+
+
+@register(
+    "q326_hgt_flow_accumulation",
+    # Independent goldens from the checked-in script (D8 directions
+    # per q319's exact fixed-point rule, then Kahn topological
+    # accumulation; code-0 cells receive but do not forward).
+    # Regenerable: scripts_hgt_goldens.py::accum_rows (pinned by
+    # tests/test_hgt.py::test_terrain_goldens_match_checked_in_script).
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 11179, 34735, 10873, 695, 908),
+  ('N46E007', 10993, 34917, 10883, 689, 907),
+  ('S01W072', 10553, 35018, 11254, 657, 902)
+) AS t(cell, n_sources, n_small, n_medium, n_large, max_accum)
+""",
+    tags=("hgt", "tier_a", "terrain", "hydrology", "iterative"),
+)
+def q326_hgt_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow ACCUMULATION per cell [A6+A8] — q319's directions
+    integrated into drainage: every cell contributes itself plus all
+    cells whose steepest-descent paths pass through it (O'Callaghan &
+    Mark 1984; the product behind stream extraction and watershed
+    delineation). The direction grid is a forest (out-degree <= 1),
+    so accumulation is one Kahn topological pass: sources (in-degree
+    0) push their counts downstream, pits/flats (code 0) receive but
+    never forward. Census per cell: sources / 2-10 / 11-100 / >100
+    accumulation bands and the maximum channel load.
+
+    Scale shape: per-CELL work is the in-decode pass (each 1-degree
+    tile is independent — the embarrassingly parallel unit of global
+    terrain processing); cross-tile drainage at planetary scale
+    exchanges only border rows between neighbors, which is the same
+    per-cell plan plus a 1-row-per-edge join, not a different
+    algorithm."""
+    import numpy as np
+    import pandas as pd
+    from collections import deque
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = ("cell string, n_sources long, n_small long, n_medium long, "
+              "n_large long, max_accum long")
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+
+    def _accum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in ("cell", "n_sources", "n_small",
+                                    "n_medium", "n_large", "max_accum")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                ok = v[1:-1, 1:-1].copy()
+                ws = []
+                for _c, dr, dc in dirs:
+                    ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                zc = g[1:-1, 1:-1]
+                for code, dr, dc in dirs:
+                    zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    ws.append((zc - zn)
+                              * (CARD if dr == 0 or dc == 0 else DIAG))
+                stack = np.stack(ws)
+                best = np.argmax(stack, axis=0)
+                bestw = np.max(stack, axis=0)
+                code_arr = np.array([c for c, _, _ in dirs])[best]
+                code_arr = np.where((bestw > 0) & ok, code_arr, 0)
+                codes = np.zeros_like(g)
+                codes[1:-1, 1:-1] = code_arr
+
+                acc = np.ones_like(g)
+                acc[~v] = 0
+                off = {c: (dr, dc) for c, dr, dc in dirs}
+                indeg = np.zeros_like(acc)
+                targets = {}
+                for (r, c), code in np.ndenumerate(codes):
+                    if code:
+                        dr, dc = off[int(code)]
+                        targets[(r, c)] = (r + dr, c + dc)
+                        indeg[r + dr, c + dc] += 1
+                q = deque(rc for rc, _ in np.ndenumerate(codes)
+                          if indeg[rc] == 0)
+                while q:
+                    rc = q.popleft()
+                    t = targets.get(rc)
+                    if t is None:
+                        continue
+                    acc[t] += acc[rc]
+                    indeg[t] -= 1
+                    if indeg[t] == 0:
+                        q.append(t)
+                valid = acc[v]
+                recs["cell"].append(cell)
+                recs["n_sources"].append(int((valid == 1).sum()))
+                recs["n_small"].append(int(((valid >= 2) & (valid <= 10)).sum()))
+                recs["n_medium"].append(int(((valid >= 11) & (valid <= 100)).sum()))
+                recs["n_large"].append(int((valid > 100).sum()))
+                recs["max_accum"].append(int(valid.max()))
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_accum, schema).orderBy("cell")

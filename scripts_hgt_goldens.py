@@ -135,6 +135,75 @@ def flow_rows() -> list[tuple]:
     return rows
 
 
+def _d8_codes(g: np.ndarray):
+    """Shared D8 direction grid for flow_rows/accum_rows: full-grid
+    code array (interior cells; border and invalid-neighborhood cells
+    get 0) plus the validity mask."""
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+    n = g.shape[0]
+    v = g != VOID
+    ok = v[1:-1, 1:-1].copy()
+    ws = []
+    for _c, dr, dc in dirs:
+        ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+    zc = g[1:-1, 1:-1]
+    for code, dr, dc in dirs:
+        zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+        ws.append((zc - zn) * (CARD if dr == 0 or dc == 0 else DIAG))
+    stack = np.stack(ws)
+    best = np.argmax(stack, axis=0)
+    bestw = np.max(stack, axis=0)
+    code_arr = np.array([c for c, _, _ in dirs])[best]
+    code_arr = np.where((bestw > 0) & ok, code_arr, 0)
+    full = np.zeros_like(g, dtype=np.int64)
+    full[1:-1, 1:-1] = code_arr
+    return full, dirs
+
+
+def accum_rows() -> list[tuple]:
+    """D8 flow accumulation: each cell contributes 1 plus everything
+    draining through it along the q319 direction grid (code 0 cells
+    receive but do not forward). Census per cell: accumulation-band
+    histogram (1 / 2-10 / 11-100 / >100) and the maximum."""
+    rows = []
+    for cell, g in _grids():
+        codes, dirs = _d8_codes(g)
+        n = g.shape[0]
+        acc = np.ones_like(g, dtype=np.int64)
+        acc[g == VOID] = 0
+        # Kahn-style: process cells in decreasing remaining in-degree
+        indeg = np.zeros_like(acc)
+        off = {c: (dr, dc) for c, dr, dc in dirs}
+        targets = {}
+        for (r, c), code in np.ndenumerate(codes):
+            if code:
+                dr, dc = off[int(code)]
+                targets[(r, c)] = (r + dr, c + dc)
+                indeg[r + dr, c + dc] += 1
+        from collections import deque
+
+        q = deque(rc for rc, _ in np.ndenumerate(codes)
+                  if indeg[rc] == 0)
+        while q:
+            rc = q.popleft()
+            t = targets.get(rc)
+            if t is None:
+                continue
+            acc[t] += acc[rc]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                q.append(t)
+        valid = acc[g != VOID]
+        b1 = int((valid == 1).sum())
+        b2 = int(((valid >= 2) & (valid <= 10)).sum())
+        b3 = int(((valid >= 11) & (valid <= 100)).sum())
+        b4 = int((valid > 100).sum())
+        rows.append((cell, b1, b2, b3, b4, int(valid.max())))
+    return rows
+
+
 def _values_block(rows: list[tuple], cols: str) -> str:
     def lit(x):
         return f"'{x}'" if isinstance(x, str) else str(x)
@@ -155,6 +224,10 @@ def main() -> None:
         "cell, level, h_crossings, v_crossings, total_crossings"))
     print("\n-- q319_hgt_flow_direction")
     print(_values_block(flow_rows(), "cell, direction, n_points"))
+    print("\n-- q326_hgt_flow_accumulation")
+    print(_values_block(
+        accum_rows(),
+        "cell, n_sources, n_small, n_medium, n_large, max_accum"))
 
 
 if __name__ == "__main__":

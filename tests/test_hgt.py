@@ -278,6 +278,7 @@ def test_terrain_goldens_match_checked_in_script(duck):
         ("q287_hgt_aspect_census", G.aspect_rows),
         ("q299_hgt_contour_crossings", G.contour_rows),
         ("q319_hgt_flow_direction", G.flow_rows),
+        ("q326_hgt_flow_accumulation", G.accum_rows),
     ):
         oracle_rows = sorted(
             tuple(r) for r in duck.execute(reg[qname].oracle).fetchall()
