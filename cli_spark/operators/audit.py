@@ -280,3 +280,121 @@ def q221_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dev_ppm"),
         )
     )
+
+
+@register(
+    "q327_expectations_scorecard",
+    # Each expectation is one aggregate over its table — the oracle
+    # states the identical census; constraint names are part of the
+    # contract.
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders' AS tbl, 'o_orderkey_not_null' AS expectation,
+         COUNT(*) AS n_checked,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_failed
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderkey_unique', COUNT(*),
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderstatus_accepted_values', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_totalprice_positive', COUNT(*),
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey_relationship', COUNT(*),
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity_range_1_50', COUNT(*),
+         CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_discount_range_0_0_1', COUNT(*),
+         CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                       THEN 0 ELSE 1 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer', 'c_custkey_unique', COUNT(*),
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'customer', 'c_nationkey_relationship', COUNT(*),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+""",
+    tags=("audit", "expectations", "data_quality"),
+)
+def q327_expectations_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations scorecard — the dbt-test / Great
+    Expectations surface as one engine pass: not_null, unique,
+    accepted_values, range, cross-column ordering, and referential
+    relationships declared as data, each compiled to a single
+    aggregate (or one LEFT JOIN for relationships) over its table,
+    unioned into the per-expectation (checked, failed) report a
+    pipeline gates deploys on.
+
+    Scale shape: every expectation over one table fuses into that
+    table's single scan-and-aggregate (count/sum/countDistinct all
+    partial-aggregate map-side); relationship checks are broadcast
+    left joins against the dimension; nothing materializes failing
+    ROWS (at 100 TB you gate on counts first and sample offenders
+    separately)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def row(tbl: str, name: str, df: DataFrame, failed) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(failed).cast("long").alias("n_failed"),
+        ).select(
+            F.lit(tbl).alias("tbl"), F.lit(name).alias("expectation"),
+            "n_checked", "n_failed",
+        )
+
+    def uniq(tbl: str, name: str, df: DataFrame, key: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).cast("long").alias("n_failed"),
+        ).select(
+            F.lit(tbl).alias("tbl"), F.lit(name).alias("expectation"),
+            "n_checked", "n_failed",
+        )
+
+    checks = [
+        row("orders", "o_orderkey_not_null", o,
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+        uniq("orders", "o_orderkey_unique", o, "o_orderkey"),
+        row("orders", "o_orderstatus_accepted_values", o,
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1)),
+        row("orders", "o_totalprice_positive", o,
+            F.when(F.col("o_totalprice") > 0, 0).otherwise(1)),
+        row("lineitem", "l_orderkey_relationship",
+            li.join(o.select("o_orderkey"),
+                    li["l_orderkey"] == F.col("o_orderkey"), "left"),
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+        row("lineitem", "l_quantity_range_1_50", li,
+            F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1)),
+        row("lineitem", "l_discount_range_0_0_1", li,
+            F.when((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+                   0).otherwise(1)),
+        uniq("customer", "c_custkey_unique", c, "c_custkey"),
+        row("customer", "c_nationkey_relationship",
+            c.join(F.broadcast(n.select("n_nationkey")),
+                   c["c_nationkey"] == F.col("n_nationkey"), "left"),
+            F.when(F.col("n_nationkey").isNull(), 1).otherwise(0)),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out
