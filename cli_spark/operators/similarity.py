@@ -934,3 +934,132 @@ def q320_mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(n_overlap, 0) * 1000000 div (20 - coalesce(n_overlap, 0))"
         ).alias("jaccard_ppm"),
     )
+
+
+# Fixed-point DCG discounts: floor(1e6 / log2(rank + 1)) for ranks
+# 1..10, precomputed as shared literals so neither engine evaluates a
+# float log — the same table appears in the q328 oracle.
+_DCG = (1000000, 630929, 500000, 430676, 386852,
+        356207, 333333, 315464, 301029, 289064)
+_SQL_DCG = "[" + ", ".join(str(d) for d in _DCG) + "]"
+
+
+@register(
+    "q328_retrieval_metrics",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         {sql_dot('e.embedding', 'q.qe')} AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 5
+),
+ranked AS (
+  SELECT q_id, q_label, vec_id, label, s,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS r
+  FROM scored
+),
+top10 AS (SELECT * FROM ranked WHERE r <= 10),
+rel_total AS (
+  SELECT q_id, COUNT(*) AS n_rel
+  FROM scored WHERE label = q_label GROUP BY q_id
+),
+dcg AS (
+  SELECT q_id,
+         COALESCE(MIN(CASE WHEN label = q_label THEN r END), 0) AS first_rel,
+         CAST(COALESCE(SUM(CASE WHEN label = q_label
+              THEN list_extract({_SQL_DCG}, r) END), 0) AS BIGINT) AS dcg_fp,
+         CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS rel_in_top10
+  FROM top10 GROUP BY q_id
+)
+SELECT d.q_id,
+       d.rel_in_top10,
+       CASE WHEN d.first_rel = 0 THEN 0
+            ELSE 1000000 // d.first_rel END AS mrr_ppm,
+       CASE WHEN COALESCE(t.n_rel, 0) = 0 THEN NULL
+            ELSE d.dcg_fp * 1000000 // (
+              SELECT CAST(SUM(list_extract({_SQL_DCG}, i.i)) AS BIGINT)
+              FROM unnest(generate_series(1, LEAST(t.n_rel, 10))) AS i(i))
+       END AS ndcg_ppm
+FROM dcg d LEFT JOIN rel_total t ON d.q_id = t.q_id
+""",
+    tags=("similarity", "evaluation", "ndcg"),
+)
+def q328_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation — MRR and nDCG@10 per query (Järvelin &
+    Kekäläinen 2002), the scoreboard every embedding-search change is
+    judged by: five query vectors rank the corpus by exact fixed-
+    point dot product, relevance = label match, and both metrics are
+    computed in pure integer arithmetic — the log2 rank discounts are
+    a shared 10-entry literal table (floor(1e6/log2(r+1))), so no
+    float log ever evaluates in either engine and the ppm results
+    hash bit-exactly. Ideal DCG uses min(total relevant, 10)
+    discounts, the standard truncated-ideal normalization.
+
+    Scale shape: the q80 contract — query side broadcast, per-query
+    ranking top-10-bounded, relevance totals one census; the metric
+    arithmetic runs on ≤ 10 rows per query whatever the corpus
+    size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select("q_id", "q_label", "vec_id", "label", dot("embedding", "qe").alias("s"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    top10 = ranked.filter(F.col("r") <= 10)
+    rel_total = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    dcg_arr = F.array(*[F.lit(d) for d in _DCG])
+    dcg = top10.groupBy("q_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("label") == F.col("q_label"), F.col("r"))),
+            F.lit(0),
+        ).alias("first_rel"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("q_label"),
+                    F.element_at(dcg_arr, F.col("r")),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("dcg_fp"),
+        F.sum(
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+        ).cast("long").alias("rel_in_top10"),
+    )
+    idcg = F.aggregate(
+        F.slice(dcg_arr, 1, F.least(F.coalesce(F.col("n_rel"), F.lit(0)), F.lit(10))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        dcg.join(rel_total, "q_id", "left")
+        .withColumn("idcg_fp", idcg)
+        .select(
+            "q_id",
+            "rel_in_top10",
+            F.when(F.col("first_rel") == 0, 0)
+            .otherwise(F.expr("1000000 div first_rel")).alias("mrr_ppm"),
+            F.when(F.coalesce(F.col("n_rel"), F.lit(0)) == 0,
+                   F.lit(None).cast("long"))
+            .otherwise(F.expr("dcg_fp * 1000000 div idcg_fp"))
+            .alias("ndcg_ppm"),
+        )
+    )

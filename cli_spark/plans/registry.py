@@ -328,6 +328,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q325_oof_target_encoding",
     "q326_hgt_flow_accumulation",
     "q327_expectations_scorecard",
+    "q328_retrieval_metrics",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
