@@ -687,6 +687,71 @@ def q211_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_rankings(spark: SparkSession, sf_dir: str):
+    """Shared q293/q329 machinery: 5 md5-elected probe docs plus their
+    embedding-cosine and lexical-Jaccard top-10s (probe_id, doc_id,
+    rn), both with full deterministic tie-breaks. Extraction only —
+    plans are identical to q293's original inline form."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    covered = d.join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    probes = (
+        covered.orderBy(
+            F.md5(F.concat(F.lit("probe"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+        .limit(5)
+        .select(F.col("doc_id").alias("probe_id"))
+    )
+    ev = e.select(
+        F.col("vec_id").alias("doc_id"),
+        "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+    )
+    pe = probes.join(
+        ev.select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_nrm"),
+        ),
+        "probe_id",
+    )
+    cos = dot("embedding", "p_emb") / (F.col("nrm") * F.col("p_nrm"))
+    we = Window.partitionBy("probe_id").orderBy(cos.desc(), F.col("doc_id").asc())
+    emb_top = (
+        ev.crossJoin(F.broadcast(pe))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "doc_id", "rn")
+    )
+    terms = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("ts"),
+    )
+    pt = probes.join(
+        terms.select(F.col("doc_id").alias("probe_id"), F.col("ts").alias("p_ts")),
+        "probe_id",
+    )
+    jac = F.expr(
+        "size(array_intersect(ts, p_ts)) * 1000000"
+        " div size(array_distinct(concat(ts, p_ts)))"
+    )
+    wl = Window.partitionBy("probe_id").orderBy(jac.desc(), F.col("doc_id").asc())
+    lex_top = (
+        terms.crossJoin(F.broadcast(pt))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "doc_id", "rn")
+    )
+    return probes, emb_top, lex_top
+
+
 @register(
     "q293_hybrid_search_agreement",
     oracle=f"""
@@ -762,63 +827,7 @@ def q293_hybrid_search_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion); per-probe top-10s are bounded windows; the overlap
     join touches ≤ 50 rows per side. Both rankings carry full
     deterministic tie-breaks."""
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
-    covered = d.join(
-        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
-    )
-    probes = (
-        covered.orderBy(
-            F.md5(F.concat(F.lit("probe"), F.col("doc_id").cast("string"))),
-            F.col("doc_id"),
-        )
-        .limit(5)
-        .select(F.col("doc_id").alias("probe_id"))
-    )
-    ev = e.select(
-        F.col("vec_id").alias("doc_id"),
-        "embedding",
-        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
-    )
-    pe = probes.join(
-        ev.select(
-            F.col("doc_id").alias("probe_id"),
-            F.col("embedding").alias("p_emb"),
-            F.col("nrm").alias("p_nrm"),
-        ),
-        "probe_id",
-    )
-    cos = dot("embedding", "p_emb") / (F.col("nrm") * F.col("p_nrm"))
-    we = Window.partitionBy("probe_id").orderBy(cos.desc(), F.col("doc_id").asc())
-    emb_top = (
-        ev.crossJoin(F.broadcast(pe))
-        .filter(F.col("doc_id") != F.col("probe_id"))
-        .withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") <= 10)
-        .select("probe_id", "doc_id", "rn")
-    )
-    terms = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).alias("ts"),
-    )
-    pt = probes.join(
-        terms.select(F.col("doc_id").alias("probe_id"), F.col("ts").alias("p_ts")),
-        "probe_id",
-    )
-    jac = F.expr(
-        "size(array_intersect(ts, p_ts)) * 1000000"
-        " div size(array_distinct(concat(ts, p_ts)))"
-    )
-    wl = Window.partitionBy("probe_id").orderBy(jac.desc(), F.col("doc_id").asc())
-    lex_top = (
-        terms.crossJoin(F.broadcast(pt))
-        .filter(F.col("doc_id") != F.col("probe_id"))
-        .withColumn("rn", F.row_number().over(wl))
-        .filter(F.col("rn") <= 10)
-        .select("probe_id", "doc_id", "rn")
-    )
+    probes, emb_top, lex_top = _probe_rankings(spark, sf_dir)
     overlap = (
         emb_top.join(lex_top, ["probe_id", "doc_id"])
         .groupBy("probe_id")
@@ -1062,4 +1071,108 @@ def q328_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("dcg_fp * 1000000 div idcg_fp"))
             .alias("ndcg_ppm"),
         )
+    )
+
+
+@register(
+    "q329_reciprocal_rank_fusion",
+    # RRF k=60 over the q293 rankings: contribution = 1e6 // (60+rn)
+    # per list (missing list → 0), fused top-3 per probe by
+    # (score desc, doc_id).
+    oracle=f"""
+WITH probes AS (
+  SELECT doc_id AS probe_id FROM documents
+  WHERE doc_id IN (SELECT vec_id FROM embeddings)
+  ORDER BY md5('probe' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 5
+),
+ev AS (
+  SELECT vec_id AS doc_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+pe AS (
+  SELECT p.probe_id, e.embedding AS p_emb, e.nrm AS p_nrm
+  FROM probes p JOIN ev e ON e.doc_id = p.probe_id
+),
+emb_ranked AS (
+  SELECT pe.probe_id, ev.doc_id,
+         row_number() OVER (
+           PARTITION BY pe.probe_id
+           ORDER BY {sql_dot('ev.embedding', 'pe.p_emb')} / (ev.nrm * pe.p_nrm)
+                    DESC, ev.doc_id ASC) AS rn
+  FROM ev CROSS JOIN pe WHERE ev.doc_id <> pe.probe_id
+),
+emb_top AS (SELECT probe_id, doc_id, rn FROM emb_ranked WHERE rn <= 10),
+terms AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS ts
+  FROM documents
+),
+pt AS (
+  SELECT p.probe_id, t.ts AS p_ts FROM probes p JOIN terms t ON t.doc_id = p.probe_id
+),
+lex_ranked AS (
+  SELECT pt.probe_id, t.doc_id,
+         row_number() OVER (
+           PARTITION BY pt.probe_id
+           ORDER BY len(list_intersect(t.ts, pt.p_ts)) * 1000000
+                    // len(list_distinct(list_concat(t.ts, pt.p_ts))) DESC,
+                    t.doc_id ASC) AS rn
+  FROM terms t CROSS JOIN pt WHERE t.doc_id <> pt.probe_id
+),
+lex_top AS (SELECT probe_id, doc_id, rn FROM lex_ranked WHERE rn <= 10),
+fused AS (
+  SELECT COALESCE(e.probe_id, l.probe_id) AS probe_id,
+         COALESCE(e.doc_id, l.doc_id) AS doc_id,
+         CAST(COALESCE(1000000 // (60 + e.rn), 0)
+              + COALESCE(1000000 // (60 + l.rn), 0) AS BIGINT) AS rrf_fp
+  FROM emb_top e FULL OUTER JOIN lex_top l
+    ON e.probe_id = l.probe_id AND e.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT probe_id, doc_id, rrf_fp,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY rrf_fp DESC, doc_id) AS fused_rank
+  FROM fused
+)
+SELECT probe_id, fused_rank, doc_id, rrf_fp
+FROM ranked WHERE fused_rank <= 3
+""",
+    tags=("similarity", "hybrid", "rrf"),
+)
+def q329_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    — the standard way production hybrid search merges a dense and a
+    sparse ranking without score calibration: each list contributes
+    1/(k + rank) with k = 60, here in exact integer fixed-point
+    (1e6 // (60 + rank)) so both engines fuse identically. Reuses the
+    q293 rankings (embedding cosine + lexical Jaccard top-10 per
+    probe); unions via full outer join (a doc in one list only still
+    scores), reports the fused top-3 per probe.
+
+    Scale shape: everything after the two q293 rankings runs on
+    ≤ 20 rows per probe — fusion cost is independent of corpus
+    size."""
+    _probes, emb_top, lex_top = _probe_rankings(spark, sf_dir)
+    e_r = emb_top.select("probe_id", "doc_id", F.col("rn").alias("e_rn"))
+    l_r = lex_top.select("probe_id", "doc_id", F.col("rn").alias("l_rn"))
+    fused = (
+        e_r.join(l_r, ["probe_id", "doc_id"], "full_outer")
+        .select(
+            "probe_id",
+            "doc_id",
+            (
+                F.coalesce(F.expr("1000000 div (60 + e_rn)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + l_rn)"), F.lit(0))
+            ).cast("long").alias("rrf_fp"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf_fp").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 3)
+        .select("probe_id", "fused_rank", "doc_id", "rrf_fp")
     )

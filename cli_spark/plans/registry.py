@@ -329,6 +329,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q326_hgt_flow_accumulation",
     "q327_expectations_scorecard",
     "q328_retrieval_metrics",
+    "q329_reciprocal_rank_fusion",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
