@@ -1352,3 +1352,82 @@ def q318_streaming_outer_join_true(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q330_streaming_partitioned_source",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "true_stream", "datasource", "partitioned"),
+)
+def q330_streaming_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming through the PARTITIONED Python DataSource
+    (sources/replay_partitioned.py): each micro-batch's row range is
+    split into 4 executor-side partitions that open the parquet file
+    themselves and read only their overlapping row groups — the
+    production streaming-source shape (driver plans offsets, fleet
+    reads bytes), upgrading the simple replay source's documented
+    driver-side-IO limitation to the full DataSourceStreamReader
+    API. Windowed complete-mode aggregation across ~10 batches must
+    equal the batch oracle exactly; correctness is batch-slicing- AND
+    partition-slicing-invariant, so any row lost or duplicated at a
+    partition boundary breaks the hash."""
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_partitioned import register_replay_partitioned
+
+    register_replay_partitioned(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    stream = (
+        spark.readStream.format("replay_part")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", batch_rows)
+        .option("numPartitions", 4)
+        .load()
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    name = "replay_part_" + _uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, time.time()
+        while idle < 3 and time.time() - t0 < 180:
+            time.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out

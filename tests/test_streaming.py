@@ -668,3 +668,61 @@ def test_replay_restart_recovery_midstream(spark, sf_dir):
     }
     for r in re_agg:
         assert expected[r["window_start"]] == r["n_events"]
+
+
+def test_replay_partitioned_planning_contract(sf_dir):
+    """Partition planning (driver-side unit contract): a batch range
+    splits into numPartitions contiguous gap-free slices whose
+    row-group annotations cover their rows, and the executor read of
+    all slices returns each row exactly once."""
+    from cli_spark.sources.replay_partitioned import (
+        ReplayPartitionedStreamReader,
+    )
+
+    r = ReplayPartitionedStreamReader(
+        {"path": f"{sf_dir}/events.parquet", "batchRows": "300",
+         "numPartitions": "4"}
+    )
+    parts = r.partitions({"row": 100}, {"row": 400})
+    assert len(parts) == 4
+    assert parts[0].lo == 100 and parts[-1].hi == 400
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo  # contiguous, gap-free
+    rows = []
+    for p in parts:
+        rows.extend(r.read(p))
+    assert len(rows) == 300
+    ids = sorted(t[0] for t in rows)
+    assert len(set(ids)) == 300  # no duplicates across slices
+
+    # offset protocol: floor advances via planning, latest is bounded
+    assert r.latestOffset()["row"] == min(r.n_rows, 400 + 300)
+    r.commit({"row": 700})
+    assert r.latestOffset()["row"] == min(r.n_rows, 1000)
+
+
+def test_replay_partitioned_stream_equals_batch(spark, sf_dir):
+    """Integration: the partitioned-source multi-batch stream must
+    reproduce the batch aggregation exactly (slicing- and
+    partition-invariance)."""
+    from cli_spark.plans.registry import registry
+
+    out = registry()["q330_streaming_partitioned_source"].fn(spark, sf_dir)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+           for r in out.collect()}
+    e = registry()["q271_streaming_multibatch_true"]
+    # batch truth via the shared oracle shape: recompute directly
+    from cli_spark.functions.determinism import dsum, ts_str
+    from cli_spark.tables import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("value_sum"))
+        .select(ts_str(F.col("window.start")).alias("window_start"),
+                "event_type", "n_events", "value_sum")
+    )
+    want = {(r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+            for r in batch.collect()}
+    assert got == want
