@@ -1431,3 +1431,119 @@ def q330_streaming_partitioned_source(spark: SparkSession, sf_dir: str) -> DataF
     out = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "q331_streaming_idempotent_sink",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("streaming", "true_stream", "exactly_once", "sink"),
+)
+def q331_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once SINK semantics under failure — the other half of
+    q310's recovery story: q310 proved the STATE recovers; here the
+    sink is per-event foreachBatch parquet, and the crash-restart
+    re-executes its in-flight micro-batch, so a naive append sink
+    would double-write those rows. The sink is made idempotent the
+    standard way (batch-id keyed dynamic partition overwrite: a
+    replayed batch OVERWRITES its own partition instead of appending),
+    and the graded census over everything on disk must equal the
+    batch oracle exactly — any duplicated or lost batch breaks the
+    hash. This is the pattern every production foreachBatch sink uses
+    when the target store lacks transactions.
+
+    Scale shape: per-batch writes are distributed parquet appends to
+    one partition directory; the final census is an ordinary scan-agg
+    over the sink. The kill point is timing-dependent by design; the
+    final state is not."""
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    ckpt = tempfile.mkdtemp(prefix="cli_spark_idem_ckpt_")
+    out_root = tempfile.mkdtemp(prefix="cli_spark_idem_out_")
+
+    def build() -> DataFrame:
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+        )
+        return stream.select("event_id", "ts", "value")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_bid", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bid")
+            .parquet(out_root + "/rows")
+        )
+
+    try:
+        # phase 1: run a few batches, then kill mid-stream
+        q1 = (
+            build().writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            p = q1.lastProgress
+            if p is not None and p["batchId"] >= 1 and p["numInputRows"] > 0:
+                break
+            time.sleep(0.05)
+        q1.stop()
+        q1.awaitTermination()
+
+        # phase 2: restart from the checkpoint; the in-flight batch
+        # re-executes and OVERWRITES its own partition (idempotent)
+        q2 = (
+            build().writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 3 and time.time() - t0 < 180:
+                time.sleep(0.3)
+                p = q2.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            q2.stop()
+            q2.awaitTermination()
+        rows = spark.read.parquet(out_root + "/rows")
+        result = (
+            rows.groupBy(F.window("ts", "1 hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value")).alias("value_sum"),
+            )
+            .select(
+                ts_str(F.col("window.start")).alias("window_start"),
+                "n_events",
+                "value_sum",
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
