@@ -69,6 +69,17 @@ PROMOTED_QUERIES = [
     "q290_lsh_parameter_sweep",        # 3-config band-join sweep (round 6, session 3)
 ]
 
+# Round-7 additions tracked report-only (the VERDICT r5 #7 pattern:
+# reported in queries{} for a round or two, then promoted with
+# declared baselines): the new heavy classes from this round.
+REPORTED_QUERIES = [
+    "q309_simhash64_blocks",        # 64-bit SimHash block probe
+    "q311_winnowing_fingerprints",  # winnowing selection
+    "q315_winnowing_match",         # MOSS match step
+    "q312_rouge1_pair_audit",       # per-candidate ROUGE scoring
+    "q322_pq_codebook",             # 4-subspace PQ Lloyd
+]
+
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
 # star join, LSH dedup, shingle decontamination, event-time windows.
@@ -118,6 +129,8 @@ def main() -> None:
     # keeps their tracking cost bounded (declared in BASELINE.md v2)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED_QUERIES})
     total_18 = round(sum(times.values()), 4)
+    # report-only classes: tracked, never summed
+    times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
     out = {
         "metric": "headline query warm latency (sum over 11 query classes, min of 5)",
