@@ -1150,8 +1150,11 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
         .limit(500)
     )
+    # fanout=True: without it the persisted sample inherits the
+    # single-file scan's ONE partition and the 125k-pair exact-verify
+    # nested loop below runs on one task (16 s at sf0.01; round 7)
     sh = (
-        shingles_df(spark, sf_dir)
+        shingles_df(spark, sf_dir, fanout=True)
         .join(F.broadcast(sample_ids), "doc_id")
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles")
@@ -1159,10 +1162,15 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = sh.alias("a"), sh.alias("b")
     j = _jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    # persisted: the census below reads truth/cand from FOUR separate
+    # aggregate branches, and Spark re-executes un-persisted common
+    # subplans per branch — with the nested-loop verify that was most
+    # of q212's 16 s at sf0.01 (round 7)
     truth = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(j >= 0.5)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .persist()
     )
     hashed = sh.select(
         "doc_id",
@@ -1206,6 +1214,7 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
+        .persist()
     )
     tp = truth.join(cand, ["doc_a", "doc_b"])
     n_sample = sh.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))

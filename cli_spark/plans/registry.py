@@ -236,6 +236,7 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # immediately; kept minimal so the never-graded backlog drains).
 _ROUND_CHANGED: tuple[str, ...] = (
     "q122_frame_sample_avi",        # real RIFF/AVI frame decode replacing sha256 stub
+    "q212_lsh_recall_audit",        # fanout fix: exact-verify loop off the single task
 )
 
 
