@@ -333,6 +333,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q329_reciprocal_rank_fusion",
     "q330_streaming_partitioned_source",
     "q331_streaming_idempotent_sink",
+    "q332_cluster_aware_split",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
