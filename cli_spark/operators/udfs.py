@@ -232,3 +232,103 @@ def q316_map_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         _stats, "doc_id long, n_bytes long, n_spaces long, n_chars long"
     )
+
+
+@register(
+    "q334_cogroup_merge",
+    # Per-user cogrouped merge: for each purchase, errors in the
+    # preceding 30 minutes — the oracle states it as an interval
+    # join + census; the engine computes it in cogrouped pandas.
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+),
+joined AS (
+  SELECT p.user_id, p.event_id,
+         COUNT(e.ts) AS n_err,
+         CAST(COALESCE(SUM(CAST(round(e.value * 100) AS BIGINT)), 0) AS BIGINT)
+           AS err_cents
+  FROM p LEFT JOIN e
+    ON e.user_id = p.user_id
+   AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts <= p.ts
+  GROUP BY p.user_id, p.event_id
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(n_err) AS BIGINT) AS n_err_pairs,
+       CAST(SUM(err_cents) AS BIGINT) AS err_cents,
+       CAST(SUM(CASE WHEN n_err = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clean_purchases
+FROM joined GROUP BY user_id
+""",
+    tags=("udf", "cogroup", "pandas"),
+)
+def q334_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas map — the LAST Python-eval API surface
+    (`groupBy().cogroup().applyInPandas`, Spark's two-sided grouped
+    Arrow exchange): purchases and errors cogroup per user and each
+    group pair merges in pandas (a windowed interval count per
+    purchase — the numpy-side shape of merge_asof/interval joins that
+    pandas expresses naturally and SQL states as an interval join).
+    Both sides of a user arrive in ONE task as two aligned pandas
+    frames — the point of the API — and only the per-user census
+    leaves Python.
+
+    Scale shape: one co-partitioned shuffle on user_id for both
+    inputs, Arrow-batched transfer, group-bounded memory. The engine
+    uses exact integer cents so the cogrouped arithmetic hashes
+    bit-exactly against the SQL oracle."""
+    from cli_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    schema = (
+        "user_id long, n_purchases long, n_err_pairs long, "
+        "err_cents long, clean_purchases long"
+    )
+
+    def merge(p: pd.DataFrame, er: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_err_pairs",
+                         "err_cents", "clean_purchases"])
+        uid = int(p["user_id"].iloc[0])
+        ets = er["ts"].to_numpy() if not er.empty else None
+        cents = (
+            (er["value"] * 100).round().astype("int64").to_numpy()
+            if not er.empty else None
+        )
+        n_pairs = 0
+        sum_cents = 0
+        clean = 0
+        for ts in p["ts"]:
+            if ets is None:
+                clean += 1
+                continue
+            lo = ts - pd.Timedelta(minutes=30)
+            mask = (ets >= lo.to_datetime64()) & (ets <= ts.to_datetime64())
+            k = int(mask.sum())
+            n_pairs += k
+            sum_cents += int(cents[mask].sum())
+            clean += 1 if k == 0 else 0
+        return pd.DataFrame([{
+            "user_id": uid,
+            "n_purchases": len(p),
+            "n_err_pairs": n_pairs,
+            "err_cents": sum_cents,
+            "clean_purchases": clean,
+        }])
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )

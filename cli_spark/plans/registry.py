@@ -334,6 +334,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q330_streaming_partitioned_source",
     "q331_streaming_idempotent_sink",
     "q332_cluster_aware_split",
+    "q334_cogroup_merge",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
