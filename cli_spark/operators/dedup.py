@@ -1065,6 +1065,208 @@ def q208_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q333_lsh_pr_curve",
+    # q212's sampled machinery swept across Jaccard thresholds: one
+    # scored pass over the sample's all-pairs space (cand membership
+    # as a flag), exploded against the threshold list — recall rises
+    # and candidate precision falls along the same curve the (b, r)
+    # S-curve predicts.
+    oracle=f"""
+WITH sh0 AS ({_SQL_SHINGLES}),
+sample_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT 500
+),
+sh AS (
+  SELECT s.doc_id, s.shingles FROM sh0 s JOIN sample_ids i ON s.doc_id = i.doc_id
+  WHERE len(s.shingles) > 0
+),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 1000000
+           // len(list_distinct(list_concat(a.shingles, b.shingles))) AS j_ppm
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+hx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+g AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM hx
+),
+sig AS (
+  SELECT doc_id,
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM g GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+flagged AS (
+  SELECT s.doc_a, s.doc_b, s.j_ppm,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM scored s LEFT JOIN cand c
+    ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+),
+n_c AS (SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates FROM flagged),
+sweep AS (
+  SELECT t.thr,
+         CAST(SUM(CASE WHEN f.j_ppm >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true,
+         CAST(SUM(CASE WHEN f.j_ppm >= t.thr AND f.is_cand = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_true
+  FROM flagged f CROSS JOIN (SELECT unnest([300000, 500000, 700000]) AS thr) t
+  GROUP BY t.thr
+)
+SELECT s.thr AS threshold_ppm, s.n_true, s.n_cand_true,
+       (SELECT n_candidates FROM n_c) AS n_candidates,
+       CASE WHEN s.n_true = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE s.n_cand_true * 1000000 // s.n_true END AS recall_ppm,
+       CASE WHEN (SELECT n_candidates FROM n_c) = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE s.n_cand_true * 1000000
+                 // (SELECT n_candidates FROM n_c) END AS cand_precision_ppm
+FROM sweep s
+""",
+    tags=("dedup", "lsh", "audit", "tuning"),
+)
+def q333_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH precision-recall CURVE — q212's single-threshold audit
+    swept across Jaccard thresholds {0.3, 0.5, 0.7} in ONE pass: the
+    sampled all-pairs space is scored once (exact integer-ppm
+    Jaccard), candidate membership becomes a flag, and the threshold
+    sweep is a 3-way explode over the flagged relation — so the whole
+    curve costs the same as one audit point plus a tiny census. The
+    curve is the empirical form of the banding S-curve: recall decays
+    toward high thresholds exactly as P[collision | j] predicts, and
+    where it drops below target is how a deployment picks (b, r) vs
+    threshold before a 100 TB run.
+
+    Scale shape: identical to q212 (exact truth only ever on the
+    md5-bounded sample) — the sweep adds no joins, only a 3× row
+    explode of the already-sampled pair relation."""
+    d = load_table(spark, sf_dir, "documents")
+    sample_ids = (
+        d.select("doc_id")
+        .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
+        .limit(500)
+    )
+    sh = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .join(F.broadcast(sample_ids), "doc_id")
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    j_ppm = F.expr(
+        "size(array_intersect(a.shingles, b.shingles)) * 1000000"
+        " div size(array_union(a.shingles, b.shingles))"
+    ).cast("long")
+    scored = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j_ppm.alias("j_ppm"),
+        )
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+
+    def _band333(i: int):
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _band333(i))).alias(f"h{i}")
+            for i in range(_N_BANDS)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    flagged = (
+        scored.join(
+            cand.withColumn("is_cand", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .select("j_ppm", F.coalesce("is_cand", F.lit(0)).alias("is_cand"))
+        .persist()
+    )
+    n_c = flagged.agg(F.sum("is_cand").cast("long").alias("n_candidates"))
+    sweep = (
+        flagged.select(
+            "j_ppm", "is_cand",
+            F.explode(F.array(F.lit(300000), F.lit(500000), F.lit(700000))).alias("thr"),
+        )
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("j_ppm") >= F.col("thr"), 1).otherwise(0))
+            .cast("long").alias("n_true"),
+            F.sum(
+                F.when((F.col("j_ppm") >= F.col("thr")) & (F.col("is_cand") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_cand_true"),
+        )
+    )
+    return (
+        sweep.crossJoin(F.broadcast(n_c))
+        .select(
+            F.col("thr").alias("threshold_ppm"),
+            "n_true",
+            "n_cand_true",
+            "n_candidates",
+            F.when(F.col("n_true") == 0, F.lit(1000000).cast("long"))
+            .otherwise(F.expr("n_cand_true * 1000000 div n_true").cast("long"))
+            .alias("recall_ppm"),
+            F.when(F.col("n_candidates") == 0, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.expr("n_cand_true * 1000000 div n_candidates").cast("long")
+            )
+            .alias("cand_precision_ppm"),
+        )
+    )
+
+
+@register(
     "q212_lsh_recall_audit",
     oracle=f"""
 WITH sh0 AS ({_SQL_SHINGLES}),
