@@ -139,3 +139,80 @@ def q292_shuffle_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("max_over_mean_pml"),
         F.when(ratio > 2000, F.lit(1)).otherwise(F.lit(0)).alias("needs_salting"),
     )
+
+
+@register(
+    "q335_salted_skew_join",
+    # The skewed key: half of all events collapse onto hot_key 0 (the
+    # synthetic power-user), the rest keep their user_id. The oracle
+    # runs the PLAIN join — salting must be invisible in the result.
+    oracle=f"""
+WITH f AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key,
+         event_type, value
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key,
+         CASE WHEN user_id % 2 = 0 THEN 'power' ELSE 'regular' END AS segment
+  FROM events
+)
+SELECT d.segment, f.event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('f.value')} AS value_sum
+FROM f JOIN dim d ON f.hot_key = d.hot_key
+GROUP BY d.segment, f.event_type
+""",
+    tags=("join", "skew", "salting"),
+)
+def q335_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SKEW JOIN — the join-side counterpart of q19's salted
+    aggregation, for the case AQE can't always save (one key holding
+    half the fact rows would put half the shuffle in one task): the
+    fact side appends a deterministic salt (event_id mod 32) to the
+    hot join key, the dimension side EXPLODES 32 salted replicas of
+    each of its rows, and the join runs on (key, salt) — spreading
+    the hot key's rows over 32 tasks. The salt is derived from a data
+    column (never rand(): reproducibility) and the result must be
+    bit-identical to the plain join, which is exactly what the oracle
+    checks.
+
+    Scale shape: dim replication costs |dim| × 32 rows (dims are the
+    small side by assumption — replicate the SMALL side, never the
+    fact); the fact is projected once with its salt and shuffles
+    evenly. At 100 TB this turns a straggler stage into a uniform
+    one; the plan gate asserts the salted key reaches the join."""
+    e = load_table(spark, sf_dir, "events")
+    fact = e.select(
+        F.when(F.col("user_id") % 2 == 0, 0)
+        .otherwise(F.col("user_id")).alias("hot_key"),
+        "event_type",
+        "value",
+        (F.col("event_id") % N_SALT).alias("salt"),
+    )
+    dim = (
+        e.select(
+            F.when(F.col("user_id") % 2 == 0, 0)
+            .otherwise(F.col("user_id")).alias("hot_key"),
+            F.when(F.col("user_id") % 2 == 0, "power")
+            .otherwise("regular").alias("segment"),
+        )
+        .distinct()
+        .select(
+            "hot_key",
+            "segment",
+            F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+        )
+    )
+    # disable broadcast for this join so the salted shuffle path is
+    # actually exercised (a broadcast would hide the technique)
+    joined = fact.hint("shuffle_hash").join(dim, ["hot_key", "salt"])
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(quantize(F.col("value"))).cast("double").alias("_qs"),
+    ).select(
+        "segment",
+        "event_type",
+        "n_events",
+        (F.col("_qs") / F.lit(float(10 ** MONEY_SCALE))).alias("value_sum"),
+    )

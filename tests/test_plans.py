@@ -768,3 +768,13 @@ def test_q317_federation_prunes_every_source(spark, sf_dir):
     # fact-side parquet scan pruned to the 2 needed columns
     assert "c_nationkey" in plan and "c_acctbal" in plan
     assert "c_comment" not in plan and "c_phone" not in plan
+
+
+def test_q335_salted_join_spreads_hot_key(spark, sf_dir):
+    """q335's join must run on the SALTED composite key (hot_key,
+    salt) through a shuffle join — not a broadcast (which would hide
+    the technique) and never a nested loop."""
+    plan = plan_of(spark, sf_dir, "q335_salted_skew_join")
+    assert "salt" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan
