@@ -378,3 +378,75 @@ def q252_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_total",
         F.expr("rows_skipped * 1000000 div rows_total").alias("skip_ppm"),
     )
+
+
+@register(
+    "q336_small_file_compaction",
+    # Both phases' row counts and exact cent sums come from the same
+    # deterministic lineitem slice; file counts are fixed by the
+    # construction (64 hash-scattered writers → 4 compacted).
+    oracle="""
+WITH src AS (
+  SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_orderkey % 4 = 0
+),
+census AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+  FROM src
+)
+SELECT 'before' AS phase, 64 AS n_files, n_rows, price_cents FROM census
+UNION ALL
+SELECT 'after', 4, n_rows, price_cents FROM census
+""",
+    tags=("layout", "compaction", "maintenance"),
+)
+def q336_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    streaming/incremental sink eventually needs: a 64-file
+    hash-scattered layout (what per-batch appends produce; at 100 TB
+    the 'millions of tiny files' problem that wrecks scan planning
+    and NameNode/manifest metadata) is compacted by one
+    repartition-rewrite into 4 right-sized files. The graded census
+    proves the compaction moved BYTES and not data: row count and
+    exact cent sum identical in both phases, file counts fixed by
+    construction — read back from disk, not assumed.
+
+    Scale shape: compaction is a single shuffle-write sized by target
+    file count (in production: target bytes / file via
+    maxRecordsPerFile); the audit scans both layouts once. Layout
+    materialization is per-(session, dataset) cached."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_extendedprice")
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|compact".encode()
+    ).hexdigest()[:12]
+    root = _os.path.join(tempfile.gettempdir(), f"cli_spark_compact_{tag}")
+    small, big = _os.path.join(root, "small"), _os.path.join(root, "big")
+    marker = _os.path.join(root, ".ready")
+    if not _os.path.exists(marker):
+        li.repartition(64, "l_orderkey").write.mode("overwrite").parquet(small)
+        spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    def phase(name: str, path: str) -> DataFrame:
+        n_files = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+        df = spark.read.parquet(path)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("price_cents"),
+        ).select(
+            F.lit(name).alias("phase"),
+            F.lit(n_files).alias("n_files"),
+            "n_rows",
+            "price_cents",
+        )
+
+    return phase("before", small).unionByName(phase("after", big))

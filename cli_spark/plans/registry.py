@@ -337,6 +337,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q334_cogroup_merge",
     "q333_lsh_pr_curve",
     "q335_salted_skew_join",
+    "q336_small_file_compaction",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
