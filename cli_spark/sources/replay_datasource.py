@@ -90,12 +90,15 @@ class ReplayStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
         self.path = options.get("path")
         self.batch_rows = int(options.get("batchrows", options.get("batchRows", 10000)))
-        if self.batch_rows <= 0:
-            raise ValueError("batchRows must be positive")
+        # startRow: begin the replay mid-file (the backfill-cutover
+        # contract, q337) — the batch side owns rows < startRow
+        self.start_row = int(options.get("startrow", options.get("startRow", 0)))
+        if self.batch_rows <= 0 or self.start_row < 0:
+            raise ValueError("batchRows must be positive and startRow >= 0")
         self._pdf = _load_pdf(self.path)
 
     def initialOffset(self) -> dict:
-        return {"row": 0}
+        return {"row": self.start_row}
 
     def _rows(self, lo: int, hi: int) -> "_CopyableRows":
         # Spark's prefetch cache needs an object that is BOTH an

@@ -1547,3 +1547,114 @@ def q331_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q337_backfill_live_merge",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("streaming", "true_stream", "backfill", "lambda"),
+)
+def q337_backfill_live_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill + live-tail cutover — the lambda-architecture merge
+    every pipeline runs when streaming starts against a table with
+    history: the BATCH side owns the first 60% of events (by the
+    replay order), the STREAM side replays from 5 batches BEFORE the
+    cutover (a deliberate overlap window — in production you always
+    overlap rather than risk a gap), per-event rows land in a
+    distributed parquet sink, and the union dedupes the overlap by
+    event_id before the census. The graded result must equal the
+    full-history batch aggregation exactly: a gap undercounts, an
+    un-deduped overlap double-counts.
+
+    Scale shape: the batch side is one bounded scan; the stream side
+    is the replay contract; overlap dedup is an exact-key
+    dropDuplicates on the unioned row-level relation (keyed shuffle);
+    the census is the q100 two-level distinct shape."""
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    cutover = (n_rows * 6) // 10
+    overlap_start = max(0, cutover - batch_rows // 2)
+
+    # batch side: rows [0, cutover) in file order
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    ordered = ev.withColumn(
+        "_rn",
+        F.row_number().over(_W.orderBy("event_id")) - 1,
+    )
+    batch_part = ordered.filter(F.col("_rn") < cutover).select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+    # stream side: replay from BEFORE the cutover (overlap on purpose)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", batch_rows)
+        .option("startRow", overlap_start)
+        .load()
+        .select("event_id", "ts", "user_id", "value")
+    )
+    out_root = tempfile.mkdtemp(prefix="q337_tail_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(f"{out_root}/rows")
+
+        query = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 3 and time.time() - t0 < 180:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        tail = spark.read.parquet(f"{out_root}/rows")
+        merged = batch_part.unionByName(tail).dropDuplicates(["event_id"])
+        per_user = merged.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(quantize(F.col("value"))).alias("qs"),
+        )
+        result = (
+            per_user.groupBy("window")
+            .agg(
+                F.sum("c").alias("n_events"),
+                F.count("user_id").alias("n_users"),
+                (F.sum("qs").cast("double") / F.lit(float(10 ** MONEY_SCALE)))
+                .alias("value_sum"),
+            )
+            .select(
+                ts_str(F.col("window.start")).alias("window_start"),
+                "n_events",
+                "n_users",
+                "value_sum",
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
