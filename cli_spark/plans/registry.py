@@ -339,6 +339,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q335_salted_skew_join",
     "q336_small_file_compaction",
     "q337_backfill_live_merge",
+    "q338_streaming_checksum_sink",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",

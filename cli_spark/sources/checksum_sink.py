@@ -32,7 +32,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import Row, StructType
 
 
@@ -98,3 +103,51 @@ class ChecksumDataSource(DataSource):
 def register_checksum_sink(spark) -> None:
     """Idempotently register the sink on this session."""
     spark.dataSource.register(ChecksumDataSource)
+
+
+# ---------------------------------------------------------------- streaming
+
+class ChecksumStreamWriter(DataSourceStreamWriter):
+    """Streaming counterpart (Spark 4 `DataSourceStreamWriter`):
+    every micro-batch commits ONE manifest file named by its batch id
+    (atomic rename), so a crash-replayed batch OVERWRITES its own
+    manifest instead of duplicating it — the idempotent-sink contract
+    (q331) expressed at the DataSource API level. Executor tasks ship
+    (row_count, xor-fold) commit messages exactly like the batch
+    writer; nothing row-sized reaches the driver."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("checksum stream sink requires a path option")
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator: Iterator[Row]) -> ChecksumCommit:
+        n, acc = 0, 0
+        for row in iterator:
+            n += 1
+            acc ^= _row_hash48([row[c] for c in self.columns])
+        return ChecksumCommit(n, acc)
+
+    def commit(self, messages, batchId: int) -> None:
+        n = sum(m.n_rows for m in messages)
+        acc = 0
+        for m in messages:
+            acc ^= m.checksum
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_batch_{batchId}.json.tmp")
+        final = os.path.join(self.path, f"batch_{batchId}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batchId, "row_count": n,
+                       "checksum48": acc, "n_tasks": len(messages)}, fh)
+        os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # nothing durable before the rename
+
+
+def _stream_writer(self, schema: StructType, overwrite: bool):
+    return ChecksumStreamWriter(self.options, schema)
+
+
+ChecksumDataSource.streamWriter = _stream_writer

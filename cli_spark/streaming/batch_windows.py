@@ -1658,3 +1658,99 @@ def q337_backfill_live_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q338_streaming_checksum_sink",
+    # The oracle recomputes the sink's 48-bit xor-fold (q119's hash48
+    # machinery over event_id rendered as a string) plus the batch
+    # count implied by the ceil-slicing construction.
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS cnt FROM events),
+h AS (
+  SELECT CAST(bit_xor((
+    """ + " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    ) + """
+  )) AS BIGINT) AS checksum48 FROM events
+)
+SELECT CAST(ceil(n.cnt / ceil(n.cnt / 10.0)) AS BIGINT) AS n_batches,
+       CAST(n.cnt AS BIGINT) AS total_rows,
+       h.checksum48
+FROM n CROSS JOIN h
+""",
+    tags=("streaming", "true_stream", "datasource", "sink"),
+)
+def q338_streaming_checksum_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python DataSource WRITER (Spark 4
+    `DataSourceStreamWriter`) — the last cell of the custom-source
+    API matrix (batch read, simple + partitioned stream read, batch
+    write, STREAM write): events replay in ~10 micro-batches into the
+    checksum stream sink, whose executor tasks fold (count, 48-bit
+    xor) commit messages and whose per-batch commit writes ONE
+    manifest file named by batch id via atomic rename — a replayed
+    batch overwrites its own manifest, so the sink is idempotent
+    under crash-replay at the API level (the q331 pattern, moved
+    into the DataSource contract). The graded readout folds the
+    batch manifests: batch count, total rows, and the
+    order/partition/batch-slicing-independent xor checksum must
+    equal the oracle's recomputation over the events table."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.checksum_sink import register_checksum_sink
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    register_checksum_sink(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    out_root = tempfile.mkdtemp(prefix="q338_cks_")
+    ckpt = tempfile.mkdtemp(prefix="q338_ckpt_")
+    try:
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+            .select(F.col("event_id").cast("string").alias("k"))
+        )
+        query = (
+            stream.writeStream.format("checksum")
+            .option("path", out_root)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 3 and time.time() - t0 < 180:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        total, acc, n_batches = 0, 0, 0
+        for f in sorted(_os.listdir(out_root)):
+            if not f.startswith("batch_"):
+                continue
+            j = _json.load(open(_os.path.join(out_root, f)))
+            n_batches += 1
+            total += j["row_count"]
+            acc ^= j["checksum48"]
+        return spark.createDataFrame(
+            [(n_batches, total, acc)],
+            "n_batches long, total_rows long, checksum48 long",
+        )
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
