@@ -332,3 +332,49 @@ def q334_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(errors.groupBy("user_id"))
         .applyInPandas(merge, schema)
     )
+
+
+@register(
+    "q339_apply_in_arrow_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""",
+    tags=("udf", "arrow", "apply_in_arrow"),
+)
+def q339_apply_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow map (`groupBy().applyInArrow`) — the grouped
+    sibling of q316's mapInArrow, closing the Arrow API symmetry
+    (grouped-map pandas / grouped-agg pandas / cogrouped pandas /
+    mapInPandas / mapInArrow / grouped Arrow): each language's
+    documents arrive as ONE pyarrow.Table and the per-group census
+    computes entirely in pyarrow.compute kernels — zero pandas
+    materialization, the shape for per-group feature extraction where
+    group payloads are large binary blobs and the Arrow→pandas copy
+    is the bottleneck. Statistics are exact integers the oracle
+    recomputes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        lang = table.column("lang")[0].as_py()
+        text = table.column("text")
+        nb = pc.sum(pc.binary_length(pc.cast(text, pa.binary()))).as_py() or 0
+        nc = table.column("n_chars")
+        return pa.Table.from_pylist([{
+            "lang": lang,
+            "n_docs": table.num_rows,
+            "total_bytes": int(nb),
+            "min_chars": pc.min(nc).as_py(),
+            "max_chars": pc.max(nc).as_py(),
+        }])
+
+    return d.groupBy("lang").applyInArrow(
+        stats, "lang string, n_docs long, total_bytes long, min_chars long, max_chars long"
+    )

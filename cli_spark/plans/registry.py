@@ -340,6 +340,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q336_small_file_compaction",
     "q337_backfill_live_merge",
     "q338_streaming_checksum_sink",
+    "q339_apply_in_arrow_stats",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
