@@ -221,3 +221,31 @@ def test_checksum_python_datasource_writer(spark, tmp_path):
     for r in rows:
         ref ^= _row_hash48([r["n_nationkey"], r["n_name"]])
     assert m1["checksum48"] == ref
+
+
+def test_checksum_stream_writer_commit_is_idempotent(tmp_path):
+    """A crash-replayed micro-batch re-commits under the SAME batch id
+    — the manifest must be overwritten (atomic rename), never
+    duplicated, and a different batch id lands in its own file."""
+    from pyspark.sql.types import StructType, StructField, StringType
+    from cli_spark.sources.checksum_sink import (
+        ChecksumCommit,
+        ChecksumStreamWriter,
+    )
+
+    schema = StructType([StructField("k", StringType())])
+    w = ChecksumStreamWriter({"path": str(tmp_path)}, schema)
+    msgs = [ChecksumCommit(3, 0xABC), ChecksumCommit(2, 0xDEF)]
+    w.commit(msgs, 7)
+    w.commit(msgs, 7)          # replay of the same batch
+    w.commit([ChecksumCommit(1, 0x1)], 8)
+    import json
+    import os
+
+    files = sorted(f for f in os.listdir(tmp_path) if f.startswith("batch_"))
+    assert files == ["batch_7.json", "batch_8.json"]
+    j7 = json.load(open(tmp_path / "batch_7.json"))
+    assert j7["row_count"] == 5 and j7["checksum48"] == (0xABC ^ 0xDEF)
+    assert j7["n_tasks"] == 2
+    # no tmp leftovers
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
