@@ -418,3 +418,142 @@ def q256_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cms_est - exact_size) * 1000000 div exact_size").alias("overest_ppm"),
         )
     )
+
+
+@register(
+    "q340_mergeable_quantiles",
+    # Level 1: exact per-shard deciles over integer cents; level 2:
+    # the shard boundaries (weighted by shard size) merge via the
+    # cumulative-weight rule; the audit reports merged vs exact
+    # global deciles with the signed error — all integer arithmetic.
+    oracle="""
+WITH cents AS (
+  SELECT l_orderkey % 4 AS shard,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+shard_n AS (SELECT shard, COUNT(*) AS n FROM cents GROUP BY shard),
+deciles AS (SELECT unnest(generate_series(1, 9)) AS decile),
+r1 AS (
+  SELECT shard, c,
+         row_number() OVER (PARTITION BY shard ORDER BY c) AS rn
+  FROM cents
+),
+b1 AS (
+  SELECT r.shard, d.decile, CAST(MIN(r.c) AS BIGINT) AS b
+  FROM r1 r JOIN shard_n s ON r.shard = s.shard
+  CROSS JOIN deciles d
+  WHERE r.rn * 10 >= d.decile * s.n
+  GROUP BY r.shard, d.decile
+),
+weighted AS (
+  SELECT b1.decile AS src_decile, b1.b, s.n AS w
+  FROM b1 JOIN shard_n s ON b1.shard = s.shard
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM weighted),
+r2 AS (
+  SELECT src_decile, b, w,
+         SUM(w) OVER (ORDER BY b, src_decile
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM weighted
+),
+merged AS (
+  SELECT d.decile, CAST(MIN(r.b) AS BIGINT) AS merged_cents
+  FROM deciles d JOIN r2 r
+    ON r.cum * 10 >= d.decile * (SELECT tw FROM tot)
+  GROUP BY d.decile
+),
+rall AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+         COUNT(*) OVER () AS na
+  FROM cents
+),
+exact AS (
+  SELECT d.decile, CAST(MIN(r.c) AS BIGINT) AS exact_cents
+  FROM deciles d JOIN rall r ON r.rn * 10 >= d.decile * r.na
+  GROUP BY d.decile
+)
+SELECT m.decile, m.merged_cents, e.exact_cents,
+       m.merged_cents - e.exact_cents AS err_cents
+FROM merged m JOIN exact e ON m.decile = e.decile
+""",
+    tags=("sketches", "quantiles", "mergeable"),
+)
+def q340_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable two-level quantiles — the statistical foundation of
+    distributed ANALYZE / equi-depth histograms (and the exactness
+    contract behind GK/KLL sketches): four deterministic shards each
+    compute EXACT deciles over integer cents (level 1 — bounded
+    per-shard state), the 36 shard boundaries merge by the
+    size-weighted cumulative rule (level 2 — constant-size input),
+    and the audit reports the merged estimate against the exact
+    global decile with its signed error — the error a planner accepts
+    in exchange for never re-scanning shards. Everything is integer
+    arithmetic over cents, so both engines agree bit-exactly on both
+    levels AND on the error.
+
+    Scale shape: level 1 is shard-parallel and each shard's sort is
+    local to it; level 2 touches 36 rows whatever the table size —
+    the whole point of mergeability at 100 TB (per-partition
+    summaries, constant-cost reconciliation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        (F.col("l_orderkey") % 4).alias("shard"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    shard_n = cents.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    # percentile_disc semantics must match DuckDB's quantile_disc:
+    # the smallest value with cumulative row share >= p — expressed
+    # directly as the window rule on both levels
+    from pyspark.sql.window import Window as _W
+
+    wsh = _W.partitionBy("shard").orderBy("c").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    ranked1 = cents.withColumn("rn", F.row_number().over(
+        _W.partitionBy("shard").orderBy("c")
+    )).join(shard_n, "shard")
+    b1 = (
+        ranked1.crossJoin(F.broadcast(deciles))
+        .filter(F.col("rn") * 10 >= F.col("decile") * F.col("n"))
+        .groupBy("shard", "decile")
+        .agg(F.min("c").cast("long").alias("b"))
+    )
+    weighted = b1.join(shard_n, "shard").select(
+        F.col("decile").alias("src_decile"), "b", F.col("n").alias("w")
+    )
+    tot = weighted.agg(F.sum("w").cast("long").alias("tw"))
+    ranked2 = weighted.withColumn(
+        "cum",
+        F.sum("w").over(
+            _W.orderBy("b", "src_decile").rowsBetween(
+                _W.unboundedPreceding, _W.currentRow
+            )
+        ),
+    )
+    merged = (
+        ranked2.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
+        .filter(F.col("cum") * 10 >= F.col("decile") * F.col("tw"))
+        .groupBy("decile")
+        .agg(F.min("b").cast("long").alias("merged_cents"))
+    )
+    n_all = cents.agg(F.count(F.lit(1)).alias("na"))
+    exact = (
+        cents.withColumn("rn", F.row_number().over(_W.orderBy("c")))
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(deciles))
+        .filter(F.col("rn") * 10 >= F.col("decile") * F.col("na"))
+        .groupBy("decile")
+        .agg(F.min("c").cast("long").alias("exact_cents"))
+    )
+    return (
+        merged.join(exact, "decile")
+        .select(
+            "decile",
+            "merged_cents",
+            "exact_cents",
+            (F.col("merged_cents") - F.col("exact_cents")).alias("err_cents"),
+        )
+    )
