@@ -434,16 +434,20 @@ WITH cents AS (
 ),
 shard_n AS (SELECT shard, COUNT(*) AS n FROM cents GROUP BY shard),
 deciles AS (SELECT unnest(generate_series(1, 9)) AS decile),
+vc AS (
+  SELECT shard, c, COUNT(*) AS k FROM cents GROUP BY shard, c
+),
 r1 AS (
   SELECT shard, c,
-         row_number() OVER (PARTITION BY shard ORDER BY c) AS rn
-  FROM cents
+         SUM(k) OVER (PARTITION BY shard ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vc
 ),
 b1 AS (
   SELECT r.shard, d.decile, CAST(MIN(r.c) AS BIGINT) AS b
   FROM r1 r JOIN shard_n s ON r.shard = s.shard
   CROSS JOIN deciles d
-  WHERE r.rn * 10 >= d.decile * s.n
+  WHERE r.cum * 10 >= d.decile * s.n
   GROUP BY r.shard, d.decile
 ),
 weighted AS (
@@ -463,14 +467,15 @@ merged AS (
     ON r.cum * 10 >= d.decile * (SELECT tw FROM tot)
   GROUP BY d.decile
 ),
+gvc AS (SELECT c, COUNT(*) AS k FROM cents GROUP BY c),
 rall AS (
-  SELECT c, row_number() OVER (ORDER BY c) AS rn,
-         COUNT(*) OVER () AS na
-  FROM cents
+  SELECT c, SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT COUNT(*) FROM cents) AS na
+  FROM gvc
 ),
 exact AS (
   SELECT d.decile, CAST(MIN(r.c) AS BIGINT) AS exact_cents
-  FROM deciles d JOIN rall r ON r.rn * 10 >= d.decile * r.na
+  FROM deciles d JOIN rall r ON r.cum * 10 >= d.decile * r.na
   GROUP BY d.decile
 )
 SELECT m.decile, m.merged_cents, e.exact_cents,
@@ -508,15 +513,21 @@ def q340_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly as the window rule on both levels
     from pyspark.sql.window import Window as _W
 
-    wsh = _W.partitionBy("shard").orderBy("c").rowsBetween(
-        _W.unboundedPreceding, _W.currentRow
-    )
-    ranked1 = cents.withColumn("rn", F.row_number().over(
-        _W.partitionBy("shard").orderBy("c")
-    )).join(shard_n, "shard")
+    # census-collapse before any window (the q201 discipline): the
+    # cumulative rule runs over DISTINCT cent values with counts —
+    # never a row-level rank over the fact table
+    vc = cents.groupBy("shard", "c").agg(F.count(F.lit(1)).alias("k"))
+    ranked1 = vc.withColumn(
+        "cum",
+        F.sum("k").over(
+            _W.partitionBy("shard").orderBy("c").rowsBetween(
+                _W.unboundedPreceding, _W.currentRow
+            )
+        ),
+    ).join(shard_n, "shard")
     b1 = (
         ranked1.crossJoin(F.broadcast(deciles))
-        .filter(F.col("rn") * 10 >= F.col("decile") * F.col("n"))
+        .filter(F.col("cum") * 10 >= F.col("decile") * F.col("n"))
         .groupBy("shard", "decile")
         .agg(F.min("c").cast("long").alias("b"))
     )
@@ -540,11 +551,19 @@ def q340_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("b").cast("long").alias("merged_cents"))
     )
     n_all = cents.agg(F.count(F.lit(1)).alias("na"))
+    gvc = cents.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
     exact = (
-        cents.withColumn("rn", F.row_number().over(_W.orderBy("c")))
+        gvc.withColumn(
+            "cum",
+            F.sum("k").over(
+                _W.orderBy("c").rowsBetween(
+                    _W.unboundedPreceding, _W.currentRow
+                )
+            ),
+        )
         .crossJoin(F.broadcast(n_all))
         .crossJoin(F.broadcast(deciles))
-        .filter(F.col("rn") * 10 >= F.col("decile") * F.col("na"))
+        .filter(F.col("cum") * 10 >= F.col("decile") * F.col("na"))
         .groupBy("decile")
         .agg(F.min("c").cast("long").alias("exact_cents"))
     )
