@@ -439,3 +439,82 @@ def q303_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("shared_parts").desc(), F.col("cust_a").asc(), F.col("cust_b").asc()
     ).limit(100)
+
+
+@register(
+    "q341_entity_resolution_clusters",
+    # The SNM candidate pairs (q253's window construction, verbatim)
+    # become symmetric edges; entities are the connected components
+    # (recursive reachability in the oracle); golden record = min
+    # doc_id; only true clusters (size > 1) report.
+    oracle="""
+WITH RECURSIVE keyed AS (
+  SELECT doc_id, lower(substr(text, 1, 30)) AS skey,
+         substr(lower(text), 1, 40) AS probe
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, skey, probe,
+         lead(doc_id, 1) OVER w AS nbr1_id,
+         lead(probe, 1)  OVER w AS nbr1_probe,
+         lead(doc_id, 2) OVER w AS nbr2_id,
+         lead(probe, 2)  OVER w AS nbr2_probe
+  FROM keyed
+  WINDOW w AS (PARTITION BY substr(skey, 1, 1) ORDER BY skey ASC, doc_id ASC)
+),
+pairs AS (
+  SELECT doc_id AS a, nbr1_id AS b FROM ordered
+  WHERE nbr1_id IS NOT NULL AND levenshtein(probe, nbr1_probe) <= 12
+  UNION ALL
+  SELECT doc_id, nbr2_id FROM ordered
+  WHERE nbr2_id IS NOT NULL AND levenshtein(probe, nbr2_probe) <= 12
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS cluster_size,
+       CAST(MIN(doc_id) AS BIGINT) AS golden_id
+FROM cc GROUP BY component HAVING COUNT(*) > 1
+""",
+    tags=("dedup", "record-linkage", "graph", "entity-resolution"),
+)
+def q341_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the MDM pipeline on top of
+    q253: sorted-neighborhood candidate pairs (O(n·w) comparisons,
+    never n²) become symmetric edges, ENTITIES are their connected
+    components (the generic pointer-jumping CC from graph.py — the
+    same O(log d) loop the dedup stack uses, on a different edge
+    relation, which is the point of keeping it generic), and each
+    entity elects its min-id golden record. Linkage pairs alone
+    over-merge nothing and under-merge everything — transitivity is
+    what turns matches into entities (A~B, B~C must land in ONE
+    customer-360 record even though A~C was never compared).
+
+    Scale shape: q253's window candidates + the shared CC loop;
+    cluster census is component-keyed. The oracle states the same
+    fixpoint as a recursive reachability CTE."""
+    from cli_spark.operators.graph import connected_components
+
+    pairs = q253_sorted_neighborhood_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct()
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(nodes, edges)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("golden_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
