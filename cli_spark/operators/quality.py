@@ -732,3 +732,73 @@ def q302_char_class_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("suspect_docs"),
     )
+
+
+@register(
+    "q342_pseudonymization_audit",
+    # pseudo(uid) = (7919·uid + 104729) mod 1,000,003 (prime > any
+    # uid, multiplier coprime to it → injective). The audit proves
+    # the properties rather than assuming them: zero collisions, and
+    # the self-join mass (Σ per-key count²) identical under raw and
+    # pseudonymous keys — computed from censuses, never via an
+    # actual self-join.
+    oracle="""
+WITH p AS (
+  SELECT user_id, (7919 * user_id + 104729) % 1000003 AS pseudo
+  FROM events
+),
+raw_c AS (SELECT user_id, COUNT(*) AS c FROM p GROUP BY user_id),
+ps_c AS (SELECT pseudo, COUNT(*) AS c FROM p GROUP BY pseudo)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_events,
+       (SELECT COUNT(*) FROM raw_c) AS n_users_raw,
+       (SELECT COUNT(*) FROM ps_c) AS n_users_pseudo,
+       (SELECT COUNT(*) FROM raw_c) - (SELECT COUNT(*) FROM ps_c)
+         AS collisions,
+       (SELECT CAST(SUM(c * c) AS BIGINT) FROM raw_c) AS join_mass_raw,
+       (SELECT CAST(SUM(c * c) AS BIGINT) FROM ps_c) AS join_mass_pseudo
+""",
+    tags=("quality", "privacy", "pseudonymization"),
+)
+def q342_pseudonymization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity-preserving pseudonymization — the
+    privacy-engineering contract behind every shared analytics
+    extract: user ids map through an affine permutation modulo a
+    prime ((a·uid + b) mod p with gcd(a, p) = 1 — injective over the
+    id space, irreversible without the key pair), and the audit
+    PROVES the two properties downstream consumers depend on instead
+    of trusting the algebra: zero collisions (distinct-count
+    preserved), and identical self-join mass Σc² (every key-based
+    join/aggregate behaves byte-for-byte the same on pseudonyms).
+
+    Scale shape: the mapping is a scan-stage projection; both
+    censuses map-side combine; join mass comes from the censuses
+    (never an actual self-join — Σc² over counts is the standard
+    join-size estimator, q256's machinery reused as an equality
+    proof)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.select(
+        "user_id",
+        ((F.col("user_id") * 7919 + 104729) % 1000003).alias("pseudo"),
+    )
+    raw_c = p.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ps_c = p.groupBy("pseudo").agg(F.count(F.lit(1)).alias("c"))
+    n_events = p.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    a1 = raw_c.agg(
+        F.count(F.lit(1)).alias("n_users_raw"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("join_mass_raw"),
+    )
+    a2 = ps_c.agg(
+        F.count(F.lit(1)).alias("n_users_pseudo"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("join_mass_pseudo"),
+    )
+    return (
+        n_events.crossJoin(F.broadcast(a1)).crossJoin(F.broadcast(a2))
+        .select(
+            "n_events",
+            "n_users_raw",
+            "n_users_pseudo",
+            (F.col("n_users_raw") - F.col("n_users_pseudo")).alias("collisions"),
+            "join_mass_raw",
+            "join_mass_pseudo",
+        )
+    )

@@ -343,6 +343,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q339_apply_in_arrow_stats",
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
+    "q342_pseudonymization_audit",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
