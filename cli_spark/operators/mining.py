@@ -518,3 +518,121 @@ def q341_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("cluster_size") > 1)
     )
+
+
+@register(
+    "q343_multipass_snm",
+    # Pass 1: q253's prefix key; pass 2: a ROTATED key (chars 16..45
+    # of the lowered text) re-blocks records that pass 1 separated.
+    # The census counts pairs per discovery set — pass-2-only pairs
+    # are exactly the single-pass boundary loss.
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         lower(substr(text, 1, 30)) AS k1,
+         lower(substr(text, 16, 30)) AS k2,
+         substr(lower(text), 1, 40) AS probe
+  FROM documents
+),
+o1 AS (
+  SELECT doc_id, probe,
+         lead(doc_id, 1) OVER w AS n1, lead(probe, 1) OVER w AS p1,
+         lead(doc_id, 2) OVER w AS n2, lead(probe, 2) OVER w AS p2
+  FROM keyed
+  WINDOW w AS (PARTITION BY substr(k1, 1, 1) ORDER BY k1 ASC, doc_id ASC)
+),
+o2 AS (
+  SELECT doc_id, probe,
+         lead(doc_id, 1) OVER w AS n1, lead(probe, 1) OVER w AS p1,
+         lead(doc_id, 2) OVER w AS n2, lead(probe, 2) OVER w AS p2
+  FROM keyed
+  WINDOW w AS (PARTITION BY substr(k2, 1, 1) ORDER BY k2 ASC, doc_id ASC)
+),
+pass1 AS (
+  SELECT DISTINCT LEAST(doc_id, n1) AS a, GREATEST(doc_id, n1) AS b
+  FROM o1 WHERE n1 IS NOT NULL AND levenshtein(probe, p1) <= 12
+  UNION
+  SELECT DISTINCT LEAST(doc_id, n2), GREATEST(doc_id, n2)
+  FROM o1 WHERE n2 IS NOT NULL AND levenshtein(probe, p2) <= 12
+),
+pass2 AS (
+  SELECT DISTINCT LEAST(doc_id, n1) AS a, GREATEST(doc_id, n1) AS b
+  FROM o2 WHERE n1 IS NOT NULL AND levenshtein(probe, p1) <= 12
+  UNION
+  SELECT DISTINCT LEAST(doc_id, n2), GREATEST(doc_id, n2)
+  FROM o2 WHERE n2 IS NOT NULL AND levenshtein(probe, p2) <= 12
+),
+lab AS (
+  SELECT COALESCE(p1.a, p2.a) AS a, COALESCE(p1.b, p2.b) AS b,
+         CASE WHEN p1.a IS NOT NULL AND p2.a IS NOT NULL THEN 'both'
+              WHEN p1.a IS NOT NULL THEN 'pass1_only'
+              ELSE 'pass2_only' END AS found_by
+  FROM pass1 p1 FULL OUTER JOIN pass2 p2 ON p1.a = p2.a AND p1.b = p2.b
+)
+SELECT found_by, COUNT(*) AS n_pairs FROM lab GROUP BY found_by
+""",
+    tags=("dedup", "record-linkage", "multipass"),
+)
+def q343_multipass_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood linkage (Hernández & Stolfo
+    1995 §4 — the part q253 documents as its loss-recovery): a second
+    SNM pass under a ROTATED sort key (an interior 30-char slice)
+    re-blocks record pairs the first key's sort order separated, and
+    the union census counts pairs by discovery set. `pass2_only` IS
+    the measured single-pass boundary loss — the number the paper's
+    multi-pass prescription exists to recover; production runs 3-5
+    rotated keys until the marginal pass finds nothing new (the
+    loop-until-dry shape).
+
+    Scale shape: each pass is one window over its block char — two
+    shuffles total, O(n·w) Levenshtein probes per pass, and the
+    reconciliation is an equi-join of two pair sets. Pairs normalize
+    to (min, max) so both passes' discoveries align."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 30)).alias("k1"),
+        F.lower(F.substring("text", 16, 30)).alias("k2"),
+        F.substring(F.lower("text"), 1, 40).alias("probe"),
+    )
+
+    def snm_pass(key: str) -> DataFrame:
+        w = Window.partitionBy(F.substring(key, 1, 1)).orderBy(
+            F.col(key).asc(), F.col("doc_id").asc()
+        )
+        o = keyed.select(
+            "doc_id",
+            "probe",
+            F.lead("doc_id", 1).over(w).alias("n1"),
+            F.lead("probe", 1).over(w).alias("p1"),
+            F.lead("doc_id", 2).over(w).alias("n2"),
+            F.lead("probe", 2).over(w).alias("p2"),
+        )
+        pair1 = o.filter(
+            F.col("n1").isNotNull() & (F.levenshtein("probe", "p1") <= 12)
+        ).select(
+            F.least("doc_id", "n1").alias("a"),
+            F.greatest("doc_id", "n1").alias("b"),
+        )
+        pair2 = o.filter(
+            F.col("n2").isNotNull() & (F.levenshtein("probe", "p2") <= 12)
+        ).select(
+            F.least("doc_id", "n2").alias("a"),
+            F.greatest("doc_id", "n2").alias("b"),
+        )
+        return pair1.union(pair2).distinct()
+
+    p1 = snm_pass("k1").withColumn("in1", F.lit(1))
+    p2 = snm_pass("k2").withColumn("in2", F.lit(1))
+    lab = (
+        p1.join(p2, ["a", "b"], "full_outer")
+        .select(
+            F.when(
+                F.col("in1").isNotNull() & F.col("in2").isNotNull(), "both"
+            )
+            .when(F.col("in1").isNotNull(), "pass1_only")
+            .otherwise("pass2_only")
+            .alias("found_by"),
+        )
+    )
+    return lab.groupBy("found_by").agg(F.count(F.lit(1)).alias("n_pairs"))

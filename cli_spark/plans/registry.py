@@ -344,6 +344,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
     "q342_pseudonymization_audit",
+    "q343_multipass_snm",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
