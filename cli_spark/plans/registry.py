@@ -345,6 +345,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q341_entity_resolution_clusters",
     "q342_pseudonymization_audit",
     "q343_multipass_snm",
+    "q344_sql_pipe_syntax",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
