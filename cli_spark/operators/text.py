@@ -906,82 +906,3 @@ def q296_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "term", "bm25_micro", "rnk")
     )
-
-
-@register(
-    "q346_bitext_candidates",
-    # Anchors are pure digit tokens (numbers survive translation);
-    # candidates join on (source, anchor), require different langs
-    # and >= 2 shared anchors. Pairs normalize to doc_a < doc_b.
-    oracle="""
-WITH anchors AS (
-  SELECT DISTINCT doc_id, lang, source, t.tok
-  FROM documents
-  CROSS JOIN LATERAL (
-    SELECT unnest(list_filter(string_split(text, ' '),
-                              x -> regexp_full_match(x, '[0-9]+'))) AS tok
-  ) t
-),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.lang AS lang_a, b.lang AS lang_b,
-         COUNT(*) AS shared_anchors
-  FROM anchors a JOIN anchors b
-    ON a.source = b.source AND a.tok = b.tok
-   AND a.doc_id < b.doc_id AND a.lang <> b.lang
-  GROUP BY a.doc_id, b.doc_id, a.lang, b.lang
-)
-SELECT doc_a, doc_b, lang_a, lang_b, shared_anchors
-FROM pairs WHERE shared_anchors >= 2
-""",
-    tags=("text", "bitext", "alignment", "multilingual"),
-)
-def q346_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitext candidate mining — the alignment-pair generator behind
-    parallel-corpus construction (WMT-style mining, the Resnik &
-    Smith STRAND family): documents in DIFFERENT languages from the
-    SAME source that share ≥ 2 numeric anchor tokens (digit strings —
-    dates, quantities, IDs — survive translation verbatim, which is
-    why they are the classic cheap alignment signal before any
-    embedding scorer runs). Candidates come from an equi-join on
-    (source, anchor token), never a cross-lingual cross product.
-
-    Scale shape: the anchor relation is a DISTINCT token census
-    (linear, map-side combined); the pair stage joins on short keys
-    and group-counts shared anchors — posting-list bounded like every
-    candidate generator in this engine; the ≥ 2 filter is the
-    pigeonhole that keeps coincidental number collisions out."""
-    d = load_table(spark, sf_dir, "documents")
-    anchors = (
-        d.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(
-                F.filter(
-                    F.split("text", " "),
-                    lambda x: x.rlike("^[0-9]+$"),
-                )
-            ).alias("tok"),
-        )
-        .distinct()
-    )
-    a = anchors.alias("a")
-    b = anchors.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.lang") != F.col("b.lang")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang_a"),
-            F.col("b.lang").alias("lang_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared_anchors"))
-        .filter(F.col("shared_anchors") >= 2)
-    )

@@ -347,7 +347,6 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q343_multipass_snm",
     "q344_sql_pipe_syntax",
     "q345_sql_sugar_pack",
-    "q346_bitext_candidates",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
