@@ -1936,3 +1936,69 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "q347_normalization_ladder",
+    # Four nested normalization levels; each level's census counts
+    # distinct keys and docs sharing a key — the marginal dup yield
+    # between levels is what each normalization step REVEALS.
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         text AS l0,
+         lower(text) AS l1,
+         regexp_replace(lower(text), '[ ]+', ' ', 'g') AS l2,
+         regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                        '[ ]+', ' ', 'g') AS l3
+  FROM documents
+),
+lv AS (
+  SELECT 0 AS level, l0 AS k FROM norm UNION ALL
+  SELECT 1, l1 FROM norm UNION ALL
+  SELECT 2, l2 FROM norm UNION ALL
+  SELECT 3, l3 FROM norm
+),
+census AS (
+  SELECT level, k, COUNT(*) AS c FROM lv GROUP BY level, k
+)
+SELECT level,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) AS removable_docs
+FROM census GROUP BY level
+""",
+    tags=("dedup", "normalization"),
+)
+def q347_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-ladder dedup census — the measurement behind
+    every exact-dedup configuration decision: how many duplicates
+    does each normalization step REVEAL (raw bytes → casefold →
+    whitespace collapse → punctuation strip)? Production exact dedup
+    (C4, CCNet, RefinedWeb all differ here) is defined by where on
+    this ladder it keys, and the marginal `removable_docs` between
+    levels is precisely what each step buys — measured, not assumed.
+
+    Scale shape: four projections of the same scan explode into a
+    (level, key) census that map-side combines (at 100 TB the keys
+    would be md5 digests of the normalized text — same plan, 16-byte
+    shuffle rows); no joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    l0 = F.col("text")
+    l1 = F.lower(F.col("text"))
+    l2 = F.regexp_replace(F.lower(F.col("text")), "[ ]+", " ")
+    l3 = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[.,!?;:]", ""),
+        "[ ]+", " ",
+    )
+    lv = None
+    for level, expr in enumerate((l0, l1, l2, l3)):
+        part = d.select(F.lit(level).alias("level"), expr.alias("k"))
+        lv = part if lv is None else lv.unionByName(part)
+    census = lv.groupBy("level", "k").agg(F.count(F.lit(1)).alias("c"))
+    return census.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long").alias("dup_docs"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("removable_docs"),
+    )
