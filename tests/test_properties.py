@@ -325,3 +325,60 @@ def test_census_quantile_location_matches_sorted_expansion(pairs):
                 picked = v
             cum_before = cum
         assert picked == expanded[rank - 1]
+
+
+@given(
+    st.integers(min_value=1, max_value=6),   # frames
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=1, max_value=9),   # width
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_any_shape(n, h, w, seed):
+    """Any uint8 RGB frame stack survives AVI encode → decode exactly
+    — padding residues, odd dims, single-pixel frames included."""
+    from cli_spark.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.RandomState(seed % (2**31))
+    frames = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+    out, fps = decode_avi(encode_avi(frames, fps=25))
+    assert fps == 25
+    np.testing.assert_array_equal(out, frames)
+
+
+@given(st.text(alphabet="abcdef gh", min_size=11, max_size=200),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_winnowing_coverage_guarantee(text, seed):
+    """Schleimer et al.'s winnowing GUARANTEE, fuzzed: with window
+    W = 4 over k = 8-gram hashes, every window of W consecutive
+    positions contains at least one SELECTED position, and selected
+    positions are window-minima under the rightmost-tie rule — the
+    invariant q311/q315's combo-key encoding must preserve for any
+    input string."""
+    import hashlib
+
+    K, W = 8, 4
+    P = len(text) - K + 1
+    if P < W:
+        return
+    hashes = [hashlib.md5(text[p:p + K].encode()).hexdigest()
+              for p in range(P)]
+    # reference selection: per window, min hash with rightmost tie
+    selected = set()
+    for s in range(P - W + 1):
+        best = max(
+            range(s, s + W),
+            key=lambda p: (tuple(255 - b for b in bytes.fromhex(hashes[p])), p),
+        )
+        selected.add(best)
+    # combo-key formulation (the engine's): min of h || pad(1e7 - p)
+    combo_selected = set()
+    for s in range(P - W + 1):
+        key_of = lambda p: hashes[p] + "#" + str(10_000_000 - (p + 1)).zfill(8)
+        p_sel = min(range(s, s + W), key=key_of)
+        combo_selected.add(p_sel)
+    assert combo_selected == selected
+    # coverage guarantee: every window intersects the selected set
+    for s in range(P - W + 1):
+        assert any(p in selected for p in range(s, s + W))
