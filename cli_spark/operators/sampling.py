@@ -201,3 +201,95 @@ def q282_block_sampling_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("block64", F.col("blk_b") < 64))
         .unionByName(census("row", F.col("row_b") < 64))
     )
+
+
+@register(
+    "q348_reservoir_merge_audit",
+    # Per-shard keeps are each shard's 50 smallest md5(doc_id) keys;
+    # the merge takes the 50 smallest of the 200 kept; equality with
+    # the direct global top-50 is proved per rank, not assumed.
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+shard_keep AS (
+  SELECT doc_id, hk,
+         row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS rn
+  FROM keyed
+),
+merged AS (
+  SELECT doc_id, hk,
+         row_number() OVER (ORDER BY hk, doc_id) AS rank
+  FROM shard_keep WHERE rn <= 50
+),
+direct AS (
+  SELECT doc_id, hk,
+         row_number() OVER (ORDER BY hk, doc_id) AS rank
+  FROM keyed
+)
+SELECT m.rank, m.doc_id AS merged_doc, d.doc_id AS direct_doc,
+       CASE WHEN m.doc_id = d.doc_id THEN 1 ELSE 0 END AS agree
+FROM merged m JOIN direct d ON m.rank = d.rank
+WHERE m.rank <= 50
+""",
+    tags=("sampling", "reservoir", "mergeable"),
+)
+def q348_reservoir_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable uniform sampling — why the md5-rank formulation (the
+    q105/q107 family's sampling primitive) distributes: a uniform
+    k-sample is the k smallest hash keys, and bottom-k is MERGEABLE —
+    each shard keeps its local bottom-50 (bounded state, no
+    coordination), the merge takes the bottom-50 of the union, and
+    the audit proves rank-by-rank equality with the direct global
+    bottom-50 (the property classic reservoir sampling LACKS without
+    weighted coordination, and the reason distributed samplers hash
+    instead). At 100 TB: per-partition bounded keeps, one tiny
+    merge — no global shuffle of the population.
+
+    Scale shape: shard keeps are per-shard windows over the hash key;
+    the merge ranks 200 rows; the direct side is the audit's ground
+    truth (TakeOrdered-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    ws = _W.partitionBy("shard").orderBy("hk", "doc_id")
+    shard_keep = (
+        keyed.withColumn("rn", F.row_number().over(ws)).filter(F.col("rn") <= 50)
+    )
+    wm = _W.orderBy("hk", "doc_id")
+    # merged side ranks <= 200 kept rows (window is fine there); the
+    # direct side must NOT be a global window over the corpus — it
+    # compiles to TakeOrderedAndProject via orderBy + limit, with the
+    # rank window applied only to the surviving 50 rows
+    merged = (
+        shard_keep.select("doc_id", "hk")
+        .withColumn("rank", F.row_number().over(wm))
+        .filter(F.col("rank") <= 50)
+    )
+    direct = (
+        keyed.select("doc_id", "hk")
+        .orderBy("hk", "doc_id")
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wm))
+    )
+    return (
+        merged.select(F.col("rank"), F.col("doc_id").alias("merged_doc"))
+        .join(
+            direct.select(F.col("rank"), F.col("doc_id").alias("direct_doc")),
+            "rank",
+        )
+        .select(
+            "rank",
+            "merged_doc",
+            "direct_doc",
+            F.when(F.col("merged_doc") == F.col("direct_doc"), 1)
+            .otherwise(0).alias("agree"),
+        )
+    )

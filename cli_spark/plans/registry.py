@@ -348,6 +348,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q344_sql_pipe_syntax",
     "q345_sql_sugar_pack",
     "q347_normalization_ladder",
+    "q348_reservoir_merge_audit",
     "q209_event_transitions",
     "q211_int8_quantization_audit",
     "q215_missing_hours",
