@@ -23,18 +23,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Default = the standing scale watchlist (round 7): the two classes
+# redesigned after super-linear sf3 readings, the candidate-growth
+# riders, and the heaviest new text ops — re-check these first each
+# round (run with --sf3 for the 30× tier).
 DEFAULT = [
-    "q237_autocorr_lags",
-    "q238_weighted_systematic_sample",
-    "q239_poisson_bootstrap",
-    "q244_pareto_revenue_curve",
-    "q245_interpurchase_quantiles",
-    "q247_semdedup_prune",
-    "q249_kcore_2core",
-    "q251_codeswitch_segments",
-    "q252_zonemap_skipping",
-    "q254_weighted_median_price",
-    "q257_source_overlap_matrix",
+    "q267_minhash_estimator_audit",
+    "q290_lsh_parameter_sweep",
+    "q276_part_affinity",
+    "q312_rouge1_pair_audit",
+    "q311_winnowing_fingerprints",
+    "q315_winnowing_match",
 ]
 
 
