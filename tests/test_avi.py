@@ -106,3 +106,124 @@ def test_decoder_rejects_truncated_riff_size():
     buf = encode_avi(frames, fps=25)
     with pytest.raises(ValueError, match="RIFF size"):
         decode_avi(buf[:-1])
+
+
+def _hand_packed_av_interleaved(fps: int = 25, sr: int = 8000) -> tuple[bytes, bytes, list[int]]:
+    """Hand-pack a two-stream (video + PCM16 audio) interleaved AVI
+    with an idx1 index: one 2x2 frame, 3 audio samples split 2 + 1
+    across two 01wb blocks.
+    Returns (container bytes, expected DIB payload, expected samples)."""
+    fs = 16
+    frame = bytes(
+        [30, 20, 10, 60, 50, 40, 0, 0, 130, 120, 110, 160, 150, 140, 0, 0]
+    )
+    samples = [-5, 7, 300]
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 1_000_000 // fps, fs * fps, 0, 0, 1, 0, 2, fs, 2, 2, 0, 0, 0, 0
+    )
+    strh_v = b"strh" + struct.pack("<I", 56) + struct.pack(
+        "<4s4sIIIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 1, fps, 0, 1, fs, 0, fs,
+        0, 0, 2, 2
+    )
+    strf_v = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, fs, 0, 0, 0, 0
+    )
+    strl_v = (b"LIST" + struct.pack("<I", 4 + len(strh_v) + len(strf_v))
+              + b"strl" + strh_v + strf_v)
+    strh_a = b"strh" + struct.pack("<I", 56) + struct.pack(
+        "<4s4sIIIIIIIIII4H", b"auds", b"\x00" * 4, 0, 0, 0, 1, sr, 0, 3, 6, 0, 2,
+        0, 0, 0, 0
+    )
+    strf_a = b"strf" + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, sr, sr * 2, 2, 16
+    )
+    strl_a = (b"LIST" + struct.pack("<I", 4 + len(strh_a) + len(strf_a))
+              + b"strl" + strh_a + strf_a)
+    hdrl_body = avih + strl_v + strl_a
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    wb1 = struct.pack("<2h", -5, 7)
+    wb2 = struct.pack("<h", 300)
+    movi_body = (
+        b"01wb" + struct.pack("<I", len(wb1)) + wb1      # audio FIRST: order-free
+        + b"00db" + struct.pack("<I", fs) + frame
+        + b"01wb" + struct.pack("<I", len(wb2)) + wb2
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    idx_body = (
+        b"01wb" + struct.pack("<III", 0x10, 4, len(wb1))
+        + b"00db" + struct.pack("<III", 0x10, 4 + 8 + len(wb1), fs)
+        + b"01wb" + struct.pack("<III", 0x10, 4 + 16 + len(wb1) + fs, len(wb2))
+    )
+    idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
+    payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload, frame, samples
+
+
+def test_decode_hand_packed_multistream_golden():
+    """Video + audio streams, audio chunk preceding the frame, idx1
+    present: video decode must pick stream 0 only, audio decode must
+    concatenate the 01wb blocks in order."""
+    from cli_spark.sources.avi import decode_avi_audio
+
+    buf, _frame, samples = _hand_packed_av_interleaved()
+    frames, fps = decode_avi(buf)
+    assert fps == 25 and frames.shape == (1, 2, 2, 3)
+    assert frames[0, 0, 0].tolist() == [110, 120, 130]
+    assert frames[0, 1, 1].tolist() == [40, 50, 60]
+    audio, sr = decode_avi_audio(buf)
+    assert sr == 8000
+    assert audio.tolist() == samples
+
+
+def test_multistream_roundtrip_with_idx1():
+    from cli_spark.sources.avi import decode_avi_audio
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(5, 3, 4, 3)).astype(np.uint8)
+    audio = rng.randint(-2000, 2000, size=33).astype(np.int16)  # odd blocks
+    buf = encode_avi(frames, fps=10, audio=audio, sample_rate=16000,
+                     write_idx1=True)
+    out, fps = decode_avi(buf)
+    assert fps == 10
+    np.testing.assert_array_equal(out, frames)
+    samples, sr = decode_avi_audio(buf)
+    assert sr == 16000
+    np.testing.assert_array_equal(samples, audio)
+
+
+def test_first_strh_binds_not_last():
+    """A duplicate strh inside the strl (claiming a wrong fps) must be
+    ignored — the FIRST strh is binding (ADVICE r7: the old decoder
+    kept the last one)."""
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    buf = encode_avi(frames, fps=25)
+    dup = b"strh" + struct.pack("<I", 56) + struct.pack(
+        "<4s4sIIIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 1, 99, 0, 1, 16, 0, 16,
+        0, 0, 2, 2
+    )
+    i = buf.index(b"strf")  # splice the duplicate before strf, inside strl
+    patched = bytearray(buf[:i] + dup + buf[i:])
+    # grow the enclosing RIFF, hdrl and strl sizes by len(dup)
+    for fourcc, delta in ((b"RIFF", len(dup)), (b"hdrl", len(dup)), (b"strl", len(dup))):
+        j = patched.index(fourcc)
+        k = j - 8 if fourcc != b"RIFF" else j
+        # LIST size dword sits 4 bytes before the form fourcc
+        sz_at = j + 4 if fourcc == b"RIFF" else j - 4
+        struct.pack_into("<I", patched, sz_at,
+                         struct.unpack_from("<I", patched, sz_at)[0] + delta)
+    _out, fps = decode_avi(bytes(patched))
+    assert fps == 25  # first strh (25 fps) binds, not the 99-fps duplicate
+
+
+def test_audio_only_rejected_for_video_decode():
+    audio = np.arange(10, dtype=np.int16)
+    buf = encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8), fps=25,
+                     audio=audio)
+    # strip nothing; just assert the audio decoder rejects a no-auds file
+    plain = encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8), fps=25)
+    from cli_spark.sources.avi import decode_avi_audio
+    with pytest.raises(ValueError, match="no audio stream"):
+        decode_avi_audio(plain)
+    # and the multistream file still video-decodes
+    out, _ = decode_avi(buf)
+    assert out.shape == (1, 2, 2, 3)
