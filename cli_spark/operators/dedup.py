@@ -18,11 +18,37 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
+
+# Bounded registry for persisted audit intermediates (q212/q333):
+# the queries return LAZY DataFrames whose four aggregate branches
+# re-read the persisted relations at driver-collect time, so the
+# function body can't unpersist them — instead each (query, slot)
+# holds at most ONE materialization per app/dataset: a repeat
+# invocation replaces (and unpersists) the previous cached blocks,
+# and LRU eviction bounds the total held by these audits (ADVICE r7 —
+# the same leak class graph.py's _EDGE_CACHE bounds).
+_PERSIST_CACHE_MAX = 12
+_PERSIST_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+
+def _persist_slot(spark: SparkSession, key: tuple, df: DataFrame) -> DataFrame:
+    full = (spark.sparkContext.applicationId,) + key
+    old = _PERSIST_CACHE.pop(full, None)
+    if old is not None:
+        old.unpersist()
+    out = df.persist()
+    _PERSIST_CACHE[full] = out
+    while len(_PERSIST_CACHE) > _PERSIST_CACHE_MAX:
+        _, evicted = _PERSIST_CACHE.popitem(last=False)
+        evicted.unpersist()
+    return out
 
 # q72's quadratic ground-truth shape refuses inputs past this
 # (module-level so the guard test can shrink it): ~4e10 lang-pair
@@ -1161,12 +1187,13 @@ def q333_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id")
         .limit(500)
     )
-    sh = (
+    sh = _persist_slot(
+        spark,
+        (sf_dir, "q333", "sh"),
         shingles_df(spark, sf_dir, fanout=True)
         .join(F.broadcast(sample_ids), "doc_id")
         .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
-        .persist()
+        .select("doc_id", "shingles"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     j_ppm = F.expr(
@@ -1224,12 +1251,13 @@ def q333_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    flagged = (
+    flagged = _persist_slot(
+        spark,
+        (sf_dir, "q333", "flagged"),
         scored.join(
             cand.withColumn("is_cand", F.lit(1)), ["doc_a", "doc_b"], "left"
         )
-        .select("j_ppm", F.coalesce("is_cand", F.lit(0)).alias("is_cand"))
-        .persist()
+        .select("j_ppm", F.coalesce("is_cand", F.lit(0)).alias("is_cand")),
     )
     n_c = flagged.agg(F.sum("is_cand").cast("long").alias("n_candidates"))
     sweep = (
@@ -1355,12 +1383,13 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fanout=True: without it the persisted sample inherits the
     # single-file scan's ONE partition and the 125k-pair exact-verify
     # nested loop below runs on one task (16 s at sf0.01; round 7)
-    sh = (
+    sh = _persist_slot(
+        spark,
+        (sf_dir, "q212", "sh"),
         shingles_df(spark, sf_dir, fanout=True)
         .join(F.broadcast(sample_ids), "doc_id")
         .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles")
-        .persist()
+        .select("doc_id", "shingles"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     j = _jaccard(F.col("a.shingles"), F.col("b.shingles"))
@@ -1368,11 +1397,12 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate branches, and Spark re-executes un-persisted common
     # subplans per branch — with the nested-loop verify that was most
     # of q212's 16 s at sf0.01 (round 7)
-    truth = (
+    truth = _persist_slot(
+        spark,
+        (sf_dir, "q212", "truth"),
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(j >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .persist()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")),
     )
     hashed = sh.select(
         "doc_id",
@@ -1416,8 +1446,8 @@ def q212_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
     )
+    cand = _persist_slot(spark, (sf_dir, "q212", "cand"), cand)
     tp = truth.join(cand, ["doc_a", "doc_b"])
     n_sample = sh.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
     n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))

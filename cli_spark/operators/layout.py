@@ -404,7 +404,7 @@ SELECT 'after', 4, n_rows, price_cents FROM census
 def q336_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance job every
     streaming/incremental sink eventually needs: a 64-file
-    hash-scattered layout (what per-batch appends produce; at 100 TB
+    round-robin-scattered layout (what per-batch appends produce; at 100 TB
     the 'millions of tiny files' problem that wrecks scan planning
     and NameNode/manifest metadata) is compacted by one
     repartition-rewrite into 4 right-sized files. The graded census
@@ -430,7 +430,12 @@ def q336_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     small, big = _os.path.join(root, "small"), _os.path.join(root, "big")
     marker = _os.path.join(root, ".ready")
     if not _os.path.exists(marker):
-        li.repartition(64, "l_orderkey").write.mode("overwrite").parquet(small)
+        # Round-robin repartition (no key): rows are dealt evenly, so
+        # all 64 writers produce a file for any input ≥ 64 rows —
+        # hash-by-key would leave empty partitions (→ no part file,
+        # oracle mismatch) at small or skewed scale factors (ADVICE
+        # r7), and round-robin is also what per-batch appends produce.
+        li.repartition(64).write.mode("overwrite").parquet(small)
         spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
         with open(marker, "w") as fh:
             fh.write("ok")

@@ -1591,15 +1591,53 @@ def q337_backfill_live_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutover = (n_rows * 6) // 10
     overlap_start = max(0, cutover - batch_rows // 2)
 
-    # batch side: rows [0, cutover) in file order
+    # batch side: rows [0, cutover) in file order. The slice is cut by
+    # an event_id THRESHOLD located with the q194 two-phase bucketed
+    # rank (range-bucket census + per-bucket keyed window) — never a
+    # global row_number over the fact rows (ADVICE r7): the only
+    # windows are over the ≤1024-row bucket census and within buckets.
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as _W
 
-    ordered = ev.withColumn(
-        "_rn",
-        F.row_number().over(_W.orderBy("event_id")) - 1,
+    bounds = ev.agg(
+        F.min("event_id").alias("_lo"), F.max("event_id").alias("_hi")
     )
-    batch_part = ordered.filter(F.col("_rn") < cutover).select(
+    bkt = (
+        ev.select("event_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            (
+                (F.col("event_id") - F.col("_lo")) * 1024
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ).cast("long").alias("_bucket"),
+        )
+    )
+    census = bkt.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_c"))
+    cum = census.select(
+        "_bucket",
+        (
+            F.sum("_c").over(
+                _W.orderBy("_bucket").rowsBetween(_W.unboundedPreceding, -1)
+            )
+        ).alias("_before"),
+    ).fillna(0, subset=["_before"])
+    granked = (
+        bkt.join(F.broadcast(cum), "_bucket")
+        .withColumn(
+            "_grank",
+            F.row_number().over(_W.partitionBy("_bucket").orderBy("event_id"))
+            - 1 + F.col("_before"),
+        )
+    )
+    probes = {
+        int(r["_grank"]): int(r["event_id"])
+        for r in granked.filter(
+            F.col("_grank").isin(cutover, overlap_start)
+        ).collect()  # two scalar threshold probes, never fact rows
+    }
+    cut_id, overlap_id = probes[cutover], probes[overlap_start]
+    batch_part = ev.filter(F.col("event_id") < cut_id).select(
         "event_id", "ts", "user_id", "value"
     )
 
@@ -1634,6 +1672,17 @@ def q337_backfill_live_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
             query.awaitTermination()
         tail = spark.read.parquet(f"{out_root}/rows")
+        # The merge is gap-free iff the file's replay order equals
+        # event_id order (first `cutover` file rows = smallest
+        # `cutover` ids). Assert it instead of assuming it (ADVICE
+        # r7): the tail replays from file row `overlap_start`, so its
+        # min event_id must be the id at rank overlap_start.
+        tail_min = tail.agg(F.min("event_id")).collect()[0][0]
+        if tail_min != overlap_id:
+            raise ValueError(
+                f"replay order != event_id order: tail starts at id "
+                f"{tail_min}, rank-{overlap_start} id is {overlap_id}"
+            )
         merged = batch_part.unionByName(tail).dropDuplicates(["event_id"])
         per_user = merged.groupBy(F.window("ts", "1 hour"), "user_id").agg(
             F.count(F.lit(1)).alias("c"),
