@@ -69,15 +69,22 @@ PROMOTED_QUERIES = [
     "q290_lsh_parameter_sweep",        # 3-config band-join sweep (round 6, session 3)
 ]
 
-# Round-7 additions tracked report-only (the VERDICT r5 #7 pattern:
-# reported in queries{} for a round or two, then promoted with
-# declared baselines): the new heavy classes from this round.
-REPORTED_QUERIES = [
+# Round-7 heavy additions, promoted into the declared 23-class
+# headline in round 8 (VERDICT r7 #2) now that they carry baselines
+# (BASELINE.md "Headline sums v3"): summed into `value_23class`.
+PROMOTED23_QUERIES = [
     "q309_simhash64_blocks",        # 64-bit SimHash block probe
     "q311_winnowing_fingerprints",  # winnowing selection
     "q315_winnowing_match",         # MOSS match step
     "q312_rouge1_pair_audit",       # per-candidate ROUGE scoring
     "q322_pq_codebook",             # 4-subspace PQ Lloyd
+]
+
+# Round-8 additions tracked report-only (the VERDICT r5 #7 pattern:
+# reported in queries{} for a round or two, then promoted with
+# declared baselines): the new heavy classes from this round.
+REPORTED_QUERIES = [
+    "q351_avi_indexed_multistream",  # two-stream AVI codec decode
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
@@ -99,10 +106,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Noise guard (VERDICT r7 #9): BASELINE.md's own protocol says
+    # sub-second class deltas are signal only on a quiet box, so a
+    # bench that starts under load waits (bounded) for the 1-min
+    # loadavg to drop below the threshold and flags itself if it
+    # can't — every BENCH_rN is then interpretable on its face.
+    LOAD_MAX = 2.0
+    loadavg_wait = 0.0
     try:
+        while os.getloadavg()[0] > LOAD_MAX and loadavg_wait < 300:
+            time.sleep(15)
+            loadavg_wait += 15
         loadavg = [round(x, 2) for x in os.getloadavg()]
+        loadavg_flag = loadavg[0] > LOAD_MAX
     except OSError:
-        loadavg = []
+        loadavg, loadavg_flag = [], False
 
     from cli_spark.plans.registry import all_queries
     from cli_spark.session import get_spark
@@ -129,6 +147,8 @@ def main() -> None:
     # keeps their tracking cost bounded (declared in BASELINE.md v2)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED_QUERIES})
     total_18 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED23_QUERIES})
+    total_23 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -140,7 +160,10 @@ def main() -> None:
         "sf": sf,
         "value_7class": legacy_total,
         "value_18class": total_18,
+        "value_23class": total_23,
         "loadavg": loadavg,
+        "loadavg_flag": loadavg_flag,
+        "loadavg_wait_sec": loadavg_wait,
         "runs": N_RUNS,
     }
 
