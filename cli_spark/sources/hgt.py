@@ -326,6 +326,46 @@ def write_fixture(directory: str, cell: str, n: int, seed_phase: float,
 
 FIXTURE_CELLS = [("N46E007", 0.0), ("S01W072", 1.5), ("N00E000", 3.0)]
 
+# --- mosaic fixtures: a 2×2 block of ADJACENT cells sampled from one
+# GLOBAL field, so shared border samples (the fencepost trap — N
+# points per axis, corner/edge lines duplicated between neighbors)
+# agree bit-for-bit across files, exactly like real SRTM tiles.
+MOSAIC_CELLS = [(46, 7), (46, 8), (47, 7), (47, 8)]
+
+
+def mosaic_field(y: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Deterministic global elevation field over integer sample
+    coordinates (y grows northward, x eastward; unit = 1/(n-1) deg).
+    Voids are a function of the GLOBAL coordinate too, so a sample
+    shared by two cells is void in both or neither."""
+    alt = (1000 * np.sin(y / 7.0) + 500 * np.cos(x / 5.0)).astype(np.int16)
+    void = (y * 104729 + x * 7919) % 97 == 0
+    return np.where(void, np.int16(VOID), alt)
+
+
+def synth_mosaic_cell(la: int, lo: int, n: int) -> np.ndarray:
+    """Sample one 1°×1° cell from the global field: sample (r, c) sits
+    at y = (la+1)(n-1) − r (row 0 = northern edge), x = lo(n-1) + c."""
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    y = (la + 1) * (n - 1) - r
+    x = lo * (n - 1) + c
+    return mosaic_field(y, x)
+
+
+def ensure_mosaic_fixtures(directory: str, n: int = 241) -> str:
+    """Idempotently materialize the adjacent 2×2 mosaic fixture set
+    (N46/47 × E007/008) at grid size ``n``."""
+    marker = os.path.join(directory, f".ready_{n}")
+    if not os.path.exists(marker):
+        os.makedirs(directory, exist_ok=True)
+        for la, lo in MOSAIC_CELLS:
+            cell = f"N{la:02d}E{lo:03d}"
+            path = os.path.join(directory, f"{cell}.hgt")
+            synth_mosaic_cell(la, lo, n).astype(">i2").tofile(path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return directory
+
 
 def ensure_fixtures(directory: str, n: int = 241) -> str:
     """Idempotently materialize the standard fixture set (3 cells —

@@ -695,3 +695,190 @@ def q326_hgt_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return raw.mapInPandas(_accum, schema).orderBy("cell")
+
+
+MOSAIC_FIXTURE_DIR = os.path.join(os.path.dirname(FIXTURE_DIR), "hgt_mosaic")
+
+
+@register(
+    "q350_hgt_mosaic_seams",
+    # Independent golden from the checked-in script
+    # (scripts_hgt_goldens.py::mosaic_rows, pinned by tests/test_hgt.py):
+    # the D8 census of the SEAMLESS 481×481 mosaic built straight from
+    # the global field definition — n_on_seam counts the points ON the
+    # internal shared-border lines, computable only with cross-cell
+    # border exchange. A decoder that drops/duplicates the fencepost
+    # lines, mis-signs a hemisphere, or skips the exchange mismatches.
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 214, 0),
+  (1, 12449, 61),
+  (2, 32677, 190),
+  (4, 26429, 0),
+  (8, 33608, 0),
+  (16, 12789, 0),
+  (32, 34267, 134),
+  (64, 27150, 178),
+  (128, 33303, 324)
+) AS t(direction, n_points, n_on_seam)
+""",
+    tags=("hgt", "tier_a", "terrain", "mosaic", "fencepost"),
+)
+def q350_hgt_mosaic_seams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cell mosaic D8 census [A6+A8 + the SURVEY §2 fencepost
+    trap, graded] — VERDICT r7 #6: a 2×2 block of ADJACENT cells
+    (N46/47 × E007/008, shared border samples duplicated between
+    files exactly as real SRTM tiles are) is processed as ONE
+    seamless terrain:
+
+    * per cell, the interior D8 census computes in-decode (the q319
+      pass — each tile independent, the embarrassingly parallel unit);
+    * the cells' BORDER BANDS (outer two sample lines per edge —
+      O(perimeter), not O(area)) are exchanged: deduplicated on
+      global sample coordinates with a consistency census that
+      RAISES on any altitude mismatch between the two copies of a
+      shared line (the fencepost check, executed not assumed);
+    * seam-line points get their D8 from the banded relation via
+      eight broadcast-sized shifted equi-joins and a pure-Catalyst
+      fixed-point argmax (lowest-code tie-break, no Python) — the
+      border-row exchange q326's docstring describes, made real.
+
+    The graded census must equal the golden computed on the seamless
+    global mosaic: any discontinuity at the shared edges (dropped or
+    doubled fencepost lines, wrong row order at the northern edge)
+    shifts the n_on_seam column."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    hgt.ensure_mosaic_fixtures(MOSAIC_FIXTURE_DIR)
+    raw = hgt.read_hgt(spark, MOSAIC_FIXTURE_DIR).select("path", "content")
+
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+
+    def _interior(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"direction": [], "n_points": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                ok = v[1:-1, 1:-1].copy()
+                ws = []
+                for code, dr, dc in dirs:
+                    ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    ws.append((g[1:-1, 1:-1] - zn)
+                              * (CARD if dr == 0 or dc == 0 else DIAG))
+                stack = np.stack(ws)
+                best = np.argmax(stack, axis=0)
+                bestw = np.max(stack, axis=0)
+                code_arr = np.array([c for c, _, _ in dirs])[best]
+                code_arr = np.where(bestw > 0, code_arr, 0)[ok]
+                uniq, counts = np.unique(code_arr, return_counts=True)
+                recs["direction"].extend(int(u) for u in uniq)
+                recs["n_points"].extend(int(c) for c in counts)
+            yield pd.DataFrame(recs)
+
+    def _band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"y": [], "x": [], "alt": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                la, lo = hgt.parse_cell_name(cell)
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+                band = ((r <= 1) | (r >= n - 2) | (c <= 1) | (c >= n - 2))
+                y = (la + 1) * (n - 1) - r[band]
+                x = lo * (n - 1) + c[band]
+                vals = g[band]
+                recs["y"].extend(y.tolist())
+                recs["x"].extend(x.tolist())
+                recs["alt"].extend(
+                    None if v == hgt.VOID else int(v) for v in vals.tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "y": recs["y"],
+                    "x": recs["x"],
+                    "alt": pd.array(recs["alt"], dtype="Int64"),
+                }
+            )
+
+    local = raw.mapInPandas(_interior, "direction int, n_points long")
+    band_raw = raw.mapInPandas(_band, "y long, x long, alt int")
+
+    # fencepost consistency: the duplicated border lines must agree
+    consist = band_raw.groupBy("y", "x").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.countDistinct(F.coalesce("alt", F.lit(hgt.VOID))).alias("variants"),
+        F.min("alt").alias("alt"),
+    )
+    n_mismatch = consist.filter(F.col("variants") > 1).count()
+    if n_mismatch:
+        raise ValueError(
+            f"fencepost mismatch: {n_mismatch} shared border samples "
+            f"differ between adjacent cells"
+        )
+    band = consist.select("y", "x", "alt")
+
+    n = 241
+    ymin, ymax = 46 * (n - 1), 48 * (n - 1)
+    xmin, xmax = 7 * (n - 1), 9 * (n - 1)
+    yseam, xseam = 47 * (n - 1), 8 * (n - 1)
+    seam = band.filter(
+        ((F.col("y") == yseam) | (F.col("x") == xseam))
+        & (F.col("y") > ymin) & (F.col("y") < ymax)
+        & (F.col("x") > xmin) & (F.col("x") < xmax)
+    ).select(F.col("y").alias("sy"), F.col("x").alias("sx"),
+             F.col("alt").alias("alt0"))
+    # eight shifted broadcast equi-joins: row offset dr (southward)
+    # maps to global dy = −dr
+    joined = seam
+    for k, (code, dr, dc) in enumerate(dirs):
+        nb = band.select(
+            (F.col("y") + F.lit(dr)).alias("sy"),
+            (F.col("x") - F.lit(dc)).alias("sx"),
+            F.col("alt").alias(f"alt{code}"),
+        )
+        joined = joined.join(F.broadcast(nb), ["sy", "sx"], "left")
+    ok = F.col("alt0").isNotNull()
+    for code, _dr, _dc in dirs:
+        ok = ok & F.col(f"alt{code}").isNotNull()
+    ws = {
+        code: (F.col("alt0") - F.col(f"alt{code}"))
+        * F.lit(CARD if dr == 0 or dc == 0 else DIAG)
+        for code, dr, dc in dirs
+    }
+    mx = F.greatest(*ws.values())
+    direction = F.when(mx <= 0, F.lit(0))
+    chain = None
+    for code, _dr, _dc in dirs:  # ascending code = lowest-code tie-break
+        cond = ws[code] == mx
+        chain = F.when(cond, F.lit(code)) if chain is None else chain.when(cond, F.lit(code))
+    direction = direction.otherwise(chain)
+    seam_census = (
+        joined.filter(ok)
+        .select(direction.alias("direction"))
+        .groupBy("direction")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select("direction", "n_points", F.col("n_points").alias("n_on_seam"))
+    )
+    local_census = local.groupBy("direction").agg(
+        F.sum("n_points").alias("n_points"),
+        F.lit(0).cast("long").alias("n_on_seam"),
+    )
+    return (
+        local_census.unionByName(seam_census)
+        .groupBy("direction")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("n_on_seam").alias("n_on_seam"),
+        )
+        .orderBy("direction")
+    )

@@ -204,6 +204,50 @@ def accum_rows() -> list[tuple]:
     return rows
 
 
+def mosaic_rows(n: int = 241) -> list[tuple]:
+    """q350 golden: D8 census over the SEAMLESS 2×2 mosaic
+    (N46/47 × E007/008) built directly from the GLOBAL field — never
+    from per-cell files — so it is ground truth for cross-cell
+    continuity. For each direction: total interior-of-mosaic points
+    and how many of them lie ON an internal seam line (the shared
+    border samples the per-cell queries can't see past). Same
+    fixed-point D8 rule as flow_rows."""
+    from cli_spark.sources.hgt import mosaic_field
+
+    m = 2 * (n - 1) + 1
+    # mosaic array with row index growing SOUTHWARD: row i ⇒ y = ymax−i
+    i, j = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    ymax = (47 + 1) * (n - 1)
+    xmin = 7 * (n - 1)
+    g = mosaic_field(ymax - i, xmin + j).astype(np.int64)
+    v = g != VOID
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+    ok = v[1:-1, 1:-1].copy()
+    ws, codes = [], []
+    for code, dr, dc in dirs:
+        ok &= v[1 + dr:m - 1 + dr, 1 + dc:m - 1 + dc]
+        ws.append((g[1:-1, 1:-1] - g[1 + dr:m - 1 + dr, 1 + dc:m - 1 + dc])
+                  * (CARD if dr == 0 or dc == 0 else DIAG))
+        codes.append(code)
+    stack = np.stack(ws)
+    best = np.argmax(stack, axis=0)
+    bestw = np.max(stack, axis=0)
+    code_arr = np.array(codes)[best]
+    code_arr = np.where(bestw > 0, code_arr, 0)
+    # seam lines in interior-index space: interior point (ii, jj) maps
+    # to mosaic (ii+1, jj+1); internal seams sit at mosaic row/col n−1
+    ii, jj = np.meshgrid(np.arange(m - 2), np.arange(m - 2), indexing="ij")
+    on_seam = (ii + 1 == n - 1) | (jj + 1 == n - 1)
+    rows = []
+    for code in sorted(set(code_arr[ok].tolist())):
+        sel = ok & (code_arr == code)
+        rows.append((int(code), int(sel.sum()),
+                     int((sel & on_seam).sum())))
+    return rows
+
+
 def _values_block(rows: list[tuple], cols: str) -> str:
     def lit(x):
         return f"'{x}'" if isinstance(x, str) else str(x)
@@ -228,6 +272,8 @@ def main() -> None:
     print(_values_block(
         accum_rows(),
         "cell, n_sources, n_small, n_medium, n_large, max_accum"))
+    print("\n-- q350_hgt_mosaic_seams")
+    print(_values_block(mosaic_rows(), "direction, n_points, n_on_seam"))
 
 
 if __name__ == "__main__":

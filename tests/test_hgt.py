@@ -279,9 +279,37 @@ def test_terrain_goldens_match_checked_in_script(duck):
         ("q299_hgt_contour_crossings", G.contour_rows),
         ("q319_hgt_flow_direction", G.flow_rows),
         ("q326_hgt_flow_accumulation", G.accum_rows),
+        ("q350_hgt_mosaic_seams", G.mosaic_rows),
     ):
         oracle_rows = sorted(
             tuple(r) for r in duck.execute(reg[qname].oracle).fetchall()
         )
         script_rows = sorted(tuple(r) for r in fn())
         assert script_rows == oracle_rows, qname
+
+
+def test_mosaic_shared_edges_agree_and_mismatch_raises(spark, tmp_path, monkeypatch):
+    """The 2×2 mosaic fixtures must duplicate their shared border
+    lines bit-for-bit (fencepost contract), and q350's exchange stage
+    must actually EXECUTE that check: corrupting one shared sample in
+    only one of the two files raises instead of silently computing a
+    discontinuous field."""
+    import cli_spark.sources.hgt_queries as HQ
+
+    d = str(tmp_path / "mosaic")
+    hgt.ensure_mosaic_fixtures(d)
+    # direct fencepost assertion on the written files
+    g_w = np.fromfile(os.path.join(d, "N46E007.hgt"), dtype=">i2").reshape(241, 241)
+    g_e = np.fromfile(os.path.join(d, "N46E008.hgt"), dtype=">i2").reshape(241, 241)
+    g_s = g_w
+    g_n = np.fromfile(os.path.join(d, "N47E007.hgt"), dtype=">i2").reshape(241, 241)
+    np.testing.assert_array_equal(g_w[:, 240], g_e[:, 0])   # E/W seam
+    np.testing.assert_array_equal(g_n[240, :], g_s[0, :])   # N/S seam
+
+    # corrupt ONE copy of a shared sample → q350 must raise
+    g_w = g_w.copy()
+    g_w[100, 240] = g_w[100, 240] + 7
+    g_w.astype(">i2").tofile(os.path.join(d, "N46E007.hgt"))
+    monkeypatch.setattr(HQ, "MOSAIC_FIXTURE_DIR", d)
+    with pytest.raises(ValueError, match="fencepost mismatch"):
+        HQ.q350_hgt_mosaic_seams(spark, "unused")
