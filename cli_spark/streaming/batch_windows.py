@@ -578,14 +578,19 @@ def q271_streaming_multibatch_true(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _run_restart_recovery(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, fmt: str = "replay",
+    extra_options: dict | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Shared engine for q310: run the replayed windowed aggregation
-    with a checkpoint, STOP the query mid-stream, restart it from the
-    same checkpoint, drain to exhaustion, and return (result,
-    evidence). Evidence records where phase 1 stopped and the offset
-    phase 2 resumed from, so tests can assert the restart really was
-    a mid-stream recovery rather than a fresh start."""
+    """Shared engine for q310/q352: run the replayed windowed
+    aggregation with a checkpoint, STOP the query mid-stream, restart
+    it from the same checkpoint, drain to exhaustion, and return
+    (result, evidence). Evidence records where phase 1 stopped and
+    the offset phase 2 resumed from, so tests can assert the restart
+    really was a mid-stream recovery rather than a fresh start.
+    ``fmt`` selects the source: "replay" (driver-side simple reader)
+    or "replay_part" (q330's partitioned DataSourceStreamReader —
+    recovery then re-plans executor-side partitions for the
+    uncommitted range)."""
     import json
     import shutil
     import tempfile
@@ -593,10 +598,12 @@ def _run_restart_recovery(
     import uuid as _uuid
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.sources.replay_partitioned import register_replay_partitioned
 
     import pyarrow.parquet as pq
 
     register_replay_source(spark)
+    register_replay_partitioned(spark)
     ckpt = tempfile.mkdtemp(prefix="cli_spark_ckpt_")
     # ~10 micro-batches at ANY scale factor (parquet footer read is
     # driver-side metadata only), so the kill always lands mid-stream
@@ -604,12 +611,14 @@ def _run_restart_recovery(
     batch_rows = max(1, (n_rows + 9) // 10)
 
     def build() -> DataFrame:
-        stream = (
-            spark.readStream.format("replay")
+        reader = (
+            spark.readStream.format(fmt)
             .option("path", f"{sf_dir}/events.parquet")
             .option("batchRows", batch_rows)
-            .load()
         )
+        for k, v in (extra_options or {}).items():
+            reader = reader.option(k, v)
+        stream = reader.load()
         return (
             stream.groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(
@@ -730,6 +739,40 @@ def q310_streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFra
     resumption (not a silent from-zero rerun) is asserted separately
     in tests/test_streaming.py via the recovery evidence dict."""
     out, _evidence = _run_restart_recovery(spark, sf_dir)
+    return out
+
+
+@register(
+    "q352_partitioned_restart_recovery",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "true_stream", "checkpoint", "recovery",
+          "datasource", "partitioned"),
+)
+def q352_partitioned_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery × PARTITIONED streaming source (VERDICT r7
+    #8): q310's kill/restart protocol run through q330's full
+    DataSourceStreamReader — the source whose micro-batches split
+    into executor-side row-group-reading partitions. A restart
+    recovers the committed row offset from the checkpoint's offset
+    log and the source must RE-PLAN partitions for only the
+    uncommitted range: per-partition slices are derived from the
+    recovered offsets each batch, so resumption is exact even though
+    no individual partition is itself checkpointed (the
+    contiguous-slice planning contract, asserted in
+    tests/test_streaming.py). Bit-exact oracle match of the drained
+    complete-mode aggregate is the exactly-once evidence — a
+    partition re-read after the crash overcounts, a skipped
+    uncommitted range undercounts."""
+    out, _evidence = _run_restart_recovery(
+        spark, sf_dir, fmt="replay_part", extra_options={"numPartitions": 4}
+    )
     return out
 
 
