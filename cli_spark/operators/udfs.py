@@ -378,3 +378,59 @@ def q339_apply_in_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInArrow(
         stats, "lang string, n_docs long, total_bytes long, min_chars long, max_chars long"
     )
+
+
+@register(
+    "q353_polymorphic_udtf",
+    # The UDTF's schema (w1..wN string, n_words int) is computed at
+    # ANALYZE time from the literal width argument; the oracle mirrors
+    # the three fixed columns with split_part (empty string for
+    # missing positions, exactly like eval's padding).
+    oracle="""
+SELECT doc_id,
+       split_part(text, ' ', 1) AS w1,
+       split_part(text, ' ', 2) AS w2,
+       split_part(text, ' ', 3) AS w3,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words
+FROM documents WHERE doc_id % 7 = 0
+""",
+    tags=("udf", "udtf", "polymorphic", "spark4"),
+)
+def q353_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()` static method —
+    the last uncovered cell of the UDTF surface after q58's
+    fixed-schema form): the output schema is computed at query
+    ANALYSIS time from the foldable width argument, so
+    `lead_words(doc_id, text, 3)` materializes columns w1..w3 while
+    `..., 5` would materialize w1..w5 — the contract behind
+    schema-flexible table functions (CSV-ish splitters, pivot-like
+    expanders) that static returnType UDTFs cannot express. One row
+    in → one row out with literal-width padding, so DuckDB mirrors it
+    exactly with split_part. Demo slice kept deliberately small: a
+    UDTF is the Python-worker path, not the 100 TB hot path."""
+    from pyspark.sql.functions import udtf as _udtf_fn
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class LeadWords:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            if n.value is None or not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("width must be a positive integer literal")
+            st = StructType().add("doc_id", LongType())
+            for i in range(1, n.value + 1):
+                st = st.add(f"w{i}", StringType())
+            return AnalyzeResult(st.add("n_words", IntegerType()))
+
+        def eval(self, doc_id, text, n):
+            words = text.split(" ")
+            head = [words[i] if i < len(words) else "" for i in range(n)]
+            yield (doc_id, *head, len(words))
+
+    spark.udtf.register("lead_words", _udtf_fn(LeadWords))
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    ).createOrReplaceTempView("poly_docs_in")
+    return spark.sql(
+        "SELECT t.* FROM poly_docs_in, LATERAL lead_words(doc_id, text, 3) t"
+    )

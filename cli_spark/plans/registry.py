@@ -281,6 +281,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q350_hgt_mosaic_seams",
     "q351_avi_indexed_multistream",
     "q352_partitioned_restart_recovery",
+    "q353_polymorphic_udtf",
+    "q354_streaming_chained_windows",
     # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
     "q310_streaming_restart_recovery",
     "q318_streaming_outer_join_true",

@@ -777,6 +777,105 @@ def q352_partitioned_restart_recovery(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "q354_streaming_chained_windows",
+    # Emission cut pinned empirically against Spark 4.1.2 (q279's
+    # method): with an event-time-ORDERED replay (no drops at any
+    # delay) and a 0-second watermark, the final no-data micro-batch
+    # advances the watermark to the global max event time and both
+    # stateful levels flush windows with end <= watermark
+    # (non-strict). Hence: hour windows whose end <= max(ts) are
+    # emitted; the hour containing max(ts) is not (unless max lies
+    # exactly on an hour boundary, in which case the preceding hour's
+    # 10-minute windows all finalize too — consistent on both sides).
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("streaming", "true_stream", "chained", "multi_stateful"),
+)
+def q354_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations in ONE query (Spark
+    3.4+ multiple-stateful-operator support, ungraded anywhere else
+    in the registry): a 10-minute windowed pre-aggregation feeds an
+    hourly rollup via `window_time()` — the production two-level
+    pattern that keeps per-trigger state small (10-min partials) while
+    serving a coarser SLA rollup, without running two queries or
+    re-reading the stream. Both levels run in append mode with one
+    event-time watermark; the replay source delivers rows in EVENT
+    TIME order (new `orderBy` option), which makes the 0-second
+    watermark drop-free, so the graded result is exactly the batch
+    hourly census cut at the last finalized hour — any state lost
+    between the chained operators, or a mis-propagated watermark,
+    breaks the hash."""
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", batch_rows)
+        .option("orderBy", "ts,event_id")
+        .load()
+    )
+    lvl1 = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(quantize(F.col("value")).cast("decimal(38,0)")).alias("qs"),
+        )
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("window"), "1 hour"))
+        .agg(
+            F.sum("c").alias("n_events"),
+            (F.sum("qs").cast("double") / F.lit(float(10 ** MONEY_SCALE)))
+            .alias("value_sum"),
+        )
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    name = "chained_" + _uuid.uuid4().hex[:8]
+    query = (
+        lvl2.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, time.time()
+        while idle < 3 and time.time() - t0 < 180:
+            time.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+@register(
     "q279_streaming_watermark_drop",
     # The oracle SIMULATES Spark's batched watermark protocol exactly,
     # as pinned empirically against Spark 4.1.2 (see docstring):
