@@ -1753,3 +1753,150 @@ def q322_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _ivfpq_sql(n_sub: int, sub_dim: int, iters: int, k: int) -> str:
+    """IVF-PQ oracle: the shared coarse Lloyd chain (_kmeans_ctes),
+    centroids RE-ESTIMATED from the final assignment (the documented
+    residual reference — derivable from the membership without
+    re-running the loop), the residual relation, then one q322-style
+    unrolled PQ chain per subspace over the residuals."""
+    ctes, members = _kmeans_ctes(iters, k)
+    ctes.append(
+        f"fm AS (SELECT vec_id, cid FROM {members} WHERE rn = 1)")
+    ctes.append(
+        "cent3 AS (SELECT fm.cid, q.pos, "
+        "CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv "
+        "FROM q JOIN fm ON q.vec_id = fm.vec_id GROUP BY fm.cid, q.pos)")
+    ctes.append(
+        "r AS (SELECT q.vec_id, q.pos, q.qv - c.cv AS qv "
+        "FROM q JOIN fm ON q.vec_id = fm.vec_id "
+        "JOIN cent3 c ON c.cid = fm.cid AND c.pos = q.pos)")
+    arms = []
+    for s in range(n_sub):
+        p = f"r{s}_"
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        ctes.append(
+            f"{p}q AS (SELECT vec_id, pos, qv FROM r WHERE pos BETWEEN {lo} AND {hi})")
+        ctes.append(
+            f"{p}c0 AS (SELECT vec_id AS cid, pos, qv AS cv FROM {p}q WHERE vec_id < {k})")
+        prev = f"{p}c0"
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"{p}a{i} AS (SELECT q.vec_id, c.cid, "
+                f"CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2 "
+                f"FROM {p}q q JOIN {prev} c ON q.pos = c.pos GROUP BY q.vec_id, c.cid)")
+            ctes.append(
+                f"{p}m{i} AS (SELECT vec_id, cid, d2, row_number() OVER "
+                f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM {p}a{i})")
+            ctes.append(
+                f"{p}c{i} AS (SELECT m.cid, q.pos, "
+                f"CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cv "
+                f"FROM {p}q q JOIN (SELECT vec_id, cid FROM {p}m{i} WHERE rn = 1) m "
+                f"ON q.vec_id = m.vec_id GROUP BY m.cid, q.pos)")
+            prev = f"{p}c{i}"
+        fin = iters + 1
+        ctes.append(
+            f"{p}a{fin} AS (SELECT q.vec_id, c.cid, "
+            f"CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2 "
+            f"FROM {p}q q JOIN {prev} c ON q.pos = c.pos GROUP BY q.vec_id, c.cid)")
+        ctes.append(
+            f"{p}m{fin} AS (SELECT vec_id, cid, d2, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM {p}a{fin})")
+        arms.append(
+            f"SELECT {s} AS subspace, cid AS code, COUNT(*) AS n_members, "
+            f"CAST(SUM(d2) AS BIGINT) AS residual_sse FROM {p}m{fin} WHERE rn = 1 "
+            f"GROUP BY cid")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@register(
+    "q355_ivfpq_residual",
+    oracle=_ivfpq_sql(_PQ_SUB, _PQ_DIM, _KMEANS_ITERS, _KMEANS_K),
+    tags=("training", "ann", "ivf", "product_quantization", "iterative"),
+)
+def q355_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ RESIDUAL codebook training (Jégou et al. TPAMI'11 §V —
+    the composition FAISS's IVFPQ index actually runs, completing
+    q84's coarse-bucket IVF and q322's direct-space PQ): vectors are
+    assigned to q158's deterministic coarse centroids, each vector is
+    replaced by its RESIDUAL to the re-estimated centroid of its
+    coarse cell (residuals are what PQ quantizes in an IVF index —
+    they concentrate near zero, so the same code budget buys less
+    distortion than direct PQ), and the 4×16-dim PQ Lloyd then trains
+    on the residual space. Output per (subspace, code): membership
+    and residual SSE, all in exact quantized-integer arithmetic.
+
+    Scale shape: the coarse assignment is the cached q158 membership
+    (localCheckpointed, shared with SemDeDup); residual construction
+    is one keyed join against the broadcast (k × 64)-row centroid
+    relation — vectors never shuffle; the PQ stage inherits q322's
+    plan (per-iteration broadcast centroid joins over the shared
+    exploded-dim scan, exchange count = the unrolled iteration
+    budget, none fact-wide)."""
+    q_all = _qdims(spark, sf_dir).select("vec_id", "pos", "qv")
+    members = _kmeans_membership(spark, sf_dir).select("vec_id", "cid")
+    cent3 = (
+        q_all.join(members, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)) + 0.5)
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    r_all = (
+        q_all.join(members, "vec_id")
+        .join(F.broadcast(cent3), ["cid", "pos"])
+        .select("vec_id", "pos", (F.col("qv") - F.col("cv")).alias("qv"))
+    )
+
+    def assign(qd: DataFrame, cent: DataFrame) -> DataFrame:
+        d = (
+            qd.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+                .cast("long")
+                .alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    outs = []
+    for s in range(_PQ_SUB):
+        lo, hi = s * _PQ_DIM, (s + 1) * _PQ_DIM - 1
+        qd = r_all.filter((F.col("pos") >= lo) & (F.col("pos") <= hi))
+        cent = qd.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cv")
+        )
+        for _ in range(_KMEANS_ITERS):
+            m = assign(qd, cent).select("vec_id", "cid")
+            cent = (
+                qd.join(m, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)) + 0.5)
+                    .cast("long")
+                    .alias("cv")
+                )
+            )
+        outs.append(
+            assign(qd, cent)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum("d2").cast("long").alias("residual_sse"),
+            )
+            .select(
+                F.lit(s).alias("subspace"),
+                F.col("cid").alias("code"),
+                "n_members",
+                "residual_sse",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -283,6 +283,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q352_partitioned_restart_recovery",
     "q353_polymorphic_udtf",
     "q354_streaming_chained_windows",
+    "q355_ivfpq_residual",
     # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
     "q310_streaming_restart_recovery",
     "q318_streaming_outer_join_true",
