@@ -398,3 +398,172 @@ def q327_expectations_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out
+
+
+@register(
+    "q356_sharded_topk_audit",
+    # Same construction in SQL: 16 doc-hash shards, per-shard top-10
+    # terms by (count DESC, term ASC), candidate union re-scored with
+    # EXACT global counts, compared against the true global top-20.
+    oracle="""
+WITH words AS (
+  SELECT doc_id % 16 AS shard,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w != '')) AS term
+  FROM documents
+),
+shard_counts AS (
+  SELECT shard, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words GROUP BY shard, term
+),
+local_top AS (
+  SELECT shard, term, n,
+         row_number() OVER (PARTITION BY shard ORDER BY n DESC, term) AS rn
+  FROM shard_counts
+),
+cand AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_shards_voting
+  FROM local_top WHERE rn <= 10 GROUP BY term
+),
+global_counts AS (
+  SELECT term, CAST(SUM(n) AS BIGINT) AS n_total FROM shard_counts GROUP BY term
+),
+true_top AS (
+  SELECT term, n_total,
+         row_number() OVER (ORDER BY n_total DESC, term) AS true_rank
+  FROM global_counts
+)
+SELECT t.true_rank, t.term, t.n_total,
+       COALESCE(c.n_shards_voting, 0) AS n_shards_voting,
+       CASE WHEN c.term IS NOT NULL THEN 1 ELSE 0 END AS recovered
+FROM true_top t LEFT JOIN cand c ON c.term = t.term
+WHERE t.true_rank <= 20
+""",
+    tags=("audit", "distributed", "topk", "mergeable"),
+)
+def q356_sharded_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded top-K recoverability audit — the correctness question
+    behind every scatter-gather leaderboard (and the reason
+    coordinators fetch MORE than K per shard): 16 doc-hash shards
+    each nominate their local top-10 terms, the coordinator unions
+    the nominations and re-scores them with exact global counts, and
+    the audit reports which of the TRUE global top-20 were
+    recoverable from the nominations (a term missed by every shard's
+    local top-10 can never reach the coordinator — the classic
+    distributed top-K completeness failure) plus how many shards
+    nominated each.
+
+    Scale shape: per-shard censuses map-side combine; the per-shard
+    top-10 is a shard-partitioned window (never global over terms);
+    only the nominated-candidate relation (≤ 160 rows) and the
+    20-row truth reach the final join. The global true-rank window
+    runs over the term census, which is vocabulary-sized, not
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = d.select(
+        (F.col("doc_id") % 16).alias("shard"),
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+        .alias("term"),
+    )
+    shard_counts = words.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window as _W
+
+    local_top = shard_counts.withColumn(
+        "rn",
+        F.row_number().over(_W.partitionBy("shard").orderBy(F.col("n").desc(), "term")),
+    ).filter(F.col("rn") <= 10)
+    cand = local_top.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards_voting")
+    )
+    global_counts = shard_counts.groupBy("term").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    true_top = global_counts.withColumn(
+        "true_rank",
+        F.row_number().over(_W.orderBy(F.col("n_total").desc(), "term")),
+    ).filter(F.col("true_rank") <= 20)
+    return (
+        true_top.join(F.broadcast(cand), "term", "left")
+        .select(
+            "true_rank",
+            "term",
+            "n_total",
+            F.coalesce("n_shards_voting", F.lit(0).cast("long"))
+            .alias("n_shards_voting"),
+            F.when(F.col("n_shards_voting").isNotNull(), 1).otherwise(0)
+            .alias("recovered"),
+        )
+    )
+
+
+@register(
+    "q357_observe_metrics",
+    # The oracle recomputes the three observed in-flight metrics and
+    # the downstream result census directly.
+    oracle="""
+WITH src AS (
+  SELECT * FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07
+),
+agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+         CAST(MAX(l_orderkey) AS BIGINT) AS max_order
+  FROM src
+),
+grp AS (
+  SELECT COUNT(*) AS n_groups FROM (
+    SELECT l_returnflag, l_linestatus FROM src GROUP BY 1, 2
+  )
+)
+SELECT 'observed_rows' AS metric, CAST(n_rows AS BIGINT) AS value FROM agg
+UNION ALL
+SELECT 'observed_price_cents', price_cents FROM agg
+UNION ALL
+SELECT 'observed_max_order', max_order FROM agg
+UNION ALL
+SELECT 'result_groups', CAST(n_groups AS BIGINT) FROM grp
+""",
+    tags=("audit", "observe", "metrics", "api"),
+)
+def q357_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe()` / `Observation` — Spark's in-flight
+    metrics API (the monitoring surface production pipelines hang
+    data-quality counters on): named aggregate expressions piggyback
+    on the SAME pass that computes the real result, with no second
+    scan. Here the filtered lineitem slice is observed for row count,
+    exact cent revenue, and distinct orders while a group census
+    consumes it; the observed values and the census are emitted
+    together and must equal the oracle's direct recomputation —
+    proving the metrics see exactly the rows the query processed.
+    The observation handle delivers driver-side scalars (that is its
+    contract); only 4 metric rows are materialized."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").between(0.05, 0.07)
+    )
+    obs = Observation("q357")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("observed_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("observed_price_cents"),
+        F.max("l_orderkey").alias("observed_max_order"),
+    )
+    n_groups = (
+        observed.groupBy("l_returnflag", "l_linestatus").count().count()
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            ("observed_rows", int(m["observed_rows"])),
+            ("observed_price_cents", int(m["observed_price_cents"])),
+            ("observed_max_order", int(m["observed_max_order"])),
+            ("result_groups", int(n_groups)),
+        ],
+        "metric string, value long",
+    )

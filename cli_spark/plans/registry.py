@@ -284,6 +284,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q353_polymorphic_udtf",
     "q354_streaming_chained_windows",
     "q355_ivfpq_residual",
+    "q356_sharded_topk_audit",
+    "q357_observe_metrics",
     # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
     "q310_streaming_restart_recovery",
     "q318_streaming_outer_join_true",
