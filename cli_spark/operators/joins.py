@@ -320,3 +320,77 @@ def q18_self_join_week_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "order_a", "order_b", gap.alias("day_gap"))
     )
+
+
+@register(
+    "q359_nullsafe_join",
+    # DuckDB mirrors <=> with IS NOT DISTINCT FROM; the NULL key
+    # group is where the two operators genuinely diverge (= drops it,
+    # <=> matches it).
+    oracle="""
+WITH l AS (
+  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS key FROM customer
+),
+r AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_right FROM l GROUP BY key),
+ns AS (
+  SELECT r.key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM l JOIN r ON l.key IS NOT DISTINCT FROM r.key GROUP BY r.key
+),
+eq AS (
+  SELECT r.key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM l JOIN r ON l.key = r.key GROUP BY r.key
+)
+SELECT r.key, r.n_right, ns.n AS n_pairs_nullsafe,
+       COALESCE(eq.n, 0) AS n_pairs_eq
+FROM r
+JOIN ns ON ns.key IS NOT DISTINCT FROM r.key
+LEFT JOIN eq ON eq.key IS NOT DISTINCT FROM r.key
+""",
+    tags=("joins", "nullsafe", "three_valued_logic"),
+)
+def q359_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / `eqNullSafe`) vs plain `=` —
+    the three-valued-logic join trap q03 covers for predicates,
+    graded at the JOIN operator level: customers keyed by a
+    deliberately-nullable segment (BUILDING → NULL) are joined to the
+    per-key census with BOTH operators. Plain `=` silently drops
+    every NULL-keyed row (NULL = NULL is UNKNOWN); `<=>` matches the
+    NULL group — exactly the difference between losing and keeping
+    the 'unknown segment' cohort in a production rollup. The output
+    shows both pair counts per key so the divergence is the graded
+    value, not a comment.
+
+    Scale shape: `<=>` keys still hash-partition (null-safe equality
+    is a deterministic hash bucket — Catalyst plans the same shuffle
+    join as `=`, it does NOT degrade to a nested loop; at 100 TB a
+    heavily-NULL key column is a skew concern to salt, same as any
+    hot key)."""
+    c = load_table(spark, sf_dir, "customer")
+    left = c.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("key")
+    )
+    right = left.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+    r = right.alias("r")
+    ns = (
+        left.alias("l")
+        .join(r, F.col("l.key").eqNullSafe(F.col("r.key")))
+        .groupBy(F.col("r.key").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    eq = (
+        left.alias("l")
+        .join(r, F.col("l.key") == F.col("r.key"))
+        .groupBy(F.col("r.key").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        right.alias("rr")
+        .join(ns.alias("ns"), F.col("rr.key").eqNullSafe(F.col("ns.key")))
+        .join(eq.alias("eq"), F.col("rr.key").eqNullSafe(F.col("eq.key")), "left")
+        .select(
+            F.col("rr.key").alias("key"),
+            "n_right",
+            F.col("ns.n").alias("n_pairs_nullsafe"),
+            F.coalesce(F.col("eq.n"), F.lit(0).cast("long")).alias("n_pairs_eq"),
+        )
+    )

@@ -455,3 +455,88 @@ def q336_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return phase("before", small).unionByName(phase("after", big))
+
+
+@register(
+    "q360_metadata_columns",
+    # The layout is deterministic (one file per l_returnflag partition
+    # via repartition-by-key before partitionBy), so per-partition row
+    # counts, the row_index span, and the partition value recovered
+    # from _metadata.file_path reduce to a plain census of the slice.
+    oracle="""
+SELECT l_returnflag AS part_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE l_orderkey % 3 = 0
+GROUP BY l_returnflag
+""",
+    tags=("layout", "metadata", "scan"),
+)
+def q360_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` scan columns (Spark 3.5+: file_path,
+    file_name, file_size, row_index — the provenance surface behind
+    per-file debugging, exactly-once file compaction and row-level
+    lineage): a returnflag-partitioned layout is written (one file
+    per partition by construction), read back, and the census is
+    computed ENTIRELY from metadata — the partition value is
+    regexp-recovered from `_metadata.file_path` (never read from the
+    data column), file identity from `file_name`, and the per-file
+    `row_index` span must be exactly 0..n−1 (contiguous, no gaps) —
+    while exact cent sums prove the rows themselves survived the
+    round trip. A scan that mis-attributes rows to files or breaks
+    row_index contiguity mismatches.
+
+    Scale shape: one write shuffle keyed by the partition column, one
+    metadata-projecting scan; the census is partition-count-sized."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    ).select("l_orderkey", "l_returnflag", "l_extendedprice")
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|meta".encode()
+    ).hexdigest()[:12]
+    root = _os.path.join(tempfile.gettempdir(), f"cli_spark_meta_{tag}")
+    marker = _os.path.join(root, ".ready")
+    if not _os.path.exists(marker):
+        (
+            li.repartition("l_returnflag")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(root)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.parquet(root).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"l_returnflag=([^/]+)/", 1
+        ).alias("part_value"),
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+        "l_extendedprice",
+    )
+    per_file = back.groupBy("part_value", "file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_index").alias("min_ri"),
+        F.max("row_index").alias("max_ri"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("price_cents"),
+    )
+    # row_index contract: contiguous 0..n−1 within each file
+    bad = per_file.filter(
+        (F.col("min_ri") != 0) | (F.col("max_ri") != F.col("n_rows") - 1)
+    ).count()
+    if bad:
+        raise ValueError(f"row_index not contiguous in {bad} files")
+    return per_file.groupBy("part_value").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.max("max_ri").cast("long").alias("max_row_index"),
+        F.sum("price_cents").cast("long").alias("price_cents"),
+    )

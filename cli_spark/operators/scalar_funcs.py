@@ -497,3 +497,56 @@ def q269_decimal_exact_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q358_xml_pack",
+    # The XML is synthesized from typed event fields, so the oracle
+    # recomputes every extracted value from the fields directly —
+    # a from_xml/xpath decode bug surfaces as a census mismatch.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(SUM(event_id % 5) AS BIGINT) AS n_sum
+FROM events
+GROUP BY event_type
+""",
+    tags=("scalar", "xml", "spark4"),
+)
+def q358_xml_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML expression pack (Spark 4 `from_xml` + the `xpath_*`
+    family — the last untouched semi-structured codec after
+    JSON/VARIANT/CSV): each event is rendered as an XML element with
+    attributes and a child node, then decoded back through BOTH APIs
+    — `from_xml` with a struct schema (attributes surface under the
+    `_` attributePrefix convention) and `xpath_int` against the child
+    — and the per-type census of the decoded values must equal the
+    oracle's direct recomputation from the typed source columns.
+    Round-tripping through the engine's own rendering is the same
+    self-sourced pattern as the BMP/WAV/AVI codecs: the testdata
+    ships no XML, and synthesis is what makes the decode exactly
+    gradable."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.expr(
+            "from_xml("
+            + "concat('<e k=\"', get_json_object(props, '$.k'), '\" t=\"', "
+            + "event_type, '\"><n>', CAST(event_id % 5 AS STRING), '</n></e>'),"
+            + " '_k INT, _t STRING, n INT')"
+        ).alias("s"),
+        F.expr(
+            "xpath_int(concat('<e><n>', CAST(event_id % 5 AS STRING), "
+            "'</n></e>'), '/e/n')"
+        ).alias("n_xpath"),
+    ).select(
+        F.col("s._t").alias("event_type"),
+        F.col("s._k").alias("k"),
+        "n_xpath",
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.sum("n_xpath").cast("long").alias("n_sum"),
+    )

@@ -286,6 +286,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q355_ivfpq_residual",
     "q356_sharded_topk_audit",
     "q357_observe_metrics",
+    "q358_xml_pack",
+    "q359_nullsafe_join",
+    "q360_metadata_columns",
     # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
     "q310_streaming_restart_recovery",
     "q318_streaming_outer_join_true",
