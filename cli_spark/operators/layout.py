@@ -540,3 +540,73 @@ def q360_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_ri").cast("long").alias("max_row_index"),
         F.sum("price_cents").cast("long").alias("price_cents"),
     )
+
+
+@register(
+    "q362_max_records_per_file",
+    # One writer task (repartition(1)) + maxRecordsPerFile=1500 makes
+    # the file census pure arithmetic: ceil(n/1500) files, every file
+    # 1500 rows except one remainder file; exact cent conservation.
+    oracle="""
+WITH src AS (
+  SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 5 = 0
+),
+n AS (SELECT COUNT(*) AS cnt,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+      FROM src)
+SELECT CAST(ceil(cnt / 1500.0) AS BIGINT) AS n_files,
+       CAST(cnt AS BIGINT) AS n_rows,
+       CAST(CASE WHEN cnt % 1500 = 0 THEN 1500 ELSE cnt % 1500 END AS BIGINT)
+         AS smallest_file_rows,
+       CAST(1500 AS BIGINT) AS largest_file_rows,
+       price_cents
+FROM n
+""",
+    tags=("layout", "writer", "file_sizing"),
+)
+def q362_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`maxRecordsPerFile` writer sizing — the knob that prevents both
+    the small-file problem (q336) and its opposite, monolithic files
+    no scan can parallelize: a single writer task bounded at 1,500
+    rows/file must produce exactly ceil(n/1500) files, all full except
+    one remainder — read back from disk via `_metadata.file_name`
+    (never assumed), with exact cent conservation proving the split
+    moved bytes, not data. At 100 TB this is set in bytes via target
+    file size; the row-bounded contract graded here is the same
+    mechanism."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 5 == 0
+    ).select("l_orderkey", "l_extendedprice")
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|maxrec".encode()
+    ).hexdigest()[:12]
+    root = _os.path.join(tempfile.gettempdir(), f"cli_spark_maxrec_{tag}")
+    marker = _os.path.join(root, ".ready")
+    if not _os.path.exists(marker):
+        (
+            li.repartition(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 1500)
+            .parquet(root)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.parquet(root).select(
+        F.col("_metadata.file_name").alias("file_name"), "l_extendedprice"
+    )
+    per_file = back.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("smallest_file_rows"),
+        F.max("n").cast("long").alias("largest_file_rows"),
+        F.sum("cents").cast("long").alias("price_cents"),
+    )

@@ -434,3 +434,42 @@ def q353_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.* FROM poly_docs_in, LATERAL lead_words(doc_id, text, 3) t"
     )
+
+
+@register(
+    "q361_arrow_scalar_udf",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) || '/' || CAST(p_size * 2 AS VARCHAR) AS tag,
+       CAST(length(p_name) + p_size AS BIGINT) AS weight
+FROM part WHERE p_partkey % 25 = 0
+""",
+    tags=("udf", "scalar", "arrow", "spark4"),
+)
+def q361_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED scalar Python UDF (`useArrow=True` — Spark
+    3.5+/4 per-function Arrow serialization): completes the declared
+    Python eval spectrum between q59's pickled row-at-a-time UDF and
+    the pandas_udf family. The function still executes per-row in
+    Python (unlike a pandas UDF's vectorized batches) but its I/O
+    rides Arrow columnar batches instead of per-row pickling — the
+    drop-in upgrade for legacy UDFs that can't be vectorized. Pure
+    deterministic string/int functions → exact oracle."""
+
+    @F.udf(returnType="string", useArrow=True)
+    def brand_tag(brand: str, size: int) -> str:
+        return f"{brand.upper()}/{size * 2}"
+
+    @F.udf(returnType="long", useArrow=True)
+    def weight(name: str, size: int) -> int:
+        return len(name) + size
+
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 25 == 0)
+        .select(
+            "p_partkey",
+            brand_tag("p_brand", "p_size").alias("tag"),
+            weight("p_name", "p_size").alias("weight"),
+        )
+    )

@@ -289,6 +289,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q358_xml_pack",
     "q359_nullsafe_join",
     "q360_metadata_columns",
+    "q361_arrow_scalar_udf",
+    "q362_max_records_per_file",
     # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
     "q310_streaming_restart_recovery",
     "q318_streaming_outer_join_true",
