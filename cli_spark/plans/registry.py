@@ -291,6 +291,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q360_metadata_columns",
     "q361_arrow_scalar_udf",
     "q362_max_records_per_file",
+    "q363_column_defaults",
+    "q364_parameterized_sql",
+    "q365_lateral_column_alias",
     # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
     "q310_streaming_restart_recovery",
     "q318_streaming_outer_join_true",
