@@ -38,16 +38,31 @@ _PERSIST_CACHE_MAX = 12
 _PERSIST_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
 
+def _safe_unpersist(df: DataFrame) -> None:
+    # Entries may belong to a stopped SparkSession (keys include the
+    # applicationId, so dead-session frames linger until eviction);
+    # the py4j call then raises — never fail the healthy current
+    # query over cache bookkeeping (ADVICE r8).
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def _persist_slot(spark: SparkSession, key: tuple, df: DataFrame) -> DataFrame:
-    full = (spark.sparkContext.applicationId,) + key
+    app_id = spark.sparkContext.applicationId
+    # Purge entries from other (stopped) sessions before evicting.
+    for stale in [k for k in _PERSIST_CACHE if k[0] != app_id]:
+        _safe_unpersist(_PERSIST_CACHE.pop(stale))
+    full = (app_id,) + key
     old = _PERSIST_CACHE.pop(full, None)
     if old is not None:
-        old.unpersist()
+        _safe_unpersist(old)
     out = df.persist()
     _PERSIST_CACHE[full] = out
     while len(_PERSIST_CACHE) > _PERSIST_CACHE_MAX:
         _, evicted = _PERSIST_CACHE.popitem(last=False)
-        evicted.unpersist()
+        _safe_unpersist(evicted)
     return out
 
 # q72's quadratic ground-truth shape refuses inputs past this

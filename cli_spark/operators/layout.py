@@ -557,9 +557,9 @@ n AS (SELECT COUNT(*) AS cnt,
       FROM src)
 SELECT CAST(ceil(cnt / 1500.0) AS BIGINT) AS n_files,
        CAST(cnt AS BIGINT) AS n_rows,
-       CAST(CASE WHEN cnt % 1500 = 0 THEN 1500 ELSE cnt % 1500 END AS BIGINT)
-         AS smallest_file_rows,
-       CAST(1500 AS BIGINT) AS largest_file_rows,
+       CAST(CASE WHEN cnt % 1500 = 0 THEN LEAST(cnt, 1500)
+                 ELSE cnt % 1500 END AS BIGINT) AS smallest_file_rows,
+       CAST(LEAST(cnt, 1500) AS BIGINT) AS largest_file_rows,
        price_cents
 FROM n
 """,

@@ -117,11 +117,36 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + r04 + r05 + r06 + r07 green rows
-# (252 distinct names currently in the registry, no fails ever
+# Union of CORRECTNESS_r01 + r03 + r04 + r05 + r06 + r07 + r08 green
+# rows (300 distinct names currently in the registry, no fails ever
 # recorded after r01; q121/q123 *_stub → *_bmp renames were re-graded
 # green under their new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r08 greens newly recorded (50) ---
+    "q349_rouge1_crossfamily", "q350_hgt_mosaic_seams",
+    "q351_avi_indexed_multistream", "q352_partitioned_restart_recovery",
+    "q353_polymorphic_udtf", "q354_streaming_chained_windows",
+    "q355_ivfpq_residual", "q356_sharded_topk_audit",
+    "q357_observe_metrics", "q358_xml_pack", "q359_nullsafe_join",
+    "q360_metadata_columns", "q361_arrow_scalar_udf",
+    "q362_max_records_per_file", "q363_column_defaults",
+    "q364_parameterized_sql", "q365_lateral_column_alias",
+    "q310_streaming_restart_recovery", "q318_streaming_outer_join_true",
+    "q330_streaming_partitioned_source", "q331_streaming_idempotent_sink",
+    "q337_backfill_live_merge", "q338_streaming_checksum_sink",
+    "q309_simhash64_blocks", "q311_winnowing_fingerprints",
+    "q315_winnowing_match", "q312_rouge1_pair_audit", "q322_pq_codebook",
+    "q295_event_pattern_match", "q307_ab_funnel_conversion",
+    "q313_l_diversity_audit", "q314_point_in_time_features",
+    "q316_map_in_arrow_stats", "q317_federated_join",
+    "q319_hgt_flow_direction", "q320_mrl_truncation_audit",
+    "q321_schema_evolution_merge", "q323_quality_representative",
+    "q324_group_kfold", "q325_oof_target_encoding",
+    "q326_hgt_flow_accumulation", "q327_expectations_scorecard",
+    "q328_retrieval_metrics", "q329_reciprocal_rank_fusion",
+    "q332_cluster_aware_split", "q334_cogroup_merge",
+    "q333_lsh_pr_curve", "q335_salted_skew_join",
+    "q336_small_file_compaction", "q339_apply_in_arrow_stats",
     # --- r07 greens newly recorded (50) ---
     "q122_frame_sample_avi", "q212_lsh_recall_audit",
     "q222_shingle_novelty", "q233_common_neighbor_scores",
@@ -258,77 +283,27 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # spilling past the 50-entry recording window (update each round
 # alongside _DRIVER_GRADED).
 #
-# Round 8: queries whose results could change this round (each takes
-# one window slot so the new code earns a driver row immediately;
-# kept minimal so the never-graded backlog drains). The q212/q333
-# unpersist fix and the avi.py first-strh/00dc hardening are
-# result-identical on the graded fixtures, so they do NOT take slots.
+# Round 9: queries whose results could change this round (each takes
+# one window slot so the new code earns a driver row immediately).
+# The dedup.py _persist_slot hardening and the q362 oracle
+# LEAST-guard (ADVICE r8) are result-identical on the graded
+# fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = ()
 
 
-# Round 8 window plan (VERDICT r7 #1): 83 oracle-backed queries have
-# never received a driver CORRECTNESS row after the r07 rotation. The
-# window holds ~50, so the backlog is explicitly ordered — brand-new
-# round-8 queries first (they grade the new code), then the
-# judge-named true-streaming set (q310/q318/q330/q331/q337/q338) and
-# heavy dedup additions (q309/q311/q315/q312/q322) so the graded bar
-# covers what the bench watches, then the rest; the remaining ~33
-# census shapes trail into round 9's window. Names absent from this
-# tuple sort after it in registration order.
+# Round 9 window plan: after the r08 rotation exactly 50 oracle-backed
+# queries have never received a driver CORRECTNESS row — they fit the
+# 50-entry window exactly. Brand-new round-9 queries are listed first
+# (fresh code grades first); each one added pushes the same number of
+# backlog census shapes into round 10's window, which is safe — every
+# backlog query has been parity-green in LOCAL_PARITY r07 AND r08.
+# Backlog ordered: the heavier / more novel analytic shapes first,
+# simple census shapes last. Names absent from this tuple sort after
+# it in registration order.
 _FRESH_PRIORITY: tuple[str, ...] = (
-    # --- brand-new round-8 queries (fresh code grades first) ---
-    "q349_rouge1_crossfamily",
-    "q350_hgt_mosaic_seams",
-    "q351_avi_indexed_multistream",
-    "q352_partitioned_restart_recovery",
-    "q353_polymorphic_udtf",
-    "q354_streaming_chained_windows",
-    "q355_ivfpq_residual",
-    "q356_sharded_topk_audit",
-    "q357_observe_metrics",
-    "q358_xml_pack",
-    "q359_nullsafe_join",
-    "q360_metadata_columns",
-    "q361_arrow_scalar_udf",
-    "q362_max_records_per_file",
-    "q363_column_defaults",
-    "q364_parameterized_sql",
-    "q365_lateral_column_alias",
-    # --- judge-named true-streaming + heavy dedup (VERDICT r7 #1) ---
-    "q310_streaming_restart_recovery",
-    "q318_streaming_outer_join_true",
-    "q330_streaming_partitioned_source",
-    "q331_streaming_idempotent_sink",
-    "q337_backfill_live_merge",
-    "q338_streaming_checksum_sink",
-    "q309_simhash64_blocks",
-    "q311_winnowing_fingerprints",
-    "q315_winnowing_match",
-    "q312_rouge1_pair_audit",
-    "q322_pq_codebook",
-    # --- r7-window miss + remaining round-7 additions ---
-    "q295_event_pattern_match",
-    "q307_ab_funnel_conversion",
-    "q313_l_diversity_audit",
-    "q314_point_in_time_features",
-    "q316_map_in_arrow_stats",
-    "q317_federated_join",
-    "q319_hgt_flow_direction",
-    "q320_mrl_truncation_audit",
-    "q321_schema_evolution_merge",
-    "q323_quality_representative",
-    "q324_group_kfold",
-    "q325_oof_target_encoding",
-    "q326_hgt_flow_accumulation",
-    "q327_expectations_scorecard",
-    "q328_retrieval_metrics",
-    "q329_reciprocal_rank_fusion",
-    "q332_cluster_aware_split",
-    "q334_cogroup_merge",
-    "q333_lsh_pr_curve",
-    "q335_salted_skew_join",
-    "q336_small_file_compaction",
-    "q339_apply_in_arrow_stats",
+    # --- brand-new round-9 queries (fresh code grades first) ---
+    # (appended as implemented this round)
+    # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
     "q342_pseudonymization_audit",

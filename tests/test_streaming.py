@@ -793,3 +793,79 @@ def test_partitioned_restart_recovery_midstream(spark, sf_dir):
     assert ev["phase2_start_row"] > 0, ev
     assert ev["phase1_events"] < got_total, ev
     assert ev["phase2_start_row"] <= ev["phase1_events"] + 1000, ev
+
+
+def test_chained_windows_hour_boundary_emission_cut(spark, tmp_path):
+    """ADVICE r8: q354's oracle pins the append-mode emission cut to
+    Spark 4.1.2's NON-STRICT eviction (windows with end <= watermark
+    flush).  That pin is only observable when the stream's max event
+    time lands EXACTLY on an hour boundary: non-strict semantics then
+    finalize the preceding hour, strict (<) semantics would emit
+    nothing.  A Spark upgrade flipping the boundary breaks this test
+    before it silently flips the q354 oracle."""
+    import time
+    import uuid
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [
+                _ts("00:05:00"),
+                _ts("00:25:00"),
+                _ts("00:55:00"),
+                _ts("01:00:00"),  # max ts exactly on the hour boundary
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    ).astype({"ts": "datetime64[us]"})
+    path = str(tmp_path / "boundary_events")
+    spark.createDataFrame(
+        pdf, "event_id long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(path)
+
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", path)
+        .option("batchRows", 2)
+        .option("orderBy", "ts,event_id")
+        .load()
+    )
+    lvl1 = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("window"), "1 hour"))
+        .agg(F.sum("c").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    name = "boundary_" + uuid.uuid4().hex[:6]
+    q = (
+        lvl2.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, time.time()
+        while idle < 3 and time.time() - t0 < 120:
+            time.sleep(0.3)
+            p = q.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # Non-strict cut: the [00:00, 01:00) hour (end == max ts) DID
+    # finalize, with exactly the 3 pre-boundary rows; the hour
+    # containing the boundary row itself did not.
+    assert len(rows) == 1, rows
+    assert rows[0]["window_start"] == _ts("00:00:00")
+    assert rows[0]["n_events"] == 3
