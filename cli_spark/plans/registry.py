@@ -302,7 +302,10 @@ _ROUND_CHANGED: tuple[str, ...] = ()
 # it in registration order.
 _FRESH_PRIORITY: tuple[str, ...] = (
     # --- brand-new round-9 queries (fresh code grades first) ---
-    # (appended as implemented this round)
+    "q366_sql_scripting",
+    "q367_transpose_matrix",
+    "q368_listagg_within_group",
+    "q369_approx_topk_sketch",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
