@@ -306,6 +306,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q367_transpose_matrix",
     "q368_listagg_within_group",
     "q369_approx_topk_sketch",
+    "q370_streaming_full_outer_join",
+    "q371_statestore_reader",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

@@ -1945,3 +1945,275 @@ def q338_streaming_checksum_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "q370_streaming_full_outer_join",
+    # Both null sides follow Spark 4.1.2's symmetric state eviction,
+    # pinned empirically (q318's method, extended to the right side):
+    # an unmatched LEFT row (purchase) emits when the final global
+    # watermark — min of the two sources' max event times minus the
+    # 2 h delay — passes STRICTLY above its latest possible match
+    # time (p_ts); an unmatched RIGHT row (error) when it passes
+    # strictly above e_ts + 30 min (the latest purchase it could
+    # still join). Rows at-or-above the cut stay in state unemitted.
+    oracle=f"""
+WITH pur AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts, value AS e_value
+  FROM events WHERE event_type = 'error'
+),
+inner_j AS (
+  SELECT p.p_id, p.p_user, e.e_id, e.e_user, e.e_value
+  FROM pur p JOIN err e
+    ON e.e_user = p.p_user
+   AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND e.e_ts <= p.p_ts
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(p_ts) FROM pur), (SELECT MAX(e_ts) FROM err))
+         - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT p_user AS u, COUNT(*) AS n_pairs, {sql_dsum('e_value')} AS err_value_sum
+  FROM inner_j GROUP BY p_user
+),
+un_l AS (
+  SELECT p.p_user AS u, COUNT(*) AS n_unmatched_purchases
+  FROM pur p
+  LEFT JOIN (SELECT DISTINCT p_id FROM inner_j) m ON p.p_id = m.p_id
+  WHERE m.p_id IS NULL AND p.p_ts < (SELECT w FROM wm)
+  GROUP BY p.p_user
+),
+un_r AS (
+  SELECT e.e_user AS u, COUNT(*) AS n_unmatched_errors
+  FROM err e
+  LEFT JOIN (SELECT DISTINCT e_id FROM inner_j) m ON e.e_id = m.e_id
+  WHERE m.e_id IS NULL AND e.e_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+  GROUP BY e.e_user
+)
+SELECT COALESCE(a.u, l.u, r.u) AS user_id,
+       COALESCE(a.n_pairs, 0) AS n_pairs,
+       COALESCE(l.n_unmatched_purchases, 0) AS n_unmatched_purchases,
+       COALESCE(r.n_unmatched_errors, 0) AS n_unmatched_errors,
+       COALESCE(a.err_value_sum, 0.0) AS err_value_sum
+FROM matched a
+FULL OUTER JOIN un_l l ON a.u = l.u
+FULL OUTER JOIN un_r r ON COALESCE(a.u, l.u) = r.u
+""",
+    tags=("streaming", "true_stream", "full_outer_join", "watermark"),
+)
+def q370_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream FULL OUTER interval join (Spark 3.1+), the
+    completion of the outer-join matrix q318 opened: BOTH sides hold
+    symmetric state, matches emit as partners arrive across
+    micro-batches, and each side's unmatched rows emit null-partner
+    rows only when the global watermark proves no future partner can
+    arrive — purchases once the watermark passes their own timestamp,
+    errors once it passes the end of their 30-minute forward match
+    window. Per-row output is unbounded at 100 TB, so it lands in a
+    distributed foreachBatch parquet sink and the graded result is
+    the per-user census of pairs and both null-side families. Rows
+    still inside the final watermark stay in state unemitted — the
+    production steady-state — and the oracle reproduces both strict
+    eviction cuts exactly."""
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+        )
+
+    pur = (
+        src().filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    err = (
+        src().filter(F.col("event_type") == "error")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+    )
+    joined = pur.join(
+        err,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "fullOuter",
+    )
+    out_root = tempfile.mkdtemp(prefix="q370_fullouter_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(f"{out_root}/rows")
+
+        query = (
+            joined.writeStream.foreachBatch(sink)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        rows = spark.read.parquet(f"{out_root}/rows")
+        matched = (
+            rows.filter(F.col("p_id").isNotNull() & F.col("e_id").isNotNull())
+            .groupBy(F.col("p_user").alias("u"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                dsum(F.col("e_value")).alias("err_value_sum"),
+            )
+        )
+        un_l = (
+            rows.filter(F.col("e_id").isNull())
+            .groupBy(F.col("p_user").alias("u"))
+            .agg(F.count(F.lit(1)).alias("n_unmatched_purchases"))
+        )
+        un_r = (
+            rows.filter(F.col("p_id").isNull())
+            .groupBy(F.col("e_user").alias("u"))
+            .agg(F.count(F.lit(1)).alias("n_unmatched_errors"))
+        )
+        result = (
+            matched.join(un_l, "u", "full_outer")
+            .join(un_r, "u", "full_outer")
+            .select(
+                F.col("u").alias("user_id"),
+                F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                F.coalesce("n_unmatched_purchases", F.lit(0))
+                .alias("n_unmatched_purchases"),
+                F.coalesce("n_unmatched_errors", F.lit(0))
+                .alias("n_unmatched_errors"),
+                F.coalesce("err_value_sum", F.lit(0.0)).alias("err_value_sum"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
+
+
+@register(
+    "q371_statestore_reader",
+    # The graded rows come from the CHECKPOINT STATE, not the sink:
+    # after the stream drains, spark.read.format("statestore") opens
+    # the last committed snapshot and its per-key aggregate buffers
+    # must equal the batch group-by of the full table.
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * {10 ** MONEY_SCALE}) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "statestore", "observability", "spark4"),
+)
+def q371_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Data Source (Spark 4.0 `statestore` format): the
+    operational window into a streaming query's checkpoint — the tool
+    for debugging hot keys, auditing state size, and seeding state
+    migrations at 100 TB, where checkpoint state (not the sink) is
+    the system of record. A multi-batch replay stream runs a per-type
+    count + exact-cents sum aggregate against a checkpoint; after it
+    drains, the checkpoint's LAST COMMITTED state snapshot is read
+    back with `spark.read.format("statestore")` and the per-key
+    HDFS-backed aggregation buffers (`value.count`, `value.sum`) are
+    graded — bit-exactly — against the batch aggregate of the whole
+    table. Any lost update, replayed batch, or partial-buffer flush
+    in the state machinery breaks the hash; `state-metadata` is also
+    asserted (operator name, partition count) so the checkpoint shape
+    itself is part of the contract."""
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 5) // 6)
+    ckpt = tempfile.mkdtemp(prefix="q371_ckpt_")
+    name = "ss_" + uuid.uuid4().hex[:8]
+    try:
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * (10 ** MONEY_SCALE)).cast("long"))
+            .alias("value_cents"),
+        )
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        spark.catalog.dropTempView(name)
+        md = spark.read.format("state-metadata").load(ckpt).collect()
+        if len(md) != 1 or md[0]["operatorName"] != "stateStoreSave":
+            raise ValueError(f"unexpected state metadata: {md}")
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").cast("long").alias("n_events"),
+                F.col("value.sum").cast("long").alias("value_cents"),
+            )
+        )
+        out = spark.createDataFrame(state.collect(), state.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
