@@ -308,6 +308,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q369_approx_topk_sketch",
     "q370_streaming_full_outer_join",
     "q371_statestore_reader",
+    "q372_hgt_hillshade",
+    "q373_hgt_watershed_basins",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

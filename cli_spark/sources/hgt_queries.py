@@ -882,3 +882,174 @@ def q350_hgt_mosaic_seams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("direction")
     )
+
+
+@register(
+    "q372_hgt_hillshade",
+    # Independent-numpy goldens (fixed-point Horn hillshade census) —
+    # regenerable from scripts_hgt_goldens.py::hillshade_rows, pinned
+    # by tests/test_hgt.py::test_terrain_goldens_match_checked_in_script.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 51819, 25880, 25906, 33, 15002286168010, 14692242375934, 1364716510),
+  ('N46E007', 51819, 25647, 26140, 32, 14475451855018, 15194977068152, 1364716510),
+  ('S01W072', 51819, 24056, 27726, 37, 13632836283752, 16528515816308, 1363302296)
+) AS t(cell, n_points, n_lit, n_shadow, n_neutral, sum_lit_load,
+       sum_shadow_load, max_load)
+""",
+    tags=("hgt", "tier_a", "terrain", "hillshade"),
+)
+def q372_hgt_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn hillshade census [A6+A8] — the relief-rendering derivative
+    (Horn 1981, the GDAL `hillshade` kernel): per interior sample
+    with a fully-valid 3x3 neighborhood, the Horn weighted gradient
+    numerators gx = (c+2f+i)-(a+2d+g), gy = (g+2h+i)-(a+2b+c) and the
+    ILLUMINATION LOAD L = 707107 x (gx + gy) -- the exact fixed-point
+    numerator of cos(alt)*sin(slope)*cos(az - aspect) for the standard
+    az 315 deg / alt 45 deg light (sin 315 = -cos 315 = -sqrt(2)/2).
+    The hillshade normalization 1/sqrt(1+p^2+q^2) is strictly
+    positive, so sign(L) partitions lit vs shadowed samples exactly
+    as the float hillshade does while every graded number stays an
+    exact integer (the q319 fixed-point discipline). One numpy pass
+    inside the decode mapInPandas; only the 3-row census leaves
+    Python -- the same plan at any cell count, with cross-cell seams
+    handled by the q350 border-exchange pattern when mosaicked."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = (
+        "cell string, n_points long, n_lit long, n_shadow long, "
+        "n_neutral long, sum_lit_load long, sum_shadow_load long, "
+        "max_load long"
+    )
+    FP = 707107
+
+    def _shade(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("cell", "n_points", "n_lit", "n_shadow", "n_neutral",
+                     "sum_lit_load", "sum_shadow_load", "max_load")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                ok = v[1:-1, 1:-1].copy()
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+
+                def w(dr, dc):
+                    return g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+
+                gx = (w(-1, 1) + 2 * w(0, 1) + w(1, 1)) \
+                    - (w(-1, -1) + 2 * w(0, -1) + w(1, -1))
+                gy = (w(1, -1) + 2 * w(1, 0) + w(1, 1)) \
+                    - (w(-1, -1) + 2 * w(-1, 0) + w(-1, 1))
+                load = (FP * (gx + gy))[ok]
+                recs["cell"].append(cell)
+                recs["n_points"].append(int(ok.sum()))
+                recs["n_lit"].append(int((load > 0).sum()))
+                recs["n_shadow"].append(int((load < 0).sum()))
+                recs["n_neutral"].append(int((load == 0).sum()))
+                recs["sum_lit_load"].append(int(load[load > 0].sum()))
+                recs["sum_shadow_load"].append(int(-load[load < 0].sum()))
+                recs["max_load"].append(int(load.max()))
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_shade, schema).orderBy("cell")
+
+
+@register(
+    "q373_hgt_watershed_basins",
+    # Independent-numpy goldens (D8 watershed basin census via pointer
+    # doubling) — regenerable from scripts_hgt_goldens.py::basin_rows,
+    # pinned by tests/test_hgt.py::test_terrain_goldens_match_checked_in_script.
+    oracle="""
+SELECT * FROM (VALUES
+  ('N00E000', 5710, 908, 3504, 57482),
+  ('N46E007', 5706, 907, 3367, 57482),
+  ('S01W072', 5698, 902, 3079, 57482)
+) AS t(cell, n_basins, max_basin_size, n_singletons, n_valid_cells)
+""",
+    tags=("hgt", "tier_a", "terrain", "hydrology", "watershed"),
+)
+def q373_hgt_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation [A6+A8] — the segmentation step after
+    q319's flow directions and q326's accumulation (ESRI `Watershed`
+    / `Basin`): every valid sample drains along its D8 pointer chain
+    to a TERMINAL cell (direction 0: pit, flat, border or
+    invalid-neighborhood), and the terminal cell labels the basin.
+    Labels are computed by POINTER DOUBLING (next = next[next] to
+    fixpoint) -- O(log longest-path) passes, each a vectorized gather,
+    the identical contraction the distributed q76/q297 connected-
+    components run as keyed joins, so the per-tile numpy here and a
+    1000-executor label-exchange implementation share one algorithm.
+    Census per cell: basin count, largest basin, singleton count and
+    the valid-cell total (basin sizes must conserve it). Basin counts
+    run ~5.7k/cell on the trig fixture: pit-dense synthetic terrain,
+    so the census also regression-pins the tie-break rule (lowest
+    ESRI code wins) that decides which pit captures a ridge sample."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    raw = _raw(spark).select("path", "content")
+    schema = (
+        "cell string, n_basins long, max_basin_size long, "
+        "n_singletons long, n_valid_cells long"
+    )
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+
+    def _basins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("cell", "n_basins", "max_basin_size",
+                     "n_singletons", "n_valid_cells")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                # D8 direction grid (q319 rule: fixed-point sqrt(2),
+                # lowest-code ties, 0 at border/pits/invalid nbhd)
+                ok = v[1:-1, 1:-1].copy()
+                ws = []
+                for code, dr, dc in dirs:
+                    ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    ws.append((g[1:-1, 1:-1] - zn)
+                              * (CARD if dr == 0 or dc == 0 else DIAG))
+                stack = np.stack(ws)
+                best = np.argmax(stack, axis=0)
+                bestw = np.max(stack, axis=0)
+                code_arr = np.array([c for c, _, _ in dirs])[best]
+                code_arr = np.where((bestw > 0) & ok, code_arr, 0)
+                codes = np.zeros_like(g)
+                codes[1:-1, 1:-1] = code_arr
+                # pointer-doubling contraction to terminal labels
+                nxt = np.arange(n * n, dtype=np.int64)
+                for code, dr, dc in dirs:
+                    r, c = np.nonzero(codes == code)
+                    nxt[r * n + c] = (r + dr) * n + (c + dc)
+                while True:
+                    nxt2 = nxt[nxt]
+                    if np.array_equal(nxt2, nxt):
+                        break
+                    nxt = nxt2
+                labels = nxt[v.ravel()]
+                _, sizes = np.unique(labels, return_counts=True)
+                recs["cell"].append(cell)
+                recs["n_basins"].append(int(sizes.size))
+                recs["max_basin_size"].append(int(sizes.max()))
+                recs["n_singletons"].append(int((sizes == 1).sum()))
+                recs["n_valid_cells"].append(int(v.sum()))
+            yield pd.DataFrame(recs)
+
+    return raw.mapInPandas(_basins, schema).orderBy("cell")

@@ -248,6 +248,90 @@ def mosaic_rows(n: int = 241) -> list[tuple]:
     return rows
 
 
+def hillshade_rows() -> list[tuple]:
+    """Fixed-point Horn hillshade census (q372): for every interior
+    sample with a fully-valid 3×3 neighborhood, the Horn (1981) 3×3
+    weighted gradient numerators
+        gx = (c + 2f + i) − (a + 2d + g)   (east − west)
+        gy = (g + 2h + i) − (a + 2b + c)   (south − north; row index
+                                            grows southward)
+    and the illumination load L = 707107 × (gx + gy) — the exact
+    fixed-point numerator of the directional term
+    cos(alt)·sin(slope)·cos(az − aspect) of the standard hillshade
+    for azimuth 315°/altitude 45° (sin 315° = −cos 315° = −√2/2 ≈
+    ∓0.707107).  The normalization 1/√(1+p²+q²) is positive, so the
+    SIGN of L partitions lit vs shadowed exactly as the float
+    hillshade does — no float enters the graded numbers.  Census per
+    cell: point count, lit/shadowed/neutral counts, ΣL⁺, Σ|L⁻|,
+    max L."""
+    FP = 707107
+    rows = []
+    for cell, g in _grids():
+        v = g != VOID
+        n = g.shape[0]
+        ok = v[1:-1, 1:-1].copy()
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+
+        def w(dr, dc):
+            return g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+
+        gx = (w(-1, 1) + 2 * w(0, 1) + w(1, 1)) \
+            - (w(-1, -1) + 2 * w(0, -1) + w(1, -1))
+        gy = (w(1, -1) + 2 * w(1, 0) + w(1, 1)) \
+            - (w(-1, -1) + 2 * w(-1, 0) + w(-1, 1))
+        load = (FP * (gx + gy))[ok]
+        rows.append((
+            cell,
+            int(ok.sum()),
+            int((load > 0).sum()),
+            int((load < 0).sum()),
+            int((load == 0).sum()),
+            int(load[load > 0].sum()),
+            int(-load[load < 0].sum()),
+            int(load.max()),
+        ))
+    return rows
+
+
+def basin_rows() -> list[tuple]:
+    """Watershed basin census (q373): every valid sample drains along
+    the q319 D8 direction grid until it reaches a terminal cell
+    (direction 0 — a pit, flat, border or invalid-neighborhood cell);
+    the terminal cell labels the basin.  Labels are computed by
+    pointer doubling (next = next[next] to fixpoint) — the same
+    O(log path) contraction a distributed implementation runs.
+    Census per cell-file: basin count, largest basin size, singleton
+    basins, valid-cell total (conservation: sizes sum to it)."""
+    rows = []
+    for cell, g in _grids():
+        codes, dirs = _d8_codes(g)
+        n = g.shape[0]
+        off = {c: (dr, dc) for c, dr, dc in dirs}
+        flat_next = np.arange(n * n, dtype=np.int64)
+        for code, (dr, dc) in off.items():
+            sel = codes == code
+            r, c = np.nonzero(sel)
+            flat_next[r * n + c] = (r + dr) * n + (c + dc)
+        while True:
+            nxt2 = flat_next[flat_next]
+            if np.array_equal(nxt2, flat_next):
+                break
+            flat_next = nxt2
+        valid = (g != VOID).ravel()
+        labels = flat_next[valid]
+        _, sizes = np.unique(labels, return_counts=True)
+        rows.append((
+            cell,
+            int(sizes.size),
+            int(sizes.max()),
+            int((sizes == 1).sum()),
+            int(valid.sum()),
+        ))
+    return rows
+
+
 def _values_block(rows: list[tuple], cols: str) -> str:
     def lit(x):
         return f"'{x}'" if isinstance(x, str) else str(x)
@@ -274,6 +358,15 @@ def main() -> None:
         "cell, n_sources, n_small, n_medium, n_large, max_accum"))
     print("\n-- q350_hgt_mosaic_seams")
     print(_values_block(mosaic_rows(), "direction, n_points, n_on_seam"))
+    print("\n-- q372_hgt_hillshade")
+    print(_values_block(
+        hillshade_rows(),
+        "cell, n_points, n_lit, n_shadow, n_neutral, sum_lit_load, "
+        "sum_shadow_load, max_load"))
+    print("\n-- q373_hgt_watershed_basins")
+    print(_values_block(
+        basin_rows(),
+        "cell, n_basins, max_basin_size, n_singletons, n_valid_cells"))
 
 
 if __name__ == "__main__":

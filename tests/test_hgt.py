@@ -280,6 +280,8 @@ def test_terrain_goldens_match_checked_in_script(duck):
         ("q319_hgt_flow_direction", G.flow_rows),
         ("q326_hgt_flow_accumulation", G.accum_rows),
         ("q350_hgt_mosaic_seams", G.mosaic_rows),
+        ("q372_hgt_hillshade", G.hillshade_rows),
+        ("q373_hgt_watershed_basins", G.basin_rows),
     ):
         oracle_rows = sorted(
             tuple(r) for r in duck.execute(reg[qname].oracle).fetchall()
