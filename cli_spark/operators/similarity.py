@@ -1176,3 +1176,378 @@ def q329_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 3)
         .select("probe_id", "fused_rank", "doc_id", "rrf_fp")
     )
+
+
+# Sign-bit packing for q374: two 32-bit halves (lo = dims 0-31,
+# hi = dims 32-63) so neither engine shifts into the int64 sign bit.
+# Distinct powers of two make SUM equivalent to OR.
+_PACK = (
+    "aggregate(sequence({s}, {e}), CAST(0 AS BIGINT), "
+    "(acc, i) -> acc + IF({col}[i] > CAST(0 AS DOUBLE), "
+    "shiftleft(CAST(1 AS BIGINT), i - {s}), CAST(0 AS BIGINT)))"
+)
+_SQL_PACK = (
+    "list_sum(list_transform(generate_series({s}, {e}), i -> "
+    "CASE WHEN {col}[i] > 0 THEN (1::BIGINT << (i - {s})) ELSE 0::BIGINT END))"
+)
+
+
+@register(
+    "q374_binary_quantization_recall",
+    # Exact integer surface end to end: sign-bit packing into two
+    # 32-bit halves, Hamming via bit_count(xor), fixed-point dots for
+    # ground truth and rerank; all ranks tie-broken on vec_id.
+    oracle=f"""
+WITH packed AS (
+  SELECT vec_id, embedding,
+         {_SQL_PACK.format(col='embedding', s=1, e=32)} AS lo,
+         {_SQL_PACK.format(col='embedding', s=33, e=64)} AS hi
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, lo AS qlo, hi AS qhi
+      FROM packed WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding, lo, hi FROM packed WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         {sql_dot('c.embedding', 'q.qe')} AS s_exact,
+         CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi))
+              AS BIGINT) AS hamming
+  FROM c CROSS JOIN q
+),
+re AS (
+  SELECT q_id, vec_id, hamming, s_exact,
+         row_number() OVER (PARTITION BY q_id ORDER BY s_exact DESC, vec_id)
+           AS r_exact,
+         row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, vec_id)
+           AS r_ham
+  FROM scored
+),
+exact10 AS (SELECT q_id, vec_id FROM re WHERE r_exact <= 10),
+ham10 AS (SELECT q_id, vec_id FROM re WHERE r_ham <= 10),
+pool30 AS (SELECT q_id, vec_id, s_exact FROM re WHERE r_ham <= 30),
+rerank10 AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY s_exact DESC, vec_id) AS rr
+    FROM pool30
+  ) WHERE rr <= 10
+),
+ov_raw AS (
+  SELECT e.q_id, COUNT(*) AS n
+  FROM exact10 e JOIN ham10 h ON e.q_id = h.q_id AND e.vec_id = h.vec_id
+  GROUP BY e.q_id
+),
+ov_rr AS (
+  SELECT e.q_id, COUNT(*) AS n
+  FROM exact10 e JOIN rerank10 h ON e.q_id = h.q_id AND e.vec_id = h.vec_id
+  GROUP BY e.q_id
+),
+mh AS (SELECT q_id, MIN(hamming) AS min_hamming FROM scored GROUP BY q_id)
+SELECT mh.q_id,
+       COALESCE(ov_raw.n, 0) AS recall10_hamming,
+       COALESCE(ov_rr.n, 0) AS recall10_reranked,
+       mh.min_hamming
+FROM mh
+LEFT JOIN ov_raw ON mh.q_id = ov_raw.q_id
+LEFT JOIN ov_rr ON mh.q_id = ov_rr.q_id
+""",
+    tags=("similarity", "embeddings", "quantization", "binary"),
+)
+def q374_binary_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) vector quantization with exact rerank — the
+    64x-compression retrieval tier every large vector store now ships
+    (1 bit/dim + Hamming distance, then exact rerank of a small
+    candidate pool): each 64-dim float vector packs into two 32-bit
+    sign masks, candidates rank by Hamming distance
+    bit_count(xor(lo)) + bit_count(xor(hi)), and the audit grades
+    recall@10 of (a) raw Hamming top-10 and (b) Hamming top-30
+    reranked by exact fixed-point dot — the deployment decision
+    between them is exactly what this census measures.
+
+    Scale shape: packing is one JVM-side aggregate over the dims (no
+    Python), queries broadcast (q80 contract), Hamming is two XORs +
+    popcounts per candidate — SIMD-friendly codegen — and the rerank
+    pool bounds exact-dot work at 30 rows/query no matter the corpus
+    size. At 100 TB the packed masks are 16 bytes/vector, so the
+    whole candidate scan reads 64x less than the float tier."""
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_PACK.format(col="embedding", s=0, e=31)).alias("lo"),
+        F.expr(_PACK.format(col="embedding", s=32, e=63)).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    c = packed.filter(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        dot("embedding", "qe").alias("s_exact"),
+        (
+            F.bit_count(F.expr("lo ^ qlo")) + F.bit_count(F.expr("hi ^ qhi"))
+        ).cast("long").alias("hamming"),
+    )
+    we = Window.partitionBy("q_id").orderBy(F.col("s_exact").desc(), F.col("vec_id"))
+    wh = Window.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("vec_id"))
+    re = (
+        scored.withColumn("r_exact", F.row_number().over(we))
+        .withColumn("r_ham", F.row_number().over(wh))
+    )
+    exact10 = re.filter("r_exact <= 10").select("q_id", "vec_id")
+    ham10 = re.filter("r_ham <= 10").select("q_id", "vec_id")
+    wrr = Window.partitionBy("q_id").orderBy(F.col("s_exact").desc(), F.col("vec_id"))
+    rerank10 = (
+        re.filter("r_ham <= 30")
+        .select("q_id", "vec_id", "s_exact")
+        .withColumn("rr", F.row_number().over(wrr))
+        .filter("rr <= 10")
+        .select("q_id", "vec_id")
+    )
+    ov_raw = exact10.join(ham10, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("recall10_hamming")
+    )
+    ov_rr = exact10.join(rerank10, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("recall10_reranked")
+    )
+    mh = scored.groupBy("q_id").agg(F.min("hamming").alias("min_hamming"))
+    return (
+        mh.join(ov_raw, "q_id", "left")
+        .join(ov_rr, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("recall10_hamming", F.lit(0)).alias("recall10_hamming"),
+            F.coalesce("recall10_reranked", F.lit(0)).alias("recall10_reranked"),
+            "min_hamming",
+        )
+    )
+
+
+# Raw integer dot for q375 (the _DOT quantization WITHOUT the final
+# divide): exact int64 at scale 1e12, so squared distances and their
+# sums stay in exact integer arithmetic end to end.
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000000.0 + 0.5)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+_SQL_IDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST(list_extract({a}, i) AS DOUBLE) * "
+    "CAST(list_extract({b}, i) AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT)))"
+    " AS BIGINT)"
+)
+
+
+def _kmpp_u48(round_tag: str, engine: str) -> str:
+    """Portable 48-bit uniform from md5('<round>|<vec_id>') — the
+    q105/audit hex-digit idiom, identical text in both engines up to
+    the STRING/VARCHAR cast keyword."""
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    key = f"'{round_tag}|' || CAST(vec_id AS {cast})"
+    return " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(md5({key}), {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+@register(
+    "q375_kmeans_parallel_init",
+    # Two unrolled k-means|| rounds with hash-derandomized draws:
+    # pick x iff u48(x) * phi < l * d2(x) * 2^48 (exact integer cross-
+    # multiplication — HUGEINT here, DECIMAL(38,0) on the Spark side).
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SQL_IDOT.format(a='embedding', b='embedding')} AS sxx
+  FROM embeddings
+),
+c0 AS (SELECT embedding AS ce, sxx AS scc FROM e WHERE vec_id = 0),
+d1 AS (
+  SELECT e.vec_id, e.embedding, e.sxx,
+         e.sxx - 2 * {_SQL_IDOT.format(a='e.embedding', b='c0.ce')} + c0.scc
+           AS d2
+  FROM e CROSS JOIN c0
+),
+phi1 AS (SELECT SUM(d2) AS phi FROM d1),
+p1 AS (
+  SELECT d1.vec_id, d1.embedding, d1.sxx
+  FROM d1 CROSS JOIN phi1
+  WHERE ({_kmpp_u48('r1', 'duck')})::HUGEINT * phi1.phi::HUGEINT
+        < 8::HUGEINT * d1.d2::HUGEINT * 281474976710656::HUGEINT
+),
+d2r AS (
+  SELECT d1.vec_id, d1.embedding, d1.sxx,
+         LEAST(d1.d2, COALESCE(m.md2, d1.d2)) AS d2
+  FROM d1
+  LEFT JOIN (
+    SELECT d1.vec_id,
+           MIN(d1.sxx - 2 * {_SQL_IDOT.format(a='d1.embedding', b='p1.embedding')}
+               + p1.sxx) AS md2
+    FROM d1 CROSS JOIN p1
+    GROUP BY d1.vec_id
+  ) m ON d1.vec_id = m.vec_id
+),
+phi2 AS (SELECT SUM(d2) AS phi FROM d2r),
+p2 AS (
+  SELECT d2r.vec_id, d2r.embedding, d2r.sxx
+  FROM d2r CROSS JOIN phi2
+  WHERE ({_kmpp_u48('r2', 'duck')})::HUGEINT * phi2.phi::HUGEINT
+        < 8::HUGEINT * d2r.d2::HUGEINT * 281474976710656::HUGEINT
+),
+cand AS (
+  SELECT vec_id, embedding, sxx, MIN(round) AS round_first_picked
+  FROM (
+    SELECT vec_id, embedding, sxx, 0 AS round FROM e WHERE vec_id = 0
+    UNION ALL SELECT vec_id, embedding, sxx, 1 FROM p1
+    UNION ALL SELECT vec_id, embedding, sxx, 2 FROM p2
+  ) GROUP BY vec_id, embedding, sxx
+),
+assign AS (
+  SELECT vec_id, center_id FROM (
+    SELECT e.vec_id, cand.vec_id AS center_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY e.sxx - 2 * {_SQL_IDOT.format(a='e.embedding', b='cand.embedding')}
+                      + cand.sxx ASC,
+                      cand.vec_id ASC) AS r
+    FROM e CROSS JOIN cand
+  ) WHERE r = 1
+),
+weighted AS (
+  SELECT cand.vec_id AS center_id, cand.round_first_picked,
+         COUNT(assign.vec_id) AS weight
+  FROM cand LEFT JOIN assign ON assign.center_id = cand.vec_id
+  GROUP BY cand.vec_id, cand.round_first_picked
+)
+SELECT CAST(center_id AS BIGINT) AS center_id,
+       CAST(round_first_picked AS INTEGER) AS round_first_picked,
+       CAST(weight AS BIGINT) AS weight
+FROM weighted
+ORDER BY weight DESC, center_id ASC
+LIMIT 4
+""",
+    tags=("similarity", "clustering", "kmeans_parallel", "init"),
+)
+def q375_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB'12 "Scalable
+    k-means++") — the distributed seeding that replaced sequential
+    k-means++ at cluster scale: instead of k strictly-serial D²
+    draws, each of O(log n) rounds samples ~l points IN PARALLEL with
+    probability l·d²(x,C)/φ, then the oversampled candidate set is
+    weighted by how many points it captures. Two rounds unrolled
+    (l = 8, seed = vec_id 0), every draw DERANDOMIZED into a portable
+    48-bit md5 threshold — pick x iff u48 · φ < l · d²(x) · 2^48,
+    compared by exact integer cross-multiplication (DECIMAL(38,0)
+    here, HUGEINT in the oracle) so no float division decides
+    membership — and distances in the raw int64 fixed-point dot.
+    Output: the top-4 candidates by captured weight, the
+    deterministic stand-in for the weighted recluster step.
+
+    Scale shape: each round is ONE scan (distance to the broadcast
+    center set + a 1-row φ aggregate crossjoined back) — the whole
+    init is O(rounds) passes with no shuffle wider than the ~l·rounds
+    candidate relation, exactly why Bahmani beats sequential ++ on
+    100 TB: k sequential passes become log n parallel ones."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_IDOT.format(a="embedding", b="embedding")).alias("sxx"),
+    )
+    c0 = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("ce"), F.col("sxx").alias("scc")
+    )
+    d1 = e.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "embedding", "sxx",
+        (F.col("sxx")
+         - 2 * F.expr(_IDOT.format(a="embedding", b="ce"))
+         + F.col("scc")).alias("d2"),
+    )
+    u1 = _kmpp_u48("r1", "spark")
+    pick = (
+        "CAST({u} AS DECIMAL(38,0)) * CAST(phi AS DECIMAL(38,0)) < "
+        "CAST(8 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0)) * "
+        "CAST(281474976710656 AS DECIMAL(38,0))"
+    )
+    phi1 = d1.agg(F.sum("d2").alias("phi"))
+    p1 = (
+        d1.crossJoin(F.broadcast(phi1))
+        .filter(F.expr(pick.format(u=u1)))
+        .select("vec_id", "embedding", "sxx")
+    )
+    m = (
+        d1.select("vec_id", "embedding", "sxx")
+        .crossJoin(
+            F.broadcast(p1.select(F.col("embedding").alias("pe"),
+                                  F.col("sxx").alias("psxx")))
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.col("sxx")
+                - 2 * F.expr(_IDOT.format(a="embedding", b="pe"))
+                + F.col("psxx")
+            ).alias("md2")
+        )
+    )
+    d2r = (
+        d1.join(m, "vec_id", "left")
+        .select(
+            "vec_id", "embedding", "sxx",
+            F.least("d2", F.coalesce("md2", "d2")).alias("d2"),
+        )
+    )
+    phi2 = d2r.agg(F.sum("d2").alias("phi"))
+    u2 = _kmpp_u48("r2", "spark")
+    p2 = (
+        d2r.crossJoin(F.broadcast(phi2))
+        .filter(F.expr(pick.format(u=u2)))
+        .select("vec_id", "embedding", "sxx")
+    )
+    cand = (
+        e.filter(F.col("vec_id") == 0)
+        .select("vec_id", "embedding", "sxx", F.lit(0).alias("round"))
+        .unionAll(p1.withColumn("round", F.lit(1)))
+        .unionAll(p2.withColumn("round", F.lit(2)))
+        .groupBy("vec_id", "embedding", "sxx")
+        .agg(F.min("round").alias("round_first_picked"))
+    )
+    cb = F.broadcast(
+        cand.select(
+            F.col("vec_id").alias("center_id"),
+            F.col("embedding").alias("ce"),
+            F.col("sxx").alias("csxx"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("sxx") - 2 * F.expr(_IDOT.format(a="embedding", b="ce"))
+         + F.col("csxx")).asc(),
+        F.col("center_id").asc(),
+    )
+    assign = (
+        e.crossJoin(cb)
+        .withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("vec_id", "center_id")
+    )
+    counts = assign.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+    weighted = (
+        cand.select(F.col("vec_id").alias("center_id"), "round_first_picked")
+        .join(counts, "center_id", "left")
+        .select(
+            F.col("center_id").cast("long").alias("center_id"),
+            F.col("round_first_picked").cast("int").alias("round_first_picked"),
+            F.coalesce("n_assigned", F.lit(0)).cast("long").alias("weight"),
+        )
+    )
+    return weighted.orderBy(
+        F.col("weight").desc(), F.col("center_id").asc()
+    ).limit(4)

@@ -310,6 +310,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q371_statestore_reader",
     "q372_hgt_hillshade",
     "q373_hgt_watershed_basins",
+    "q374_binary_quantization_recall",
+    "q375_kmeans_parallel_init",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
