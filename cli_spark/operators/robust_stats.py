@@ -681,3 +681,157 @@ def q301_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(n_c + n_e + n_p + n_s + n_v AS DOUBLE)) / 4.0)
           / ((CAST(q_c + q_e + q_p + q_s + q_v AS DOUBLE) - (CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) + CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) + CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) + CAST(s_s AS DOUBLE) * CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE) + CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n_v AS DOUBLE))) / CAST((n_c + n_e + n_p + n_s + n_v) - 5 AS DOUBLE))) * 1000000.0) AS BIGINT) AS f_micro""",
     )
+
+
+# Shared integer scaffolding for q376: doubled average ranks keep tied
+# ranks exact (avg rank of a tie block = (first+last)/2, so DOUBLED it
+# is the integer first+last = 2*before + m + 1 per member).
+_MWU_CORE = """
+WITH c AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+         {q} AS cents
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+vals AS (
+  SELECT cents, COUNT(*) AS m, SUM(g1) AS m1
+  FROM c GROUP BY cents
+),
+ranked AS (
+  SELECT cents, m, m1,
+         COALESCE(SUM(m) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM vals
+),
+moments AS (
+  SELECT CAST(SUM(m1) AS BIGINT) AS n1,
+         CAST(SUM(m - m1) AS BIGINT) AS n2,
+         CAST(SUM(m1 * (2 * before + m + 1)) AS BIGINT) AS r1_doubled,
+         CAST(SUM(m * m * m - m) AS BIGINT) AS tie_cubic_sum
+  FROM ranked
+)
+SELECT n1, n2,
+       r1_doubled - n1 * (n1 + 1) AS u1_doubled,
+       tie_cubic_sum,
+       CAST(floor(
+         (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+         / (2.0 * sqrt(
+             (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+             * (CAST(n1 + n2 + 1 AS DOUBLE)
+                - CAST(tie_cubic_sum AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+         * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+FROM moments
+"""
+
+
+@register(
+    "q376_mann_whitney_u",
+    oracle=_MWU_CORE.format(q=_Q_SQL),
+    tags=("analytics", "stats", "nonparametric"),
+)
+def q376_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs error spend) — the
+    nonparametric two-sample test q273's z-test can't replace when
+    the distributions are skewed: compare RANKS, not means. The whole
+    statistic is exact-integer until the last expression: tied ranks
+    carry their textbook average via DOUBLED ranks (a tie block's
+    doubled average rank is the integer 2*before + m + 1, so
+    R1_doubled, U1_doubled and the t^3 - t tie-correction sum are all
+    int64), and the normal-approximation z with tie-corrected
+    variance is one fixed-operand-order IEEE expression emitted as
+    floor-micro (the q301 discipline). Scale shape: one shuffle to
+    the distinct-value relation (GROUP BY cents), a window cumsum
+    over it, and a scalar fold — rank tables never materialize
+    per-row, which is what makes rank tests feasible at 100 TB."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MWU_CORE.format(q=_Q_SPARK))
+
+
+# Inverse-normal threshold ladder for q377: t_i = PHI^-1(1 - (i*alpha/m)/2)
+# in floor-micro units, for m = 25 groups at alpha = 0.1 (two-sided).
+# Generated once from the standard normal quantile function
+# (statistics.NormalDist().inv_cdf); shared literals mean neither
+# engine ever evaluates an inverse CDF — the same technique as the
+# q328 DCG discount table.
+_BH_LADDER = (2878161, 2652069, 2512144, 2408915, 2326347, 2257129,
+              2197286, 2144410, 2096927, 2053748, 2014090, 1977368,
+              1943133, 1911035, 1880793, 1852179, 1825006, 1799118,
+              1774381, 1750686, 1727934, 1706043, 1684940, 1664562,
+              1644853)
+
+_BH_CORE = """
+WITH per AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+gtot AS (
+  SELECT CAST(SUM(n_cust) AS BIGINT) AS n_tot,
+         CAST(SUM(n_pos) AS BIGINT) AS pos_tot
+  FROM per
+),
+z AS (
+  SELECT per.n_name, per.n_cust, per.n_pos,
+         abs(CAST(floor(
+           (CAST(per.n_pos AS DOUBLE) / CAST(per.n_cust AS DOUBLE)
+            - CAST(gtot.pos_tot AS DOUBLE) / CAST(gtot.n_tot AS DOUBLE))
+           / sqrt((CAST(gtot.pos_tot AS DOUBLE) / CAST(gtot.n_tot AS DOUBLE))
+                  * (1.0 - CAST(gtot.pos_tot AS DOUBLE) / CAST(gtot.n_tot AS DOUBLE))
+                  / CAST(per.n_cust AS DOUBLE))
+           * 1000000.0 + 0.5) AS BIGINT)) AS abs_z_micro
+  FROM per CROSS JOIN gtot
+),
+ranked AS (
+  SELECT n_name, n_cust, abs_z_micro,
+         CAST(row_number() OVER (ORDER BY abs_z_micro DESC, n_name)
+              AS BIGINT) AS bh_rank,
+         CASE WHEN abs_z_micro >= ladder[{idx}] THEN 1 ELSE 0 END AS passes
+  FROM (SELECT z.*, {ladder} AS ladder FROM z)
+),
+cutoff AS (
+  SELECT COALESCE(MAX(CASE WHEN passes = 1 THEN bh_rank END), 0) AS istar
+  FROM ranked
+)
+SELECT r.n_name, r.n_cust, r.abs_z_micro, r.bh_rank,
+       CASE WHEN r.bh_rank <= c.istar THEN 1 ELSE 0 END AS rejected
+FROM ranked r CROSS JOIN cutoff c
+"""
+
+
+@register(
+    "q377_bh_fdr_stepup",
+    oracle=_BH_CORE.format(
+        ladder="[" + ", ".join(str(t) for t in _BH_LADDER) + "]",
+        idx="CAST(bh_rank AS INTEGER)",
+    ),
+    tags=("analytics", "stats", "multiple_testing"),
+)
+def q377_bh_fdr_stepup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (JRSS-B 1995) over the 25
+    per-nation positive-balance proportion tests — the multiple-
+    testing control every per-segment drift/AB scan needs before
+    alerting on its largest deviation. The classic obstacle to BH in
+    SQL is the p-value (no erf in either engine); the standard
+    monotone-transform escape is applied instead: p_(i) <= i*alpha/m
+    iff |z|_(i) >= PHI^-1(1 - i*alpha/(2m)), so the step-up compares
+    each rank's |z| (exact floor-micro, q273's one-sample form)
+    against a PRECOMPUTED inverse-normal ladder literal — every
+    graded comparison is integer-exact. Rejected set = all ranks up
+    to the LARGEST passing rank (the step-up, not step-down, rule:
+    ranks that fail their own threshold are still rejected when a
+    later rank passes). One aggregate per nation, one 25-row window —
+    the fact scan dominates, as it must at 100 TB."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    # Spark array subscripts are 0-based (DuckDB's are 1-based — the
+    # oracle's idx differs by exactly that one).
+    return spark.sql(_BH_CORE.format(
+        ladder="array(" + ", ".join(str(t) for t in _BH_LADDER) + ")",
+        idx="CAST(bh_rank AS INTEGER) - 1",
+    ))

@@ -312,6 +312,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q373_hgt_watershed_basins",
     "q374_binary_quantization_recall",
     "q375_kmeans_parallel_init",
+    "q376_mann_whitney_u",
+    "q377_bh_fdr_stepup",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
