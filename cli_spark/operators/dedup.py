@@ -2047,3 +2047,99 @@ def q347_normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("dup_docs"),
         (F.sum("c") - F.count(F.lit(1))).cast("long").alias("removable_docs"),
     )
+
+
+# q380: portable boundary byte — md5 of the 4-gram ending at char p
+# (the q105 hex idiom); a cut lands after p when byte % 32 == 0
+# (expected chunk length ≈ 32 chars).
+_CDC_BYTE = (
+    "(instr('0123456789abcdef', substr(md5(substr(text, p - 3, 4)), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(substr(text, p - 3, 4)), 2, 1)) - 1"
+)
+
+_CDC_CORE = """
+WITH cuts AS (
+  SELECT doc_id, source, text,
+         {flt}({xform}({seq}, p -> CASE WHEN ({byte}) % 32 = 0
+                                        THEN p ELSE NULL END),
+               x -> x IS NOT NULL) AS bpos
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, source, text,
+         {cutexpr} AS cut
+  FROM cuts
+),
+chunks AS (
+  SELECT doc_id, source, ch
+  FROM bounds{lat}
+  WHERE length(ch) > 0
+),
+hashed AS (
+  SELECT source, md5(ch) AS h, length(ch) AS clen FROM chunks
+),
+per_chunk AS (
+  SELECT source, h, COUNT(*) AS occ, MIN(clen) AS clen
+  FROM hashed GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(occ) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(occ * clen) AS BIGINT) AS total_chars,
+       CAST(SUM((occ - 1) * clen) AS BIGINT) AS dup_chars,
+       CAST(SUM((occ - 1) * clen) * 1000000 {div} SUM(occ * clen) AS BIGINT)
+         AS dup_ppm
+FROM per_chunk
+GROUP BY source
+"""
+
+
+@register(
+    "q380_content_defined_chunking",
+    oracle=_CDC_CORE.format(
+        flt="list_filter",
+        xform="list_transform",
+        seq="generate_series(4, length(text))",
+        byte=_CDC_BYTE,
+        cutexpr=("list_concat(list_concat([0::BIGINT], bpos), "
+                 "[length(text)::BIGINT])"),
+        lat=(", LATERAL (SELECT UNNEST(list_transform("
+             "generate_series(1, len(cut) - 1), "
+             "i -> substr(text, cut[i] + 1, cut[i+1] - cut[i]))) AS ch)"),
+        div="//",
+    ),
+    tags=("dedup", "cdc", "chunking"),
+)
+def q380_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (Muthitacharoen et al., LBFS
+    SOSP'01 — the rsync/FastCDC family): chunk boundaries fall where
+    a rolling fingerprint of the last 4 chars hits 0 mod 32, so an
+    insertion early in a document RESHIFTS nothing downstream —
+    unlike fixed-width chunks, every boundary after the edit point
+    survives, which is why dedup stores and training-corpus delta
+    pipelines chunk by content, not offset. Per source: chunk count,
+    distinct chunks, duplicated chunk mass in chars and ppm — the
+    cross-document redundancy that chunk-level dedup would reclaim.
+
+    Engine shape: boundary detection is a JVM-side higher-order
+    filter/transform over the char positions (whole-stage codegen, no
+    Python), chunk extraction a zip-adjacent substr over the cut
+    array, and the census one exchange keyed by (source, chunk hash).
+    At 100 TB the md5-per-4-gram becomes a gear-table rolling hash in
+    an Arrow-batched mapInPandas — same boundaries contract, same
+    downstream plan; the md5 form here keeps both engines bit-equal."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CDC_CORE.format(
+        flt="filter",
+        xform="transform",
+        seq=("CASE WHEN length(text) >= 4 THEN sequence(4, length(text)) "
+             "ELSE CAST(array() AS ARRAY<INT>) END"),
+        byte=_CDC_BYTE,
+        cutexpr="concat(array(0), bpos, array(length(text)))",
+        lat=(" LATERAL VIEW explode(transform("
+             "sequence(1, size(cut) - 1), "
+             "i -> substr(text, cut[i - 1] + 1, cut[i] - cut[i - 1]))) AS ch"),
+        div="div",
+    ))

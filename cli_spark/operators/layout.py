@@ -610,3 +610,71 @@ def q362_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("largest_file_rows"),
         F.sum("cents").cast("long").alias("price_cents"),
     )
+
+
+@register(
+    "q379_range_partition_layout",
+    # Only sampling-independent invariants are graded: requested
+    # partition count, row conservation, global key extent, and ZERO
+    # range overlaps (violations are counted Spark-side from actual
+    # per-partition extents and the query RAISES if any exist).
+    oracle="""
+SELECT CAST(8 AS BIGINT) AS n_partitions,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+       CAST(0 AS BIGINT) AS range_violations
+FROM lineitem WHERE l_linenumber = 1
+""",
+    tags=("layout", "range_partition", "exchange"),
+)
+def q379_range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`repartitionByRange` layout audit — the RangePartitioning
+    exchange under every global sort, sorted write and write-ordered
+    table: rows route to partitions by sampled key boundaries, so
+    partition i's key range must sit strictly below partition i+1's.
+    The audit materializes per-partition extents via
+    `spark_partition_id()`, then checks the contract: consecutive
+    (max, next-min) pairs must not interleave — a single overlap
+    means the exchange is broken and ordered-write clustering is
+    fiction. Boundary POSITIONS come from reservoir sampling and are
+    not portable, so the graded row carries only sampling-independent
+    invariants (partition count, row conservation, key extent, zero
+    violations) while the violation count is computed from the real
+    extents and raises on breach. At 100 TB this is the pre-flight
+    check before a sorted rewrite: skewed boundaries show up here as
+    interleaved extents long before the 10-hour write job fails."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey")
+    )
+    per_part = (
+        li.repartitionByRange(8, F.col("l_orderkey"))
+        .select("l_orderkey", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("mn"),
+            F.max("l_orderkey").alias("mx"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("pid")
+    extents = per_part.withColumn("prev_mx", F.lag("mx").over(w))
+    audited = extents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("mn").cast("long").alias("min_key"),
+        F.max("mx").cast("long").alias("max_key"),
+        F.sum(
+            F.when(F.col("prev_mx") >= F.col("mn"), 1).otherwise(0)
+        ).cast("long").alias("range_violations"),
+    )
+    row = audited.collect()[0]
+    if row["range_violations"] != 0:
+        raise ValueError(f"range partitioning overlap: {row}")
+    if row["n_partitions"] != 8:
+        raise ValueError(f"expected 8 range partitions, got {row}")
+    return spark.createDataFrame([row], audited.schema)

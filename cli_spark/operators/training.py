@@ -1900,3 +1900,86 @@ def q355_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# q378: deterministic span-start draw — md5 byte of (doc_id, token
+# position), the q105 portable-hex idiom.
+_SPAN_BYTE = (
+    "(instr('0123456789abcdef', substr(md5({key}), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5({key}), 2, 1)) - 1"
+)
+
+_SPAN_CORE = """
+WITH toks AS (
+  SELECT doc_id, lang, pos
+  FROM (SELECT doc_id, lang, {words} AS w FROM documents){lat}
+),
+marked AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN {byte} < 13 THEN 1 ELSE 0 END AS is_start
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, lang, pos, is_start,
+         MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS corrupted
+  FROM marked
+),
+runs AS (
+  SELECT doc_id, lang, corrupted,
+         CASE WHEN corrupted = 1 AND COALESCE(LAG(corrupted) OVER (
+                PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS sentinel_open
+  FROM spans
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(corrupted) AS BIGINT) AS n_corrupted,
+       CAST(SUM(sentinel_open) AS BIGINT) AS n_sentinels,
+       CAST(SUM(corrupted) * 1000000 {div} COUNT(*) AS BIGINT)
+         AS corruption_ppm
+FROM runs
+GROUP BY lang
+"""
+
+
+@register(
+    "q378_span_corruption_mask",
+    oracle=_SPAN_CORE.format(
+        words=_SQL_WORDS,
+        lat=", LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS pos)",
+        byte=_SPAN_BYTE.format(
+            key="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"),
+        div="//",
+    ),
+    tags=("training", "masking", "t5"),
+)
+def q378_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption planning (Raffel et al., JMLR'20):
+    every token position draws a deterministic md5 byte; positions
+    under 13/256 ≈ 5% open a 3-token corruption span, overlapping
+    spans merge, and each maximal corrupted run is one sentinel —
+    start density × mean span ≈ the 15% noise target, with the merge
+    making realized corruption measurable rather than assumed (the
+    statistic an actual pretraining mix is tuned on). Census per
+    lang: tokens, corrupted tokens, sentinel count, realized ppm.
+
+    Shapes that survive 100 TB: the mask is a pure expression over
+    (doc_id, pos) — no RNG state to synchronize across executors, so
+    the same corpus always yields the same masks (reproducible
+    pretraining), and the merge is a 2-row-bounded window within
+    doc_id — no cross-document state. Sentinel counting is the q201
+    gaps-and-islands open-edge trick (corrupted AND NOT
+    lag(corrupted))."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SPAN_CORE.format(
+        words="filter(split(lower(text), ' '), w -> w != '')",
+        lat=" LATERAL VIEW posexplode(w) AS pos0, _tok",
+        byte=_SPAN_BYTE.format(
+            key="CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)"),
+        div="div",
+    ).replace("SELECT doc_id, lang, pos\n  FROM",
+              "SELECT doc_id, lang, pos0 + 1 AS pos\n  FROM"))

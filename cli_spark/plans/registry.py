@@ -314,6 +314,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q375_kmeans_parallel_init",
     "q376_mann_whitney_u",
     "q377_bh_fdr_stepup",
+    "q378_span_corruption_mask",
+    "q379_range_partition_layout",
+    "q380_content_defined_chunking",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
