@@ -567,3 +567,72 @@ def q357_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "metric string, value long",
     )
+
+
+@register(
+    "q384_batch_checksum_sink",
+    # The oracle re-derives the sink's exact manifest: same
+    # '|'-joined row rendering, same md5-prefix 48-bit hash, same
+    # commutative XOR fold — so the graded row proves the executor
+    # write() partials and the driver commit() fold end to end.
+    oracle=f"""
+WITH r AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '|' ||
+         CAST(l_linenumber AS VARCHAR) || '|' ||
+         l_returnflag || '|' ||
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+           AS rendered
+  FROM lineitem WHERE l_orderkey % 7 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(bit_xor({_hash48('rendered')}) AS BIGINT) AS checksum48,
+       CAST(4 AS BIGINT) AS n_tasks
+FROM r
+""",
+    tags=("audit", "checksum", "datasource", "batch_writer"),
+)
+def q384_batch_checksum_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH Python DataSource WRITER (`df.write.format(...)` through
+    a pure-Python `DataSourceWriter`) — the graded half the custom-
+    source matrix still owed: q338 grades the STREAMING writer's
+    per-batch commit, this grades the batch commit protocol, where
+    every executor task ships a (row_count, xor-checksum48) commit
+    message and the driver's commit() folds them into one atomic
+    manifest. The graded row is read FROM THE MANIFEST, not from the
+    DataFrame — a dropped task message, a double-counted partition or
+    a non-commutative fold all change it — and the oracle recomputes
+    the identical md5-prefix XOR fold in SQL (q119's portable-hash
+    construction). repartition(4) pins the task count so n_tasks is
+    part of the contract. Only integer/string columns ride the
+    manifest: their Python str() rendering equals SQL CAST AS STRING,
+    which is what makes the cross-engine hash meaningful."""
+    import hashlib as _hl
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from cli_spark.sources.checksum_sink import register_checksum_sink
+
+    register_checksum_sink(spark)
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|cksink".encode()
+    ).hexdigest()[:12]
+    out = _os.path.join(tempfile.gettempdir(), f"cli_spark_cksink_{tag}")
+    rows.repartition(4).write.format("checksum").option("path", out).mode(
+        "append"
+    ).save()
+    m = _json.load(open(_os.path.join(out, "manifest.json")))
+    return spark.createDataFrame(
+        [(m["row_count"], m["checksum48"], m["n_tasks"])],
+        "row_count long, checksum48 long, n_tasks long",
+    )

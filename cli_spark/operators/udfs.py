@@ -473,3 +473,131 @@ def q361_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             weight("p_name", "p_size").alias("weight"),
         )
     )
+
+
+@register(
+    "q381_pandas_udf_iterator",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) - 100) AS BIGINT) AS adj_cents
+FROM lineitem WHERE l_quantity >= 25
+GROUP BY l_returnflag
+""",
+    tags=("udf", "pandas", "iterator", "spark35"),
+)
+def q381_pandas_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-of-Series pandas UDF (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`, the SCALAR_ITER eval type) — the LAST
+    Python evaluation mode missing from the registry's spectrum
+    (scalar < arrow-scalar < pandas < pandas-iterator < mapInPandas):
+    the function is called ONCE per partition and loops over Arrow
+    batches itself, which is the documented pattern for amortizing
+    expensive per-worker initialization (model load, dictionary
+    build) across all batches instead of paying it per batch. Here
+    the "initialized state" is a fee constant fixed before the batch
+    loop; the arithmetic itself is exact cents so the oracle is
+    closed-form. Same vectorized throughput as a plain pandas UDF —
+    the iterator form only changes WHERE setup cost lands."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def adj_cents(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        fee = 100  # "loaded once" per-worker state
+        for s in batches:
+            # floor(x*100 + 0.5): half-up like both engines' round()
+            # on positive money (pandas .round() is banker's)
+            yield pd.Series(np.floor(s.to_numpy() * 100 + 0.5)).astype("int64") - fee
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    priced = li.select(
+        "l_returnflag",
+        adj_cents(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double")
+        ).alias("cents"),
+    )
+    return priced.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("adj_cents"),
+    )
+
+
+@register(
+    "q382_udtf_table_argument",
+    # Per-nation balance trace: the UDTF receives each nation's
+    # customers as a PARTITIONED TABLE argument ordered by acctbal
+    # desc and emits running-share checkpoint rows — equivalent to a
+    # window cumsum sampled at the checkpoints.
+    oracle="""
+WITH ranked AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS r,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+         SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+           OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_cents
+  FROM customer
+)
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(r AS BIGINT) AS checkpoint_rank,
+       CAST(run_cents AS BIGINT) AS cum_cents
+FROM ranked
+WHERE r % 100 = 0 OR r = n
+""",
+    tags=("udf", "udtf", "table_argument", "spark4"),
+)
+def q382_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE ARGUMENT (Spark 3.5+/4
+    `my_udtf(TABLE(t) PARTITION BY ... ORDER BY ...)`): the UDTF
+    consumes WHOLE PARTITIONS as row iterators instead of scalar
+    columns — Spark shuffles by the PARTITION BY key, orders rows
+    within each partition, and calls eval() per row with terminate()
+    at partition end, i.e. user-defined streaming aggregation over
+    grouped, ordered data (the API that subsumes grouped-map for
+    sequential per-group logic). The UDTF emits cumulative-balance
+    checkpoints every 100 customers per nation; the oracle replays it
+    as a window cumsum sampled at the same ranks — any partition
+    boundary or intra-partition order violation breaks the hash."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="nationkey int, checkpoint_rank bigint, cum_cents bigint")
+    class BalanceTrace:
+        def __init__(self):
+            self.rank = 0
+            self.cum = 0
+            self.key = None
+            self.last_row = None
+
+        def eval(self, row):
+            self.key = row["c_nationkey"]
+            self.rank += 1
+            self.cum += int(round(row["c_acctbal"] * 100))
+            self.last_row = (self.key, self.rank, self.cum)
+            if self.rank % 100 == 0:
+                yield self.last_row
+
+        def terminate(self):
+            if self.last_row is not None and self.last_row[1] % 100 != 0:
+                yield self.last_row
+
+    spark.udtf.register("balance_trace", BalanceTrace)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+SELECT nationkey, checkpoint_rank, cum_cents
+FROM balance_trace(
+  TABLE(SELECT c_nationkey, c_acctbal, c_custkey FROM customer)
+  PARTITION BY c_nationkey
+  ORDER BY (c_acctbal DESC, c_custkey)
+)
+"""
+    )

@@ -317,6 +317,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q378_span_corruption_mask",
     "q379_range_partition_layout",
     "q380_content_defined_chunking",
+    "q381_pandas_udf_iterator",
+    "q382_udtf_table_argument",
+    "q383_streaming_pivot_foreachbatch",
+    "q384_batch_checksum_sink",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

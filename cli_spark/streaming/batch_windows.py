@@ -2217,3 +2217,106 @@ def q371_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@register(
+    "q383_streaming_pivot_foreachbatch",
+    # Pivot is an unsupported operation ON a stream; the oracle is
+    # the batch per-hour conditional-aggregation matrix the partial
+    # merge must reconstruct exactly.
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_n,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_n,
+       CAST(SUM(CAST(round(value * {10 ** MONEY_SCALE}) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+    tags=("streaming", "true_stream", "pivot", "foreachbatch"),
+)
+def q383_streaming_pivot_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PIVOT via the foreachBatch escape hatch — `pivot()`
+    is an unsupported operation on a streaming DataFrame (its column
+    set depends on data Spark hasn't seen), so the production pattern
+    is: each micro-batch appends UN-pivoted partial aggregates
+    (hour, event_type, count, cents) — a tiny, mergeable relation —
+    and the pivot runs as a BATCH query over the accumulated
+    partials, where the column set is closed. The graded result is
+    the per-hour event-type matrix; splitting any hour across
+    micro-batches tests that the partials actually merge (SUM of
+    COUNTs), and the oracle is the direct batch pivot. This is the
+    general recipe for every streaming-unsupported operator (pivot,
+    global sort, percentile): stream the mergeable sufficient
+    statistic, finish the non-mergeable shape in batch."""
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 7) // 8)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", batch_rows)
+        .load()
+    )
+    out_root = tempfile.mkdtemp(prefix="q383_pivot_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            partial = batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("h"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * (10 ** MONEY_SCALE)).cast("long")
+                ).alias("cents"),
+            )
+            partial.write.mode("append").parquet(f"{out_root}/partials")
+
+        query = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, time.time()
+            while idle < 5 and time.time() - t0 < 240:
+                time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        partials = spark.read.parquet(f"{out_root}/partials")
+        types = ["click", "error", "purchase", "signup", "view"]
+        pivoted = (
+            partials.groupBy("h")
+            .pivot("event_type", types)
+            .sum("n")
+            .na.fill(0, types)
+        )
+        cents = partials.groupBy("h").agg(F.sum("cents").alias("total_cents"))
+        result = pivoted.join(cents, "h").select(
+            ts_str(F.col("h")).alias("window_start"),
+            F.col("click").cast("long").alias("click_n"),
+            F.col("error").cast("long").alias("error_n"),
+            F.col("purchase").cast("long").alias("purchase_n"),
+            F.col("signup").cast("long").alias("signup_n"),
+            F.col("view").cast("long").alias("view_n"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
