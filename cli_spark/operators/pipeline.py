@@ -21,7 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from cli_spark.operators.dedup import _SQL_SHINGLES as _DEDUP_SHINGLES_SQL
 from cli_spark.operators.similarity import dot, sql_dot
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
@@ -593,4 +595,223 @@ def q321_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count("source").alias("n_with_source"),
         F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_CASCADE_SQL = """
+WITH k AS (SELECT doc_id, md5(text) AS key FROM documents),
+keep1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS r
+    FROM k) WHERE r = 1
+),
+sh0 AS ({shingles}),
+sh AS (SELECT sh0.doc_id, sh0.shingles FROM sh0 JOIN keep1 USING (doc_id)),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS g1,
+         CAST(concat('0x', substr(md5(s), 17, 15)) AS BIGINT) AS g2
+  FROM ex
+),
+sig AS (
+  SELECT doc_id,
+         min(g1) AS h0, min(g1 + g2) AS h1,
+         min(g1 + 2 * g2) AS h2, min(g1 + 3 * g2) AS h3
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 AS band_key FROM sig UNION ALL
+  SELECT doc_id, 1, h1 FROM sig UNION ALL
+  SELECT doc_id, 2, h2 FROM sig UNION ALL
+  SELECT doc_id, 3, h3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+rm2 AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+),
+keep2 AS (SELECT doc_id FROM keep1 WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
+dv AS (
+  SELECT k2.doc_id, e.embedding, sqrt({norm}) AS nrm
+  FROM keep2 k2 JOIN embeddings e ON k2.doc_id = e.vec_id
+),
+rm3 AS (
+  SELECT DISTINCT b.doc_id
+  FROM dv a JOIN dv b ON a.doc_id < b.doc_id
+  WHERE {dot_ab} / (a.nrm * b.nrm) > 0.5
+),
+n0 AS (SELECT COUNT(*) AS n FROM documents),
+n1 AS (SELECT COUNT(*) AS n FROM keep1),
+n2 AS (SELECT COUNT(*) AS n FROM keep2),
+n3 AS (SELECT (SELECT n FROM n2) - COUNT(*) AS n FROM rm3)
+SELECT * FROM (
+  SELECT '1_exact' AS stage,
+         CAST(n0.n AS BIGINT) AS n_in,
+         CAST(n0.n - n1.n AS BIGINT) AS n_removed,
+         CAST(n1.n AS BIGINT) AS n_out,
+         CAST((n0.n - n1.n) * 1000000 {div} n0.n AS BIGINT) AS removed_ppm
+  FROM n0, n1
+  UNION ALL
+  SELECT '2_minhash', CAST(n1.n AS BIGINT), CAST(n1.n - n2.n AS BIGINT),
+         CAST(n2.n AS BIGINT),
+         CAST((n1.n - n2.n) * 1000000 {div} n1.n AS BIGINT)
+  FROM n1, n2
+  UNION ALL
+  SELECT '3_embedding', CAST(n2.n AS BIGINT), CAST(n2.n - n3.n AS BIGINT),
+         CAST(n3.n AS BIGINT),
+         CAST((n2.n - n3.n) * 1000000 {div} n2.n AS BIGINT)
+  FROM n2, n3
+)
+"""
+
+
+@register(
+    "q385_dedup_cascade_audit",
+    oracle=_CASCADE_SQL.format(
+        shingles=_DEDUP_SHINGLES_SQL,
+        norm=sql_dot("e.embedding", "e.embedding"),
+        dot_ab=sql_dot("a.embedding", "b.embedding"),
+        div="//",
+    ),
+    tags=("dedup", "pipeline", "cascade"),
+)
+def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CASCADE marginal-yield audit — the RefinedWeb/FineWeb
+    pipeline-composition measurement: run the three dedup families in
+    their production order (exact md5 keys -> MinHash-LSH near-dup ->
+    embedding-cosine semantic) and report each stage's marginal
+    removals ON THE PREVIOUS STAGE'S SURVIVORS, which is the number a
+    curation team actually budgets by (a stage's standalone yield
+    overstates its value when earlier stages already caught the same
+    docs). Stage rules are the graded family's own: q71 keep-first
+    for exact, q73 banded signatures + exact-Jaccard >= 0.5 verify
+    with drop-the-greater for near-dup, q75 cosine > 0.5 for
+    semantic. Census rows: (stage, n_in, n_removed, n_out, ppm).
+
+    Scale shape: stage 2 is the q73 plan (banded candidates, never
+    all-pairs); stage 3 inherits q75's quadratic-verify cap and at
+    corpus scale swaps in q83/q84 bucketed candidates — the cascade
+    ORDER is the point graded here, and it shuffles only doc_id key
+    sets between stages."""
+    from cli_spark.operators.dedup import shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    w = Window.partitionBy("key").orderBy("doc_id")
+    keep1 = (
+        docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("key"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("doc_id")
+    )
+    n1 = keep1.count()
+    # stage 2: q73 signature construction on survivors
+    sh = (
+        shingles_df(spark, sf_dir)
+        .join(keep1, "doc_id")
+        .select("doc_id", "shingles")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "utf-8"))),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("g1"),
+                F.conv(F.substring(m, 17, 15), 16, 10).cast("long").alias("g2"),
+            ),
+        ).alias("hs"),
+    )
+    def _band(i: int):
+        # single-parameter lambda (the q73 arity trap: a 2-arg lambda
+        # would receive the ARRAY INDEX as its second argument)
+        return lambda x: x["g1"] + F.lit(i) * x["g2"]
+
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(F.transform(F.col("hs"), _band(i))).alias(f"h{i}")
+            for i in range(4)
+        ],
+    ).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), F.col(f"h{i}").alias("band_key"))
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    jac = (
+        F.size(F.array_intersect("sha", "shb")).cast("double")
+        / F.size(F.array_distinct(F.concat("sha", "shb")))
+    )
+    rm2 = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    keep2 = keep1.join(rm2, "doc_id", "left_anti")
+    n2 = keep2.count()
+    sig.unpersist()
+    # stage 3: q75 cosine on survivors (quadratic verify, capped)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    dv = keep2.join(e, "doc_id").select(
+        "doc_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("nrm")
+    )
+    n_vecs = dv.count()
+    if n_vecs > Q75_MAX_VECS:
+        raise ValueError(
+            f"cascade stage 3 is the quadratic verify shape ({n_vecs} vectors "
+            f"> cap {Q75_MAX_VECS}); swap in q83/q84 bucketed candidates"
+        )
+    a = dv.select(F.col("doc_id").alias("da"), F.col("embedding").alias("ea"),
+                  F.col("nrm").alias("na"))
+    b = dv.select(F.col("doc_id").alias("db"), F.col("embedding").alias("eb"),
+                  F.col("nrm").alias("nb"))
+    rm3_n = (
+        a.join(b, F.col("da") < F.col("db"))
+        .filter(dot("ea", "eb") / (F.col("na") * F.col("nb")) > 0.5)
+        .select("db").distinct().count()
+    )
+    n3 = n2 - rm3_n
+    rows = [
+        ("1_exact", n0, n0 - n1, n1, (n0 - n1) * 1000000 // n0),
+        ("2_minhash", n1, n1 - n2, n2, (n1 - n2) * 1000000 // n1),
+        ("3_embedding", n2, n2 - n3, n3, (n2 - n3) * 1000000 // n2),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_in long, n_removed long, n_out long, removed_ppm long",
     )

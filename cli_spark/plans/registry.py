@@ -321,6 +321,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q382_udtf_table_argument",
     "q383_streaming_pivot_foreachbatch",
     "q384_batch_checksum_sink",
+    "q385_dedup_cascade_audit",
+    "q386_streaming_scd2_enrichment",
+    "q387_session_window_dynamic_gap",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

@@ -2320,3 +2320,187 @@ def q383_streaming_pivot_foreachbatch(spark: SparkSession, sf_dir: str) -> DataF
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q386_streaming_scd2_enrichment",
+    # Oracle closed-forms the version lookup: version = 10-day slot
+    # since 2024-01-01, tier = (user_id + version) % 3 — the same
+    # derivation that built the dimension, reached WITHOUT the join.
+    oracle=f"""
+WITH enr AS (
+  SELECT (user_id + (epoch_us(ts) - 1704067200000000) // 864000000000) % 3
+           AS tier,
+         value
+  FROM events
+  WHERE epoch_us(ts) >= 1704067200000000
+    AND (epoch_us(ts) - 1704067200000000) // 864000000000 < 36
+)
+SELECT CAST(tier AS BIGINT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM enr GROUP BY tier
+""",
+    tags=("streaming", "true_stream", "scd2", "stream_static", "asof"),
+)
+def q386_streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static AS-OF enrichment against an SCD2 dimension — the
+    production upgrade of q214's static join: the dimension has
+    VERSIONED rows with validity intervals (36 ten-day user-tier
+    versions from 2024-01-01, tier = (user_id + version) % 3), and
+    each streamed event must pick the version valid AT ITS EVENT
+    TIME: an equi-join on user_id with the interval predicate as
+    residual, re-evaluated per micro-batch — Spark re-broadcasts the
+    dimension every batch, so a dimension update between batches is
+    picked up, which is exactly why stream-static (not a snapshot
+    join at job start) is the SCD2-correct pattern. Graded: per-tier
+    census of the drained stream; the oracle closed-forms the version
+    arithmetic and reaches the same numbers without any join."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    BASE_US = 1704067200000000  # 2024-01-01 00:00:00 UTC
+    SLOT_US = 864000000000      # 10 days
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct()
+    )
+    dim = (
+        users.crossJoin(
+            spark.range(36).select(F.col("id").alias("version"))
+        )
+        .select(
+            "user_id",
+            "version",
+            (F.lit(BASE_US) + F.col("version") * F.lit(SLOT_US)).alias("from_us"),
+            (F.lit(BASE_US) + (F.col("version") + 1) * F.lit(SLOT_US)).alias("to_us"),
+            ((F.col("user_id") + F.col("version")) % 3).alias("tier"),
+        )
+    )
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 7) // 8)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", batch_rows)
+        .load()
+        .withColumn("t_us", F.unix_micros("ts"))
+    )
+    enriched = stream.join(
+        dim,
+        (stream.user_id == dim.user_id)
+        & (F.col("t_us") >= F.col("from_us"))
+        & (F.col("t_us") < F.col("to_us")),
+        "inner",
+    ).select("tier", "value")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("value_sum"),
+    )
+    name = "scd2_" + uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        import time as _t
+        idle, t0 = 0, _t.time()
+        while idle < 5 and _t.time() - t0 < 240:
+            _t.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out.select(
+        F.col("tier").cast("long").alias("tier"), "n_events", "value_sum"
+    )
+
+
+@register(
+    "q387_session_window_dynamic_gap",
+    # Dynamic-gap sessionization = union of per-event intervals
+    # [ts, ts + gap): a new session opens when ts exceeds the running
+    # max of all previous interval ends; session end = max end.
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN 3600000000
+              ELSE 1800000000 END AS gap_us,
+         value
+  FROM events
+),
+marked AS (
+  SELECT *,
+         CASE WHEN t_us > COALESCE(MAX(t_us + gap_us) OVER (
+                PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (
+    PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+  FROM marked
+)
+SELECT user_id, sess_no,
+       strftime(make_timestamp(MIN(t_us)), '%Y-%m-%d %H:%M:%S')
+         AS session_start,
+       strftime(make_timestamp(MAX(t_us + gap_us)), '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM sess
+GROUP BY user_id, sess_no
+""",
+    tags=("streaming", "session_window", "dynamic_gap"),
+)
+def q387_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS WITH A DYNAMIC GAP (Spark 3.2+
+    `session_window(ts, gap_expression)`): the session timeout is a
+    per-EVENT expression — purchases hold a session open for 60
+    minutes, everything else 30 — the production shape for behavioral
+    sessionization where high-intent actions extend engagement
+    windows (a fixed gap must pick one number and mis-sessionizes the
+    other class). Semantics: each event spans [ts, ts+gap); sessions
+    are the connected unions of overlapping spans, so session END is
+    the max span end, not last-event-time + constant. The oracle
+    replays exactly that union rule as a running-max gaps-and-islands
+    pass; q102's fixed-gap sessions are the degenerate case. Same
+    expression works under `readStream` with a watermark (q124's
+    harness) — graded here in batch form for the exact census, one
+    shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    # gap must be CalendarIntervalType: a string-typed column works
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")) \
+        .otherwise(F.lit("30 minutes"))
+    sw = e.groupBy(
+        F.session_window(F.col("ts"), gap).alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("value_sum"),
+    )
+    from pyspark.sql.window import Window as _Wdg
+
+    win = _Wdg.partitionBy("user_id").orderBy(F.col("w.start").asc())
+    return sw.select(
+        "user_id",
+        F.row_number().over(win).cast("long").alias("sess_no"),
+        ts_str(F.col("w.start")).alias("session_start"),
+        ts_str(F.col("w.end")).alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
