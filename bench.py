@@ -80,11 +80,20 @@ PROMOTED23_QUERIES = [
     "q322_pq_codebook",             # 4-subspace PQ Lloyd
 ]
 
-# Round-8 additions tracked report-only (the VERDICT r5 #7 pattern:
+# Round-8/9 heavy additions, promoted into the declared 26-class
+# headline in round 9 now that they carry baselines (BASELINE.md
+# "Headline sums v4"): summed into `value_26class`.
+PROMOTED26_QUERIES = [
+    "q351_avi_indexed_multistream",   # two-stream AVI codec decode
+    "q375_kmeans_parallel_init",      # 2-round Bahmani k-means|| seeding
+    "q380_content_defined_chunking",  # CDC chunk-dedup census
+]
+
+# Round-9 additions tracked report-only (the VERDICT r5 #7 pattern:
 # reported in queries{} for a round or two, then promoted with
 # declared baselines): the new heavy classes from this round.
 REPORTED_QUERIES = [
-    "q351_avi_indexed_multistream",  # two-stream AVI codec decode
+    "q385_dedup_cascade_audit",  # 3-stage dedup cascade (banded)
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
@@ -149,6 +158,8 @@ def main() -> None:
     total_18 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED23_QUERIES})
     total_23 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED26_QUERIES})
+    total_26 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -161,6 +172,7 @@ def main() -> None:
         "value_7class": legacy_total,
         "value_18class": total_18,
         "value_23class": total_23,
+        "value_26class": total_26,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,

@@ -642,12 +642,27 @@ rm2 AS (
 ),
 keep2 AS (SELECT doc_id FROM keep1 WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
 dv AS (
-  SELECT k2.doc_id, e.embedding, sqrt({norm}) AS nrm
+  SELECT k2.doc_id, e.embedding, sqrt({norm}) AS nrm,
+         {signmask} AS mask
   FROM keep2 k2 JOIN embeddings e ON k2.doc_id = e.vec_id
 ),
+ebands AS (
+  SELECT doc_id, 0 AS band_id, mask % 256 AS band_key FROM dv UNION ALL
+  SELECT doc_id, 1, (mask // 256) % 256 FROM dv UNION ALL
+  SELECT doc_id, 2, (mask // 65536) % 256 FROM dv UNION ALL
+  SELECT doc_id, 3, (mask // 16777216) % 256 FROM dv
+),
+ecand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ebands a JOIN ebands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
 rm3 AS (
-  SELECT DISTINCT b.doc_id
-  FROM dv a JOIN dv b ON a.doc_id < b.doc_id
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM ecand c
+  JOIN dv a ON a.doc_id = c.doc_a
+  JOIN dv b ON b.doc_id = c.doc_b
   WHERE {dot_ab} / (a.nrm * b.nrm) > 0.5
 ),
 n0 AS (SELECT COUNT(*) AS n FROM documents),
@@ -681,6 +696,9 @@ SELECT * FROM (
         shingles=_DEDUP_SHINGLES_SQL,
         norm=sql_dot("e.embedding", "e.embedding"),
         dot_ab=sql_dot("a.embedding", "b.embedding"),
+        signmask=("list_sum(list_transform(generate_series(1, 32), i -> "
+                  "CASE WHEN e.embedding[i] > 0 THEN (1::BIGINT << (i - 1)) "
+                  "ELSE 0::BIGINT END))"),
         div="//",
     ),
     tags=("dedup", "pipeline", "cascade"),
@@ -698,11 +716,17 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with drop-the-greater for near-dup, q75 cosine > 0.5 for
     semantic. Census rows: (stage, n_in, n_removed, n_out, ppm).
 
-    Scale shape: stage 2 is the q73 plan (banded candidates, never
-    all-pairs); stage 3 inherits q75's quadratic-verify cap and at
-    corpus scale swaps in q83/q84 bucketed candidates — the cascade
-    ORDER is the point graded here, and it shuffles only doc_id key
-    sets between stages."""
+    Scale shape: stage 2 is the q73 plan (banded MinHash candidates,
+    never all-pairs); stage 3 is sign-LSH banded the same way — four
+    8-bit bands of the 32-dim sign mask generate candidates, exact
+    fixed-point cosine verifies only band-sharing pairs (Charikar
+    SimHash banding; band recall ≈ 1-(1-(1-θ/π)^8)^4, high for true
+    near-dups, deliberately <1 for borderline pairs — the production
+    trade SemDeDup/q83 make, mirrored exactly in the oracle). The
+    cascade shuffles only doc_id key sets and band keys between
+    stages; nothing is quadratic at any stage. Redesigned from an
+    all-pairs stage-3 verify after it measured 55 s at sf0.1 — the
+    same mega-bucket lesson as the r7 q267/q290 fixes."""
     from cli_spark.operators.dedup import shingles_df
 
     docs = load_table(spark, sf_dir, "documents")
@@ -713,7 +737,7 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.row_number().over(w))
         .filter("r = 1")
         .select("doc_id")
-    )
+    ).persist()
     n1 = keep1.count()
     # stage 2: q73 signature construction on survivors
     sh = (
@@ -780,31 +804,58 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    keep2 = keep1.join(rm2, "doc_id", "left_anti")
+    keep2 = keep1.join(rm2, "doc_id", "left_anti").persist()
     n2 = keep2.count()
     sig.unpersist()
     # stage 3: q75 cosine on survivors (quadratic verify, capped)
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    dv = keep2.join(e, "doc_id").select(
-        "doc_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("nrm")
+    signmask = (
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
+        "acc + IF(embedding[i] > CAST(0 AS DOUBLE), "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
     )
-    n_vecs = dv.count()
-    if n_vecs > Q75_MAX_VECS:
-        raise ValueError(
-            f"cascade stage 3 is the quadratic verify shape ({n_vecs} vectors "
-            f"> cap {Q75_MAX_VECS}); swap in q83/q84 bucketed candidates"
+    dv = keep2.join(e, "doc_id").select(
+        "doc_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+        F.expr(signmask).alias("mask"),
+    ).persist()
+    ebands = dv.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.expr(f"(mask div {256 ** i}) % 256").alias("band_key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_key")
+    ecand = (
+        ebands.alias("x")
+        .join(
+            ebands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
     a = dv.select(F.col("doc_id").alias("da"), F.col("embedding").alias("ea"),
                   F.col("nrm").alias("na"))
     b = dv.select(F.col("doc_id").alias("db"), F.col("embedding").alias("eb"),
                   F.col("nrm").alias("nb"))
     rm3_n = (
-        a.join(b, F.col("da") < F.col("db"))
+        ecand.join(a, "da").join(b, "db")
         .filter(dot("ea", "eb") / (F.col("na") * F.col("nb")) > 0.5)
         .select("db").distinct().count()
     )
+    dv.unpersist()
+    keep1.unpersist()
+    keep2.unpersist()
     n3 = n2 - rm3_n
     rows = [
         ("1_exact", n0, n0 - n1, n1, (n0 - n1) * 1000000 // n0),
