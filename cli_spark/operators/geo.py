@@ -139,3 +139,88 @@ def q275_grid_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(best, "c_custkey", "left").select(
         "c_custkey", "x", "y", "nn_suppkey", "nn_dist2"
     )
+
+
+# q388: geohash in pure integer arithmetic. 15-bit quantizers per
+# axis; interleave lon-first MSB-down into a 30-bit cell id; 6 chars
+# of the standard base32 alphabet. Identical text runs in both
+# engines except the integer-divide spelling.
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave(div: str) -> str:
+    """30-bit geohash cell id from lon_q/lat_q (15-bit each):
+    bit (29-2i) = lon bit (14-i), bit (28-2i) = lat bit (14-i)."""
+    terms = []
+    for i in range(15):
+        terms.append(f"(((lon_q {div} {2 ** (14 - i)}) % 2) * {2 ** (29 - 2 * i)})")
+        terms.append(f"(((lat_q {div} {2 ** (14 - i)}) % 2) * {2 ** (28 - 2 * i)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_chars(div: str) -> str:
+    parts = [
+        f"substr('{_GH_ALPHABET}', CAST((g {div} {2 ** (25 - 5 * j)}) % 32 AS INTEGER) + 1, 1)"
+        for j in range(6)
+    ]
+    return " || ".join(parts)
+
+
+_GH_CORE = """
+WITH pts AS (
+  SELECT user_id, event_id,
+         (user_id * 37) % 18000 AS lat_cd,
+         (event_id * 91) % 36000 AS lon_cd
+  FROM events
+),
+q AS (
+  SELECT user_id,
+         (lat_cd * 32768) {div} 18000 AS lat_q,
+         (lon_cd * 32768) {div} 36000 AS lon_q
+  FROM pts
+),
+cells AS (SELECT user_id, {inter} AS g FROM q),
+hashed AS (SELECT user_id, {chars} AS geohash FROM cells),
+pre AS (
+  SELECT substr(geohash, 1, 3) AS prefix,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         MIN(geohash) AS min_hash
+  FROM hashed GROUP BY substr(geohash, 1, 3)
+)
+SELECT prefix, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users, min_hash
+FROM pre
+ORDER BY n_events DESC, prefix
+LIMIT 10
+"""
+
+
+@register(
+    "q388_geohash_encode",
+    oracle=_GH_CORE.format(
+        div="//", inter=_gh_interleave("//"), chars=_gh_chars("//")
+    ),
+    tags=("geo", "geohash", "bucketing"),
+)
+def q388_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (Niemeyer's public base32 Z-curve — the geo
+    bucketing standard Spark has no native function for): coordinates
+    quantize to 15 bits/axis, interleave longitude-first MSB-down
+    into a 30-bit cell id, and emit 6 base32 chars — every shared
+    PREFIX is a containing cell, which is what makes geohash the
+    join/partition key for proximity work (q275's grid join with a
+    standard, truncatable spelling; q113's z-order with a public
+    alphabet). Coordinates here derive deterministically from event
+    ids in integer centidegrees, so the whole pipeline — quantize,
+    interleave, base32 — is exact integer arithmetic + substr on
+    both engines, zero floats. Graded: top-10 3-char prefixes with
+    event/user counts (the bucketing histogram a geo-partitioner
+    would plan from). All codegen-able expressions, one exchange for
+    the prefix census."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GH_CORE.format(
+        div="div", inter=_gh_interleave("div"), chars=_gh_chars("div")
+    ))

@@ -114,3 +114,91 @@ def q114_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_price_q").cast("double") / 10000.0 / F.sum("p_rows")
         ).alias("avg_price"),
     )
+
+
+# q390: deterministic change-feed byte (the q105/q280 portable hex
+# idiom) — classes: <48 DELETE, 48..127 UPDATE (+500 cents),
+# >=224 INSERT (new key, cents+123).
+_IVM_BYTE = (
+    "(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS {s})), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS {s})), 2, 1)) - 1"
+)
+
+
+@register(
+    "q390_incremental_view_maintenance",
+    # The oracle takes the OTHER route: apply the change feed to the
+    # base rows, then aggregate the merged relation from scratch.
+    # The Spark side never materializes the merged table — only
+    # MV0 + delta aggregation — so a hash match proves the
+    # maintenance algebra.
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         {_IVM_BYTE.format(s='VARCHAR')} AS b
+  FROM orders
+),
+merged AS (
+  SELECT o_orderpriority,
+         CASE WHEN b >= 48 AND b < 128 THEN cents + 500 ELSE cents END AS cents
+  FROM src WHERE b >= 48
+  UNION ALL
+  SELECT o_orderpriority, cents + 123 FROM src WHERE b >= 224
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS price_cents
+FROM merged GROUP BY o_orderpriority
+""",
+    tags=("incremental", "ivm", "materialized_view"),
+)
+def q390_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (the delta-aggregation algebra
+    under every materialized-view engine and Delta/Iceberg MV
+    refresh): a per-priority revenue MV is maintained from a CDC
+    delta stream WITHOUT touching the merged base table — deletes
+    contribute (-1, -cents), updates (0, +delta-cents), inserts
+    (+1, +cents) — and the maintained MV must equal a from-scratch
+    recompute over the merged relation, which is exactly what the
+    oracle builds by the other route. This works because COUNT/SUM
+    are abelian-group aggregates (every delta has an inverse);
+    min/max would need the full recompute path — the distinction
+    that decides which MVs refresh in O(|delta|) at 100 TB and which
+    in O(|table|). One scan of the base for MV0, one scan of the
+    (small) delta, a 5-row merge join — never a merged-table scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(_IVM_BYTE.format(s="STRING")).alias("b"),
+    )
+    mv0 = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    deletes = o.filter("b < 48").select(
+        "o_orderpriority", F.lit(-1).alias("dn"), (-F.col("cents")).alias("dc")
+    )
+    updates = o.filter("b >= 48 AND b < 128").select(
+        "o_orderpriority", F.lit(0).alias("dn"), F.lit(500).alias("dc")
+    )
+    inserts = o.filter("b >= 224").select(
+        "o_orderpriority", F.lit(1).alias("dn"),
+        (F.col("cents") + 123).alias("dc"),
+    )
+    delta = (
+        deletes.unionByName(updates).unionByName(inserts)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    )
+    ivm = (
+        mv0.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long").alias("n_orders"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("long").alias("price_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return ivm

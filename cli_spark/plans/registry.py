@@ -324,6 +324,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q385_dedup_cascade_audit",
     "q386_streaming_scd2_enrichment",
     "q387_session_window_dynamic_gap",
+    "q388_geohash_encode",
+    "q389_shard_stitch_candidates",
+    "q390_incremental_view_maintenance",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
