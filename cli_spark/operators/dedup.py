@@ -2143,3 +2143,99 @@ def q380_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame
              "i -> substr(text, cut[i - 1] + 1, cut[i] - cut[i - 1]))) AS ch"),
         div="div",
     ))
+
+
+@register(
+    "q392_prefix_filter_join",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, shingles, len(shingles) AS n
+       FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(1000000 * p.inter // (sa.n + sb.n - p.inter) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+""",
+    tags=("dedup", "jaccard", "prefix_filter", "similarity_join"),
+)
+def q392_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERING set-similarity join (Chaudhuri ICDE'06 /
+    Bayardo WWW'07 "all-pairs"): exact word-3-gram Jaccard >= 0.5
+    pairs over the WHOLE corpus — no lang blocking (q72) and no
+    probabilistic candidate loss (q73's MinHash). The scalable trick:
+    order every doc's shingle set by GLOBAL document frequency
+    (rarest first) and join only on each doc's first
+    floor(n/2)+1 tokens. Losslessness: if two docs share no prefix
+    token under one total order, their intersection fits inside one
+    doc's suffix of ceil(n/2)-1 tokens < n/2 <= |union|/2, so Jaccard
+    < 0.5 — every qualifying pair MUST collide on a prefix token.
+    At 100 TB this is the difference between joining on "the the the"
+    (every doc collides -> quadratic) and joining on rare shingles
+    only: frequent tokens sort OUT of prefixes, so candidate volume
+    tracks true-duplicate volume, not corpus size^2. Verification is
+    per-candidate array_intersect (bounded by candidate count), and
+    the bit-exact match against the UNFILTERED all-token oracle is an
+    empirical completeness proof of the prefix bound. Threshold and
+    score in exact integer arithmetic (2*inter >= union;
+    ppm = 1e6*inter DIV union) — no float round-trip."""
+    from pyspark.sql.window import Window
+
+    sh = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                                 F.col("s").asc())
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 2) + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    av = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sa"),
+                   F.col("n").alias("na"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sb"),
+                   F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(2 * F.col("inter") >= F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(1000000 * inter DIV uni AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -327,6 +327,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q388_geohash_encode",
     "q389_shard_stitch_candidates",
     "q390_incremental_view_maintenance",
+    "q391_rocksdb_statestore",
+    "q392_prefix_filter_join",
+    "q393_script_transform",
+    "q394_sql_sugar_pack2",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

@@ -2504,3 +2504,102 @@ def q387_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFra
         "n_events",
         "value_sum",
     )
+
+
+@register(
+    "q391_rocksdb_statestore",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("streaming", "true_stream", "rocksdb", "statestore"),
+)
+def q391_rocksdb_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming aggregation on the ROCKSDB STATE STORE
+    (`RocksDBStateStoreProvider`) — the production state backend for
+    large stateful jobs: HDFSBackedStateStoreProvider holds every
+    version of state in executor HEAP (state size is memory-bounded
+    and GC-hostile at 100 TB), while RocksDB keeps state off-heap on
+    local SSD with incremental changelog checkpointing, which is why
+    every large-scale deployment (and transformWithState) requires
+    it. Graded, not just unit-tested: the events table is re-laid as
+    six event-time-range files and streamed with
+    `maxFilesPerTrigger=1` (the FILE stream source's rate limit), so
+    the hourly census accumulates across >= 6 micro-batches of
+    RocksDB get/put/commit cycles — a wrong provider wiring, a lost
+    RocksDB commit, or a version rollback breaks the bit-exact match
+    with the batch oracle. The run asserts RocksDB custom metrics in
+    the final progress (proof the provider actually served the
+    stateful operator) and restores the session's provider conf."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="q391_rocksdb_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        # six event-time-ordered range files -> six micro-batches
+        e.repartitionByRange(6, "ts", "event_id").write.parquet(tmp + "/in")
+        schema = spark.read.parquet(tmp + "/in").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp + "/in")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        ).select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, rocksdb)
+        try:
+            name = f"q391_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", tmp + "/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            committed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(committed) < 2:
+                raise RuntimeError(
+                    f"q391 expected multi-batch RocksDB run, got "
+                    f"{len(committed)} data batches"
+                )
+            metrics = (q.lastProgress or {}).get("stateOperators", [{}])[0] \
+                .get("customMetrics", {})
+            if not any("rocksdb" in k.lower() for k in metrics):
+                raise RuntimeError(
+                    "q391: no RocksDB custom metrics in progress — "
+                    "state did not run on RocksDBStateStoreProvider"
+                )
+            sink = spark.table(name)
+            rows = sink.collect()
+            out = spark.createDataFrame(rows, sink.schema)
+            spark.catalog.dropTempView(name)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
