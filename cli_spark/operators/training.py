@@ -1983,3 +1983,79 @@ def q378_span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         div="div",
     ).replace("SELECT doc_id, lang, pos\n  FROM",
               "SELECT doc_id, lang, pos0 + 1 AS pos\n  FROM"))
+
+
+@register(
+    "q398_sequence_packing",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+fold AS (
+  SELECT lang, rn, tok, 1 AS bin, tok AS cum
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.tok,
+         CASE WHEN f.cum + t.tok <= 512 THEN f.bin ELSE f.bin + 1 END,
+         CASE WHEN f.cum + t.tok <= 512 THEN f.cum + t.tok ELSE t.tok END
+  FROM fold f JOIN toks t ON t.lang = f.lang AND t.rn = f.rn + 1
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tok_sum,
+       CAST(1000000 * SUM(tok) // 512 AS BIGINT) AS fill_ppm
+FROM fold GROUP BY lang, bin
+""",
+    tags=("training", "packing", "pandas_udf"),
+)
+def q398_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW SEQUENCE PACKING (next-fit): assign documents,
+    in deterministic corpus order, to 512-token training contexts —
+    a new context opens whenever the incoming doc would overflow the
+    current one (oversize docs get a context of their own). This is
+    the pretraining batch-prep step that turns a deduped corpus into
+    fixed-length examples; fill_ppm per context is the padding-waste
+    metric that decides between next-fit and offline bin packing.
+    Packing is a SEQUENTIAL fold — each doc's context depends on
+    every prior doc — so it cannot be a window/prefix-sum (the
+    remaining-capacity state RESETS on overflow, breaking
+    associativity). The scalable contract: order only matters WITHIN
+    a shard (here lang; at 100 TB, input file or dedup-shard), so
+    each shard folds independently in one Arrow-batched
+    `applyInPandas` pass, O(docs) per shard with no cross-shard
+    traffic, and the context census aggregates distributed. The
+    oracle replays the identical fold as a per-lang recursive CTE."""
+    import pandas as pd
+
+    budget = 512
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .alias("tok"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, cum = 0, 0
+        for tok in pdf["tok"]:
+            if bin_id == 0 or cum + tok > budget:
+                bin_id += 1
+                cum = int(tok)
+            else:
+                cum += int(tok)
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["lang", "bin_id", "tok"]]
+
+    packed = d.groupBy("lang").applyInPandas(
+        pack, schema="lang string, bin_id long, tok long"
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("tok_sum"),
+        F.expr("CAST(1000000 * sum(tok) DIV 512 AS BIGINT)").alias("fill_ppm"),
+    )

@@ -331,6 +331,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q392_prefix_filter_join",
     "q393_script_transform",
     "q394_sql_sugar_pack2",
+    "q395_streaming_file_sink",
+    "q396_streaming_semi_join",
+    "q397_streaming_anti_join",
+    "q398_sequence_packing",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

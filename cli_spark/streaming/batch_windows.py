@@ -2603,3 +2603,300 @@ def q391_rocksdb_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "q395_streaming_file_sink",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "true_stream", "file_sink", "exactly_once"),
+)
+def q395_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming FILE SINK with its `_spark_metadata`
+    commit log — the exactly-once contract for writing a stream AS
+    FILES (the lakehouse landing pattern; q331/q338 graded custom
+    foreachBatch/DataSource sinks, this grades Spark's own). The
+    sink records every committed file per batch in
+    `_spark_metadata/`; a batch reader of the directory must use
+    that log as the file index, NOT a directory listing — that is
+    what makes task-crash orphan files invisible. Proved here, not
+    assumed: after the drain an ORPHAN parquet file (a duplicated
+    real output file, as a failed-then-retried task would leave) is
+    planted in the output directory, and the graded read-back census
+    still matches the batch oracle bit-exactly — a listing-based
+    read would double-count the orphan's rows and break the hash.
+    Multi-batch (replay source, ~10 micro-batches), append mode."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    tmp = tempfile.mkdtemp(prefix="q395_filesink_")
+    out_dir = tmp + "/out"
+    try:
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", tmp + "/ck")
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            import time as _time
+
+            idle, t0 = 0, _time.time()
+            while idle < 5 and _time.time() - t0 < 240:
+                _time.sleep(0.3)
+                p = q.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            q.stop()
+            q.awaitTermination()
+        if not os.path.isdir(out_dir + "/_spark_metadata"):
+            raise RuntimeError("q395: file sink wrote no _spark_metadata log")
+        # plant an orphan: copy a committed part file under an
+        # uncommitted name — exactly what a crashed-then-retried task
+        # leaves behind. The metadata-log file index must ignore it.
+        parts = sorted(_glob.glob(out_dir + "/part-*.parquet"))
+        if not parts:
+            raise RuntimeError("q395: file sink produced no part files")
+        shutil.copy(parts[0], out_dir + "/part-99999-orphan.c000.snappy.parquet")
+        back = spark.read.parquet(out_dir)
+        res = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        out = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _stream_join_sides(spark: SparkSession, sf_dir: str):
+    """Purchase / error replay-source sides shared by the
+    stream-stream join-type matrix (q318 outer, q370 full outer,
+    q396 semi, q397 anti): both streams replay the same events file
+    in ~10 micro-batches with a 2-hour watermark."""
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+        )
+
+    pur = (
+        src().filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    err = (
+        src().filter(F.col("event_type") == "error")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    cond = (
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts"))
+    )
+    return pur, err, cond
+
+
+def _drain_foreach_parquet(spark: SparkSession, joined: DataFrame,
+                           out_root: str) -> DataFrame:
+    """Run a streaming frame into an append parquet foreachBatch sink
+    until the replay sources go idle; return the written rows."""
+    import time as _time
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_root}/rows")
+
+    query = (
+        joined.writeStream.foreachBatch(sink)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, _time.time()
+        while idle < 5 and _time.time() - t0 < 240:
+            _time.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    return spark.read.parquet(f"{out_root}/rows")
+
+
+@register(
+    "q396_streaming_semi_join",
+    oracle=f"""
+WITH pur AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT user_id AS e_user, ts AS e_ts
+  FROM events WHERE event_type = 'error'
+),
+survivors AS (
+  SELECT DISTINCT p.p_id, p.p_user, p.p_value
+  FROM pur p JOIN err e
+    ON e.e_user = p.p_user
+   AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND e.e_ts <= p.p_ts
+)
+SELECT p_user AS user_id,
+       COUNT(*) AS n_flagged,
+       {sql_dsum('p_value')} AS flagged_value_sum
+FROM survivors GROUP BY p_user
+""",
+    tags=("streaming", "true_stream", "semi_join", "watermark"),
+)
+def q396_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT SEMI join (Spark 3.4+): emit each
+    purchase AT MOST ONCE as soon as SOME error from the same user
+    lands in its 30-minute lookback window — the streaming
+    existence-test (fraud-style flagging: "purchase preceded by an
+    error"), distinct from inner (q318's shape would re-emit per
+    match) and from outer (no null rows). State semantics: the left
+    row is held until matched (then marked, never re-emitted) or
+    evicted by the watermark; right rows are held only within the
+    interval bound. Output is left-columns-only by definition —
+    the grade censuses flagged purchases per user, which catches
+    both failure modes: a per-match duplicate emission overcounts
+    vs the DISTINCT oracle, a dropped match undercounts."""
+    import shutil
+    import tempfile
+
+    pur, err, cond = _stream_join_sides(spark, sf_dir)
+    joined = pur.join(err, cond, "leftSemi")
+    out_root = tempfile.mkdtemp(prefix="q396_semi_")
+    try:
+        rows = _drain_foreach_parquet(spark, joined, out_root)
+        res = rows.groupBy(F.col("p_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            dsum(F.col("p_value")).alias("flagged_value_sum"),
+        )
+        out = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
+
+
+@register(
+    "q397_streaming_anti_join",
+    # Anti rows follow the same strict left-side eviction cut pinned
+    # for q318/q370's unmatched-left family: a purchase with no match
+    # emits once the final global watermark — min of both sources'
+    # max event times minus the 2 h delay — passes STRICTLY above its
+    # latest possible match time (p_ts itself, since the error window
+    # ends at the purchase). Rows at-or-above the cut stay in state.
+    oracle=f"""
+WITH pur AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT user_id AS e_user, ts AS e_ts
+  FROM events WHERE event_type = 'error'
+),
+matched AS (
+  SELECT DISTINCT p.p_id
+  FROM pur p JOIN err e
+    ON e.e_user = p.p_user
+   AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND e.e_ts <= p.p_ts
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(p_ts) FROM pur),
+               (SELECT MAX(e_ts) FROM err)) - INTERVAL 2 HOUR AS w
+)
+SELECT p.p_user AS user_id,
+       COUNT(*) AS n_clean,
+       {sql_dsum('p.p_value')} AS clean_value_sum
+FROM pur p
+LEFT JOIN matched m ON p.p_id = m.p_id
+WHERE m.p_id IS NULL AND p.p_ts < (SELECT w FROM wm)
+GROUP BY p.p_user
+""",
+    tags=("streaming", "true_stream", "anti_join", "watermark"),
+)
+def q397_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT ANTI join (Spark 3.4+), completing the
+    streaming join-type matrix (inner q318-shape / left+full outer
+    q318+q370 / semi q396 / anti here): emit each purchase exactly
+    once when the WATERMARK PROVES no error from that user can ever
+    arrive in its 30-minute lookback — the streaming non-existence
+    test ("purchase with a clean error history"), which is
+    fundamentally watermark-gated: unlike semi, a match can only be
+    disproven by time passing, never by data arriving. Spark has NO
+    native streaming left-anti (`leftAnti` with a streaming right
+    side raises AnalysisException, verified on 4.1.2), so the engine
+    composes it the only semantics-preserving way: the watermarked
+    LEFT OUTER interval join filtered to its null-partner rows —
+    outer emits an unmatched left row exactly once, exactly when the
+    watermark proves no partner can arrive, which IS the anti
+    contract. Purchases still inside the final watermark remain in
+    state unemitted (the production steady-state), and the oracle
+    reproduces the strict eviction cut exactly — an early emission
+    (before the watermark proof) would be a false positive on any
+    fixture where the match arrives late."""
+    import shutil
+    import tempfile
+
+    pur, err, cond = _stream_join_sides(spark, sf_dir)
+    joined = pur.join(err, cond, "leftOuter").filter(F.col("e_id").isNull())
+    out_root = tempfile.mkdtemp(prefix="q397_anti_")
+    try:
+        rows = _drain_foreach_parquet(spark, joined, out_root)
+        res = rows.groupBy(F.col("p_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            dsum(F.col("p_value")).alias("clean_value_sum"),
+        )
+        out = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
