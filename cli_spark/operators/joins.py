@@ -394,3 +394,75 @@ def q359_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("eq.n"), F.lit(0).cast("long")).alias("n_pairs_eq"),
         )
     )
+
+
+@register(
+    "q399_runtime_bloom_filter",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice')} AS price_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY l_returnflag
+""",
+    tags=("joins", "runtime_filter", "bloom", "aqe"),
+)
+def q399_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER join pruning (SPARK-32268, the
+    non-partition-column sibling of dynamic partition pruning): the
+    selective orders filter builds a bloom filter at runtime, and
+    Catalyst injects `might_contain(l_orderkey)` into the LINEITEM
+    SCAN side — at 100 TB the probe side drops non-qualifying rows
+    before the shuffle instead of shipping the full fact table to the
+    join (DPP needs a partitioned layout; the bloom filter works on
+    any column). Broadcast is disabled for the query so the shuffle
+    join actually exercises the filter path, and the executed plan is
+    ASSERTED to contain the injected `might_contain` — silently
+    losing the filter (a conf regression, an unsupported-shape
+    fallback) fails the query rather than just running slow. Bloom
+    false positives only pass extra rows to the exact join, so the
+    census is bit-exact regardless of sizing; session confs are
+    saved and restored."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        res = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(F.col("l_extendedprice")).alias("price_sum"),
+            )
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise RuntimeError(
+                "q399: runtime bloom filter was not injected into the "
+                "probe-side scan (no might_contain in executed plan)"
+            )
+        out = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -678,3 +678,100 @@ def q379_range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     if row["n_partitions"] != 8:
         raise ValueError(f"expected 8 range partitions, got {row}")
     return spark.createDataFrame([row], audited.schema)
+
+
+# 8-bit × 8-bit Morton interleave, generated once as portable integer
+# SQL (identical text runs on Spark and DuckDB: >>/& on Spark via
+# shiftright; DuckDB native operators).
+def _morton_expr(b1: str, b2: str, spark_side: bool) -> str:
+    if spark_side:
+        bit = lambda c, i: f"(shiftright({c}, {i}) & 1)"
+    else:
+        bit = lambda c, i: f"(({c} >> {i}) & 1)"
+    terms = []
+    for i in range(8):
+        terms.append(f"{bit(b1, i)} * {1 << (2 * i + 1)}")
+        terms.append(f"{bit(b2, i)} * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_Q401_ORACLE_TEMPLATE = """
+WITH bounds AS (
+  SELECT MIN(l_orderkey) AS min1, MAX(l_orderkey) AS max1,
+         MIN(l_partkey) AS min2, MAX(l_partkey) AS max2
+  FROM lineitem
+),
+bucketed AS (
+  SELECT LEAST(255, CAST((l_orderkey - min1) * 256
+               {div} (max1 - min1 + 1) AS BIGINT)) AS b1,
+         LEAST(255, CAST((l_partkey - min2) * 256
+               {div} (max2 - min2 + 1) AS BIGINT)) AS b2
+  FROM lineitem, bounds
+),
+assigned AS (
+  SELECT b1, b2,
+         ({morton}) {div} 4096 AS zfile,
+         b1 {div} 16 AS lfile
+  FROM bucketed
+),
+per_file AS (
+  SELECT 'zorder' AS layout, zfile AS file_id,
+         MIN(b1) AS min1, MAX(b1) AS max1,
+         MIN(b2) AS min2, MAX(b2) AS max2,
+         COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE b2 BETWEEN 64 AND 79) AS n_match
+  FROM assigned GROUP BY zfile
+  UNION ALL
+  SELECT 'linear', lfile,
+         MIN(b1), MAX(b1), MIN(b2), MAX(b2),
+         COUNT(*),
+         COUNT(*) FILTER (WHERE b2 BETWEEN 64 AND 79)
+  FROM assigned GROUP BY lfile
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(*) FILTER (WHERE min2 > 79 OR max2 < 64) AS BIGINT)
+         AS n_files_pruned,
+       CAST(COALESCE(SUM(n_rows) FILTER (WHERE NOT (min2 > 79 OR max2 < 64)),
+                     0) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matching
+FROM per_file
+GROUP BY layout
+"""
+
+
+@register(
+    "q401_zorder_layout",
+    oracle=_Q401_ORACLE_TEMPLATE.format(
+        morton=_morton_expr("b1", "b2", spark_side=False), div="//"
+    ),
+    tags=("layout", "zorder", "data_skipping"),
+)
+def q401_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering audit — the multi-dimensional
+    data-skipping layout (Delta OPTIMIZE ZORDER BY / Iceberg
+    sort-order): both join keys are range-quantized to 8 bits, bit-
+    INTERLEAVED into a 16-bit Morton code, and rows are laid into 16
+    "files" by Morton range; the competing layout sorts by the first
+    key alone. The graded census probes on the SECOND key only
+    (b2 in [64, 79] — the dimension a linear sort cannot serve)
+    against both layouts' per-file min/max zone maps: the linear
+    layout prunes NOTHING (every leading-key stripe spans the full
+    second-key range, rows_scanned = the whole table), while Morton
+    files are ~square in key space, so only the quadrant overlapping
+    the probe survives (12 of 16 files pruned, rows_scanned ~ 1/4) —
+    the measured gap IS the reason lakehouse tables z-order
+    multi-predicate columns at 100 TB, and the cost side (z-order's
+    coarser leading-key pruning vs a pure sort) is the documented
+    trade. rows_matching is layout-invariant (same rows, different
+    files) — a built-in conservation check. Quantization, interleave and
+    pruning are all integer arithmetic from ONE generated expression
+    string shared by engine and oracle (q252's zone maps, q379's
+    range layout, and q388's geohash are the 1-D relatives)."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q401_ORACLE_TEMPLATE.format(
+        morton=_morton_expr("b1", "b2", spark_side=True), div="DIV"
+    ))

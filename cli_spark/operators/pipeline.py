@@ -866,3 +866,84 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "stage string, n_in long, n_removed long, n_out long, removed_ppm long",
     )
+
+
+@register(
+    "q400_corpus_pipeline",
+    oracle="""
+WITH staged AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS tok,
+         length(replace(text, ' ', '')) AS n_chars,
+         regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm_key
+  FROM documents
+),
+keyed AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) AS rn
+  FROM staged
+),
+flagged AS (
+  SELECT lang, tok,
+         (rn = 1) AS kept_dedup,
+         (rn = 1 AND tok BETWEEN 30 AND 5000
+          AND n_chars <= 12 * tok) AS kept_quality
+  FROM keyed
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(*) FILTER (WHERE kept_dedup) AS BIGINT)
+         AS n_after_dedup,
+       CAST(COUNT(*) FILTER (WHERE kept_quality) AS BIGINT)
+         AS n_after_quality,
+       CAST(COALESCE(SUM(tok) FILTER (WHERE kept_quality), 0) AS BIGINT)
+         AS tok_sum_final
+FROM flagged
+GROUP BY lang
+""",
+    tags=("pipeline", "dedup", "quality", "flagship"),
+)
+def q400_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED CORPUS PIPELINE (the C4/RefinedWeb production path as
+    ONE declarative plan): normalize -> exact-dedup keep-first ->
+    quality gate -> per-lang yield ledger, with per-stage loss
+    accounting so the census shows exactly where documents die —
+    the number every data team reports per ingest batch. Stages:
+    (1) normalization key = casefolded whitespace-collapsed text
+    (q347's ladder picked this keying); (2) dedup keeps the min
+    doc_id per key (one window pass — no groupBy+join back);
+    (3) quality gate: 30 <= ws-tokens <= 5000 and mean token length
+    <= 12 chars (the cheap Gopher-style screens that don't need a
+    model). Plan economics at 100 TB: ONE scan of the corpus, ONE
+    shuffle on the dedup key, ONE aggregation on lang — the stages
+    compose as column expressions and a window, not as materialized
+    intermediate datasets, which is the whole point of declaring the
+    pipeline in the engine instead of chaining batch jobs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    staged = d.select(
+        "lang",
+        "doc_id",
+        tok.alias("tok"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars"),
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm_key"),
+    )
+    keyed = staged.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("norm_key").orderBy(F.col("doc_id").asc())
+        ),
+    )
+    kept_dedup = F.col("rn") == 1
+    kept_quality = (
+        kept_dedup
+        & F.col("tok").between(30, 5000)
+        & (F.col("n_chars") <= 12 * F.col("tok"))
+    )
+    return keyed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if(kept_dedup).alias("n_after_dedup"),
+        F.count_if(kept_quality).alias("n_after_quality"),
+        F.coalesce(F.sum(F.when(kept_quality, F.col("tok"))), F.lit(0))
+        .alias("tok_sum_final"),
+    )

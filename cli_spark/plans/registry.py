@@ -335,6 +335,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q396_streaming_semi_join",
     "q397_streaming_anti_join",
     "q398_sequence_packing",
+    "q399_runtime_bloom_filter",
+    "q400_corpus_pipeline",
+    "q401_zorder_layout",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
