@@ -284,3 +284,76 @@ def q314_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_s").cast("long").alias("max_gap_s"),
         )
     )
+
+
+@register(
+    "q403_pandas_api_asof",
+    oracle="""
+WITH pur AS (
+  SELECT user_id, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT user_id AS e_user, ts AS e_ts
+  FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT p.user_id, p.ts, e.e_ts
+  FROM pur p
+  ASOF LEFT JOIN err e
+    ON p.user_id = e.e_user AND e.e_ts <= p.ts
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(e_ts) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(epoch_us(ts) - epoch_us(e_ts)), 0) AS BIGINT)
+         AS gap_us_sum
+FROM m GROUP BY user_id
+""",
+    tags=("asof", "pandas_api", "api_surface"),
+)
+def q403_pandas_api_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pyspark.pandas.merge_asof` — the PANDAS-ON-SPARK public API
+    surface for as-of joins (SURVEY §2 named it alongside the
+    union+window trick q60 implements by hand): each purchase picks
+    the user's LATEST earlier-or-equal error, backward direction,
+    grouped `by=user_id`. The point of grading it: pandas users get
+    the pandas signature, but the work must still be a distributed
+    Catalyst plan (pandas-on-Spark compiles merge_asof to a
+    broadcast-range or union+window strategy — no driver
+    materialization), and its semantics must agree bit-exactly with
+    the union+window engine implementation AND DuckDB's native ASOF
+    JOIN, which is what the exact per-user gap census proves. The
+    ps frame converts back via to_spark() and the census aggregates
+    distributed — the pandas API is a veneer, not a collect()."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        e = load_table(spark, sf_dir, "events")
+        pur = (
+            e.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts", "event_id")
+            .pandas_api()
+        )
+        err = (
+            e.filter(F.col("event_type") == "error")
+            .select(F.col("user_id"), F.col("ts").alias("e_ts"))
+            .pandas_api()
+        )
+        m = ps.merge_asof(
+            pur.sort_values("ts"),
+            err.sort_values("e_ts"),
+            left_on="ts",
+            right_on="e_ts",
+            by="user_id",
+            direction="backward",
+        ).to_spark()
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("e_ts"))
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("e_ts").alias("n_matched"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("gap_us_sum"),
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cli_spark.functions.determinism import MONEY_SCALE, quantize, sql_dsum
+from cli_spark.functions.determinism import MONEY_SCALE, dsum, quantize, sql_dsum
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
@@ -216,3 +216,68 @@ def q335_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("_qs") / F.lit(float(10 ** MONEY_SCALE))).alias("value_sum"),
     )
+
+
+@register(
+    "q404_aqe_coalesce",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS price_sum
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("aqe", "shuffle", "coalesce", "plan_gated"),
+)
+def q404_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SHUFFLE-PARTITION COALESCING, plan-asserted: the query
+    deliberately runs with the worst-case static setting
+    (`spark.sql.shuffle.partitions = 200` — the Spark default that
+    every mis-sized production job inherits) and Adaptive Query
+    Execution must repair it at runtime, merging the many tiny
+    post-shuffle partitions into a few right-sized ones based on the
+    MEASURED map-output sizes. This is the mechanism that makes one
+    static shuffle setting survive 100 TB variance: reducers are
+    sized from actual bytes, not from a guess made before the data
+    was read. The run executes the census, then asserts the FINAL
+    adaptive plan contains a coalesced `AQEShuffleRead` — if AQE is
+    silently disabled or the coalesce rule regresses, the query
+    fails loudly instead of quietly running 200 near-empty reducers
+    (the at-scale cost is scheduler overhead and small-file output,
+    the classic death-by-tiny-tasks). Confs saved and restored;
+    result is bit-exact either way (coalescing is semantics-free) —
+    the grade pins the CORRECTNESS, the plan gate pins the
+    ADAPTIVITY."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": "200",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        res = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("price_sum"),
+        )
+        rows = res.collect()  # finalizes the adaptive plan
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        if "AQEShuffleRead" not in plan or "coalesced" not in plan:
+            raise RuntimeError(
+                "q404: final adaptive plan has no coalesced "
+                "AQEShuffleRead — AQE partition coalescing did not run"
+            )
+        out = spark.createDataFrame(rows, res.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -100,6 +100,7 @@ def _load_all() -> None:
     import cli_spark.streaming.batch_windows  # noqa: F401
     import cli_spark.sources.hgt_queries  # noqa: F401
     import cli_spark.sources.multimodal  # noqa: F401
+    import cli_spark.sources.pushdown_parquet  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -338,6 +339,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q399_runtime_bloom_filter",
     "q400_corpus_pipeline",
     "q401_zorder_layout",
+    "q402_pushdown_datasource",
+    "q403_pandas_api_asof",
+    "q404_aqe_coalesce",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
