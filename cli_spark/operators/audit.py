@@ -636,3 +636,102 @@ def q384_batch_checksum_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["row_count"], m["checksum48"], m["n_tasks"])],
         "row_count long, checksum48 long, n_tasks long",
     )
+
+
+@register(
+    "q405_erasure_cascade",
+    oracle="""
+WITH erase AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0
+),
+eo AS (
+  SELECT o.o_orderkey, e.c_nationkey
+  FROM orders o JOIN erase e ON o.o_custkey = e.c_custkey
+),
+el AS (
+  SELECT l.l_orderkey, o.c_nationkey
+  FROM lineitem l JOIN eo o ON l.l_orderkey = o.o_orderkey
+),
+orphans AS (
+  SELECT COUNT(*) AS n
+  FROM orders o
+  WHERE o.o_custkey IN (SELECT c_custkey FROM erase)
+    AND o.o_orderkey NOT IN (SELECT o_orderkey FROM eo)
+)
+SELECT n.n_name,
+       CAST(COUNT(DISTINCT e.c_custkey) AS BIGINT) AS n_customers_erased,
+       CAST((SELECT COUNT(*) FROM eo x
+             WHERE x.c_nationkey = n.n_nationkey) AS BIGINT)
+         AS n_orders_erased,
+       CAST((SELECT COUNT(*) FROM el x
+             WHERE x.c_nationkey = n.n_nationkey) AS BIGINT)
+         AS n_lineitems_erased,
+       CAST((SELECT n FROM orphans) AS BIGINT) AS n_orphans
+FROM erase e JOIN nation n ON e.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, n.n_nationkey
+""",
+    tags=("governance", "erasure", "cascade", "broadcast"),
+)
+def q405_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE CASCADE audit (GDPR Art. 17 / CCPA delete):
+    given a deletion list of data subjects (here every 97th customer
+    key — in production, the DSR queue), walk the foreign-key graph
+    customer -> orders -> lineitem and census exactly what each
+    erasure batch removes, per nation — the numbers a deletion run
+    must report BEFORE it mutates anything, and the shape every
+    compliance pipeline runs weekly. Plan economics at 100 TB: the
+    erasure list is tiny relative to facts, so both cascade hops are
+    BROADCAST semi-shaped joins — the fact tables are never
+    shuffled, each is scanned once and probed against the broadcast
+    list (contrast a naive DELETE ... WHERE IN that re-plans per
+    table). n_orphans is a built-in conservation check (an order
+    surviving with an erased customer key = referential leak; always
+    0 by construction here, and graded so a cascade-logic regression
+    flips it). Complements q342 (pseudonymization — the KEEP-data
+    path) with the DELETE-data path."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    erase = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    eo = orders.join(
+        F.broadcast(erase), orders.o_custkey == erase.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    el = li.join(
+        F.broadcast(eo.select("o_orderkey", "c_nationkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "c_nationkey")
+    per_nation_cust = erase.groupBy("c_nationkey").agg(
+        F.count_distinct("c_custkey").alias("n_customers_erased")
+    )
+    per_nation_orders = eo.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders_erased")
+    )
+    per_nation_li = el.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lineitems_erased")
+    )
+    # conservation: an order belonging to an erased customer that the
+    # cascade MISSED (present in orders-semi-erase, absent from eo)
+    missed = (
+        orders.join(F.broadcast(erase),
+                    orders.o_custkey == erase.c_custkey, "leftsemi")
+        .join(eo.select("o_orderkey"), "o_orderkey", "leftanti")
+        .count()
+    )
+    n_orphans = F.lit(int(missed)).cast("long")
+    return (
+        per_nation_cust.join(per_nation_orders, "c_nationkey", "left")
+        .join(per_nation_li, "c_nationkey", "left")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers_erased",
+            F.coalesce("n_orders_erased", F.lit(0)).alias("n_orders_erased"),
+            F.coalesce("n_lineitems_erased", F.lit(0))
+            .alias("n_lineitems_erased"),
+            n_orphans.alias("n_orphans"),
+        )
+    )

@@ -284,3 +284,53 @@ def q187_window_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 8).alias("cum_dist"),
     )
+
+
+@register(
+    "q406_window_group_limit",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+    tags=("windows", "top_k", "plan_gated", "window_group_limit"),
+)
+def q406_window_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowGroupLimit physical optimization (SPARK-37099, 3.5+),
+    plan-asserted: a `row_number() <= k` per-group top-K must NOT
+    materialize and fully sort every group before filtering — the
+    optimizer pushes the limit INTO the window operator, keeping a
+    bounded k-row heap per group on the map side and dropping the
+    rest before the shuffle. At 100 TB this is the difference
+    between shuffling every order a customer ever placed and
+    shuffling at most k per customer — same asymptotics as a top-K
+    aggregate, expressed in plain window SQL (q30/q116 grade the
+    SEMANTICS of top-k-per-group; this pins the PLAN the engine
+    must use for it). The executed plan is asserted to contain
+    WindowGroupLimit; an optimizer regression (rank expression the
+    rule can't match, a frame that defeats it) fails loudly.
+    Deterministic: price ties broken by order key on both sides."""
+    from pyspark.sql.window import Window as _W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = _W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    res = (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" not in plan:
+        raise RuntimeError(
+            "q406: executed plan lacks WindowGroupLimit — the top-K "
+            "filter was not pushed into the window operator"
+        )
+    return res

@@ -342,6 +342,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q402_pushdown_datasource",
     "q403_pandas_api_asof",
     "q404_aqe_coalesce",
+    "q405_erasure_cascade",
+    "q406_window_group_limit",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
