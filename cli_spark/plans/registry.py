@@ -101,6 +101,7 @@ def _load_all() -> None:
     import cli_spark.sources.hgt_queries  # noqa: F401
     import cli_spark.sources.multimodal  # noqa: F401
     import cli_spark.sources.pushdown_parquet  # noqa: F401
+    import cli_spark.sources.resilience  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -344,6 +345,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q404_aqe_coalesce",
     "q405_erasure_cascade",
     "q406_window_group_limit",
+    "q407_csv_parse_modes",
+    "q408_corrupt_file_skip",
+    "q409_streaming_join_then_agg",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

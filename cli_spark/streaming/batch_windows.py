@@ -2900,3 +2900,133 @@ def q397_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q409_streaming_join_then_agg",
+    # Emission cut follows q354's empirical pin: with an event-time-
+    # ORDERED replay and 0-second watermarks on both join sides, the
+    # final no-data batch advances the query watermark to
+    # min(max purchase ts, max error ts) and the downstream hourly
+    # aggregation flushes windows with end <= watermark (non-strict).
+    oracle=f"""
+WITH pur AS (
+  SELECT user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT user_id AS e_user, ts AS e_ts, value AS e_value
+  FROM events WHERE event_type = 'error'
+),
+pairs AS (
+  SELECT p.p_ts, e.e_value
+  FROM pur p JOIN err e
+    ON e.e_user = p.p_user
+   AND e.e_ts >= p.p_ts - INTERVAL 30 MINUTE
+   AND e.e_ts <= p.p_ts
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(p_ts) FROM pur),
+               (SELECT MAX(e_ts) FROM err)) AS w
+)
+SELECT strftime(date_trunc('hour', p_ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       COUNT(*) AS n_pairs,
+       {sql_dsum('e_value')} AS err_value_sum
+FROM pairs, wm
+WHERE date_trunc('hour', p_ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY date_trunc('hour', p_ts)
+""",
+    tags=("streaming", "true_stream", "multi_stateful", "join_then_agg"),
+)
+def q409_streaming_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN CHAINED INTO A WINDOWED AGGREGATION — the
+    second multiple-stateful-operator pair (q354 chained agg->agg;
+    this chains join->agg, the production "enrich then roll up"
+    shape: match purchases to their error context as both streams
+    arrive, and serve an hourly SLA census off the matched pairs,
+    in ONE query with ONE state lifecycle instead of a join job, an
+    intermediate topic, and an agg job). Both sides carry the same
+    event-time watermark; matched pairs flow to the hourly window
+    keyed on the PURCHASE time, and a window finalizes only when the
+    watermark — propagated THROUGH the join — passes its end. A
+    mis-propagated watermark (the classic multi-stateful bug Spark
+    3.4 fixed) either flushes windows early (missing late-batch
+    matches) or never flushes them; both break the bit-exact match
+    with the drained-to-exhaustion oracle."""
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .option("orderBy", "ts,event_id")
+            .load()
+        )
+
+    pur = (
+        src().filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    err = (
+        src().filter(F.col("event_type") == "error")
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+    )
+    joined = pur.join(
+        err,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    hourly = (
+        joined.groupBy(F.window("p_ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("e_value")).alias("err_value_sum"),
+        )
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "n_pairs",
+            "err_value_sum",
+        )
+    )
+    name = "joinagg_" + _uuid.uuid4().hex[:8]
+    query = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        idle, t0 = 0, _time.time()
+        while idle < 3 and _time.time() - t0 < 180:
+            _time.sleep(0.3)
+            p = query.lastProgress
+            if p is None:
+                continue
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+    finally:
+        query.stop()
+        query.awaitTermination()
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
