@@ -348,6 +348,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q407_csv_parse_modes",
     "q408_corrupt_file_skip",
     "q409_streaming_join_then_agg",
+    "q410_aggregate_pushdown",
+    "q411_streaming_fanout_sinks",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

@@ -3030,3 +3030,100 @@ def q409_streaming_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     return out
+
+
+@register(
+    "q411_streaming_fanout_sinks",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS value_sum,
+       CAST(0 AS BIGINT) AS sink_divergence
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "true_stream", "foreachbatch", "fanout"),
+)
+def q411_streaming_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAN-OUT TO TWO SINKS from one foreachBatch — the production
+    "write the lake AND the serving store" pattern, with the
+    documented footgun pinned: `batch_df` is LAZY inside
+    foreachBatch, so writing it twice re-executes the micro-batch
+    lineage per sink (twice the IO; with a non-deterministic
+    transform, DIVERGENT sinks). The correct form persists the batch
+    frame, writes both sinks from the cached copy, then unpersists —
+    exactly what this query does per micro-batch. Graded on three
+    properties at once: sink A's census matches the batch oracle
+    (no loss), and sink_divergence — the count of (event_type)
+    census cells where A and B disagree, computed by full-outer
+    joining the two sinks' censuses — must be exactly 0 (the
+    consistency contract fan-out exists to provide)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    batch_rows = max(1, (n_rows + 9) // 10)
+    out_root = tempfile.mkdtemp(prefix="q411_fanout_")
+    try:
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("batchRows", batch_rows)
+            .load()
+            .select("event_id", "event_type", "value")
+        )
+
+        def fanout(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                batch_df.write.mode("append").parquet(out_root + "/a")
+                batch_df.write.mode("append").parquet(out_root + "/b")
+            finally:
+                batch_df.unpersist()
+
+        query = (
+            stream.writeStream.foreachBatch(fanout)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, _time.time()
+            while idle < 5 and _time.time() - t0 < 240:
+                _time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+
+        def census(path: str, prefix: str) -> DataFrame:
+            return spark.read.parquet(path).groupBy("event_type").agg(
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+                dsum(F.col("value")).alias(f"{prefix}_sum"),
+            )
+
+        a = census(out_root + "/a", "a")
+        b = census(out_root + "/b", "b")
+        joined = a.join(b, "event_type", "full_outer")
+        diverged = joined.filter(
+            ~(F.col("a_n").eqNullSafe(F.col("b_n"))
+              & F.col("a_sum").eqNullSafe(F.col("b_sum")))
+        ).count()
+        res = joined.select(
+            "event_type",
+            F.col("a_n").alias("n_events"),
+            F.col("a_sum").alias("value_sum"),
+            F.lit(int(diverged)).cast("long").alias("sink_divergence"),
+        )
+        out = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
