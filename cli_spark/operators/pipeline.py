@@ -947,3 +947,146 @@ def q400_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(kept_quality, F.col("tok"))), F.lit(0))
         .alias("tok_sum_final"),
     )
+
+
+@register(
+    "q412_lexical_semantic_agreement",
+    oracle=f"""
+WITH sh AS ({_DEDUP_SHINGLES_SQL}),
+sz AS (SELECT doc_id, shingles, len(shingles) AS n
+       FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+lex AS (
+  SELECT p.doc_a, p.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN sz sa ON sa.doc_id = p.doc_a
+  JOIN sz sb ON sb.doc_id = p.doc_b
+  WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+),
+dv AS (
+  SELECT d.doc_id, e.embedding,
+         sqrt({sql_dot('e.embedding', 'e.embedding')}) AS nrm
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+sem AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dv a JOIN dv b ON a.doc_id < b.doc_id
+  WHERE {sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) > 0.5
+),
+u AS (
+  SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+         COALESCE(l.doc_b, s.doc_b) AS doc_b,
+         l.doc_a IS NOT NULL AS is_lex,
+         s.doc_a IS NOT NULL AS is_sem
+  FROM lex l
+  FULL OUTER JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+)
+SELECT CAST(COUNT(*) FILTER (WHERE is_lex) AS BIGINT) AS n_lexical,
+       CAST(COUNT(*) FILTER (WHERE is_sem) AS BIGINT) AS n_semantic,
+       CAST(COUNT(*) FILTER (WHERE is_lex AND is_sem) AS BIGINT) AS n_both,
+       CAST(COUNT(*) FILTER (WHERE is_lex AND NOT is_sem) AS BIGINT)
+         AS n_lexical_only,
+       CAST(COUNT(*) FILTER (WHERE is_sem AND NOT is_lex) AS BIGINT)
+         AS n_semantic_only
+FROM u
+""",
+    tags=("dedup", "audit", "lexical", "semantic"),
+)
+def q412_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL vs SEMANTIC near-duplicate AGREEMENT audit — the
+    curation measurement that decides how many dedup passes a corpus
+    needs: word-3-gram Jaccard >= 0.5 pairs (surface duplicates —
+    boilerplate, syndication) against embedding-cosine > 0.5 pairs
+    (meaning duplicates — paraphrase, translation-style), full-outer
+    joined into a confusion census. n_lexical_only is what semantic
+    dedup alone would MISS (near-verbatim text whose embeddings
+    drift); n_semantic_only is what lexical dedup alone would miss
+    (rewrites) — the two numbers justify running q73-style AND
+    q75-style passes (q385's cascade stages, here quantified against
+    EXACT ground truth rather than the cascade's approximations).
+    Lexical pairs come from q392's lossless prefix-filter join (not
+    all-pairs); the semantic side is the exact quadratic verify with
+    q75's scale cap — at corpus scale its candidates come from q83
+    LSH buckets / q84 IVF cells with this same census shape."""
+    from cli_spark.operators.dedup import shingles_df
+
+    # lexical side: q392's prefix-filtered exact-Jaccard relation
+    sh = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                                 F.col("s").asc())
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 2) + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    av = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sa"), F.col("n").alias("na"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    lex = (
+        cand.join(av, "doc_a").join(bv, "doc_b")
+        .withColumn("inter", inter)
+        .filter(2 * F.col("inter") >= F.col("na") + F.col("nb")
+                - F.col("inter"))
+        .select("doc_a", "doc_b")
+        .withColumn("is_lex", F.lit(True))
+    )
+    # semantic side: q75's exact cosine relation (capped verify shape)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    if e.count() > Q75_MAX_VECS:
+        raise ValueError("q412 semantic side exceeds the verify cap; "
+                         "use LSH/IVF candidates at scale")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    dv = d.join(e, "doc_id").select(
+        "doc_id", "embedding",
+        F.sqrt(dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = dv.select(F.col("doc_id").alias("doc_a"),
+                  F.col("embedding").alias("ea"), F.col("nrm").alias("na2"))
+    b = dv.select(F.col("doc_id").alias("doc_b"),
+                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb2"))
+    cos = dot("ea", "eb") / (F.col("na2") * F.col("nb2"))
+    sem = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(cos > 0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("is_sem", F.lit(True))
+    )
+    u = lex.join(sem, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("is_lex", F.lit(False)).alias("is_lex"),
+        F.coalesce("is_sem", F.lit(False)).alias("is_sem"),
+    )
+    return u.agg(
+        F.count_if(F.col("is_lex")).alias("n_lexical"),
+        F.count_if(F.col("is_sem")).alias("n_semantic"),
+        F.count_if(F.col("is_lex") & F.col("is_sem")).alias("n_both"),
+        F.count_if(F.col("is_lex") & ~F.col("is_sem"))
+        .alias("n_lexical_only"),
+        F.count_if(F.col("is_sem") & ~F.col("is_lex"))
+        .alias("n_semantic_only"),
+    )

@@ -350,6 +350,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q409_streaming_join_then_agg",
     "q410_aggregate_pushdown",
     "q411_streaming_fanout_sinks",
+    "q412_lexical_semantic_agreement",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
