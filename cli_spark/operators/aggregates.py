@@ -431,3 +431,60 @@ def q190_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .select(F.col("report_day").cast("string").alias("day"), "active_7d")
     )
+
+
+@register(
+    "q413_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregates", "bitmap", "exact_distinct", "mergeable"),
+)
+def q413_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via BITMAP AGGREGATES (Spark 3.5
+    `bitmap_bit_position` / `bitmap_construct_agg` /
+    `bitmap_or_agg` / `bitmap_count`) — the middle road between
+    COUNT(DISTINCT) (exact, but re-shuffles raw values on every
+    rollup) and HLL sketches (mergeable, but approximate): integer
+    keys become fixed 4 KB bucket bitmaps that are EXACT and
+    mergeable with cheap OR. Graded in the two-level shape that
+    matters at 100 TB: per-SHARD bitmaps built independently
+    (user_id % 8 shards — in production, one level per
+    partition/day), then bitmap_or_agg merges shard bitmaps per
+    bucket WITHOUT touching raw user ids again, then bitmap_count
+    sums per group. A double-counted user across shards is absorbed
+    by the OR (idempotent — the property that makes bitmap rollups
+    re-aggregable across any dimension hierarchy); the bit-exact
+    match against COUNT(DISTINCT) proves no bucket-boundary or
+    position arithmetic error. n_events rides along to show the
+    bitmap pass costs one scan like any census."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH shard_bitmaps AS (
+  SELECT event_type,
+         user_id % 8 AS shard,
+         bitmap_bucket_number(user_id) AS bkt,
+         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, user_id % 8, bitmap_bucket_number(user_id)
+),
+merged AS (
+  SELECT event_type, bkt, bitmap_or_agg(bm) AS bm, SUM(n) AS n
+  FROM shard_bitmaps
+  GROUP BY event_type, bkt
+)
+SELECT event_type,
+       CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM merged
+GROUP BY event_type
+"""
+    )

@@ -351,6 +351,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q410_aggregate_pushdown",
     "q411_streaming_fanout_sinks",
     "q412_lexical_semantic_agreement",
+    "q413_bitmap_distinct",
+    "q414_statestore_join_reader",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

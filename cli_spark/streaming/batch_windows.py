@@ -3127,3 +3127,94 @@ def q411_streaming_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+@register(
+    "q414_statestore_join_reader",
+    # State retention mirrors the emission cuts pinned in q318/q370:
+    # a LEFT (purchase) row leaves join state when the final global
+    # watermark — min of both sides' max event times minus the 2 h
+    # delay — passes STRICTLY above p_ts; a RIGHT (error) row when it
+    # passes strictly above e_ts + 30 min. Rows at-or-above the cut
+    # are still buffered when the query stops, and THOSE are what the
+    # statestore reader must see.
+    oracle=f"""
+WITH pur AS (
+  SELECT ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+err AS (
+  SELECT ts AS e_ts FROM events WHERE event_type = 'error'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(p_ts) FROM pur),
+               (SELECT MAX(e_ts) FROM err)) - INTERVAL 2 HOUR AS w
+)
+SELECT 'left' AS side,
+       CAST((SELECT COUNT(*) FROM pur, wm WHERE p_ts >= wm.w) AS BIGINT)
+         AS n_state_rows
+UNION ALL
+SELECT 'right',
+       CAST((SELECT COUNT(*) FROM err, wm
+             WHERE e_ts + INTERVAL 30 MINUTE >= wm.w) AS BIGINT)
+""",
+    tags=("streaming", "statestore", "join_state", "reader"),
+)
+def q414_statestore_join_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE READER over a STREAM-STREAM JOIN checkpoint (the
+    `joinSide` option of the Spark 4 statestore source — q371 read
+    an AGGREGATION's state; join state is the harder operational
+    target because BOTH sides buffer rows and the watermark, not the
+    data, decides retention): after a purchase x error interval join
+    drains, each side's state store must hold EXACTLY the rows the
+    final watermark has not yet released — the production
+    steady-state inventory an operator inspects when join state
+    balloons (the #1 stream-stream incident: a stalled source pins
+    the watermark and the other side buffers forever). The graded
+    census reads both sides' buffered-row counts from the checkpoint
+    and they must equal the watermark-cut oracle exactly — a row
+    evicted early would have broken q318/q370's output grades; a row
+    retained past its cut shows up ONLY here, which is why the state
+    reader is graded separately from the join output."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    pur, err, cond = _stream_join_sides(spark, sf_dir)
+    joined = pur.join(err, cond, "inner")
+    ckpt = tempfile.mkdtemp(prefix="q414_ckpt_")
+    out_root = tempfile.mkdtemp(prefix="q414_out_")
+    try:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(f"{out_root}/rows")
+
+        query = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            idle, t0 = 0, _time.time()
+            while idle < 5 and _time.time() - t0 < 240:
+                _time.sleep(0.3)
+                p = query.lastProgress
+                if p is None:
+                    continue
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        finally:
+            query.stop()
+            query.awaitTermination()
+        left = (
+            spark.read.format("statestore")
+            .option("path", ckpt).option("joinSide", "left").load()
+        )
+        right = (
+            spark.read.format("statestore")
+            .option("path", ckpt).option("joinSide", "right").load()
+        )
+        rows = [("left", left.count()), ("right", right.count())]
+        out = spark.createDataFrame(rows, "side string, n_state_rows long")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
