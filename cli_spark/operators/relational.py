@@ -188,3 +188,93 @@ def q05_rlike_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike(r"^(small|large) (widget|bolt)$")
         & F.col("p_brand").rlike(r"Brand#(1[0-9]|2)$")
     ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "q415_api_equivalence",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "api_surface", "equivalence"),
+)
+def q415_api_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-API EQUIVALENCE capstone: the q01-shape census expressed
+    through every batch API surface the engine exposes — (1) the
+    DataFrame API, (2) classic SQL, (3) Spark 4.1 SQL pipe syntax
+    (`|>`), (4) pandas-on-Spark groupby — and asserted IN-QUERY to
+    produce identical row sets before one of them is returned for
+    grading. This is the contract a mixed team actually relies on:
+    the analyst's SQL, the engineer's DataFrame chain, and the data
+    scientist's pandas groupby must be the SAME query to Catalyst
+    (same semantics; the declarative surfaces literally share one
+    optimized plan shape), so nobody's dialect silently disagrees
+    with the dashboard. A divergence in any surface (a pandas-API
+    aggregation subtlety, a pipe-syntax rewrite bug) fails the query
+    loudly rather than shipping four almost-equal answers."""
+    import warnings
+
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    cutoff = F.lit("1998-09-02").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_q = F.floor(F.col("l_quantity") * 10000.0 + 0.5).cast("decimal(38,0)")
+    df_api = (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(qty_q).cast("double") / 10000.0).alias("sum_qty"),
+        )
+    )
+    sql_text = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(l_quantity * 10000.0 + 0.5)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    sql_api = spark.sql(sql_text)
+    pipe_api = spark.sql("""
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> EXTEND CAST(floor(l_quantity * 10000.0 + 0.5) AS DECIMAL(38,0)) AS qq
+|> AGGREGATE COUNT(*) AS n_rows,
+             CAST(SUM(qq) AS DOUBLE) / 10000.0 AS sum_qty
+   GROUP BY l_returnflag, l_linestatus
+""")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pdf = (
+            li.filter(F.col("l_shipdate") <= cutoff)
+            .select("l_returnflag", "l_linestatus", qty_q.alias("qq"))
+            .pandas_api()
+        )
+        ps_api = (
+            pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(n_rows=("qq", "count"), qsum=("qq", "sum"))
+            .to_spark()
+            .select(
+                "l_returnflag", "l_linestatus",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.col("qsum").cast("double") / 10000.0).alias("sum_qty"),
+            )
+        )
+    canonical = sorted(tuple(r) for r in df_api.collect())
+    for label, frame in (("sql", sql_api), ("pipe", pipe_api),
+                         ("pandas", ps_api)):
+        got = sorted(tuple(r) for r in frame.collect())
+        if got != canonical:
+            raise RuntimeError(
+                f"q415: {label} API surface diverged from the DataFrame "
+                f"API on the same census"
+            )
+    return df_api

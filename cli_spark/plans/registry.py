@@ -353,6 +353,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q412_lexical_semantic_agreement",
     "q413_bitmap_distinct",
     "q414_statestore_join_reader",
+    "q415_api_equivalence",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
