@@ -1,0 +1,402 @@
+"""Optimizer plan gates, round 10 — graded queries whose *result* is
+an ordinary exact census but whose execution asserts a specific
+Catalyst/AQE physical behavior, failing loudly if the optimizer
+regresses.
+
+Why these matter at 100 TB: each gated mechanism is a multiplicative
+cost lever — exchange reuse halves the heaviest aggregation's IO,
+AQE skew splitting removes the straggler that makes a 1000-executor
+stage run at 1-executor speed, catalog statistics decide
+broadcast-vs-shuffle for every join the planner sees, and partition
+hints are the manual override when the data's shape is known ahead
+of the shuffle. The grades pin CORRECTNESS (bit-exact vs DuckDB);
+the in-query plan assertions pin the MECHANISM (the plan shape you
+would demand in a review of a 100 TB job).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cli_spark.functions.determinism import quantize, sql_dsum, wide_sum
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+
+@contextmanager
+def _confs(spark: SparkSession, settings: dict[str, str]):
+    """Set session confs, restoring prior values (or unsetting) on exit."""
+    saved: dict[str, str | None] = {}
+    for k, v in settings.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _materialize(res: DataFrame, required_markers: dict[str, list[str]],
+                 qname: str) -> DataFrame:
+    """collect() to finalize the adaptive plan, assert every marker
+    group (any-of within a group, all groups required), return the
+    rows as a fresh DataFrame so the driver's own collect() does not
+    re-run the gated job under different session confs."""
+    spark = res.sparkSession
+    rows = res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    for what, any_of in required_markers.items():
+        if not any(m in plan for m in any_of):
+            raise RuntimeError(
+                f"{qname}: executed plan lacks {what} "
+                f"(looked for any of {any_of})"
+            )
+    return spark.createDataFrame(rows, res.schema)
+
+
+@register(
+    "q416_reused_exchange",
+    oracle="""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS qty_q
+  FROM lineitem
+  GROUP BY l_suppkey
+)
+SELECT x.l_suppkey AS supp_a, y.l_suppkey AS supp_b,
+       CAST(x.qty_q AS DOUBLE) / 10000.0 AS qty_sum
+FROM per_supp x JOIN per_supp y
+  ON x.qty_q = y.qty_q AND x.l_suppkey < y.l_suppkey
+""",
+    tags=("plan_gated", "reuse", "exchange", "self_join"),
+)
+def q416_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE REUSE, plan-asserted: a self-join of the same
+    aggregated relation (suppliers paired by identical exact shipped
+    quantity) must scan and aggregate lineitem ONCE — Catalyst
+    recognizes the two identical subplans and replaces the second
+    with a `ReusedExchange` that re-reads the first's shuffle output.
+    At 100 TB the difference is one fact-table pass versus two: the
+    reuse is free (same map output, two reducers), the regression is
+    a full re-scan + re-shuffle of the heaviest relation in the
+    query. The census is bit-exact either way; the gate pins the
+    single-scan plan. Quantity totals are floor-quantized so the
+    pairing key is integer-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        wide_sum(quantize(F.col("l_quantity"))).cast("long").alias("qty_q")
+    )
+    x, y = per_supp.alias("x"), per_supp.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.qty_q") == F.col("y.qty_q"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(
+            F.col("x.l_suppkey").alias("supp_a"),
+            F.col("y.l_suppkey").alias("supp_b"),
+            (F.col("x.qty_q").cast("double") / F.lit(10000.0)).alias("qty_sum"),
+        )
+    )
+    return _materialize(
+        pairs,
+        {"exchange reuse": ["ReusedExchange"]},
+        "q416",
+    )
+
+
+@register(
+    "q417_aqe_skew_join",
+    oracle=f"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 1 ELSE l_orderkey % 100 END AS hk,
+         l_returnflag, l_quantity,
+         md5(CAST(l_orderkey AS VARCHAR)) ||
+         md5(CAST(l_orderkey AS VARCHAR) || 'a') AS payload
+  FROM lineitem
+), dim AS (
+  SELECT CAST(range AS BIGINT) AS hk, CAST(range AS BIGINT) * 2 AS w
+  FROM range(0, 100)
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(w) AS BIGINT) AS w_sum,
+       CAST(SUM(length(payload)) AS BIGINT) AS payload_chars,
+       {sql_dsum('l_quantity')} AS qty_sum
+FROM fact JOIN dim USING (hk)
+GROUP BY l_returnflag
+""",
+    tags=("plan_gated", "aqe", "skew", "join"),
+)
+def q417_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW-JOIN SPLITTING, plan-asserted: 90% of lineitem is
+    remapped onto ONE join key (the canonical hot-key distribution —
+    a null-surrogate, a default tenant, a bot user), given an
+    incompressible md5 payload so the skew is physically real in
+    shuffle BYTES (lz4 on low-entropy rows otherwise hides row skew
+    from the byte-based detector), and sort-merge joined against a
+    100-row dimension with broadcast disabled. The static plan sends
+    the hot key's entire volume to one reducer — the straggler that
+    makes a 1000-executor stage finish at single-task speed. AQE
+    must detect the skew from MEASURED map output sizes and split
+    the hot partition into map-range slices, replicating the
+    matching dim rows (`SortMergeJoin(skew=true)` / `AQEShuffleRead
+    skewed`). The upstream `repartition(12)` is load-bearing: skew
+    splits happen at MAP-OUTPUT granularity, and this corpus's
+    single-row-group parquet file yields one real map task, whose
+    hot partition cannot be split (verified empirically via
+    getMapSizesForReduceId: all 3.8 MB in one map) — the production
+    lesson that upstream parallelism bounds AQE's ability to repair
+    downstream skew. Census bit-exact vs the oracle's plain join;
+    thresholds are scaled for the test corpus (at 100 TB the
+    defaults — 256 MB / 5x median — fire the same rule)."""
+    settings = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with _confs(spark, settings):
+        li = load_table(spark, sf_dir, "lineitem")
+        okey = F.col("l_orderkey").cast("string")
+        fact = (
+            li.select("l_orderkey", "l_returnflag", "l_quantity")
+            .withColumn(
+                "hk",
+                F.when(F.col("l_orderkey") % 100 < 90, F.lit(1).cast("long"))
+                .otherwise(F.col("l_orderkey") % 100),
+            )
+            .withColumn(
+                "payload", F.concat(F.md5(okey), F.md5(F.concat(okey, F.lit("a"))))
+            )
+            .repartition(12)
+        )
+        dim = (
+            spark.range(0, 100)
+            .withColumnRenamed("id", "hk")
+            .withColumn("w", F.col("hk") * 2)
+        )
+        res = (
+            fact.join(dim.hint("merge"), "hk")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("w").cast("long").alias("w_sum"),
+                F.sum(F.length("payload")).cast("long").alias("payload_chars"),
+                (wide_sum(quantize(F.col("l_quantity"))).cast("double")
+                 / F.lit(10000.0)).alias("qty_sum"),
+            )
+        )
+        return _materialize(
+            res,
+            {"skew split": ["skew=true", "AQEShuffleRead skewed"]},
+            "q417",
+        )
+
+
+@register(
+    "q418_catalog_statistics",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE CAST(o_orderkey % 5 AS INT) END AS prio
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT col_name, min_val, max_val, null_cnt, row_cnt FROM (
+  SELECT 'o_custkey' AS col_name,
+         CAST(MIN(o_custkey) AS BIGINT) AS min_val,
+         CAST(MAX(o_custkey) AS BIGINT) AS max_val,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+         CAST(COUNT(*) AS BIGINT) AS row_cnt
+  FROM src
+  UNION ALL
+  SELECT 'prio',
+         CAST(MIN(prio) AS BIGINT), CAST(MAX(prio) AS BIGINT),
+         CAST(SUM(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM src
+) t
+""",
+    tags=("plan_gated", "cbo", "statistics", "analyze"),
+)
+def q418_catalog_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE / catalog statistics, graded from the CATALOG:
+    a table is materialized, `ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR COLUMNS` runs, and the graded output is read back from
+    `DESCRIBE EXTENDED <tbl> <col>` — min, max, null count per
+    column plus the table row count from the `Statistics` line. The
+    oracle recomputes the same numbers from the raw rows, so a wrong
+    or stale catalog breaks the hash (the statistics analogue of
+    q410's footer-aggregate grade). These numbers are what drive
+    every CBO decision at 100 TB — broadcast-vs-shuffle choices,
+    join reordering, and selectivity estimates all read this catalog
+    entry; a catalog that lies produces the worst plans on the
+    biggest data. distinct_count is deliberately NOT graded: ANALYZE
+    estimates it with HLL (approximate by design)."""
+    import hashlib as _hl
+    import re as _re
+
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|cbostats".encode()
+    ).hexdigest()[:12]
+    tbl = f"stats_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet AS "
+            "SELECT o_orderkey, o_custkey, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE CAST(o_orderkey % 5 AS INT) END AS prio "
+            "FROM orders WHERE o_orderkey % 3 = 0"
+        )
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey, prio"
+        )
+    stats_row = [
+        r
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        if r.col_name == "Statistics"
+    ]
+    m = _re.search(r"(\d+)\s+rows", stats_row[0].data_type) if stats_row else None
+    if m is None:
+        raise RuntimeError(
+            "q418: DESCRIBE EXTENDED has no row-count Statistics entry — "
+            "ANALYZE TABLE did not record table stats"
+        )
+    row_cnt = int(m.group(1))
+
+    def col_stats(col: str) -> tuple[int | None, int | None, int]:
+        kv = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
+        }
+        if kv.get("min") is None:
+            raise RuntimeError(f"q418: no column stats recorded for {col}")
+
+        def as_long(s: str) -> int | None:
+            return None if s in ("NULL", None) else int(s)
+
+        return as_long(kv["min"]), as_long(kv["max"]), int(kv["num_nulls"])
+
+    out = []
+    for col in ("o_custkey", "prio"):
+        mn, mx, nn = col_stats(col)
+        out.append((col, mn, mx, nn, row_cnt))
+    return spark.createDataFrame(
+        out, "col_name string, min_val long, max_val long, null_cnt long, row_cnt long"
+    )
+
+
+@register(
+    "q419_partition_hints",
+    oracle="""
+SELECT variant, l_returnflag, n_rows, price_sum FROM (
+  SELECT 'repartition' AS variant, l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS price_sum
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'rebalance', l_returnflag, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'coalesce', l_returnflag, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+  FROM lineitem GROUP BY l_returnflag
+) t
+""",
+    tags=("plan_gated", "hints", "partitioning", "sql"),
+)
+def q419_partition_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PARTITIONING HINTS, plan-asserted: the same census runs
+    under `/*+ REPARTITION(8, col) */` (hash exchange, pinned width),
+    `/*+ REBALANCE(col) */` (AQE-adjustable exchange that splits
+    oversized AND merges undersized partitions — the hint to reach
+    for before a sink write), and `/*+ COALESCE(2) */` (shuffle-free
+    narrowing). Each variant's executed plan is asserted to contain
+    its exchange type; all three censuses must be bit-identical to
+    the hint-free oracle — partitioning hints are semantics-free by
+    contract, they move BYTES, never VALUES. At 100 TB these hints
+    are the difference between a sink writing 10k right-sized files
+    and one writing 200k tiny ones."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    census = (
+        "SELECT {hint} l_returnflag, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 10000.0 AS price_sum "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    variants = {
+        "repartition": ("/*+ REPARTITION(8, l_returnflag) */",
+                        ["REPARTITION_BY_NUM"]),
+        "rebalance": ("/*+ REBALANCE(l_returnflag) */",
+                      ["REBALANCE_PARTITIONS_BY_COL"]),
+        "coalesce": ("/*+ COALESCE(2) */", ["Coalesce 2"]),
+    }
+    outs = []
+    for name, (hint, markers) in variants.items():
+        res = spark.sql(census.format(hint=hint))
+        outs.append(
+            _materialize(res, {f"{name} hint": markers}, "q419")
+            .select(F.lit(name).alias("variant"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "q420_offset_pagination",
+    oracle="""
+SELECT page, o_orderkey, o_totalprice FROM (
+  SELECT 2 AS page, o_orderkey, o_totalprice
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 20
+) p2
+UNION ALL
+SELECT page, o_orderkey, o_totalprice FROM (
+  SELECT 3 AS page, o_orderkey, o_totalprice
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40
+) p3
+""",
+    tags=("sql", "offset", "pagination", "topk"),
+)
+def q420_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (SQL OFFSET clause, Spark 3.4+): pages
+    2 and 3 of a price-ranked order listing, stitched. The ordering
+    tie-breaks on the unique key so page boundaries are deterministic
+    — the API-pagination contract. Physically Spark plans a global
+    top-(offset+limit) (`TakeOrderedAndProject` with offset), so the
+    cost at 100 TB is one pass + a 60-row heap per partition, never a
+    full global sort; deep pagination (OFFSET 10^9) would degrade to
+    exactly that heap of offset+limit rows, which is why production
+    APIs paginate by keyset instead — documented here as the scale
+    boundary of the OFFSET idiom."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    page = (
+        "SELECT {n} AS page, o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET {off}"
+    )
+    p2 = spark.sql(page.format(n=2, off=20))
+    p3 = spark.sql(page.format(n=3, off=40))
+    return p2.unionByName(p3)

@@ -102,6 +102,7 @@ def _load_all() -> None:
     import cli_spark.sources.multimodal  # noqa: F401
     import cli_spark.sources.pushdown_parquet  # noqa: F401
     import cli_spark.sources.resilience  # noqa: F401
+    import cli_spark.operators.plan_gates  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -354,6 +355,12 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q413_bitmap_distinct",
     "q414_statestore_join_reader",
     "q415_api_equivalence",
+    # --- round-10 additions (added late in round 9; grade next) ---
+    "q416_reused_exchange",
+    "q417_aqe_skew_join",
+    "q418_catalog_statistics",
+    "q419_partition_hints",
+    "q420_offset_pagination",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
