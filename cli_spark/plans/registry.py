@@ -103,6 +103,7 @@ def _load_all() -> None:
     import cli_spark.sources.pushdown_parquet  # noqa: F401
     import cli_spark.sources.resilience  # noqa: F401
     import cli_spark.operators.plan_gates  # noqa: F401
+    import cli_spark.operators.sql_surface2  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -361,6 +362,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q418_catalog_statistics",
     "q419_partition_hints",
     "q420_offset_pagination",
+    "q421_recursive_hierarchy_rollup",
+    "q422_generator_pack",
+    "q423_bitwise_agg_pack",
+    "q424_datetime_pack2",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
