@@ -104,6 +104,7 @@ def _load_all() -> None:
     import cli_spark.sources.resilience  # noqa: F401
     import cli_spark.operators.plan_gates  # noqa: F401
     import cli_spark.operators.sql_surface2  # noqa: F401
+    import cli_spark.streaming.round10  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -366,6 +367,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q422_generator_pack",
     "q423_bitwise_agg_pack",
     "q424_datetime_pack2",
+    "q425_multiwatermark_union",
+    "q426_state_event_time_timeout",
+    "q427_rate_micro_batch_source",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
