@@ -105,6 +105,7 @@ def _load_all() -> None:
     import cli_spark.operators.plan_gates  # noqa: F401
     import cli_spark.operators.sql_surface2  # noqa: F401
     import cli_spark.streaming.round10  # noqa: F401
+    import cli_spark.operators.round10_algos  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -370,6 +371,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q425_multiwatermark_union",
     "q426_state_event_time_timeout",
     "q427_rate_micro_batch_source",
+    "q428_levenshtein_blocked_pairs",
+    "q429_deterministic_random_walk",
+    "q430_bellman_ford_hops",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
