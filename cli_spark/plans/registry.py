@@ -374,6 +374,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q428_levenshtein_blocked_pairs",
     "q429_deterministic_random_walk",
     "q430_bellman_ford_hops",
+    "q431_media_featurize_png",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",

@@ -633,3 +633,110 @@ def q351_avi_indexed_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return d.mapInPandas(_decode, schema).orderBy("doc_id")
+
+
+def _doc_png(payload: bytes) -> bytes:
+    """Synthesize the document's PNG: md5-derived dims (independent
+    digest bytes from the BMP path so the two codecs never share a
+    geometry bug), cyclic-digest pixels, really encoded with the
+    per-row filter cycle (row r -> filter r mod 5)."""
+    from cli_spark.sources.png import encode_png
+
+    digest = hashlib.md5(payload).digest()
+    w = 4 + digest[5] % 13
+    h = 5 + digest[6] % 11
+    n = w * h * 3
+    stream = (digest * ((n + 15) // 16))[:n]
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, w, 3)
+    return encode_png(arr)
+
+
+@register(
+    "q431_media_featurize_png",
+    # The oracle recomputes every DECODED statistic from the cyclic
+    # md5-digest construction: dims from digest bytes 5/6, total and
+    # per-row pixel sums via modular arithmetic over the 16 digest
+    # bytes, corner pixels by direct index. sum_row2 and sum_row4
+    # specifically sit on Up- and Paeth-filtered scanlines (filter =
+    # row mod 5), so a decoder that mis-reverses either predictor
+    # breaks those rows even if the total survives by luck. File size
+    # is NOT graded: zlib output length is a compression detail, not
+    # an image semantic.
+    oracle=f"""
+WITH b AS ({_SQL_DIGEST_BYTES}),
+dims AS (
+  SELECT doc_id, db,
+         4 + db[6] % 13 AS w, 5 + db[7] % 11 AS h
+  FROM b
+),
+c AS (
+  SELECT doc_id, db, w, h, w * h * 3 AS len3, w * 3 AS rowlen
+  FROM dims
+)
+SELECT doc_id, w, h, w * h AS n_px,
+       CAST((len3 // 16) * list_sum(db)
+            + COALESCE(list_sum(db[1 : len3 % 16]), 0) AS BIGINT) AS sum_px,
+       CAST(list_sum(list_transform(generate_series(1, rowlen),
+              i -> db[(2 * rowlen + i - 1) % 16 + 1])) AS BIGINT) AS sum_row2,
+       CAST(list_sum(list_transform(generate_series(1, rowlen),
+              i -> db[(4 * rowlen + i - 1) % 16 + 1])) AS BIGINT) AS sum_row4,
+       db[1] AS r0, db[2] AS g0, db[3] AS b0,
+       db[(len3 - 3) % 16 + 1] AS r_last,
+       db[(len3 - 2) % 16 + 1] AS g_last,
+       db[(len3 - 1) % 16 + 1] AS b_last
+FROM c
+""",
+    tags=("multimodal", "png", "codec", "pandas_udf"),
+)
+def q431_media_featurize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG featurization via mapInPandas — the first COMPRESSED image
+    codec in the registry (BMP/AVI are raster-raw): each document
+    becomes a real 8-bit truecolor PNG (zlib-deflated scanlines,
+    filter type cycling None/Sub/Up/Average/Paeth per row) and
+    `cli_spark.sources.png.decode_png` genuinely parses it back —
+    signature, chunk CRC32 walk, inflate, five-way predictive
+    unfiltering. Every emitted statistic comes from the DECODED grid;
+    the oracle recomputes them from the md5 construction, so a wrong
+    Paeth tie-break or a truncated Average divide shows up as a hash
+    mismatch on the row sums that sit on those filters. This is the
+    production shape for vision-corpus feature extraction: binary
+    column in, Arrow batch through a per-partition decoder, typed
+    features out — swap the synthesis for `binaryFile` bytes and the
+    plan is unchanged."""
+    from cli_spark.sources.png import decode_png
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    schema = (
+        "doc_id long, w int, h int, n_px int, sum_px long, "
+        "sum_row2 long, sum_row4 long, "
+        "r0 int, g0 int, b0 int, r_last int, g_last int, b_last int"
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {k: [] for k in
+                    ("doc_id", "w", "h", "n_px", "sum_px", "sum_row2",
+                     "sum_row4", "r0", "g0", "b0",
+                     "r_last", "g_last", "b_last")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                png = _doc_png(bytes(blob))
+                decoded = decode_png(png)  # the real parse
+                h, w, _ = decoded.shape
+                recs["doc_id"].append(doc_id)
+                recs["w"].append(w)
+                recs["h"].append(h)
+                recs["n_px"].append(w * h)
+                recs["sum_px"].append(int(decoded.sum(dtype=np.int64)))
+                recs["sum_row2"].append(int(decoded[2].sum(dtype=np.int64)))
+                recs["sum_row4"].append(int(decoded[4].sum(dtype=np.int64)))
+                recs["r0"].append(int(decoded[0, 0, 0]))
+                recs["g0"].append(int(decoded[0, 0, 1]))
+                recs["b0"].append(int(decoded[0, 0, 2]))
+                recs["r_last"].append(int(decoded[-1, -1, 0]))
+                recs["g_last"].append(int(decoded[-1, -1, 1]))
+                recs["b_last"].append(int(decoded[-1, -1, 2]))
+            yield pd.DataFrame(recs)
+
+    return d.mapInPandas(_featurize, schema).orderBy("doc_id")
