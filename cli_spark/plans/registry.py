@@ -106,6 +106,7 @@ def _load_all() -> None:
     import cli_spark.operators.sql_surface2  # noqa: F401
     import cli_spark.streaming.round10  # noqa: F401
     import cli_spark.operators.round10_algos  # noqa: F401
+    import cli_spark.operators.round10_stats  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -375,6 +376,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q429_deterministic_random_walk",
     "q430_bellman_ford_hops",
     "q431_media_featurize_png",
+    "q432_pearson_exact_components",
+    "q433_decision_stump_gini",
+    "q434_holt_winters_scaled_int",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
