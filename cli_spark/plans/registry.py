@@ -107,6 +107,7 @@ def _load_all() -> None:
     import cli_spark.streaming.round10  # noqa: F401
     import cli_spark.operators.round10_algos  # noqa: F401
     import cli_spark.operators.round10_stats  # noqa: F401
+    import cli_spark.operators.round10_layout  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -379,6 +380,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q432_pearson_exact_components",
     "q433_decision_stump_gini",
     "q434_holt_winters_scaled_int",
+    "q435_compression_codec_matrix",
     # --- final never-graded backlog (50) ---
     "q340_mergeable_quantiles",
     "q341_entity_resolution_clusters",
