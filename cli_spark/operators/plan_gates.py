@@ -337,17 +337,25 @@ def q419_partition_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cli_spark.tables import register_views
 
     register_views(spark, sf_dir)
+    # The repartition/rebalance hints deliberately key on l_orderkey
+    # (NOT the grouping column): a hint exchange whose partitioning
+    # matches the aggregation's required distribution is absorbed
+    # into the ENSURE_REQUIREMENTS exchange whenever its width equals
+    # the session's shuffle partitions — hinting a different key
+    # keeps the gate independent of session configuration.
     census = (
-        "SELECT {hint} l_returnflag, "
+        "SELECT l_returnflag, "
         "CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
         " / 10000.0 AS price_sum "
-        "FROM lineitem GROUP BY l_returnflag"
+        "FROM (SELECT {hint} l_returnflag, l_extendedprice, l_orderkey "
+        "      FROM lineitem) "
+        "GROUP BY l_returnflag"
     )
     variants = {
-        "repartition": ("/*+ REPARTITION(8, l_returnflag) */",
+        "repartition": ("/*+ REPARTITION(8, l_orderkey) */",
                         ["REPARTITION_BY_NUM"]),
-        "rebalance": ("/*+ REBALANCE(l_returnflag) */",
+        "rebalance": ("/*+ REBALANCE(l_orderkey) */",
                       ["REBALANCE_PARTITIONS_BY_COL"]),
         "coalesce": ("/*+ COALESCE(2) */", ["Coalesce 2"]),
     }
