@@ -125,11 +125,37 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + r04 + r05 + r06 + r07 + r08 green
-# rows (300 distinct names currently in the registry, no fails ever
-# recorded after r01; q121/q123 *_stub → *_bmp renames were re-graded
-# green under their new names in r06, q122 *_stub → *_avi in r07).
+# Union of CORRECTNESS_r01 + r03 + … + r09 green rows (350 distinct
+# names currently in the registry, no fails ever recorded after r01;
+# q121/q123 *_stub → *_bmp renames were re-graded green under their
+# new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r09 greens newly recorded (50) ---
+    "q366_sql_scripting", "q367_transpose_matrix",
+    "q368_listagg_within_group", "q369_approx_topk_sketch",
+    "q370_streaming_full_outer_join", "q371_statestore_reader",
+    "q372_hgt_hillshade", "q373_hgt_watershed_basins",
+    "q374_binary_quantization_recall", "q375_kmeans_parallel_init",
+    "q376_mann_whitney_u", "q377_bh_fdr_stepup",
+    "q378_span_corruption_mask", "q379_range_partition_layout",
+    "q380_content_defined_chunking", "q381_pandas_udf_iterator",
+    "q382_udtf_table_argument", "q383_streaming_pivot_foreachbatch",
+    "q384_batch_checksum_sink", "q385_dedup_cascade_audit",
+    "q386_streaming_scd2_enrichment", "q387_session_window_dynamic_gap",
+    "q388_geohash_encode", "q389_shard_stitch_candidates",
+    "q390_incremental_view_maintenance", "q391_rocksdb_statestore",
+    "q392_prefix_filter_join", "q393_script_transform",
+    "q394_sql_sugar_pack2", "q395_streaming_file_sink",
+    "q396_streaming_semi_join", "q397_streaming_anti_join",
+    "q398_sequence_packing", "q399_runtime_bloom_filter",
+    "q400_corpus_pipeline", "q401_zorder_layout",
+    "q402_pushdown_datasource", "q403_pandas_api_asof",
+    "q404_aqe_coalesce", "q405_erasure_cascade",
+    "q406_window_group_limit", "q407_csv_parse_modes",
+    "q408_corrupt_file_skip", "q409_streaming_join_then_agg",
+    "q410_aggregate_pushdown", "q411_streaming_fanout_sinks",
+    "q412_lexical_semantic_agreement", "q413_bitmap_distinct",
+    "q414_statestore_join_reader", "q415_api_equivalence",
     # --- r08 greens newly recorded (50) ---
     "q349_rouge1_crossfamily", "q350_hgt_mosaic_seams",
     "q351_avi_indexed_multistream", "q352_partitioned_restart_recovery",
@@ -299,68 +325,18 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 _ROUND_CHANGED: tuple[str, ...] = ()
 
 
-# Round 9 window plan: after the r08 rotation exactly 50 oracle-backed
-# queries have never received a driver CORRECTNESS row — they fit the
-# 50-entry window exactly. Brand-new round-9 queries are listed first
-# (fresh code grades first); each one added pushes the same number of
-# backlog census shapes into round 10's window, which is safe — every
-# backlog query has been parity-green in LOCAL_PARITY r07 AND r08.
-# Backlog ordered: the heavier / more novel analytic shapes first,
-# simple census shapes last. Names absent from this tuple sort after
-# it in registration order.
+# Round 10 window plan: after the r09 rotation exactly 70 oracle-backed
+# queries have never received a driver CORRECTNESS row: q416–q435
+# (round-10 additions written late in round 9) plus the 50-query
+# census backlog. q416–q435 grade first (newest code earns a driver
+# row immediately), then the backlog ordered heavier / more novel
+# analytic shapes first, simple census shapes last — the first 30
+# backlog names fill out this round's 50-entry window and round 11's
+# ~20-slot remainder finishes the registry. Brand-new round-10
+# queries (q436+) are inserted at the very front as they are written.
+# Names absent from this tuple sort after it in registration order.
 _FRESH_PRIORITY: tuple[str, ...] = (
-    # --- brand-new round-9 queries (fresh code grades first) ---
-    "q366_sql_scripting",
-    "q367_transpose_matrix",
-    "q368_listagg_within_group",
-    "q369_approx_topk_sketch",
-    "q370_streaming_full_outer_join",
-    "q371_statestore_reader",
-    "q372_hgt_hillshade",
-    "q373_hgt_watershed_basins",
-    "q374_binary_quantization_recall",
-    "q375_kmeans_parallel_init",
-    "q376_mann_whitney_u",
-    "q377_bh_fdr_stepup",
-    "q378_span_corruption_mask",
-    "q379_range_partition_layout",
-    "q380_content_defined_chunking",
-    "q381_pandas_udf_iterator",
-    "q382_udtf_table_argument",
-    "q383_streaming_pivot_foreachbatch",
-    "q384_batch_checksum_sink",
-    "q385_dedup_cascade_audit",
-    "q386_streaming_scd2_enrichment",
-    "q387_session_window_dynamic_gap",
-    "q388_geohash_encode",
-    "q389_shard_stitch_candidates",
-    "q390_incremental_view_maintenance",
-    "q391_rocksdb_statestore",
-    "q392_prefix_filter_join",
-    "q393_script_transform",
-    "q394_sql_sugar_pack2",
-    "q395_streaming_file_sink",
-    "q396_streaming_semi_join",
-    "q397_streaming_anti_join",
-    "q398_sequence_packing",
-    "q399_runtime_bloom_filter",
-    "q400_corpus_pipeline",
-    "q401_zorder_layout",
-    "q402_pushdown_datasource",
-    "q403_pandas_api_asof",
-    "q404_aqe_coalesce",
-    "q405_erasure_cascade",
-    "q406_window_group_limit",
-    "q407_csv_parse_modes",
-    "q408_corrupt_file_skip",
-    "q409_streaming_join_then_agg",
-    "q410_aggregate_pushdown",
-    "q411_streaming_fanout_sinks",
-    "q412_lexical_semantic_agreement",
-    "q413_bitmap_distinct",
-    "q414_statestore_join_reader",
-    "q415_api_equivalence",
-    # --- round-10 additions (added late in round 9; grade next) ---
+    # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",
     "q418_catalog_statistics",

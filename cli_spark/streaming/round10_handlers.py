@@ -1,6 +1,10 @@
-"""Worker-side state handler for q426 (module-level so cloudpickle
-serializes it by reference and Python workers import it from
-cli_spark — see .claude/skills/verify gotchas on worker cwd)."""
+"""Worker-side state handler for q426.
+
+Kept module-level (not a closure) so cloudpickle serializes it by
+reference and Python workers import it from the installed cli_spark
+package path rather than re-pickling the function body — worker
+processes do not share the driver's cwd, so by-reference import is
+the only reliable transport for stateful handlers."""
 
 from __future__ import annotations
 
