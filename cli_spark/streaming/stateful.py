@@ -60,8 +60,12 @@ def running_totals_tws(events_stream: DataFrame) -> DataFrame:
     Requires `spark.sql.streaming.stateStore.providerClass` =
     RocksDBStateStoreProvider (the only provider supporting it) at
     runtime, plus the `protobuf` package (the TWS state-server
-    protocol is protobuf-encoded; absent in this container). Plan
-    CONSTRUCTION needs neither — tests/test_streaming.py verifies the
+    protocol is protobuf-encoded; absent in this container — last
+    retried 2026-08-15: `import google.protobuf` fails and
+    `pip download protobuf` returns "no matching distribution"
+    against the offline index, so neither a cached wheel nor a
+    vendorable pure-Python build exists here). Plan CONSTRUCTION
+    needs neither — tests/test_streaming.py verifies the
     wiring offline and runs the real query wherever protobuf exists;
     the timer/typed-state runtime semantics are covered through the
     applyInPandasWithState equivalents (see COVERAGE.md).
