@@ -89,12 +89,21 @@ PROMOTED26_QUERIES = [
     "q380_content_defined_chunking",  # CDC chunk-dedup census
 ]
 
-# Round-9 additions tracked report-only (the VERDICT r5 #7 pattern:
-# reported in queries{} for a round or two, then promoted with
-# declared baselines): the new heavy classes from this round.
-REPORTED_QUERIES = [
-    "q385_dedup_cascade_audit",  # 3-stage dedup cascade (banded)
+# Round-10 promotions into the declared 30-class headline (BASELINE.md
+# "Headline sums v5"): the four heaviest previously-unbaselined classes
+# — after this, no graded query > 2 s warm at sf0.1 sits outside the
+# per-class regression net. Summed into `value_30class`.
+PROMOTED30_QUERIES = [
+    "q385_dedup_cascade_audit",       # 3-stage dedup cascade (banded)
+    "q392_prefix_filter_join",        # prefix-filtering set-similarity join
+    "q429_deterministic_random_walk", # 4-step seeded walk distribution
+    "q430_bellman_ford_hops",         # weighted shortest paths (hop relax)
 ]
+
+# Round-10 additions tracked report-only (the VERDICT r5 #7 pattern:
+# reported in queries{} for a round or two, then promoted with
+# declared baselines once they carry two measured sessions).
+REPORTED_QUERIES: list = []
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
@@ -120,14 +129,19 @@ def main() -> None:
     # bench that starts under load waits (bounded) for the 1-min
     # loadavg to drop below the threshold and flags itself if it
     # can't — every BENCH_rN is then interpretable on its face.
+    # Round 10 (VERDICT r9 #4): the guard now covers the 5-min average
+    # too — r09 started at 1-min 1.68 / 5-min 15.87 (box just off heavy
+    # load) and showed a spurious ~10-25% light-class uptick. The 5-min
+    # average decays slowly, so its wait bound is longer.
     LOAD_MAX = 2.0
     loadavg_wait = 0.0
     try:
-        while os.getloadavg()[0] > LOAD_MAX and loadavg_wait < 300:
+        while ((os.getloadavg()[0] > LOAD_MAX or os.getloadavg()[1] > LOAD_MAX)
+               and loadavg_wait < 600):
             time.sleep(15)
             loadavg_wait += 15
         loadavg = [round(x, 2) for x in os.getloadavg()]
-        loadavg_flag = loadavg[0] > LOAD_MAX
+        loadavg_flag = loadavg[0] > LOAD_MAX or loadavg[1] > LOAD_MAX
     except OSError:
         loadavg, loadavg_flag = [], False
 
@@ -160,6 +174,8 @@ def main() -> None:
     total_23 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED26_QUERIES})
     total_26 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED30_QUERIES})
+    total_30 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -173,6 +189,7 @@ def main() -> None:
         "value_18class": total_18,
         "value_23class": total_23,
         "value_26class": total_26,
+        "value_30class": total_30,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,
