@@ -108,6 +108,7 @@ def _load_all() -> None:
     import cli_spark.operators.round10_algos  # noqa: F401
     import cli_spark.operators.round10_stats  # noqa: F401
     import cli_spark.operators.round10_layout  # noqa: F401
+    import cli_spark.operators.cdc_gear  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -336,6 +337,8 @@ _ROUND_CHANGED: tuple[str, ...] = ()
 # queries (q436+) are inserted at the very front as they are written.
 # Names absent from this tuple sort after it in registration order.
 _FRESH_PRIORITY: tuple[str, ...] = (
+    # --- brand-new round-10 queries (front of the window) ---
+    "q436_gear_cdc_chunking",
     # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",
