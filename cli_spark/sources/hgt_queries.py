@@ -1053,3 +1053,309 @@ def q373_hgt_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs)
 
     return raw.mapInPandas(_basins, schema).orderBy("cell")
+
+
+@register(
+    "q437_hgt_mosaic_watershed",
+    # Independent-numpy golden over the SEAMLESS global-field mosaic
+    # (scripts_hgt_goldens.py::mosaic_basin_rows, pinned by
+    # tests/test_hgt.py) — 167 of the 16,304 basins span an internal
+    # seam, which is exactly the structure a per-cell watershed
+    # (q373) cannot produce.
+    oracle="""
+SELECT * FROM (VALUES
+  (16304, 228976, 1367, 167, 26833)
+) AS t(n_basins, n_valid_cells, max_basin_size, n_seam_spanning,
+       seam_spanning_mass)
+""",
+    tags=("hgt", "tier_a", "terrain", "hydrology", "watershed",
+          "mosaic", "fencepost"),
+)
+def q437_hgt_mosaic_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cell watershed delineation on the 2×2 mosaic — q373's
+    basins composed with q350's border exchange (VERDICT r9 #6), so
+    basins FLOW ACROSS the shared cell edges instead of being cut at
+    file boundaries:
+
+    * per cell, the decode kernel contracts every OWNED sample's D8
+      chain by pointer doubling (O(area) work, zero shuffle) down to
+      either a local terminal (basin root) or an EXIT onto a seam
+      line whose D8 the cell cannot know — emitting only aggregated
+      (root, member-count) and (seam-exit, member-count) rows plus a
+      near-seam resolution map, all O(perimeter);
+    * the cells' border bands are exchanged exactly as q350 (outer
+      two lines, deduplicated on global coordinates, altitude
+      consistency RAISED on mismatch), seam-line samples get their
+      D8 from eight broadcast shifted equi-joins;
+    * the seam graph (seam sample → resolved target, ~10³ rows at
+      any cell count) is contracted by distributed pointer jumping —
+      self-joins to fixpoint, the same O(log path) recursion q76's
+      connected components run — then exit masses fold onto their
+      cross-seam roots.
+
+    Census: basin count, valid-sample conservation total, largest
+    basin, and the seam-spanning basin count/mass that per-cell
+    processing gets structurally wrong (it would report 0 spanning
+    basins and split their mass). Ownership of a sample is canonical
+    ((min((y−ymin)/(n−1),1), min((x−xmin)/(n−1),1)) — north/east cell
+    claims a seam line), so every valid sample is counted exactly
+    once across the fleet of per-cell kernels."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    hgt.ensure_mosaic_fixtures(MOSAIC_FIXTURE_DIR)
+    raw = hgt.read_hgt(spark, MOSAIC_FIXTURE_DIR).select("path", "content")
+
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+    GID = 100000  # gid = y * GID + x (global sample coordinates)
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per-cell contraction. Emits a tagged union:
+        rel='B' a=root_gid  b=count      c=owner_cell_idx
+        rel='X' a=seam_gid  b=count      c=owner_cell_idx
+        rel='C' a=gid       b=target_gid c=kind (0 terminal, 1 seam)"""
+        for pdf in batches:
+            rel, av, bv, cv = [], [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                la, lo = hgt.parse_cell_name(cell)
+                la, lo = int(la), int(lo)
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                v = g != hgt.VOID
+                ymin_g, ymax_g = 46 * (n - 1), 48 * (n - 1)
+                xmin_g, xmax_g = 7 * (n - 1), 9 * (n - 1)
+                yseam, xseam = 47 * (n - 1), 8 * (n - 1)
+                cell_idx = (la - 46) * 2 + (lo - 7)
+                # interior D8 (q373 rule) + in-file pointer doubling;
+                # file-edge lines are absorbing (their D8 is either
+                # border-terminal or seam — classified globally below)
+                ok = v[1:-1, 1:-1].copy()
+                ws = []
+                for _c, dr, dc in dirs:
+                    ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                zc = g[1:-1, 1:-1]
+                for code, dr, dc in dirs:
+                    zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+                    ws.append((zc - zn) * (CARD if dr == 0 or dc == 0 else DIAG))
+                stack = np.stack(ws)
+                best = np.argmax(stack, axis=0)
+                bestw = np.max(stack, axis=0)
+                code_arr = np.array([c for c, _, _ in dirs])[best]
+                code_arr = np.where((bestw > 0) & ok, code_arr, 0)
+                codes = np.zeros_like(g)
+                codes[1:-1, 1:-1] = code_arr
+                nxt = np.arange(n * n, dtype=np.int64)
+                for code, dr, dc in dirs:
+                    r, c = np.nonzero(codes == code)
+                    nxt[r * n + c] = (r + dr) * n + (c + dc)
+                while True:
+                    nxt2 = nxt[nxt]
+                    if np.array_equal(nxt2, nxt):
+                        break
+                    nxt = nxt2
+                # global coordinates and sample classes
+                rr = np.arange(n * n) // n
+                cc = np.arange(n * n) % n
+                y = (la + 1) * (n - 1) - rr
+                x = lo * (n - 1) + cc
+                gid = y * GID + x
+                on_border = ((y == ymin_g) | (y == ymax_g)
+                             | (x == xmin_g) | (x == xmax_g))
+                on_seam = (((y == yseam) | (x == xseam)) & ~on_border)
+                owner = (np.minimum((y - ymin_g) // (n - 1), 1) * 2
+                         + np.minimum((x - xmin_g) // (n - 1), 1))
+                owned = v.ravel() & ~on_seam & (owner == cell_idx)
+                fin = nxt[np.nonzero(owned)[0]]
+                exit_mask = on_seam[fin]
+                # 'B': members whose chain ends at a terminal root
+                roots, cnts = np.unique(gid[fin[~exit_mask]],
+                                        return_counts=True)
+                rel.extend("B" for _ in roots)
+                av.extend(roots.tolist())
+                bv.extend(cnts.tolist())
+                cv.extend(cell_idx for _ in roots)
+                # 'X': members whose chain exits onto a seam sample
+                seams, scnts = np.unique(gid[fin[exit_mask]],
+                                         return_counts=True)
+                rel.extend("X" for _ in seams)
+                av.extend(seams.tolist())
+                bv.extend(scnts.tolist())
+                cv.extend(cell_idx for _ in seams)
+                # 'C': near-seam resolution map (everything a seam
+                # sample's D8 can point to, minus seam samples)
+                near = owned & ((np.abs(y - yseam) <= 1)
+                                | (np.abs(x - xseam) <= 1))
+                idx = np.nonzero(near)[0]
+                f2 = nxt[idx]
+                rel.extend("C" for _ in idx)
+                av.extend(gid[idx].tolist())
+                bv.extend(gid[f2].tolist())
+                cv.extend(np.where(on_seam[f2], 1, 0).tolist())
+            yield pd.DataFrame({"rel": rel, "a": av, "b": bv, "c": cv})
+
+    def _band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"y": [], "x": [], "alt": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                la, lo = hgt.parse_cell_name(cell)
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+                band = ((r <= 1) | (r >= n - 2) | (c <= 1) | (c >= n - 2))
+                recs["y"].extend(((la + 1) * (n - 1) - r[band]).tolist())
+                recs["x"].extend((lo * (n - 1) + c[band]).tolist())
+                recs["alt"].extend(
+                    None if val == hgt.VOID else int(val)
+                    for val in g[band].tolist()
+                )
+            yield pd.DataFrame({
+                "y": recs["y"], "x": recs["x"],
+                "alt": pd.array(recs["alt"], dtype="Int64"),
+            })
+
+    tagged = raw.mapInPandas(
+        _local, "rel string, a long, b long, c long").persist()
+    band_raw = raw.mapInPandas(_band, "y long, x long, alt int")
+    consist = band_raw.groupBy("y", "x").agg(
+        F.countDistinct(F.coalesce("alt", F.lit(hgt.VOID))).alias("variants"),
+        F.min("alt").alias("alt"),
+    )
+    if consist.filter(F.col("variants") > 1).count():
+        raise ValueError("fencepost mismatch on shared border samples")
+    band = consist.select("y", "x", "alt")
+
+    n = 241
+    ymin_g, ymax_g = 46 * (n - 1), 48 * (n - 1)
+    xmin_g, xmax_g = 7 * (n - 1), 9 * (n - 1)
+    yseam, xseam = 47 * (n - 1), 8 * (n - 1)
+    seam = band.filter(
+        ((F.col("y") == yseam) | (F.col("x") == xseam))
+        & (F.col("y") > ymin_g) & (F.col("y") < ymax_g)
+        & (F.col("x") > xmin_g) & (F.col("x") < xmax_g)
+        # void seam samples are not basin members and (all-valid D8
+        # rule) can never be pointer targets — drop them here
+        & F.col("alt").isNotNull()
+    ).select(F.col("y").alias("sy"), F.col("x").alias("sx"),
+             F.col("alt").alias("alt0"))
+    joined = seam
+    for code, dr, dc in dirs:
+        nb = band.select(
+            (F.col("y") + F.lit(dr)).alias("sy"),
+            (F.col("x") - F.lit(dc)).alias("sx"),
+            F.col("alt").alias(f"alt{code}"),
+        )
+        joined = joined.join(F.broadcast(nb), ["sy", "sx"], "left")
+    okc = F.col("alt0").isNotNull()
+    for code, _dr, _dc in dirs:
+        okc = okc & F.col(f"alt{code}").isNotNull()
+    ws = {
+        code: (F.col("alt0") - F.col(f"alt{code}"))
+        * F.lit(CARD if dr == 0 or dc == 0 else DIAG)
+        for code, dr, dc in dirs
+    }
+    mx = F.greatest(*ws.values())
+    chain = None
+    for code, _dr, _dc in dirs:
+        cond = ws[code] == mx
+        chain = (F.when(cond, F.lit(code)) if chain is None
+                 else chain.when(cond, F.lit(code)))
+    direction = F.when(~okc | (mx <= 0), F.lit(0)).otherwise(chain)
+    # next-gid per direction: row offset dr (southward) is global -dy
+    ngid = F.lit(None).cast("long")
+    for code, dr, dc in dirs:
+        ngid = F.when(
+            direction == code,
+            (F.col("sy") - F.lit(dr)) * GID + (F.col("sx") + F.lit(dc)),
+        ).otherwise(ngid)
+    sgid = F.col("sy") * GID + F.col("sx")
+    seam_next = joined.select(
+        sgid.alias("s"), direction.alias("dir"), ngid.alias("ng"),
+        F.col("sy").alias("y"), F.col("sx").alias("x"),
+    ).persist()
+
+    seam_ids = seam_next.select(F.col("s").alias("sid2"))
+    near_map = tagged.filter(F.col("rel") == "C").select(
+        F.col("a").alias("cg"), F.col("b").alias("ct"), F.col("c").alias("ck")
+    )
+    e0 = (
+        seam_next
+        .join(F.broadcast(seam_ids), F.col("ng") == F.col("sid2"), "left")
+        .join(F.broadcast(near_map), F.col("ng") == F.col("cg"), "left")
+        .select(
+            "s",
+            F.when(F.col("dir") == 0, F.lit(0))
+            .when(F.col("sid2").isNotNull(), F.lit(1))
+            .otherwise(F.col("ck")).alias("kind"),
+            F.when(F.col("dir") == 0, F.col("s"))
+            .when(F.col("sid2").isNotNull(), F.col("ng"))
+            .otherwise(F.col("ct")).alias("t"),
+        )
+    )
+    if e0.filter(F.col("kind").isNull()).count():
+        raise ValueError("seam D8 target missing from exchange relations")
+
+    # distributed pointer jumping over the seam graph (O(log path))
+    r = e0.localCheckpoint(eager=True)
+    for _ in range(24):
+        if r.filter(F.col("kind") == 1).count() == 0:
+            break
+        hop = r.select(F.col("s").alias("s2"), F.col("kind").alias("k2"),
+                       F.col("t").alias("t2"))
+        r = (
+            r.join(F.broadcast(hop), F.col("t") == F.col("s2"), "left")
+            .select(
+                "s",
+                F.when(F.col("kind") == 1, F.col("k2"))
+                .otherwise(F.col("kind")).alias("kind"),
+                F.when(F.col("kind") == 1, F.col("t2"))
+                .otherwise(F.col("t")).alias("t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError("seam pointer jumping did not converge")
+    resolve = r.select(F.col("s").alias("rs"), F.col("t").alias("root"))
+
+    owner_expr = (
+        F.least((F.col("y") - F.lit(ymin_g)) / F.lit(n - 1), F.lit(1.0))
+        .cast("long") * 2
+        + F.least((F.col("x") - F.lit(xmin_g)) / F.lit(n - 1), F.lit(1.0))
+        .cast("long")
+    )
+    members = (
+        tagged.filter(F.col("rel") == "B")
+        .select(F.col("a").alias("root"), F.col("b").alias("cnt"),
+                F.col("c").alias("owner"))
+        .unionByName(
+            tagged.filter(F.col("rel") == "X")
+            .join(F.broadcast(resolve), F.col("a") == F.col("rs"))
+            .select("root", F.col("b").alias("cnt"),
+                    F.col("c").alias("owner"))
+        )
+        .unionByName(
+            seam_next
+            .join(F.broadcast(resolve), F.col("s") == F.col("rs"))
+            .select("root", F.lit(1).alias("cnt"),
+                    owner_expr.alias("owner"))
+        )
+    )
+    basins = members.groupBy("root").agg(
+        F.sum("cnt").alias("size"),
+        F.expr("bit_or(shiftleft(1, cast(owner as int)))").alias("mask"),
+    )
+    return basins.agg(
+        F.count(F.lit(1)).alias("n_basins"),
+        F.sum("size").cast("long").alias("n_valid_cells"),
+        F.max("size").cast("long").alias("max_basin_size"),
+        F.sum(F.when(F.expr("bit_count(mask)") > 1, 1).otherwise(0))
+        .cast("long").alias("n_seam_spanning"),
+        F.sum(F.when(F.expr("bit_count(mask)") > 1, F.col("size"))
+              .otherwise(0)).cast("long").alias("seam_spanning_mass"),
+    )

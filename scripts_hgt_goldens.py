@@ -332,6 +332,58 @@ def basin_rows() -> list[tuple]:
     return rows
 
 
+def mosaic_basin_rows(n: int = 241) -> list[tuple]:
+    """q437 golden: watershed basin census over the SEAMLESS 2×2
+    mosaic (N46/47 × E007/008) built directly from the GLOBAL field —
+    ground truth for CROSS-CELL basin continuity. Same D8 rule as
+    mosaic_rows (mosaic border lines and invalid neighborhoods are
+    terminals, code 0), labels by pointer doubling as basin_rows.
+    Per basin member, the CANONICAL OWNER cell is
+    (min((y−ymin)//(n−1), 1), min((x−xmin)//(n−1), 1)) — seam-line
+    samples owned by the north/east cell — and a basin SPANS A SEAM
+    when its members have ≥ 2 distinct owners. One census row:
+    basin count, valid-sample total (conservation), largest basin,
+    seam-spanning basin count and their total member mass."""
+    from cli_spark.sources.hgt import mosaic_field
+
+    m = 2 * (n - 1) + 1
+    i, j = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    ymax = (47 + 1) * (n - 1)
+    ymin, xmin = 46 * (n - 1), 7 * (n - 1)
+    g = mosaic_field(ymax - i, xmin + j).astype(np.int64)
+    v = g != VOID
+    codes, dirs = _d8_codes(g)
+    nxt = np.arange(m * m, dtype=np.int64)
+    for code, dr, dc in dirs:
+        r, c = np.nonzero(codes == code)
+        nxt[r * m + c] = (r + dr) * m + (c + dc)
+    while True:
+        nxt2 = nxt[nxt]
+        if np.array_equal(nxt2, nxt):
+            break
+        nxt = nxt2
+    # owner cell per sample (global coords: y = ymax − row, x = xmin + col)
+    y = ymax - (np.arange(m * m) // m)
+    x = xmin + (np.arange(m * m) % m)
+    owner = (np.minimum((y - ymin) // (n - 1), 1) * 2
+             + np.minimum((x - xmin) // (n - 1), 1))
+    valid = v.ravel()
+    labels, owners = nxt[valid], owner[valid]
+    uniq, inv, sizes = np.unique(labels, return_inverse=True,
+                                 return_counts=True)
+    # distinct owners per basin: 4-bit mask OR-folded per label
+    masks = np.zeros(uniq.size, dtype=np.int64)
+    np.bitwise_or.at(masks, inv, 1 << owners)
+    spanning = np.array([bin(int(mk)).count("1") > 1 for mk in masks])
+    return [(
+        int(uniq.size),
+        int(valid.sum()),
+        int(sizes.max()),
+        int(spanning.sum()),
+        int(sizes[spanning].sum()),
+    )]
+
+
 def _values_block(rows: list[tuple], cols: str) -> str:
     def lit(x):
         return f"'{x}'" if isinstance(x, str) else str(x)
@@ -364,6 +416,11 @@ def main() -> None:
         "cell, n_points, n_lit, n_shadow, n_neutral, sum_lit_load, "
         "sum_shadow_load, max_load"))
     print("\n-- q373_hgt_watershed_basins")
+    print("\n-- q437_hgt_mosaic_watershed")
+    print(_values_block(
+        mosaic_basin_rows(),
+        "n_basins, n_valid_cells, max_basin_size, n_seam_spanning, "
+        "seam_spanning_mass"))
     print(_values_block(
         basin_rows(),
         "cell, n_basins, max_basin_size, n_singletons, n_valid_cells"))
