@@ -2145,6 +2145,59 @@ def q380_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame
     ))
 
 
+def prefix_filter_candidates(spark: SparkSession, sf_dir: str, sh=None):
+    """q392's lossless candidate generation, exposed for the scale
+    sweep instrumentation (PLANS.md dup-heavy tier): returns
+    (shingle relation, distinct candidate-pair relation). Candidate
+    volume is the swept statistic — on duplicate-heavy corpora it
+    must track true-duplicate mass (quadratic in copy count, which
+    is the size of the true answer), never corpus size squared.
+    Pass ``sh`` to run the pipeline over a pre-reduced shingle
+    relation (q392 collapses exact-duplicate families first)."""
+    from pyspark.sql.window import Window
+
+    if sh is None:
+        sh = (
+            shingles_df(spark, sf_dir, fanout=True)
+            .filter(F.size("shingles") > 0)
+            .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                                 F.col("s").asc())
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 2) + 1
+    ).select("doc_id", "n", "s")
+    # Length filter (Arasu/Chaudhuri; ppjoin's first pruning rule),
+    # LOSSLESS under J >= 0.5: |A∩B| <= min(na,nb) and |A∪B| >=
+    # max(na,nb), so J >= 0.5 forces max <= 2*min — a size band
+    # evaluated inside the candidate join before the distinct, which
+    # is what keeps cross-family collisions on mid-frequency tokens
+    # from riding a duplicate-heavy corpus (PLANS.md dup-heavy row).
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+            & (F.col("a.n") <= 2 * F.col("b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return sh, cand
+
+
 @register(
     "q392_prefix_filter_join",
     oracle=f"""
@@ -2186,56 +2239,88 @@ def q392_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bit-exact match against the UNFILTERED all-token oracle is an
     empirical completeness proof of the prefix bound. Threshold and
     score in exact integer arithmetic (2*inter >= union;
-    ppm = 1e6*inter DIV union) — no float round-trip."""
-    from pyspark.sql.window import Window
+    ppm = 1e6*inter DIV union) — no float round-trip.
 
-    sh = (
+    Round 10 (PLANS.md dup-heavy row): EXACT-DUPLICATE FAMILIES are
+    collapsed before the similarity join and the pair relation is
+    expanded afterwards — LOSSLESS, since Jaccard depends only on
+    the shingle array, so every member of a family behaves
+    identically in the join. On a 10-exact-copies corpus this keeps
+    the candidate relation at base-corpus volume (~310k) instead of
+    inflating it quadratically in copy count (~31M measured), while
+    the output still enumerates every qualifying doc-id pair: the
+    cross-family pairs from the rep join × member sets, the
+    within-family pairs directly from the family's own (size,
+    distinct-size) in exact arithmetic. The q349 lesson applied to
+    a similarity JOIN: never let exact copies enter the candidate
+    generator."""
+    sh_all = (
         shingles_df(spark, sf_dir, fanout=True)
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles", F.size("shingles").alias("n"))
     )
-    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(dfreq, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
-                                                 F.col("s").asc())
-        ),
+    fam = sh_all.withColumn(
+        # unit-separator join: unambiguous array -> string encoding
+        "fkey", F.md5(F.concat_ws(chr(31), "shingles"))
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.floor(F.col("n") / 2) + 1
-    ).select("doc_id", "s")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    stats = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep"))
+    tagged = fam.join(stats, "fkey")
+    reps_sh = (
+        tagged.filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "shingles", "n")
     )
-    av = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingles").alias("sa"),
-                   F.col("n").alias("na"))
-    bv = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("shingles").alias("sb"),
-                   F.col("n").alias("nb"))
+    _, cand = prefix_filter_candidates(spark, sf_dir, sh=reps_sh)
+    av = reps_sh.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("sa"),
+                        F.col("n").alias("na"))
+    bv = reps_sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sb"),
+                        F.col("n").alias("nb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    return (
+    rep_pairs = (
         cand.join(av, "doc_a")
         .join(bv, "doc_b")
         .withColumn("inter", inter)
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(2 * F.col("inter") >= F.col("uni"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("doc_a").alias("ra"),
+            F.col("doc_b").alias("rb"),
             F.expr("CAST(1000000 * inter DIV uni AS BIGINT)")
             .alias("jaccard_ppm"),
         )
     )
+    members = tagged.select("rep", "doc_id")
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("rep").alias("ra"),
+                             F.col("doc_id").alias("ma")), "ra")
+        .join(members.select(F.col("rep").alias("rb"),
+                             F.col("doc_id").alias("mb")), "rb")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard_ppm",
+        )
+    )
+    wf = tagged.select(
+        "fkey", "doc_id", "n",
+        F.size(F.array_distinct("shingles")).alias("d"),
+    )
+    within = (
+        wf.alias("x")
+        .join(wf.alias("y"),
+              (F.col("x.fkey") == F.col("y.fkey"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        # identical arrays: inter = d, union = 2n - d; same threshold
+        # and ppm arithmetic as the verify step
+        .filter(2 * F.col("x.d") >= 2 * F.col("x.n") - F.col("x.d"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr(
+                "CAST(1000000 * x.d DIV (2 * x.n - x.d) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return cross.unionByName(within)

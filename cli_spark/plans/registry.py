@@ -323,7 +323,11 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # The dedup.py _persist_slot hardening and the q362 oracle
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
-_ROUND_CHANGED: tuple[str, ...] = ()
+_ROUND_CHANGED: tuple[str, ...] = (
+    # round 10: family-collapse rewrite (lossless; oracle unchanged,
+    # but the implementation changed so it re-earns a driver row)
+    "q392_prefix_filter_join",
+)
 
 
 # Round 10 window plan: after the r09 rotation exactly 70 oracle-backed
