@@ -309,3 +309,72 @@ def q430_bellman_ford_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("node").cast("long").alias("key_sum"),
     )
+
+
+
+@register(
+    "q438_skyline_documents",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(1000000 * len(list_distinct(string_split(text, ' ')))
+              // len(string_split(text, ' ')) AS BIGINT) AS ttr_ppm
+  FROM documents)
+SELECT lang, doc_id, n_chars, ttr_ppm
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.lang = a.lang
+    AND b.n_chars >= a.n_chars AND b.ttr_ppm >= a.ttr_ppm
+    AND (b.n_chars > a.n_chars OR b.ttr_ppm > a.ttr_ppm))
+""",
+    tags=("curation", "skyline", "pareto", "multi_objective", "window"),
+)
+def q438_skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-skyline document curation (Borzsonyi ICDE'01 "The
+    Skyline Operator"): per language, the docs NOT dominated on the
+    length-vs-quality tradeoff (n_chars up, type-token ratio up) —
+    multi-objective corpus selection without collapsing the two
+    axes into one weighted score. The axes anti-correlate (longer
+    docs repeat more), so the frontier is the real curation surface.
+
+    Engine shape — the 2-D skyline needs NO dominance join at all:
+    after one lang-partitioned sort by n_chars, a point is dominated
+    iff (a) some strictly-longer doc has ttr >= mine — a running MAX
+    over the VALUE-RANGE frame `ORDER BY n_chars DESC RANGE BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING` (integer axis: exactly the
+    strictly-greater rows), or (b) an equal-length doc has strictly
+    higher ttr — a plain MAX over the (lang, n_chars) tie group.
+    One exchange on lang, one sort, two window aggregates, zero
+    quadratic stages — the plan is identical at any corpus size, and
+    the bit-exact match against DuckDB's unpruned NOT EXISTS oracle
+    proves the sweep lossless (the q392 discipline applied to
+    dominance)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(1000000 * size(array_distinct(split(text, ' '))) "
+            "DIV size(split(text, ' ')) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+    longer = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ties = Window.partitionBy("lang", "n_chars")
+    return (
+        m.withColumn("best_longer", F.max("ttr_ppm").over(longer))
+        .withColumn("best_tie", F.max("ttr_ppm").over(ties))
+        .filter(
+            (F.col("best_longer").isNull()
+             | (F.col("best_longer") < F.col("ttr_ppm")))
+            & (F.col("ttr_ppm") == F.col("best_tie"))
+        )
+        .select("lang", "doc_id", "n_chars", "ttr_ppm")
+    )
