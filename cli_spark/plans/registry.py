@@ -345,6 +345,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q436_gear_cdc_chunking",
     "q437_hgt_mosaic_watershed",
     "q438_skyline_documents",
+    "q439_hgt_mosaic_accumulation",
     # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",

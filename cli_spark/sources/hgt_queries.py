@@ -1359,3 +1359,451 @@ def q437_hgt_mosaic_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.expr("bit_count(mask)") > 1, F.col("size"))
               .otherwise(0)).cast("long").alias("seam_spanning_mass"),
     )
+
+
+@register(
+    "q439_hgt_mosaic_accumulation",
+    # Independent-numpy golden over the seamless global-field mosaic
+    # (scripts_hgt_goldens.py::mosaic_accum_rows, pinned by
+    # tests/test_hgt.py) — max accumulation ON an internal seam line
+    # is 35: drainage demonstrably crosses the shared cell edges.
+    oracle="""
+SELECT * FROM (VALUES
+  (38600, 133712, 52802, 3862, 1367, 35)
+) AS t(n_sources, n_small, n_medium, n_large, max_accum,
+       max_accum_on_seam)
+""",
+    tags=("hgt", "tier_a", "terrain", "hydrology", "accumulation",
+          "mosaic", "fencepost"),
+)
+def q439_hgt_mosaic_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cell D8 flow ACCUMULATION on the 2×2 mosaic — q326's
+    per-cell accumulation composed with the q350/q437 border
+    exchange, closing the Tier-A hydrology set (direction q319 →
+    accumulation q326 → watershed q373, each now with a seamed
+    mosaic counterpart). Unlike q437's labels, accumulation is a
+    MASS flow: every valid sample's unit drains downhill, so seam
+    and border samples receive water from MULTIPLE cells and
+    transit mass re-enters downstream cells. The decomposition:
+
+    * pass 1 (per cell, decode kernel): local Kahn accumulation of
+      the cell's interior units; emits the O(perimeter) arrival
+      masses at edge lines plus the near-seam routing map
+      (entry → absorbing target, classed interior/seam/border);
+    * seam graph: M0(s) = 1 + local arrivals; contracted edges
+      (seam→seam, directly or through a cell transit) closed by
+      pointer-doubled transitive closure, so acc(s) = M0(s) +
+      Σ M0(upstream) — an exact path-sum without iterating the
+      terrain's longest chain;
+    * border samples: acc(b) = 1 + arrivals from BOTH adjacent
+      files + direct seam inflow (the fencepost line is the
+      exchange point, not a wall);
+    * pass 2 (per cell): re-run local accumulation with the seam
+      graph's transit masses INJECTED at their interior entry
+      points (shipped to the kernel as a broadcast-joined list
+      column — no driver-side fact rows), censusing owned interior
+      samples whose totals now include cross-cell water.
+
+    Census: source count, accumulation bands, global max, and max
+    accumulation ON a seam line — a number a per-cell plan
+    structurally reports as unavailable."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    hgt.ensure_mosaic_fixtures(MOSAIC_FIXTURE_DIR)
+    raw = hgt.read_hgt(spark, MOSAIC_FIXTURE_DIR).select("path", "content")
+
+    CARD, DIAG = 1414214, 1000000
+    dirs = [(1, 0, 1), (2, 1, 1), (4, 1, 0), (8, 1, -1),
+            (16, 0, -1), (32, -1, -1), (64, -1, 0), (128, -1, 1)]
+    GID = 100000
+    N_FIX = 241
+    YMIN, YMAX = 46 * (N_FIX - 1), 48 * (N_FIX - 1)
+    XMIN, XMAX = 7 * (N_FIX - 1), 9 * (N_FIX - 1)
+    YSEAM, XSEAM = 47 * (N_FIX - 1), 8 * (N_FIX - 1)
+
+    def _grid_ctx(path: str, content: bytes):
+        """Shared per-file decode: codes, absorbing pointer map and
+        the global-coordinate arrays."""
+        from collections import deque
+
+        cell = os.path.splitext(os.path.basename(path))[0]
+        la, lo = (int(v) for v in hgt.parse_cell_name(cell))
+        buf = np.frombuffer(bytes(content), dtype=">i2")
+        n = int(np.sqrt(buf.size))
+        g = buf.reshape(n, n).astype(np.int64)
+        v = g != hgt.VOID
+        ok = v[1:-1, 1:-1].copy()
+        ws = []
+        for _c, dr, dc in dirs:
+            ok &= v[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+        zc = g[1:-1, 1:-1]
+        for code, dr, dc in dirs:
+            zn = g[1 + dr:n - 1 + dr, 1 + dc:n - 1 + dc]
+            ws.append((zc - zn) * (CARD if dr == 0 or dc == 0 else DIAG))
+        stack = np.stack(ws)
+        best = np.argmax(stack, axis=0)
+        bestw = np.max(stack, axis=0)
+        code_arr = np.array([c for c, _, _ in dirs])[best]
+        code_arr = np.where((bestw > 0) & ok, code_arr, 0)
+        codes = np.zeros_like(g)
+        codes[1:-1, 1:-1] = code_arr
+        rr = np.arange(n * n) // n
+        cc = np.arange(n * n) % n
+        y = (la + 1) * (n - 1) - rr
+        x = lo * (n - 1) + cc
+        return cell, n, g, v, codes, y, x, deque
+
+    def _kahn(codes: np.ndarray, n: int, acc: np.ndarray, deque):
+        """In-file mass propagation along interior pointers (edge
+        lines absorb). Mutates acc in place."""
+        nxt = np.full(n * n, -1, dtype=np.int64)
+        for code, dr, dc in dirs:
+            r, c = np.nonzero(codes == code)
+            nxt[r * n + c] = (r + dr) * n + (c + dc)
+        indeg = np.zeros(n * n, dtype=np.int64)
+        valid_nxt = nxt[nxt >= 0]
+        np.add.at(indeg, valid_nxt, 1)
+        q = deque(np.nonzero(indeg == 0)[0].tolist())
+        flat = acc.ravel()
+        while q:
+            u = q.popleft()
+            t = nxt[u]
+            if t < 0:
+                continue
+            flat[t] += flat[u]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                q.append(int(t))
+
+    def _pass1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """rel='X' a=edge_gid b=arrived_mass
+        rel='C' a=gid b=absorb_target_gid c=kind
+                (0 interior-terminal, 1 seam, 2 border, 3 self-border)"""
+        for pdf in batches:
+            rel, av, bv, cv = [], [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _cell, n, _g, v, codes, y, x, deque = _grid_ctx(path, content)
+                gid = y * GID + x
+                on_border = ((y == YMIN) | (y == YMAX)
+                             | (x == XMIN) | (x == XMAX))
+                on_seam = (((y == YSEAM) | (x == XSEAM)) & ~on_border)
+                rr = np.arange(n * n) // n
+                cc = np.arange(n * n) % n
+                interior = ((rr >= 1) & (rr <= n - 2)
+                            & (cc >= 1) & (cc <= n - 2))
+                acc = np.zeros((n, n), dtype=np.int64)
+                acc.ravel()[interior & v.ravel()] = 1
+                _kahn(codes, n, acc, deque)
+                edge = ~interior
+                arrived = acc.ravel()[edge]
+                egid = gid[edge]
+                nz = arrived > 0
+                rel.extend("X" for _ in range(int(nz.sum())))
+                av.extend(egid[nz].tolist())
+                bv.extend(arrived[nz].tolist())
+                cv.extend(0 for _ in range(int(nz.sum())))
+                # near-seam routing map over OWNED valid samples
+                owner = (np.minimum((y - YMIN) // (n - 1), 1) * 2
+                         + np.minimum((x - XMIN) // (n - 1), 1))
+                la, lo = (int(t) for t in hgt.parse_cell_name(
+                    os.path.splitext(os.path.basename(path))[0]))
+                cell_idx = (la - 46) * 2 + (lo - 7)
+                owned = v.ravel() & ~on_seam & (owner == cell_idx)
+                near = owned & ((np.abs(y - YSEAM) <= 1)
+                                | (np.abs(x - XSEAM) <= 1))
+                # absorbing map via pointer doubling
+                nxt = np.arange(n * n, dtype=np.int64)
+                for code, dr, dc in dirs:
+                    r, c = np.nonzero(codes == code)
+                    nxt[r * n + c] = (r + dr) * n + (c + dc)
+                while True:
+                    nxt2 = nxt[nxt]
+                    if np.array_equal(nxt2, nxt):
+                        break
+                    nxt = nxt2
+                idx = np.nonzero(near)[0]
+                f2 = nxt[idx]
+                kind = np.where(
+                    on_border[idx], 3,
+                    np.where(on_seam[f2], 1,
+                             np.where(on_border[f2], 2, 0)))
+                rel.extend("C" for _ in idx)
+                av.extend(gid[idx].tolist())
+                bv.extend(gid[f2].tolist())
+                cv.extend(kind.tolist())
+            yield pd.DataFrame({"rel": rel, "a": av, "b": bv, "c": cv})
+
+    def _pass2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Final interior census with injected transit masses."""
+        for pdf in batches:
+            recs = {k: [] for k in ("n_sources", "n_small", "n_medium",
+                                    "n_large", "mx")}
+            for path, content, injs in zip(pdf["path"], pdf["content"],
+                                           pdf["injs"]):
+                _cell, n, _g, v, codes, y, x, deque = _grid_ctx(path, content)
+                la, lo = (int(t) for t in hgt.parse_cell_name(_cell))
+                rr = np.arange(n * n) // n
+                cc = np.arange(n * n) % n
+                interior = ((rr >= 1) & (rr <= n - 2)
+                            & (cc >= 1) & (cc <= n - 2))
+                acc = np.zeros((n, n), dtype=np.int64)
+                acc.ravel()[interior & v.ravel()] = 1
+                if injs is not None and len(injs):
+                    for inj in injs:
+                        gy, gx = inj["gid"] // GID, inj["gid"] % GID
+                        r = (la + 1) * (n - 1) - gy
+                        c = gx - lo * (n - 1)
+                        acc[r, c] += inj["mass"]
+                _kahn(codes, n, acc, deque)
+                sel = acc.ravel()[interior & v.ravel()]
+                recs["n_sources"].append(int((sel == 1).sum()))
+                recs["n_small"].append(int(((sel >= 2) & (sel <= 10)).sum()))
+                recs["n_medium"].append(int(((sel >= 11) & (sel <= 100)).sum()))
+                recs["n_large"].append(int((sel > 100).sum()))
+                recs["mx"].append(int(sel.max()))
+            yield pd.DataFrame(recs)
+
+    tagged = raw.mapInPandas(
+        _pass1, "rel string, a long, b long, c long").persist()
+
+    # --- band relation + seam D8 (the q350/q437 exchange) ---
+    def _band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = {"y": [], "x": [], "alt": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                cell = os.path.splitext(os.path.basename(path))[0]
+                la, lo = hgt.parse_cell_name(cell)
+                buf = np.frombuffer(bytes(content), dtype=">i2")
+                n = int(np.sqrt(buf.size))
+                g = buf.reshape(n, n).astype(np.int64)
+                r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+                band = ((r <= 1) | (r >= n - 2) | (c <= 1) | (c >= n - 2))
+                recs["y"].extend(((la + 1) * (n - 1) - r[band]).tolist())
+                recs["x"].extend((lo * (n - 1) + c[band]).tolist())
+                recs["alt"].extend(
+                    None if val == hgt.VOID else int(val)
+                    for val in g[band].tolist()
+                )
+            yield pd.DataFrame({
+                "y": recs["y"], "x": recs["x"],
+                "alt": pd.array(recs["alt"], dtype="Int64"),
+            })
+
+    band_raw = raw.mapInPandas(_band, "y long, x long, alt int")
+    consist = band_raw.groupBy("y", "x").agg(
+        F.countDistinct(F.coalesce("alt", F.lit(hgt.VOID))).alias("variants"),
+        F.min("alt").alias("alt"),
+    )
+    if consist.filter(F.col("variants") > 1).count():
+        raise ValueError("fencepost mismatch on shared border samples")
+    band = consist.select("y", "x", "alt")
+    seam = band.filter(
+        ((F.col("y") == YSEAM) | (F.col("x") == XSEAM))
+        & (F.col("y") > YMIN) & (F.col("y") < YMAX)
+        & (F.col("x") > XMIN) & (F.col("x") < XMAX)
+        & F.col("alt").isNotNull()
+    ).select(F.col("y").alias("sy"), F.col("x").alias("sx"),
+             F.col("alt").alias("alt0"))
+    joined = seam
+    for code, dr, dc in dirs:
+        nb = band.select(
+            (F.col("y") + F.lit(dr)).alias("sy"),
+            (F.col("x") - F.lit(dc)).alias("sx"),
+            F.col("alt").alias(f"alt{code}"),
+        )
+        joined = joined.join(F.broadcast(nb), ["sy", "sx"], "left")
+    okc = F.col("alt0").isNotNull()
+    for code, _dr, _dc in dirs:
+        okc = okc & F.col(f"alt{code}").isNotNull()
+    ws = {
+        code: (F.col("alt0") - F.col(f"alt{code}"))
+        * F.lit(CARD if dr == 0 or dc == 0 else DIAG)
+        for code, dr, dc in dirs
+    }
+    mx = F.greatest(*ws.values())
+    chain = None
+    for code, _dr, _dc in dirs:
+        cond = ws[code] == mx
+        chain = (F.when(cond, F.lit(code)) if chain is None
+                 else chain.when(cond, F.lit(code)))
+    direction = F.when(~okc | (mx <= 0), F.lit(0)).otherwise(chain)
+    ngid = F.lit(None).cast("long")
+    for code, dr, dc in dirs:
+        ngid = F.when(
+            direction == code,
+            (F.col("sy") - F.lit(dr)) * GID + (F.col("sx") + F.lit(dc)),
+        ).otherwise(ngid)
+    seam_next = joined.select(
+        (F.col("sy") * GID + F.col("sx")).alias("s"),
+        direction.alias("dir"), ngid.alias("ng"),
+    ).persist()
+
+    # --- seam node initial masses and contracted edges ---
+    gy = F.col("a").cast("long") / GID
+    exits = tagged.filter(F.col("rel") == "X").select(
+        F.col("a").alias("xg"), F.col("b").alias("mass"),
+        F.floor(gy).cast("long").alias("ey"),
+        (F.col("a") % GID).alias("ex"),
+    )
+    is_border = ((F.col("ey") == YMIN) | (F.col("ey") == YMAX)
+                 | (F.col("ex") == XMIN) | (F.col("ex") == XMAX))
+    exits_seam = exits.filter(~is_border).groupBy("xg").agg(
+        F.sum("mass").alias("mass"))
+    exits_border = exits.filter(is_border).groupBy("xg").agg(
+        F.sum("mass").alias("mass"))
+    m0 = (
+        seam_next.select("s")
+        .join(F.broadcast(exits_seam), F.col("s") == F.col("xg"), "left")
+        .select("s", (F.lit(1) + F.coalesce("mass", F.lit(0))).alias("m0"))
+    )
+    near = tagged.filter(F.col("rel") == "C").select(
+        F.col("a").alias("cg"), F.col("b").alias("ct"),
+        F.col("c").alias("ck"))
+    seam_ids = seam_next.select(F.col("s").alias("sid2"))
+    routed = (
+        seam_next.filter(F.col("dir") != 0)
+        .join(F.broadcast(seam_ids), F.col("ng") == F.col("sid2"), "left")
+        .join(F.broadcast(near), F.col("ng") == F.col("cg"), "left")
+    )
+    if routed.filter(F.col("sid2").isNull() & F.col("cg").isNull()).count():
+        raise ValueError("seam D8 target missing from exchange relations")
+    # closure edges: seam -> seam (direct, or transiting a cell)
+    edges = routed.filter(
+        F.col("sid2").isNotNull() | (F.col("ck") == 1)
+    ).select(
+        F.col("s").alias("u"),
+        F.when(F.col("sid2").isNotNull(), F.col("ng"))
+        .otherwise(F.col("ct")).alias("d"),
+    )
+    # border inflow edges: seam -> border sample
+    border_in = routed.filter(
+        F.col("sid2").isNull() & F.col("ck").isin(2, 3)
+    ).select(
+        F.col("s").alias("u"),
+        F.when(F.col("ck") == 3, F.col("ng"))
+        .otherwise(F.col("ct")).alias("b"),
+    )
+    # cell-entry injections: seam -> interior sample (ck 0/1/2)
+    entries = routed.filter(
+        F.col("sid2").isNull() & F.col("ck").isin(0, 1, 2)
+    ).select(F.col("s").alias("u"), F.col("ng").alias("entry"))
+
+    # transitive closure over the contracted seam forest (doubling)
+    pairs = edges.select(F.col("u"), F.col("d")).localCheckpoint(eager=True)
+    for _ in range(24):
+        hop = pairs.select(F.col("u").alias("u2"), F.col("d").alias("d2"))
+        grown = (
+            pairs.unionByName(
+                pairs.join(F.broadcast(hop), F.col("d") == F.col("u2"))
+                .select("u", F.col("d2").alias("d"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == pairs.count():
+            pairs = grown
+            break
+        pairs = grown
+    else:
+        raise ValueError("seam closure did not converge")
+    acc_seam = (
+        m0.alias("t")
+        .join(
+            F.broadcast(
+                pairs.join(m0.select(F.col("s").alias("u"),
+                                     F.col("m0").alias("um")), "u")
+                .groupBy("d").agg(F.sum("um").alias("upstream"))
+            ),
+            F.col("t.s") == F.col("d"), "left",
+        )
+        .select(
+            F.col("t.s").alias("s"),
+            (F.col("m0") + F.coalesce("upstream", F.lit(0))).alias("acc"),
+        )
+        .persist()
+    )
+    # border accumulation: 1 + file arrivals + direct seam inflow
+    border_pop = band.filter(
+        ((F.col("y") == YMIN) | (F.col("y") == YMAX)
+         | (F.col("x") == XMIN) | (F.col("x") == XMAX))
+        & F.col("alt").isNotNull()
+    ).select((F.col("y") * GID + F.col("x")).alias("bg"))
+    seam_to_border = (
+        border_in.join(acc_seam, border_in.u == acc_seam.s)
+        .groupBy("b").agg(F.sum("acc").alias("inflow"))
+    )
+    acc_border = (
+        border_pop
+        .join(F.broadcast(exits_border), F.col("bg") == F.col("xg"), "left")
+        .join(F.broadcast(seam_to_border), F.col("bg") == F.col("b"), "left")
+        .select(
+            "bg",
+            (F.lit(1) + F.coalesce("mass", F.lit(0))
+             + F.coalesce("inflow", F.lit(0))).alias("acc"),
+        )
+    )
+    # injections into pass 2, grouped per owning cell
+    inj = (
+        entries.join(acc_seam, entries.u == acc_seam.s)
+        .groupBy("entry").agg(F.sum("acc").alias("mass"))
+        .select(
+            F.col("entry").alias("gid"), "mass",
+            (F.lit(46) + F.floor((F.floor(F.col("entry") / GID) - YMIN)
+                                 / (N_FIX - 1)).cast("long")).alias("la"),
+            (F.lit(7) + F.floor(((F.col("entry") % GID) - XMIN)
+                                / (N_FIX - 1)).cast("long")).alias("lo"),
+        )
+        .withColumn(
+            "cell",
+            F.concat(F.lit("N"), F.lpad(F.col("la").cast("string"), 2, "0"),
+                     F.lit("E"), F.lpad(F.col("lo").cast("string"), 3, "0")),
+        )
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("gid", "mass")).alias("injs"))
+    )
+    raw2 = (
+        raw.withColumn(
+            "cell", F.regexp_extract("path", r"([NS]\d+[EW]\d+)\.hgt", 1))
+        .join(F.broadcast(inj), "cell", "left")
+        .select("path", "content", "injs")
+    )
+    interior_census = raw2.mapInPandas(
+        _pass2,
+        "n_sources long, n_small long, n_medium long, n_large long, mx long",
+    )
+
+    def _bands(df, acc_col):
+        return df.agg(
+            F.sum(F.when(F.col(acc_col) == 1, 1).otherwise(0))
+            .alias("n_sources"),
+            F.sum(F.when((F.col(acc_col) >= 2) & (F.col(acc_col) <= 10), 1)
+                  .otherwise(0)).alias("n_small"),
+            F.sum(F.when((F.col(acc_col) >= 11) & (F.col(acc_col) <= 100), 1)
+                  .otherwise(0)).alias("n_medium"),
+            F.sum(F.when(F.col(acc_col) > 100, 1).otherwise(0))
+            .alias("n_large"),
+            F.max(acc_col).alias("mx"),
+        )
+
+    seam_census = _bands(acc_seam, "acc")
+    border_census = _bands(acc_border, "acc")
+    interior_total = interior_census.agg(
+        F.sum("n_sources").alias("n_sources"),
+        F.sum("n_small").alias("n_small"),
+        F.sum("n_medium").alias("n_medium"),
+        F.sum("n_large").alias("n_large"),
+        F.max("mx").alias("mx"),
+    )
+    combined = interior_total.unionByName(seam_census).unionByName(
+        border_census)
+    seam_max = acc_seam.agg(F.max("acc").alias("max_accum_on_seam"))
+    return combined.agg(
+        F.sum("n_sources").cast("long").alias("n_sources"),
+        F.sum("n_small").cast("long").alias("n_small"),
+        F.sum("n_medium").cast("long").alias("n_medium"),
+        F.sum("n_large").cast("long").alias("n_large"),
+        F.max("mx").cast("long").alias("max_accum"),
+    ).crossJoin(F.broadcast(seam_max.select(
+        F.col("max_accum_on_seam").cast("long").alias("max_accum_on_seam"))))

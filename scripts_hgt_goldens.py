@@ -384,6 +384,63 @@ def mosaic_basin_rows(n: int = 241) -> list[tuple]:
     )]
 
 
+def mosaic_accum_rows(n: int = 241) -> list[tuple]:
+    """q439 golden: D8 flow-accumulation census over the SEAMLESS 2x2
+    mosaic (same global-field ground truth as mosaic_basin_rows) -
+    every valid sample contributes one unit that drains along the
+    mosaic-wide direction grid, so accumulation on and around the
+    internal seams includes CROSS-CELL mass that per-cell processing
+    (q326) cannot see. One census row over all valid samples:
+    source count (acc=1), band counts (2-10 / 11-100 / >100), global
+    max, and the max accumulation ON an internal seam line - direct
+    evidence that drainage crosses the shared edges."""
+    from collections import deque
+
+    from cli_spark.sources.hgt import mosaic_field
+
+    m = 2 * (n - 1) + 1
+    i, j = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    ymax = (47 + 1) * (n - 1)
+    ymin, xmin = 46 * (n - 1), 7 * (n - 1)
+    xmax = 9 * (n - 1)
+    g = mosaic_field(ymax - i, xmin + j).astype(np.int64)
+    v = g != VOID
+    codes, dirs = _d8_codes(g)
+    acc = np.ones_like(g, dtype=np.int64)
+    acc[~v] = 0
+    indeg = np.zeros_like(acc)
+    off = {c: (dr, dc) for c, dr, dc in dirs}
+    targets = {}
+    for (r, c), code in np.ndenumerate(codes):
+        if code:
+            dr, dc = off[int(code)]
+            targets[(r, c)] = (r + dr, c + dc)
+            indeg[r + dr, c + dc] += 1
+    q = deque(rc for rc, _ in np.ndenumerate(codes) if indeg[rc] == 0)
+    while q:
+        rc = q.popleft()
+        t = targets.get(rc)
+        if t is None:
+            continue
+        acc[t] += acc[rc]
+        indeg[t] -= 1
+        if indeg[t] == 0:
+            q.append(t)
+    y = ymax - i
+    x = xmin + j
+    on_border = (y == ymin) | (y == ymax) | (x == xmin) | (x == xmax)
+    on_seam = (((y == 47 * (n - 1)) | (x == 8 * (n - 1))) & ~on_border)
+    valid = acc[v]
+    return [(
+        int((valid == 1).sum()),
+        int(((valid >= 2) & (valid <= 10)).sum()),
+        int(((valid >= 11) & (valid <= 100)).sum()),
+        int((valid > 100).sum()),
+        int(valid.max()),
+        int(acc[v & on_seam].max()),
+    )]
+
+
 def _values_block(rows: list[tuple], cols: str) -> str:
     def lit(x):
         return f"'{x}'" if isinstance(x, str) else str(x)
@@ -416,6 +473,11 @@ def main() -> None:
         "cell, n_points, n_lit, n_shadow, n_neutral, sum_lit_load, "
         "sum_shadow_load, max_load"))
     print("\n-- q373_hgt_watershed_basins")
+    print("\n-- q439_hgt_mosaic_accumulation")
+    print(_values_block(
+        mosaic_accum_rows(),
+        "n_sources, n_small, n_medium, n_large, max_accum, "
+        "max_accum_on_seam"))
     print("\n-- q437_hgt_mosaic_watershed")
     print(_values_block(
         mosaic_basin_rows(),

@@ -283,6 +283,7 @@ def test_terrain_goldens_match_checked_in_script(duck):
         ("q372_hgt_hillshade", G.hillshade_rows),
         ("q373_hgt_watershed_basins", G.basin_rows),
         ("q437_hgt_mosaic_watershed", G.mosaic_basin_rows),
+        ("q439_hgt_mosaic_accumulation", G.mosaic_accum_rows),
     ):
         oracle_rows = sorted(
             tuple(r) for r in duck.execute(reg[qname].oracle).fetchall()
