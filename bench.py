@@ -103,7 +103,9 @@ PROMOTED30_QUERIES = [
 # Round-10 additions tracked report-only (the VERDICT r5 #7 pattern:
 # reported in queries{} for a round or two, then promoted with
 # declared baselines once they carry two measured sessions).
-REPORTED_QUERIES: list = []
+REPORTED_QUERIES = [
+    "q440_containment_join",  # asymmetric prefix-filter containment
+]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,

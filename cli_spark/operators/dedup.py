@@ -2324,3 +2324,86 @@ def q392_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+@register(
+    "q440_containment_join",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, shingles, len(shingles) AS n
+       FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(1000000 * p.inter // sa.n AS BIGINT) AS containment_ppm
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+WHERE 5 * p.inter >= 4 * sa.n
+""",
+    tags=("dedup", "containment", "prefix_filter", "similarity_join"),
+)
+def q440_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT join (Broder 1997's second resemblance measure;
+    the asymmetric cousin of q392): ordered pairs where >= 80% of
+    doc A's word-3-gram set appears in doc B — the operator that
+    catches PARTIAL duplication (quotes, syndicated inserts,
+    boilerplate inclusion, a doc subsumed by a longer revision),
+    which symmetric Jaccard structurally misses when |B| >> |A|.
+
+    The asymmetric prefix filter: if |A∩B| >= 0.8|A| then A misses
+    at most |A| − ceil(0.8|A|) = floor(|A|/5) of its tokens in B, so
+    A's floor(|A|/5)+1 RAREST tokens (global-df order, the q392
+    total order) must hit B — the candidate join runs A-prefixes
+    against the full inverted index, never full×full. Verification
+    is per-candidate array_intersect; threshold exact-integer
+    (5·inter >= 4·n_a); the bit-exact match against the unfiltered
+    oracle is the losslessness proof. At 100 TB the one-sided index
+    probe is what makes containment affordable: the probe side
+    carries ~n/5 tokens per doc, and frequent shingles sort out of
+    every prefix."""
+    from pyspark.sql.window import Window
+
+    sh = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                                 F.col("s").asc())
+        ),
+    )
+    apre = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 5) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "s")
+    cand = (
+        apre.join(
+            ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    av = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sa"),
+                   F.col("n").alias("na"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sb"))
+    return (
+        cand.join(av, "doc_a")
+        .join(bv, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .filter(5 * F.col("inter") >= 4 * F.col("na"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr("CAST(1000000 * inter DIV na AS BIGINT)")
+            .alias("containment_ppm"),
+        )
+    )
