@@ -378,3 +378,151 @@ def q438_skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "doc_id", "n_chars", "ttr_ppm")
     )
+
+
+# --------------------------------------------------------------- q441: JL
+
+_JL_K = 16       # projected dimensions
+_JL_SCALE = 1000  # fixed-point input quantization (round(x * 1000))
+_JL_STEPS = (1, 7, 97)  # deterministic pair sample: (v, v + step)
+
+
+def _jl_matrix() -> list[list[int]]:
+    """Achlioptas (JCSS'03) sparse projection entries in {-1, 0, +1}
+    with probabilities {1/6, 2/3, 1/6}, drawn deterministically from
+    md5 so engine and oracle share the literal matrix."""
+    import hashlib
+
+    out = []
+    for i in range(64):
+        row = []
+        for j in range(_JL_K):
+            m = int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:8],
+                    16) % 6
+            row.append(1 if m == 0 else (-1 if m == 1 else 0))
+        out.append(row)
+    return out
+
+
+def _jl_sql_matrix() -> str:
+    return ("[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]"
+        for row in _jl_matrix()) + "]")
+
+
+def _jl_spark_matrix() -> str:
+    return ("array(" + ", ".join(
+        "array(" + ", ".join(str(v) for v in row) + ")"
+        for row in _jl_matrix()) + ")")
+
+
+@register(
+    "q441_jl_projection_audit",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x * {_JL_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, qv,
+         list_transform(generate_series(1, {_JL_K}), j ->
+           list_sum(list_transform(generate_series(1, 64), i ->
+             qv[i] * ({_jl_sql_matrix()})[i][j]))) AS pv
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2,
+         list_sum(list_transform(generate_series(1, {_JL_K}), j ->
+           (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j]))) AS p2
+  FROM p a
+  JOIN p b ON b.vec_id = a.vec_id + 1
+           OR b.vec_id = a.vec_id + 7
+           OR b.vec_id = a.vec_id + 97
+),
+r AS (
+  SELECT va, vb, CAST(1000000 * 3 * p2 // ({_JL_K} * d2) AS BIGINT)
+           AS ratio_ppm
+  FROM pairs WHERE d2 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN abs(ratio_ppm - 1000000) <= 100000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+       CAST(SUM(CASE WHEN abs(ratio_ppm - 1000000) <= 300000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30pct,
+       CAST(MIN(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
+FROM r
+""",
+    tags=("similarity", "jl", "random_projection", "audit"),
+)
+def q441_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection audit with the Achlioptas
+    sparse {-1,0,+1} matrix (JCSS'03): project the fixed-point
+    embeddings to k=16 dims and measure, over a deterministic pair
+    sample (vec_id steps 1/7/97 — equi-joins, no pair explosion),
+    the squared-distance distortion ratio 3·||Pa−Pb||² / (k·||a−b||²)
+    in exact ppm integers. This is the capacity-planning audit for
+    the ANN scale path: it tells you what k buys before you commit a
+    cluster-wide reindex (at k=16 the spread is wide — exactly what
+    the census shows — and every number is reproducible because the
+    matrix is md5-derived and shared verbatim with the oracle).
+    Engine shape: one scan, per-vector projection as a JVM
+    higher-order fold (no Python, no shuffle), three shifted
+    equi-joins for the pair sample, one final aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(x * {_JL_SCALE}) "
+            "AS BIGINT))"
+        ).alias("qv"),
+    )
+    p = q.select(
+        "vec_id", "qv",
+        F.expr(
+            f"transform(sequence(1, {_JL_K}), j -> "
+            f"aggregate(sequence(1, 64), 0L, (acc, i) -> "
+            f"acc + element_at(qv, i) * "
+            f"element_at(element_at({_jl_spark_matrix()}, i), j)))"
+        ).alias("pv"),
+    )
+    b = p.select(F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
+                 F.col("pv").alias("pb"))
+    pairs = None
+    for step in _JL_STEPS:
+        part = (
+            p.join(b, F.col("vb") == F.col("vec_id") + F.lit(step))
+            .select("vec_id", "vb", "qv", "qb", "pv", "pb")
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    scored = pairs.select(
+        F.expr(
+            "aggregate(sequence(1, 64), 0L, (acc, i) -> acc + "
+            "(element_at(qv, i) - element_at(qb, i)) * "
+            "(element_at(qv, i) - element_at(qb, i)))"
+        ).alias("d2"),
+        F.expr(
+            f"aggregate(sequence(1, {_JL_K}), 0L, (acc, j) -> acc + "
+            "(element_at(pv, j) - element_at(pb, j)) * "
+            "(element_at(pv, j) - element_at(pb, j)))"
+        ).alias("p2"),
+    ).filter(F.col("d2") > 0).select(
+        F.expr(f"CAST(1000000 * 3 * p2 DIV ({_JL_K} * d2) AS BIGINT)")
+        .alias("ratio_ppm")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.abs(F.col("ratio_ppm") - 1000000) <= 100000, 1)
+              .otherwise(0)).cast("long").alias("n_within_10pct"),
+        F.sum(F.when(F.abs(F.col("ratio_ppm") - 1000000) <= 300000, 1)
+              .otherwise(0)).cast("long").alias("n_within_30pct"),
+        F.min("ratio_ppm").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").alias("max_ratio_ppm"),
+        F.expr("CAST(sum(ratio_ppm) DIV count(1) AS BIGINT)")
+        .alias("mean_ratio_ppm"),
+    )

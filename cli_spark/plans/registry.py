@@ -347,6 +347,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q438_skyline_documents",
     "q439_hgt_mosaic_accumulation",
     "q440_containment_join",
+    "q441_jl_projection_audit",
     # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",
