@@ -317,3 +317,23 @@ def test_mosaic_shared_edges_agree_and_mismatch_raises(spark, tmp_path, monkeypa
     monkeypatch.setattr(HQ, "MOSAIC_FIXTURE_DIR", d)
     with pytest.raises(ValueError, match="fencepost mismatch"):
         HQ.q350_hgt_mosaic_seams(spark, "unused")
+
+
+def test_mosaic_watershed_and_accumulation_mismatch_raise(
+        spark, tmp_path, monkeypatch):
+    """q437/q439 carry the same executed fencepost gate as q350:
+    corrupting one copy of a shared border sample must raise in BOTH
+    composed queries, not silently shift basins or accumulation."""
+    import cli_spark.sources.hgt_queries as HQ
+
+    d = str(tmp_path / "mosaic2")
+    hgt.ensure_mosaic_fixtures(d)
+    g_w = np.fromfile(os.path.join(d, "N46E007.hgt"),
+                      dtype=">i2").reshape(241, 241).copy()
+    g_w[57, 240] = g_w[57, 240] + 3
+    g_w.astype(">i2").tofile(os.path.join(d, "N46E007.hgt"))
+    monkeypatch.setattr(HQ, "MOSAIC_FIXTURE_DIR", d)
+    with pytest.raises(ValueError, match="fencepost mismatch"):
+        HQ.q437_hgt_mosaic_watershed(spark, "unused")
+    with pytest.raises(ValueError, match="fencepost mismatch"):
+        HQ.q439_hgt_mosaic_accumulation(spark, "unused")
