@@ -840,3 +840,141 @@ def q410_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+# 8-level unrolled Hilbert xy2d (Wikipedia form, n = 256, reflect with
+# n-1): each level is one chained CTE, generated once as portable
+# integer SQL run verbatim on both engines. Correctness of the curve
+# itself (bijectivity + unit-step adjacency, and SQL == the pure-Python
+# reference) is pinned in tests/test_hilbert.py — cross-engine parity
+# alone could not catch a wrong-but-deterministic curve.
+def _hilbert_ctes() -> str:
+    steps = []
+    prev = "h0"
+    for k, s in enumerate((128, 64, 32, 16, 8, 4, 2, 1), start=1):
+        steps.append(f"""
+h{k} AS (
+  SELECT b1, b2,
+         CASE WHEN (hy & {s}) != 0 THEN hx
+              WHEN (hx & {s}) != 0 THEN 255 - hy
+              ELSE hy END AS hx,
+         CASE WHEN (hy & {s}) != 0 THEN hy
+              WHEN (hx & {s}) != 0 THEN 255 - hx
+              ELSE hx END AS hy,
+         hd + {s * s} * (CASE WHEN (hx & {s}) != 0 AND (hy & {s}) != 0 THEN 2
+                              WHEN (hx & {s}) != 0 THEN 3
+                              WHEN (hy & {s}) != 0 THEN 1
+                              ELSE 0 END) AS hd
+  FROM {prev}
+)""")
+        prev = f"h{k}"
+    return ",".join(steps)
+
+
+_Q442_TEMPLATE = """
+WITH bounds AS (
+  SELECT MIN(l_orderkey) AS min1, MAX(l_orderkey) AS max1,
+         MIN(l_partkey) AS min2, MAX(l_partkey) AS max2
+  FROM lineitem
+),
+bucketed AS (
+  SELECT LEAST(255, CAST((l_orderkey - min1) * 256
+               {div} (max1 - min1 + 1) AS BIGINT)) AS b1,
+         LEAST(255, CAST((l_partkey - min2) * 256
+               {div} (max2 - min2 + 1) AS BIGINT)) AS b2
+  FROM lineitem, bounds
+),
+h0 AS (
+  SELECT b1, b2, b1 AS hx, b2 AS hy, 0 AS hd FROM bucketed
+),{hilbert}
+,
+assigned AS (
+  SELECT b1, b2,
+         hd {div} 4096 AS hfile,
+         ({morton}) {div} 4096 AS zfile,
+         b1 {div} 16 AS lfile
+  FROM h8
+),
+per_file AS (
+  SELECT 'hilbert' AS layout, hfile AS file_id,
+         MIN(b1) AS min1, MAX(b1) AS max1,
+         MIN(b2) AS min2, MAX(b2) AS max2, COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE b1 BETWEEN 64 AND 95
+                            AND b2 BETWEEN 64 AND 95) AS sq_match,
+         COUNT(*) FILTER (WHERE b2 BETWEEN 64 AND 79) AS dim2_match
+  FROM assigned GROUP BY hfile
+  UNION ALL
+  SELECT 'zorder', zfile, MIN(b1), MAX(b1), MIN(b2), MAX(b2), COUNT(*),
+         COUNT(*) FILTER (WHERE b1 BETWEEN 64 AND 95
+                            AND b2 BETWEEN 64 AND 95),
+         COUNT(*) FILTER (WHERE b2 BETWEEN 64 AND 79)
+  FROM assigned GROUP BY zfile
+  UNION ALL
+  SELECT 'linear', lfile, MIN(b1), MAX(b1), MIN(b2), MAX(b2), COUNT(*),
+         COUNT(*) FILTER (WHERE b1 BETWEEN 64 AND 95
+                            AND b2 BETWEEN 64 AND 95),
+         COUNT(*) FILTER (WHERE b2 BETWEEN 64 AND 79)
+  FROM assigned GROUP BY lfile
+),
+probes AS (
+  SELECT layout, 'square_64_95' AS probe,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(COUNT(*) FILTER (WHERE min1 > 95 OR max1 < 64
+                                  OR min2 > 95 OR max2 < 64) AS BIGINT)
+           AS n_files_pruned,
+         CAST(COALESCE(SUM(n_rows) FILTER (WHERE NOT (min1 > 95 OR max1 < 64
+                                              OR min2 > 95 OR max2 < 64)),
+                       0) AS BIGINT) AS rows_scanned,
+         CAST(SUM(sq_match) AS BIGINT) AS rows_matching
+  FROM per_file GROUP BY layout
+  UNION ALL
+  SELECT layout, 'dim2_64_79',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE min2 > 79 OR max2 < 64) AS BIGINT),
+         CAST(COALESCE(SUM(n_rows) FILTER (WHERE NOT (min2 > 79 OR max2 < 64)),
+                       0) AS BIGINT),
+         CAST(SUM(dim2_match) AS BIGINT)
+  FROM per_file GROUP BY layout
+)
+SELECT * FROM probes
+"""
+
+
+@register(
+    "q442_hilbert_layout",
+    oracle=_Q442_TEMPLATE.format(
+        hilbert=_hilbert_ctes(),
+        morton=_morton_expr("b1", "b2", spark_side=False), div="//"
+    ),
+    tags=("layout", "hilbert", "zorder", "data_skipping"),
+)
+def q442_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-curve clustering audit — q401's z-order bake-off
+    extended with the curve lakehouse engines are converging on
+    (Delta Lake liquid clustering, Iceberg hilbert sort order): both
+    join keys quantize to 8 bits, the 16-bit Hilbert index comes
+    from the classic xy2d recursion unrolled into 8 chained integer
+    CTEs (one per level: quadrant digit + reflect/swap rotation),
+    rows lay into 16 files per layout (hilbert / morton / linear
+    first-key sort), and two probes read the per-file min/max zone
+    maps: a SQUARE window on both keys and q401's second-key-only
+    stripe. Hilbert's selling point over Morton is fewer curve
+    discontinuities — every consecutive pair of cells is adjacent
+    (no Z-jumps), so file bounding boxes are never looser and square
+    probes scan at most as many false-overlap rows (the test asserts
+    hilbert <= zorder; at this coarse 16-file granularity the two tie
+    at sf0.01 — the gap opens as files shrink relative to the probe,
+    which is the 100 TB regime). The census also shows the linear
+    layout's total failure on the second key (0 of 16 files pruned).
+    rows_matching is layout-invariant (conservation
+    check). The generated SQL is shared verbatim with the oracle;
+    curve correctness itself (bijective, unit-step adjacent,
+    SQL == pure-Python reference) is pinned in
+    tests/test_hilbert.py."""
+    from cli_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q442_TEMPLATE.format(
+        hilbert=_hilbert_ctes(),
+        morton=_morton_expr("b1", "b2", spark_side=True), div="DIV"
+    ))
