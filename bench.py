@@ -100,12 +100,19 @@ PROMOTED30_QUERIES = [
     "q430_bellman_ford_hops",         # weighted shortest paths (hop relax)
 ]
 
-# Round-10 additions tracked report-only (the VERDICT r5 #7 pattern:
-# reported in queries{} for a round or two, then promoted with
-# declared baselines once they carry two measured sessions).
-REPORTED_QUERIES = [
+# Round-10 late promotion (BASELINE.md "Headline sums v6"): q440
+# earned its two dedicated idle-box sessions the same round (the
+# q429/q430 v5 precedent), so no graded query > 2 s warm at sf0.1 is
+# left outside the per-class regression net. Summed into
+# `value_31class`.
+PROMOTED31_QUERIES = [
     "q440_containment_join",  # asymmetric prefix-filter containment
 ]
+
+# Additions tracked report-only (the VERDICT r5 #7 pattern: reported
+# in queries{} for a round or two, then promoted with declared
+# baselines once they carry two measured sessions).
+REPORTED_QUERIES: list = []
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
@@ -178,6 +185,8 @@ def main() -> None:
     total_26 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED30_QUERIES})
     total_30 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED31_QUERIES})
+    total_31 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -192,6 +201,7 @@ def main() -> None:
         "value_23class": total_23,
         "value_26class": total_26,
         "value_30class": total_30,
+        "value_31class": total_31,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,
