@@ -349,6 +349,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q440_containment_join",
     "q441_jl_projection_audit",
     "q442_hilbert_layout",
+    "q443_event_disorder_audit",
     # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",
