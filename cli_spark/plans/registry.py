@@ -350,6 +350,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q441_jl_projection_audit",
     "q442_hilbert_layout",
     "q443_event_disorder_audit",
+    "q444_streaming_observed_metrics",
     # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",

@@ -336,3 +336,99 @@ def q427_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").cast("long").alias("val_sum"),
         F.sum(F.unix_millis("timestamp")).cast("long").alias("ts_ms_sum"),
     )
+
+
+@register(
+    "q444_streaming_observed_metrics",
+    # Closed-form: rate-micro-batch batch k carries values
+    # [1000k, 1000(k+1)), so rows = 1000 and sum = 10^6·k + 499500.
+    oracle="""
+SELECT * FROM (VALUES
+  (0, 1000,  499500),
+  (1, 1000, 1499500),
+  (2, 1000, 2499500),
+  (3, 1000, 3499500),
+  (4, 1000, 4499500)
+) AS t(batch_rank, n_rows, value_sum)
+""",
+    tags=("streaming", "observe", "monitoring", "true_stream"),
+)
+def q444_streaming_observed_metrics(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """STREAMING OBSERVED METRICS (`Dataset.observe` +
+    `StreamingQueryProgress.observedMetrics` — the production
+    monitoring surface): per-micro-batch audit aggregates computed
+    INSIDE the streaming plan (one extra stateless aggregate, no
+    second job, no sink round-trip) and surfaced through the
+    progress events an operator alerts on. The graded rows are taken
+    exclusively from the progress stream — NOT from the sink — so
+    the query proves the observe pipeline end-to-end: a
+    deterministic rate-micro-batch source (q427's load generator)
+    emits five 1000-row batches whose per-batch row counts and value
+    sums must match closed-form arithmetic. Batches are identified
+    by their min(value) (batch k carries exactly [1000k, 1000(k+1)))
+    so extra batches past the fifth are filtered deterministically;
+    empty triggers (rows = 0) are dropped. In-query gate: at least
+    five observed batches. At scale this is how per-batch data
+    quality (null rates, domain violations, volume anomalies) is
+    monitored without re-reading the stream. sf_dir unused — the
+    source IS the data."""
+    rows_per_batch, n_batches = 1000, 5
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", "4")
+        .option("startTimestamp", "1700000000000")
+        .option("advanceMillisPerBatch", "60000")
+        .load()
+    )
+    observed = stream.observe(
+        "audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("value_sum"),
+        F.min("value").alias("min_value"),
+    )
+    name = f"q444_{_uuid.uuid4().hex[:8]}"
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    need = rows_per_batch * n_batches
+
+    def _qualifying() -> list[tuple[int, int, int]]:
+        out = []
+        for prog in q.recentProgress:
+            om = (prog.observedMetrics.get("audit")
+                  if prog.observedMetrics else None)
+            if om is None or om["n_rows"] == 0 or om["min_value"] is None:
+                continue
+            if om["min_value"] < need:
+                out.append((int(om["min_value"]) // rows_per_batch,
+                            int(om["n_rows"]), int(om["value_sum"])))
+        return out
+
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 120:
+            # wait on the PROGRESS stream, not the sink — the grade
+            # reads observedMetrics, and the last batch's progress
+            # event can trail its sink rows
+            if len(_qualifying()) >= n_batches:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    metrics = _qualifying()
+    spark.catalog.dropTempView(name)
+    if len(metrics) < n_batches:
+        raise RuntimeError(
+            f"q444: only {len(metrics)} observed batches reported metrics "
+            f"(need {n_batches})")
+    return spark.createDataFrame(
+        sorted(metrics),
+        "batch_rank int, n_rows int, value_sum int",
+    )
