@@ -34,6 +34,11 @@ DEFAULT = [
     "q312_rouge1_pair_audit",
     "q311_winnowing_fingerprints",
     "q315_winnowing_match",
+    # round 10: the two candidate-volume riders join the standing
+    # watchlist (both ride true shared-token pair volume by design —
+    # re-confirm the sub-linear profile each round)
+    "q392_prefix_filter_join",
+    "q440_containment_join",
 ]
 
 
