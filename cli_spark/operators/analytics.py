@@ -1112,3 +1112,109 @@ def q325_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oof_mean_cents"),
         )
     )
+
+
+# z chain shared verbatim by engine and oracle (identical IEEE double
+# operation order, the q273 discipline): inputs are exact integers —
+# u2 = 2*U_A, tie term T = sum(t^3 - t) over tie groups.
+_Q445_Z = (
+    "CAST(floor(CAST(u2_a - n_a * n_b AS DOUBLE) * 1000000.0 / "
+    "(2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
+    "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE) / "
+    "(CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "q445_mann_whitney_u",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+ranked AS (
+  SELECT event_type, arm,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY value ASC)
+           + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+  FROM base
+),
+per_arm AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'A' THEN r2 ELSE 0 END) AS BIGINT) AS r2_a
+  FROM ranked GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, value, COUNT(*) AS t
+        FROM base GROUP BY event_type, value)
+  GROUP BY event_type
+),
+stats AS (
+  SELECT p.event_type, p.n_a, p.n_b,
+         2 * p.n_a * p.n_b + p.n_a * (p.n_a + 1) - p.r2_a AS u2_a,
+         t.tie_term
+  FROM per_arm p JOIN ties t ON p.event_type = t.event_type
+)
+SELECT event_type, n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a, tie_term,
+       {_Q445_Z} AS z_micro
+FROM stats
+""",
+    tags=("analytics", "abtest", "stats", "nonparametric"),
+)
+def q445_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U rank-sum test (Wilcoxon two-sample) between the
+    parity-split arms, per event type — the NONPARAMETRIC member of
+    the testing family (q273 z-proportions, q261 chi-squared, q-ANOVA
+    compare means/rates; this one compares whole value DISTRIBUTIONS
+    with no normality assumption, the robust default when revenue-
+    style metrics are heavy-tailed). Everything up to the z is exact
+    integer arithmetic: average ranks are kept DOUBLED (2·rank_min +
+    tie_size − 1, an integer), so U_A arrives as u2 = 2·U_A with no
+    .5 ever materializing; the tie-corrected variance term
+    Σ(t³−t) is an integer census of tie-group sizes. The normal
+    approximation z = (U − n_a·n_b/2)/σ_tie is the one float step,
+    written as the identical IEEE chain in both engines (the q273
+    discipline), floor(z·1e6). Plan: one event_type-partitioned rank
+    window + two aggregates sharing that partitioning — no joins of
+    fact rows, the same plan at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+    )
+    r2 = (
+        2 * F.rank().over(
+            Window.partitionBy("event_type").orderBy(F.col("value").asc()))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "value"))
+        - 1
+    )
+    ranked = base.select("event_type", "arm", r2.alias("r2"))
+    per_arm = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("r2")).otherwise(0))
+        .cast("long").alias("r2_a"),
+    )
+    ties = (
+        base.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+             .cast("long").alias("tie_term"))
+    )
+    stats = per_arm.join(ties, "event_type").select(
+        "event_type", "n_a", "n_b",
+        (2 * F.col("n_a") * F.col("n_b") + F.col("n_a") * (F.col("n_a") + 1)
+         - F.col("r2_a")).cast("long").alias("u2_a"),
+        "tie_term",
+    )
+    return stats.select(
+        "event_type", "n_a", "n_b", "u2_a", "tie_term",
+        F.expr(_Q445_Z).alias("z_micro"),
+    )

@@ -351,6 +351,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q442_hilbert_layout",
     "q443_event_disorder_audit",
     "q444_streaming_observed_metrics",
+    "q445_mann_whitney_u",
     # --- round-10 queries (added late in round 9; grade next) ---
     "q416_reused_exchange",
     "q417_aqe_skew_join",
