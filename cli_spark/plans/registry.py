@@ -126,11 +126,37 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + … + r09 green rows (350 distinct
+# Union of CORRECTNESS_r01 + r03 + … + r10 green rows (399 distinct
 # names currently in the registry, no fails ever recorded after r01;
 # q121/q123 *_stub → *_bmp renames were re-graded green under their
 # new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r10 greens newly recorded (50) ---
+    "q392_prefix_filter_join", "q436_gear_cdc_chunking",
+    "q437_hgt_mosaic_watershed", "q438_skyline_documents",
+    "q439_hgt_mosaic_accumulation", "q440_containment_join",
+    "q441_jl_projection_audit", "q442_hilbert_layout",
+    "q443_event_disorder_audit", "q444_streaming_observed_metrics",
+    "q445_mann_whitney_u", "q416_reused_exchange",
+    "q417_aqe_skew_join", "q418_catalog_statistics",
+    "q419_partition_hints", "q420_offset_pagination",
+    "q421_recursive_hierarchy_rollup", "q422_generator_pack",
+    "q423_bitwise_agg_pack", "q424_datetime_pack2",
+    "q425_multiwatermark_union", "q426_state_event_time_timeout",
+    "q427_rate_micro_batch_source", "q428_levenshtein_blocked_pairs",
+    "q429_deterministic_random_walk", "q430_bellman_ford_hops",
+    "q431_media_featurize_png", "q432_pearson_exact_components",
+    "q433_decision_stump_gini", "q434_holt_winters_scaled_int",
+    "q435_compression_codec_matrix", "q340_mergeable_quantiles",
+    "q341_entity_resolution_clusters", "q342_pseudonymization_audit",
+    "q343_multipass_snm", "q344_sql_pipe_syntax",
+    "q345_sql_sugar_pack", "q347_normalization_ladder",
+    "q348_reservoir_merge_audit", "q209_event_transitions",
+    "q211_int8_quantization_audit", "q215_missing_hours",
+    "q216_cluster_family_stats", "q217_split_balance_audit",
+    "q219_feature_hash_census", "q221_benford_audit",
+    "q223_heaps_vocab_growth", "q224_rate_burst_flags",
+    "q227_malformed_json_census", "q228_hierarchical_shares",
     # --- r09 greens newly recorded (50) ---
     "q366_sql_scripting", "q367_transpose_matrix",
     "q368_listagg_within_group", "q369_approx_topk_sketch",
@@ -324,75 +350,46 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = (
-    # round 10: family-collapse rewrite (lossless; oracle unchanged,
-    # but the implementation changed so it re-earns a driver row)
-    "q392_prefix_filter_join",
+    # round 11: q440 gains the q392-style exact-family collapse
+    # (duplication-invariant candidates; oracle unchanged) and q445
+    # fixes the U-statistic labeling + degenerate-arm guard (VERDICT
+    # r10 "what's wrong" #1 and ADVICE r10) — both re-earn driver rows.
+    "q440_containment_join",
+    "q445_mann_whitney_u",
 )
 
 
-# Round 10 window plan: after the r09 rotation exactly 70 oracle-backed
-# queries have never received a driver CORRECTNESS row: q416–q435
-# (round-10 additions written late in round 9) plus the 50-query
-# census backlog. q416–q435 grade first (newest code earns a driver
-# row immediately), then the backlog ordered heavier / more novel
-# analytic shapes first, simple census shapes last — the first 30
-# backlog names fill out this round's 50-entry window and round 11's
-# ~20-slot remainder finishes the registry. Brand-new round-10
-# queries (q436+) are inserted at the very front as they are written.
+# Rotating re-audit: once every registry name is driver-attested, a
+# regression in an already-graded query would otherwise be invisible
+# to the driver forever (VERDICT r10 next-steps #3). Each round a
+# deterministic md5(name:r{round}) sample of _DRIVER_GRADED names is
+# promoted into the recording window *after* the never-graded /
+# round-changed head, so fresh code always grades first and the
+# remainder of the 50-entry window re-attests old queries.
+_REAUDIT_ROUND: int = 11
+_REAUDIT_SLOTS: int = 10
+
+
+def _reaudit_names() -> list[str]:
+    import hashlib
+
+    pool = sorted(_DRIVER_GRADED - set(_ROUND_CHANGED))
+    pool.sort(key=lambda n: hashlib.md5(
+        f"{n}:r{_REAUDIT_ROUND}".encode()).hexdigest())
+    return pool[:_REAUDIT_SLOTS]
+
+
+# Round 11 window plan (50 slots): 2 round-changed (q440 collapse,
+# q445 U-stat fix) + the final 31 never-graded backlog names
+# (q229…q304, ordered below) + brand-new round-11 queries (q446+,
+# inserted at the very front as written) + the rotating re-audit
+# sample fills the remainder — closing the registry: after this round
+# every registry name holds a driver CORRECTNESS row.
 # Names absent from this tuple sort after it in registration order.
 _FRESH_PRIORITY: tuple[str, ...] = (
-    # --- brand-new round-10 queries (front of the window) ---
-    "q436_gear_cdc_chunking",
-    "q437_hgt_mosaic_watershed",
-    "q438_skyline_documents",
-    "q439_hgt_mosaic_accumulation",
-    "q440_containment_join",
-    "q441_jl_projection_audit",
-    "q442_hilbert_layout",
-    "q443_event_disorder_audit",
-    "q444_streaming_observed_metrics",
-    "q445_mann_whitney_u",
-    # --- round-10 queries (added late in round 9; grade next) ---
-    "q416_reused_exchange",
-    "q417_aqe_skew_join",
-    "q418_catalog_statistics",
-    "q419_partition_hints",
-    "q420_offset_pagination",
-    "q421_recursive_hierarchy_rollup",
-    "q422_generator_pack",
-    "q423_bitwise_agg_pack",
-    "q424_datetime_pack2",
-    "q425_multiwatermark_union",
-    "q426_state_event_time_timeout",
-    "q427_rate_micro_batch_source",
-    "q428_levenshtein_blocked_pairs",
-    "q429_deterministic_random_walk",
-    "q430_bellman_ford_hops",
-    "q431_media_featurize_png",
-    "q432_pearson_exact_components",
-    "q433_decision_stump_gini",
-    "q434_holt_winters_scaled_int",
-    "q435_compression_codec_matrix",
-    # --- final never-graded backlog (50) ---
-    "q340_mergeable_quantiles",
-    "q341_entity_resolution_clusters",
-    "q342_pseudonymization_audit",
-    "q343_multipass_snm",
-    "q344_sql_pipe_syntax",
-    "q345_sql_sugar_pack",
-    "q347_normalization_ladder",
-    "q348_reservoir_merge_audit",
-    "q209_event_transitions",
-    "q211_int8_quantization_audit",
-    "q215_missing_hours",
-    "q216_cluster_family_stats",
-    "q217_split_balance_audit",
-    "q219_feature_hash_census",
-    "q221_benford_audit",
-    "q223_heaps_vocab_growth",
-    "q224_rate_burst_flags",
-    "q227_malformed_json_census",
-    "q228_hierarchical_shares",
+    # --- brand-new round-11 queries (front of the window) ---
+    # (inserted here as they are written)
+    # --- final never-graded backlog (31) ---
     "q229_session_paths",
     "q230_concurrent_intervals",
     "q231_equiheight_histogram",
@@ -430,9 +427,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
 def _ordered_specs() -> list[QuerySpec]:
     """Order: this round's changed/new queries first, then the other
     never-driver-graded oracle-backed queries prioritized by
-    _FRESH_PRIORITY (together these fill the driver's 50-entry
-    recording window), then already-graded queries, then rows-only
-    checks."""
+    _FRESH_PRIORITY, then the rotating re-audit sample (together these
+    fill the driver's 50-entry recording window), then the remaining
+    already-graded queries, then rows-only checks."""
     reg = registry()
     changed = [reg[n] for n in _ROUND_CHANGED if n in reg]
     fresh = [s for n, s in reg.items()
@@ -440,9 +437,12 @@ def _ordered_specs() -> list[QuerySpec]:
              and n not in _ROUND_CHANGED]
     prio = {n: i for i, n in enumerate(_FRESH_PRIORITY)}
     fresh.sort(key=lambda s: prio.get(s.name, len(prio)))
+    reaudit_order = {n: i for i, n in enumerate(_reaudit_names())}
     proven = [s for n, s in reg.items()
               if s.oracle is not None and n in _DRIVER_GRADED
               and n not in _ROUND_CHANGED]
+    proven.sort(key=lambda s: (reaudit_order.get(s.name, len(reaudit_order)),
+                               s.name))
     rows_only = [s for s in reg.values() if s.oracle is None]
     return changed + fresh + proven + rows_only
 
