@@ -1116,13 +1116,19 @@ def q325_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # z chain shared verbatim by engine and oracle (identical IEEE double
 # operation order, the q273 discipline): inputs are exact integers —
-# u2 = 2*U_A, tie term T = sum(t^3 - t) over tie groups.
+# u2 = 2*U_A, tie term T = sum(t^3 - t) over tie groups. Degenerate
+# cases guarded identically on both sides (ADVICE r10): an empty arm
+# (n_a or n_b = 0, which also covers N = 1) and a zero tie-corrected
+# variance (every value identical) yield NULL, never inf/NaN — DuckDB
+# errors casting inf to BIGINT while non-ANSI Spark clamps, so the
+# guard is what keeps the engines identical on pathological data.
 _Q445_Z = (
+    "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE "
     "CAST(floor(CAST(u2_a - n_a * n_b AS DOUBLE) * 1000000.0 / "
-    "(2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
+    "nullif(2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
     "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE) / "
-    "(CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))))) "
-    "AS BIGINT)"
+    "(CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))), 0.0)) "
+    "AS BIGINT) END"
 )
 
 
@@ -1155,7 +1161,7 @@ ties AS (
 ),
 stats AS (
   SELECT p.event_type, p.n_a, p.n_b,
-         2 * p.n_a * p.n_b + p.n_a * (p.n_a + 1) - p.r2_a AS u2_a,
+         p.r2_a - p.n_a * (p.n_a + 1) AS u2_a,
          t.tie_term
   FROM per_arm p JOIN ties t ON p.event_type = t.event_type
 )
@@ -1173,14 +1179,18 @@ def q445_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no normality assumption, the robust default when revenue-
     style metrics are heavy-tailed). Everything up to the z is exact
     integer arithmetic: average ranks are kept DOUBLED (2·rank_min +
-    tie_size − 1, an integer), so U_A arrives as u2 = 2·U_A with no
-    .5 ever materializing; the tie-corrected variance term
-    Σ(t³−t) is an integer census of tie-group sizes. The normal
-    approximation z = (U − n_a·n_b/2)/σ_tie is the one float step,
+    tie_size − 1, an integer), so U_A arrives as u2_a = 2·U_A =
+    2·R_A − n_a(n_a+1) = r2_a − n_a(n_a+1) with no .5 ever
+    materializing (round 11 fixes the r10 form, which computed 2·U_B
+    under the u2_a name — ADVICE r10; z_micro is now the
+    correctly-signed A-arm statistic); the tie-corrected variance
+    term Σ(t³−t) is an integer census of tie-group sizes. The normal
+    approximation z = (U_A − n_a·n_b/2)/σ_tie is the one float step,
     written as the identical IEEE chain in both engines (the q273
-    discipline), floor(z·1e6). Plan: one event_type-partitioned rank
-    window + two aggregates sharing that partitioning — no joins of
-    fact rows, the same plan at any event volume."""
+    discipline), floor(z·1e6), NULL-guarded identically on both sides
+    for empty arms and zero variance. Plan: one event_type-partitioned
+    rank window + two aggregates sharing that partitioning — no joins
+    of fact rows, the same plan at any event volume."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "event_type", "value",
@@ -1210,8 +1220,8 @@ def q445_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = per_arm.join(ties, "event_type").select(
         "event_type", "n_a", "n_b",
-        (2 * F.col("n_a") * F.col("n_b") + F.col("n_a") * (F.col("n_a") + 1)
-         - F.col("r2_a")).cast("long").alias("u2_a"),
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long").alias("u2_a"),
         "tie_term",
     )
     return stats.select(

@@ -2326,6 +2326,46 @@ def q392_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
+def containment_candidates(spark: SparkSession, sf_dir: str, sh=None):
+    """q440's lossless one-sided candidate generation, exposed for
+    the scale-sweep instrumentation (PLANS.md dup-heavy tier; the
+    q392 `prefix_filter_candidates` pattern): returns (shingle
+    relation, distinct ordered candidate-pair relation). A-prefixes
+    (the floor(n/5)+1 rarest tokens under the global-df total order)
+    probe the full inverted index built from the same relation. Pass
+    ``sh`` to run over a pre-reduced relation (q440 collapses
+    exact-duplicate families first, so candidate volume is
+    duplication-invariant)."""
+    from pyspark.sql.window import Window
+
+    if sh is None:
+        sh = (
+            shingles_df(spark, sf_dir, fanout=True)
+            .filter(F.size("shingles") > 0)
+            .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                                 F.col("s").asc())
+        ),
+    )
+    apre = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n") / 5) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "s")
+    cand = (
+        apre.join(
+            ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return sh, cand
+
+
 @register(
     "q440_containment_join",
     oracle=f"""
@@ -2361,49 +2401,80 @@ def q440_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the full inverted index, never full×full. Verification
     is per-candidate array_intersect; threshold exact-integer
     (5·inter >= 4·n_a); the bit-exact match against the unfiltered
-    oracle is the losslessness proof. At 100 TB the one-sided index
-    probe is what makes containment affordable: the probe side
-    carries ~n/5 tokens per doc, and frequent shingles sort out of
-    every prefix."""
-    from pyspark.sql.window import Window
+    oracle is the losslessness proof.
 
-    sh = (
+    Round 11 (VERDICT r10 "what's wrong" #1): EXACT-DUPLICATE
+    FAMILIES are collapsed before the probe, exactly as q392 does for
+    Jaccard — and containment needs it MORE, because every ordered
+    pair inside an exact-copy family qualifies at containment 1.0 by
+    definition, so on a k-copy corpus the naive probe's candidate
+    volume rides k² while the cross-family information content stays
+    constant. Containment is a function of the two shingle arrays
+    alone, so the collapse is lossless: probe representatives only
+    (one per md5-of-array family, min-doc_id rep), expand cross-family
+    rep pairs through two member joins DIRECTIONALLY (containment of
+    ma-in-mb equals containment of ra-in-rb), and emit within-family
+    ordered pairs in closed form at exactly 1 000 000 ppm (arrays are
+    distinct sets — shingles_df applies array_distinct — so
+    inter = n and 10^6·n DIV n = 10^6, the same integer arithmetic as
+    the verify step). Candidate volume is duplication-INVARIANT; the
+    dup-heavy cost left is the output expansion itself (PLANS.md
+    round-11 dup-heavy row). At 100 TB the one-sided index probe over
+    family reps is what makes containment affordable: the probe side
+    carries ~n/5 tokens per distinct text, and frequent shingles sort
+    out of every prefix."""
+    sh_all = (
         shingles_df(spark, sf_dir, fanout=True)
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles", F.size("shingles").alias("n"))
     )
-    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(dfreq, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
-                                                 F.col("s").asc())
-        ),
+    fam = sh_all.withColumn(
+        # unit-separator join: unambiguous array -> string encoding
+        "fkey", F.md5(F.concat_ws(chr(31), "shingles"))
     )
-    apre = ranked.filter(
-        F.col("rk") <= F.floor(F.col("n") / 5) + 1
-    ).select(F.col("doc_id").alias("doc_a"), "s")
-    cand = (
-        apre.join(
-            ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    stats = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep"))
+    tagged = fam.join(stats, "fkey")
+    reps_sh = (
+        tagged.filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "shingles", "n")
     )
-    av = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingles").alias("sa"),
-                   F.col("n").alias("na"))
-    bv = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("shingles").alias("sb"))
-    return (
+    _, cand = containment_candidates(spark, sf_dir, sh=reps_sh)
+    av = reps_sh.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("sa"),
+                        F.col("n").alias("na"))
+    bv = reps_sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sb"))
+    rep_pairs = (
         cand.join(av, "doc_a")
         .join(bv, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .filter(5 * F.col("inter") >= 4 * F.col("na"))
         .select(
-            "doc_a", "doc_b",
+            F.col("doc_a").alias("ra"),
+            F.col("doc_b").alias("rb"),
             F.expr("CAST(1000000 * inter DIV na AS BIGINT)")
             .alias("containment_ppm"),
         )
     )
+    members = tagged.select("rep", "doc_id")
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("rep").alias("ra"),
+                             F.col("doc_id").alias("doc_a")), "ra")
+        .join(members.select(F.col("rep").alias("rb"),
+                             F.col("doc_id").alias("doc_b")), "rb")
+        .select("doc_a", "doc_b", "containment_ppm")
+    )
+    mf = tagged.select("fkey", "doc_id")
+    within = (
+        mf.alias("x")
+        .join(mf.alias("y"),
+              (F.col("x.fkey") == F.col("y.fkey"))
+              & (F.col("x.doc_id") != F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1000000).cast("long").alias("containment_ppm"),
+        )
+    )
+    return cross.unionByName(within)

@@ -902,7 +902,7 @@ SELECT b.event_type, b.n_events, b.n_late,
        b.max_disorder_s,
        CAST(p.p50_us // 1000000 AS BIGINT) AS p50_late_s,
        CAST(p.p99_us // 1000000 AS BIGINT) AS p99_late_s
-FROM base b JOIN pct p ON b.event_type = p.event_type
+FROM base b LEFT JOIN pct p ON b.event_type = p.event_type
 """,
     tags=("timeseries", "streaming", "watermark", "disorder", "audit"),
 )
@@ -920,8 +920,10 @@ def q443_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-partitioned window over arrival order, one census — no
     self-joins, the same plan at any event volume (watermark
     planning at 100 TB is exactly this query over a day of Kafka
-    offsets). Ties in the md5 order break on event_id so both
-    engines walk identical arrival sequences."""
+    offsets). Fully-ordered streams are REPORTED (n_late = 0, NULL
+    percentiles — they need no watermark delay), not dropped. Ties in
+    the md5 order break on event_id so both engines walk identical
+    arrival sequences."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -961,7 +963,10 @@ def q443_event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(dis) DIV 1000000 AS BIGINT)")
         .alias("max_disorder_s"),
     )
-    return base.join(pct, "event_type").select(
+    # LEFT join (ADVICE r10): a fully-ordered stream — one needing no
+    # watermark delay at all — appears with n_late = 0 and NULL
+    # percentiles instead of vanishing from the census.
+    return base.join(pct, "event_type", "left").select(
         "event_type", "n_events", "n_late",
         F.expr("CAST(n_late * 1000000 DIV n_events AS BIGINT)")
         .alias("late_ppm"),

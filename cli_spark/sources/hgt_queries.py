@@ -1350,7 +1350,7 @@ def q437_hgt_mosaic_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("size"),
         F.expr("bit_or(shiftleft(1, cast(owner as int)))").alias("mask"),
     )
-    return basins.agg(
+    out = basins.agg(
         F.count(F.lit(1)).alias("n_basins"),
         F.sum("size").cast("long").alias("n_valid_cells"),
         F.max("size").cast("long").alias("max_basin_size"),
@@ -1359,6 +1359,14 @@ def q437_hgt_mosaic_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.expr("bit_count(mask)") > 1, F.col("size"))
               .otherwise(0)).cast("long").alias("seam_spanning_mass"),
     )
+    # Materialize the one-row census, then release the cached blocks
+    # (ADVICE r10: persisted frames leaked for the session lifetime —
+    # noticeable in 400-query parity sessions); the pointer-jumping
+    # localCheckpoints are freed by the ContextCleaner once unreferenced.
+    res = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    seam_next.unpersist()
+    return res
 
 
 @register(
@@ -1799,7 +1807,7 @@ def q439_hgt_mosaic_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined = interior_total.unionByName(seam_census).unionByName(
         border_census)
     seam_max = acc_seam.agg(F.max("acc").alias("max_accum_on_seam"))
-    return combined.agg(
+    out = combined.agg(
         F.sum("n_sources").cast("long").alias("n_sources"),
         F.sum("n_small").cast("long").alias("n_small"),
         F.sum("n_medium").cast("long").alias("n_medium"),
@@ -1807,3 +1815,11 @@ def q439_hgt_mosaic_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").cast("long").alias("max_accum"),
     ).crossJoin(F.broadcast(seam_max.select(
         F.col("max_accum_on_seam").cast("long").alias("max_accum_on_seam"))))
+    # Materialize the one-row census, then release the cached blocks
+    # (ADVICE r10 persist-leak fix; closure localCheckpoints are freed
+    # by the ContextCleaner once unreferenced).
+    res = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    seam_next.unpersist()
+    acc_seam.unpersist()
+    return res
