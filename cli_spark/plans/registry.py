@@ -109,6 +109,7 @@ def _load_all() -> None:
     import cli_spark.operators.round10_stats  # noqa: F401
     import cli_spark.operators.round10_layout  # noqa: F401
     import cli_spark.operators.cdc_gear  # noqa: F401
+    import cli_spark.operators.round11  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -388,7 +389,13 @@ def _reaudit_names() -> list[str]:
 # Names absent from this tuple sort after it in registration order.
 _FRESH_PRIORITY: tuple[str, ...] = (
     # --- brand-new round-11 queries (front of the window) ---
-    # (inserted here as they are written)
+    "q446_dedup_pipeline_flagship",
+    "q447_weighted_reservoir_aes",
+    "q448_naive_bayes_langid",
+    "q449_kmv_distinct_sketch",
+    "q450_largest_remainder_split",
+    "q451_cdc_log_compaction",
+    "q452_source_lang_kl",
     # --- final never-graded backlog (31) ---
     "q229_session_paths",
     "q230_concurrent_intervals",
