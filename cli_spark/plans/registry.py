@@ -357,6 +357,10 @@ _ROUND_CHANGED: tuple[str, ...] = (
     # r10 "what's wrong" #1 and ADVICE r10) — both re-earn driver rows.
     "q440_containment_join",
     "q445_mann_whitney_u",
+    # round 11: fused one-pass sweep (3 band joins + 3 windows + 3
+    # verify joins -> 1 each; result-identical, plan changed, warm
+    # 2.80 s -> 2.04 s on the same box)
+    "q290_lsh_parameter_sweep",
 )
 
 
@@ -368,16 +372,16 @@ _ROUND_CHANGED: tuple[str, ...] = (
 # round-changed head, so fresh code always grades first and the
 # remainder of the 50-entry window re-attests old queries.
 _REAUDIT_ROUND: int = 11
-_REAUDIT_SLOTS: int = 10
+_WINDOW = 50  # the driver records exactly this many CORRECTNESS rows
 
 
-def _reaudit_names() -> list[str]:
+def _reaudit_names(slots: int) -> list[str]:
     import hashlib
 
     pool = sorted(_DRIVER_GRADED - set(_ROUND_CHANGED))
     pool.sort(key=lambda n: hashlib.md5(
         f"{n}:r{_REAUDIT_ROUND}".encode()).hexdigest())
-    return pool[:_REAUDIT_SLOTS]
+    return pool[:max(0, slots)]
 
 
 # Round 11 window plan (50 slots): 2 round-changed (q440 collapse,
@@ -444,7 +448,10 @@ def _ordered_specs() -> list[QuerySpec]:
              and n not in _ROUND_CHANGED]
     prio = {n: i for i, n in enumerate(_FRESH_PRIORITY)}
     fresh.sort(key=lambda s: prio.get(s.name, len(prio)))
-    reaudit_order = {n: i for i, n in enumerate(_reaudit_names())}
+    reaudit_order = {
+        n: i for i, n in enumerate(
+            _reaudit_names(_WINDOW - len(changed) - len(fresh)))
+    }
     proven = [s for n, s in reg.items()
               if s.oracle is not None and n in _DRIVER_GRADED
               and n not in _ROUND_CHANGED]

@@ -89,3 +89,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # static conf on this build — session factory already set it
     return spark
+
+
+def materialize_local(df):
+    """Collect a SMALL (few-row) result and rebuild it as a local
+    DataFrame with the identical schema. Used by queries that persist
+    heavy intermediates: the collect drives the full computation with
+    AQE intact (a `localCheckpoint(eager=True)` materialization would
+    run the plan through the non-adaptive RDD path — measured 3× on
+    q290's fused sweep), after which the caller can unpersist its
+    caches before returning (the ADVICE r10 persist-leak rule)."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)

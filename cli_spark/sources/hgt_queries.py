@@ -1359,11 +1359,15 @@ def q437_hgt_mosaic_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.expr("bit_count(mask)") > 1, F.col("size"))
               .otherwise(0)).cast("long").alias("seam_spanning_mass"),
     )
-    # Materialize the one-row census, then release the cached blocks
-    # (ADVICE r10: persisted frames leaked for the session lifetime —
-    # noticeable in 400-query parity sessions); the pointer-jumping
-    # localCheckpoints are freed by the ContextCleaner once unreferenced.
-    res = out.localCheckpoint(eager=True)
+    # Materialize the one-row census (collect + local rebuild keeps
+    # AQE in the plan, unlike an eager localCheckpoint), then release
+    # the cached blocks (ADVICE r10: persisted frames leaked for the
+    # session lifetime — noticeable in 400-query parity sessions); the
+    # pointer-jumping localCheckpoints are freed by the ContextCleaner
+    # once unreferenced.
+    from cli_spark.session import materialize_local
+
+    res = materialize_local(out)
     tagged.unpersist()
     seam_next.unpersist()
     return res
@@ -1815,10 +1819,13 @@ def q439_hgt_mosaic_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").cast("long").alias("max_accum"),
     ).crossJoin(F.broadcast(seam_max.select(
         F.col("max_accum_on_seam").cast("long").alias("max_accum_on_seam"))))
-    # Materialize the one-row census, then release the cached blocks
-    # (ADVICE r10 persist-leak fix; closure localCheckpoints are freed
-    # by the ContextCleaner once unreferenced).
-    res = out.localCheckpoint(eager=True)
+    # Materialize the one-row census (collect + local rebuild keeps
+    # AQE in the plan), then release the cached blocks (ADVICE r10
+    # persist-leak fix; closure localCheckpoints are freed by the
+    # ContextCleaner once unreferenced).
+    from cli_spark.session import materialize_local
+
+    res = materialize_local(out)
     tagged.unpersist()
     seam_next.unpersist()
     acc_seam.unpersist()
