@@ -110,6 +110,7 @@ def _load_all() -> None:
     import cli_spark.operators.round10_layout  # noqa: F401
     import cli_spark.operators.cdc_gear  # noqa: F401
     import cli_spark.operators.round11  # noqa: F401
+    import cli_spark.streaming.round11  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -400,6 +401,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q450_largest_remainder_split",
     "q451_cdc_log_compaction",
     "q452_source_lang_kl",
+    "q453_dropdup_within_watermark",
     # --- final never-graded backlog (31) ---
     "q229_session_paths",
     "q230_concurrent_intervals",
