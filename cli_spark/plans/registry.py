@@ -111,6 +111,7 @@ def _load_all() -> None:
     import cli_spark.operators.cdc_gear  # noqa: F401
     import cli_spark.operators.round11  # noqa: F401
     import cli_spark.streaming.round11  # noqa: F401
+    import cli_spark.operators.round12  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -434,6 +435,11 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q282_block_sampling_bias",
     "q298_cohort_ltv_matrix",
     "q304_leadtime_quantiles",
+    # --- round-12 queue (past this round's 50-entry window; they
+    # grade next round, after which the window is pure re-audit) ---
+    "q454_skipgram_pmi",
+    "q455_simpsons_paradox_audit",
+    "q456_km_survival",
 )
 
 
