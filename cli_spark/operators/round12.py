@@ -322,3 +322,229 @@ def q456_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_converted"),
         F.expr(_KM_SURV).alias("survival_micro"),
     )
+
+
+# CUPED chains, shared verbatim: all inputs are exact integer moments
+# (population form — divide by n), one float chain each.
+_CUPED_THETA = (
+    "CAST(floor(1000000.0 * "
+    "((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    " (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) "
+    "AS BIGINT)"
+)
+_CUPED_VR = (
+    "CAST(floor(1000000.0 * "
+    "((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * "
+    " (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / "
+    "((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+    " (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) "
+    "AS BIGINT)"
+)
+_CUPED_DIFF_RAW = (
+    "CAST(floor(1000000.0 * (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - "
+    "CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS BIGINT)"
+)
+_CUPED_DIFF_ADJ = (
+    "CAST(floor(1000000.0 * ((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - "
+    "CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) - "
+    "((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    " (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * "
+    "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - "
+    "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@register(
+    "q457_cuped_adjustment",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo,
+         (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+  FROM events
+),
+per_user AS (
+  SELECT e.event_type, e.user_id,
+         CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+         CAST(SUM(CASE WHEN epoch_us(e.ts) < b.mid
+                       THEN CAST(floor(e.value * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_us(e.ts) >= b.mid
+                       THEN CAST(floor(e.value * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events e CROSS JOIN bounds b
+  GROUP BY e.event_type, e.user_id
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN is_a = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN is_a = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN is_a = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN is_a = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, n AS n_users,
+       CASE WHEN sxx * n - sx * sx = 0 THEN NULL
+            ELSE {_CUPED_THETA} END AS theta_micro,
+       CASE WHEN sxx * n - sx * sx = 0 OR syy * n - sy * sy = 0 THEN NULL
+            ELSE {_CUPED_VR} END AS var_reduction_ppm,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            ELSE {_CUPED_DIFF_RAW} END AS diff_raw_micro,
+       CASE WHEN n_a = 0 OR n_b = 0 OR sxx * n - sx * sx = 0 THEN NULL
+            ELSE {_CUPED_DIFF_ADJ} END AS diff_adj_micro
+FROM mom
+""",
+    tags=("analytics", "abtest", "cuped", "variance_reduction"),
+)
+def q457_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013) — the pre-experiment-covariate adjustment every large
+    experimentation platform applies before reading a metric: per
+    user, X = metric mass in the first half of the observation span
+    (the "pre-period"), Y = mass in the second half; the adjusted
+    metric Y − θ(X − mean X) with θ = cov(X,Y)/var(X) keeps the same
+    expectation but sheds corr²(X,Y) of the variance — reported here
+    per event type as theta, the realized variance-reduction share
+    (= corr² in ppm), and the raw vs CUPED-adjusted A−B mean
+    difference for the parity-split arms.
+
+    Determinism: every moment (n, Σx, Σy, Σx², Σy², Σxy, per-arm
+    sums) is an exact integer on floor-cent values; the four float
+    chains (theta, corr², raw diff, adjusted diff) are shared
+    verbatim with the oracle and floored once. Degenerate cases
+    (zero pre-period variance, an empty arm) yield NULL identically
+    in both engines. Scale shape: one user-keyed reduction of the
+    fact table (map-side combinable), then a 5-row moment aggregate —
+    the same one-scan cost profile as q455."""
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    lo, hi = e.agg(F.min(t_us), F.max(t_us)).collect()[0]
+    mid = (lo + hi) // 2
+    cents = F.expr("CAST(floor(value * 100.0) AS BIGINT)")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .alias("is_a"),
+        F.sum(F.when(t_us < F.lit(mid), cents).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(t_us >= F.lit(mid), cents).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    mom = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("x")).otherwise(0))
+        .cast("long").alias("sx_a"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("x")).otherwise(0))
+        .cast("long").alias("sx_b"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("y")).otherwise(0))
+        .cast("long").alias("sy_a"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("y")).otherwise(0))
+        .cast("long").alias("sy_b"),
+    )
+    novar_x = F.expr("sxx * n - sx * sx = 0")
+    novar_y = F.expr("syy * n - sy * sy = 0")
+    no_arm = F.expr("n_a = 0 OR n_b = 0")
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.when(novar_x, F.lit(None).cast("long"))
+        .otherwise(F.expr(_CUPED_THETA)).alias("theta_micro"),
+        F.when(novar_x | novar_y, F.lit(None).cast("long"))
+        .otherwise(F.expr(_CUPED_VR)).alias("var_reduction_ppm"),
+        F.when(no_arm, F.lit(None).cast("long"))
+        .otherwise(F.expr(_CUPED_DIFF_RAW)).alias("diff_raw_micro"),
+        F.when(no_arm | novar_x, F.lit(None).cast("long"))
+        .otherwise(F.expr(_CUPED_DIFF_ADJ)).alias("diff_adj_micro"),
+    )
+
+
+@register(
+    "q458_quantile_treatment_effect",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         event_id
+  FROM events
+),
+ranked AS (
+  SELECT event_type, arm, cents,
+         row_number() OVER (PARTITION BY event_type, arm
+                            ORDER BY cents ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, arm) AS cnt
+  FROM base
+),
+deciles AS (SELECT unnest(generate_series(1, 9)) AS k),
+pick AS (
+  SELECT r.event_type, r.arm, d.k, r.cents
+  FROM ranked r JOIN deciles d
+    ON r.rn = (d.k * r.cnt + 9) // 10
+)
+SELECT a.event_type, CAST(a.k AS BIGINT) AS decile,
+       a.cents AS val_a_cents, b.cents AS val_b_cents,
+       a.cents - b.cents AS qte_cents
+FROM pick a JOIN pick b
+  ON a.event_type = b.event_type AND a.k = b.k
+     AND a.arm = 'A' AND b.arm = 'B'
+""",
+    tags=("analytics", "abtest", "quantile", "qte"),
+)
+def q458_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS for the parity-split experiment:
+    the A−B difference of EXACT deciles (percentile_disc at
+    k/10, rank ceil(k·n/10), k = 1..9) of the value distribution per
+    event type — the distribution-level readout that mean-based tests
+    (q273/q445/q457) structurally miss: a treatment that fattens the
+    right tail while thinning the middle can move every decile yet
+    leave the mean flat. Rank-located exact percentiles on integer
+    cents (the q443/q26 discipline: no interpolation, no floats), so
+    the whole surface is integer arithmetic end to end.
+
+    Scale shape: one rank window per (event_type, arm) partition and
+    a 9-row decile join against the rank equation — percentile_disc
+    via WindowGroupLimit-friendly row_number, never a full collect;
+    at 100 TB the same plan computes the deciles in one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "arm").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc())
+    ranked = base.select(
+        "event_type", "arm", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "arm")).alias("cnt"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("k"))
+    pick = ranked.join(
+        F.broadcast(deciles),
+        F.col("rn") == F.expr("(k * cnt + 9) DIV 10"),
+    ).select("event_type", "arm", "k", "cents")
+    a = pick.filter(F.col("arm") == "A").select(
+        "event_type", "k", F.col("cents").alias("val_a_cents"))
+    b = pick.filter(F.col("arm") == "B").select(
+        "event_type", "k", F.col("cents").alias("val_b_cents"))
+    return a.join(b, ["event_type", "k"]).select(
+        "event_type",
+        F.col("k").cast("long").alias("decile"),
+        "val_a_cents", "val_b_cents",
+        (F.col("val_a_cents") - F.col("val_b_cents")).alias("qte_cents"),
+    )

@@ -440,6 +440,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q454_skipgram_pmi",
     "q455_simpsons_paradox_audit",
     "q456_km_survival",
+    "q457_cuped_adjustment",
+    "q458_quantile_treatment_effect",
 )
 
 
