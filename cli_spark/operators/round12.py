@@ -548,3 +548,163 @@ def q458_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
         "val_a_cents", "val_b_cents",
         (F.col("val_a_cents") - F.col("val_b_cents")).alias("qte_cents"),
     )
+
+
+# RAKE word score deg(w)/freq(w), floored per word BEFORE the phrase
+# sum (order-independent integer accumulation).
+_RAKE_WSCORE = (
+    "CAST(floor(1000000.0 * CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)) "
+    "AS BIGINT)"
+)
+_RAKE_STOPLIST = "'a', 'the', 'of', 'to', 'and', 'in', 'is', 'on', 'for', 'data'"
+
+
+@register(
+    "q459_rake_keywords",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t, CAST(pos AS BIGINT) AS pos,
+         t IN ({_RAKE_STOPLIST}) AS stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+             AS t,
+           generate_subscripts(
+             list_filter(string_split(lower(text), ' '), x -> x != ''), 1)
+             AS pos
+    FROM documents
+  )
+),
+runs AS (
+  SELECT doc_id, t, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM toks WHERE NOT stop
+),
+phr AS (
+  SELECT doc_id, grp,
+         string_agg(t, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM runs GROUP BY doc_id, grp
+  HAVING COUNT(*) BETWEEN 2 AND 4
+),
+wstats AS (
+  SELECT r.t,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen - 1) AS BIGINT) AS deg
+  FROM runs r JOIN phr p ON p.doc_id = r.doc_id AND p.grp = r.grp
+  GROUP BY r.t
+),
+pscore AS (
+  SELECT p.phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(SUM(ws.score) AS BIGINT) AS score_micro
+  FROM phr p
+  JOIN (
+    SELECT doc_id, grp, SUM({_RAKE_WSCORE}) AS score
+    FROM (
+      SELECT r.doc_id, r.grp, w.deg, w.freq
+      FROM runs r JOIN wstats w ON w.t = r.t
+      JOIN phr p2 ON p2.doc_id = r.doc_id AND p2.grp = r.grp
+    ) GROUP BY doc_id, grp
+  ) ws ON ws.doc_id = p.doc_id AND ws.grp = p.grp
+  GROUP BY p.phrase
+),
+dedup AS (
+  SELECT phrase, n_occurrences,
+         CAST(score_micro // n_occurrences AS BIGINT) AS score_micro
+  FROM pscore
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score_micro DESC, phrase ASC)
+    AS rank
+  FROM dedup
+)
+SELECT CAST(rank AS BIGINT) AS rank, phrase, n_occurrences, score_micro
+FROM ranked WHERE rank <= 25
+""",
+    tags=("text", "keywords", "rake", "mining"),
+)
+def q459_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword-free token runs (length
+    2–4), each scored by the sum of its words' deg/freq ratios —
+    deg(w) counts co-occurring words across every phrase containing
+    w, freq(w) counts w's phrase occurrences — so multi-word terms
+    whose members travel together outrank frequent-but-promiscuous
+    words. The corpus-level top-25 (per-phrase score averaged over
+    its occurrences — identical occurrences share one corpus entry)
+    is the keyword table a curation pipeline derives vocabularies and
+    topic labels from.
+
+    Determinism: deg and freq are exact integers from the phrase
+    census; each word's deg/freq ratio is floored to integer micro
+    units BEFORE the per-phrase sum, and the per-phrase average is
+    integer division — the ranking is bit-identical across engines
+    (tie-broken on the phrase string). Scale shape: the stopword list
+    is a baked literal (no dictionary join); phrases come from ONE
+    gaps-and-islands window per doc; word stats are a broadcastable
+    aggregate; everything downstream rides phrase volume, linear in
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    stoplist = [w.strip().strip("'") for w in _RAKE_STOPLIST.split(",")]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("pos0", "t"),
+    ).select(
+        "doc_id", "t", (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("t").isin(*stoplist).alias("stop"),
+    )
+    runs = toks.filter(~F.col("stop")).select(
+        "doc_id", "t", "pos",
+        (F.col("pos") - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos"))).alias("grp"),
+    )
+    phr = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(
+                F.struct("pos", "t"))).getField("t"), " ").alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen").between(2, 4))
+    )
+    wstats = (
+        runs.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("plen") - 1).cast("long").alias("deg"),
+        )
+    )
+    occ_scores = (
+        runs.join(phr.select("doc_id", "grp"), ["doc_id", "grp"])
+        .join(F.broadcast(wstats), "t")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum(F.expr(_RAKE_WSCORE)).alias("score"))
+    )
+    pscore = (
+        phr.join(occ_scores, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("score").cast("long").alias("score_sum"),
+        )
+        .select(
+            "phrase", "n_occurrences",
+            F.expr("CAST(score_sum DIV n_occurrences AS BIGINT)")
+            .alias("score_micro"),
+        )
+    )
+    ranked = pscore.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score_micro").desc(),
+                           F.col("phrase").asc())),
+    )
+    return ranked.filter(F.col("rank") <= 25).select(
+        F.col("rank").cast("long").alias("rank"),
+        "phrase", "n_occurrences", "score_micro",
+    )

@@ -442,6 +442,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q456_km_survival",
     "q457_cuped_adjustment",
     "q458_quantile_treatment_effect",
+    "q459_rake_keywords",
 )
 
 
