@@ -435,8 +435,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q282_block_sampling_bias",
     "q298_cohort_ltv_matrix",
     "q304_leadtime_quantiles",
-    # --- round-12 queue (past this round's 50-entry window; they
-    # grade next round, after which the window is pure re-audit) ---
+    # --- late round-11 additions (window positions 42-47 — never-
+    # graded names always outrank re-audit, so these grade THIS
+    # round; with them the window covers every registry name and
+    # round 12's window becomes pure rotating re-audit) ---
     "q454_skipgram_pmi",
     "q455_simpsons_paradox_audit",
     "q456_km_survival",
