@@ -1988,13 +1988,18 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
-    # NOTE: sig stays persisted deliberately (no unpersist): Spark's
-    # cache manager matches it by logical plan, so repeated warm
-    # invocations (bench.py's min-of-5 contract) reuse the signature
-    # relation instead of recomputing the per-shingle md5 lanes — the
-    # same cross-invocation reuse the graph suite gets from its edge
-    # cache (graph.py). One bounded entry per (session, dataset).
-    return out
+    # ADVICE r11: materialize the 3-row sweep result locally and
+    # release the signature cache before returning — leaving `sig`
+    # persisted for warm-bench reuse accumulated one cached relation
+    # per dataset touched over a long parity/driver session, the exact
+    # leak class the r10 rule (q437/q439) exists to prevent. The warm
+    # bench re-pays the signature computation (~2.0 s on the idle
+    # box, still ~1.0× the class baseline vs its 2× gate).
+    from cli_spark.session import materialize_local
+
+    out_local = materialize_local(out)
+    sig.unpersist()
+    return out_local
 
 
 @register(

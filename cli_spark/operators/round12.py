@@ -352,6 +352,20 @@ _CUPED_DIFF_ADJ = (
     "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - "
     "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)))) AS BIGINT)"
 )
+# Degenerate-variance guards, shared verbatim (ADVICE r11): evaluated
+# through the SAME CAST(... AS DOUBLE) chain as the value expressions —
+# the previous int64 form (sxx * n - sx * sx = 0) could overflow at
+# large corpora, where DuckDB raises but non-ANSI Spark silently
+# wraps, a cross-engine divergence the shared-chain discipline exists
+# to prevent. In double the two engines compute the identical value.
+_CUPED_NOVAR_X = (
+    "CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+    "= 0.0"
+)
+_CUPED_NOVAR_Y = (
+    "CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) "
+    "= 0.0"
+)
 
 
 @register(
@@ -391,13 +405,13 @@ mom AS (
   FROM per_user GROUP BY event_type
 )
 SELECT event_type, n AS n_users,
-       CASE WHEN sxx * n - sx * sx = 0 THEN NULL
+       CASE WHEN {_CUPED_NOVAR_X} THEN NULL
             ELSE {_CUPED_THETA} END AS theta_micro,
-       CASE WHEN sxx * n - sx * sx = 0 OR syy * n - sy * sy = 0 THEN NULL
+       CASE WHEN {_CUPED_NOVAR_X} OR {_CUPED_NOVAR_Y} THEN NULL
             ELSE {_CUPED_VR} END AS var_reduction_ppm,
        CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
             ELSE {_CUPED_DIFF_RAW} END AS diff_raw_micro,
-       CASE WHEN n_a = 0 OR n_b = 0 OR sxx * n - sx * sx = 0 THEN NULL
+       CASE WHEN n_a = 0 OR n_b = 0 OR {_CUPED_NOVAR_X} THEN NULL
             ELSE {_CUPED_DIFF_ADJ} END AS diff_adj_micro
 FROM mom
 """,
@@ -454,8 +468,8 @@ def q457_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a") == 0, F.col("y")).otherwise(0))
         .cast("long").alias("sy_b"),
     )
-    novar_x = F.expr("sxx * n - sx * sx = 0")
-    novar_y = F.expr("syy * n - sy * sy = 0")
+    novar_x = F.expr(_CUPED_NOVAR_X)
+    novar_y = F.expr(_CUPED_NOVAR_Y)
     no_arm = F.expr("n_a = 0 OR n_b = 0")
     return mom.select(
         "event_type",

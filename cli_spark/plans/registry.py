@@ -129,11 +129,38 @@ def registry() -> dict[str, QuerySpec]:
 # promotes the next ~50 never-graded oracle-backed queries into the
 # recorded window. Rows-only (oracle=None) checks stay last.
 #
-# Union of CORRECTNESS_r01 + r03 + … + r10 green rows (399 distinct
-# names currently in the registry, no fails ever recorded after r01;
+# Union of CORRECTNESS_r01 + r03 + … + r11 green rows (all 444
+# registry names — the registry CLOSED in r11: every name holds a
+# driver CORRECTNESS row; no fails ever recorded after r01;
 # q121/q123 *_stub → *_bmp renames were re-graded green under their
 # new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r11 greens newly recorded (50 — registry closed) ---
+    "q124_streaming_session_true", "q220_ks_drift_test",
+    "q229_session_paths", "q230_concurrent_intervals",
+    "q231_equiheight_histogram", "q232_theil_sen_slope",
+    "q235_ewma_dyadic", "q236_hour_of_week_profile",
+    "q237_autocorr_lags", "q238_weighted_systematic_sample",
+    "q239_poisson_bootstrap", "q240_stopword_profile",
+    "q241_type_token_ratio", "q244_pareto_revenue_curve",
+    "q245_interpurchase_quantiles", "q248_position_attribution",
+    "q251_codeswitch_segments", "q252_zonemap_skipping",
+    "q254_weighted_median_price", "q255_user_feature_vector",
+    "q256_join_size_estimate", "q257_source_overlap_matrix",
+    "q259_nearest_event_join", "q260_decile_lift_table",
+    "q261_chi2_independence", "q270_lexical_cosine_pairs",
+    "q273_ab_proportion_test", "q275_grid_nn_join",
+    "q276_part_affinity", "q281_bot_regularity",
+    "q282_block_sampling_bias", "q290_lsh_parameter_sweep",
+    "q298_cohort_ltv_matrix", "q304_leadtime_quantiles",
+    "q440_containment_join", "q445_mann_whitney_u",
+    "q446_dedup_pipeline_flagship", "q447_weighted_reservoir_aes",
+    "q448_naive_bayes_langid", "q449_kmv_distinct_sketch",
+    "q450_largest_remainder_split", "q451_cdc_log_compaction",
+    "q452_source_lang_kl", "q453_dropdup_within_watermark",
+    "q454_skipgram_pmi", "q455_simpsons_paradox_audit",
+    "q456_km_survival", "q457_cuped_adjustment",
+    "q458_quantile_treatment_effect", "q459_rake_keywords",
     # --- r10 greens newly recorded (50) ---
     "q392_prefix_filter_join", "q436_gear_cdc_chunking",
     "q437_hgt_mosaic_watershed", "q438_skyline_documents",
@@ -353,16 +380,18 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = (
-    # round 11: q440 gains the q392-style exact-family collapse
-    # (duplication-invariant candidates; oracle unchanged) and q445
-    # fixes the U-statistic labeling + degenerate-arm guard (VERDICT
-    # r10 "what's wrong" #1 and ADVICE r10) — both re-earn driver rows.
-    "q440_containment_join",
-    "q445_mann_whitney_u",
-    # round 11: fused one-pass sweep (3 band joins + 3 windows + 3
-    # verify joins -> 1 each; result-identical, plan changed, warm
-    # 2.80 s -> 2.04 s on the same box)
-    "q290_lsh_parameter_sweep",
+    # round 12: q441's DuckDB oracle reworked to hash-join form
+    # (VERDICT r11 "what's wrong" #1: the inline 64×16 matrix literal
+    # cost 248 s standalone; now an (i,j,v) VALUES relation + join/
+    # aggregate and UNION ALL instead of the OR pair join — verified
+    # bit-identical, 0.14 s) and q457's degenerate-variance guards
+    # moved to the shared CAST(... AS DOUBLE) chain in BOTH engines
+    # (ADVICE r11: the int64 form could overflow where DuckDB raises
+    # but Spark wraps) — both re-earn driver rows.
+    # (q290's materialize_local+unpersist is result-identical resource
+    # lifecycle — no slot, same as q437/q439 in r11.)
+    "q441_jl_projection_audit",
+    "q457_cuped_adjustment",
 )
 
 
@@ -373,7 +402,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
 # promoted into the recording window *after* the never-graded /
 # round-changed head, so fresh code always grades first and the
 # remainder of the 50-entry window re-attests old queries.
-_REAUDIT_ROUND: int = 11
+_REAUDIT_ROUND: int = 12
 _WINDOW = 50  # the driver records exactly this many CORRECTNESS rows
 
 
@@ -386,66 +415,14 @@ def _reaudit_names(slots: int) -> list[str]:
     return pool[:max(0, slots)]
 
 
-# Round 11 window plan (50 slots): 2 round-changed (q440 collapse,
-# q445 U-stat fix) + the final 31 never-graded backlog names
-# (q229…q304, ordered below) + brand-new round-11 queries (q446+,
-# inserted at the very front as written) + the rotating re-audit
-# sample fills the remainder — closing the registry: after this round
-# every registry name holds a driver CORRECTNESS row.
-# Names absent from this tuple sort after it in registration order.
-_FRESH_PRIORITY: tuple[str, ...] = (
-    # --- brand-new round-11 queries (front of the window) ---
-    "q446_dedup_pipeline_flagship",
-    "q447_weighted_reservoir_aes",
-    "q448_naive_bayes_langid",
-    "q449_kmv_distinct_sketch",
-    "q450_largest_remainder_split",
-    "q451_cdc_log_compaction",
-    "q452_source_lang_kl",
-    "q453_dropdup_within_watermark",
-    # --- final never-graded backlog (31) ---
-    "q229_session_paths",
-    "q230_concurrent_intervals",
-    "q231_equiheight_histogram",
-    "q232_theil_sen_slope",
-    "q235_ewma_dyadic",
-    "q236_hour_of_week_profile",
-    "q237_autocorr_lags",
-    "q238_weighted_systematic_sample",
-    "q239_poisson_bootstrap",
-    "q240_stopword_profile",
-    "q241_type_token_ratio",
-    "q244_pareto_revenue_curve",
-    "q245_interpurchase_quantiles",
-    "q248_position_attribution",
-    "q251_codeswitch_segments",
-    "q252_zonemap_skipping",
-    "q254_weighted_median_price",
-    "q255_user_feature_vector",
-    "q256_join_size_estimate",
-    "q257_source_overlap_matrix",
-    "q259_nearest_event_join",
-    "q260_decile_lift_table",
-    "q261_chi2_independence",
-    "q270_lexical_cosine_pairs",
-    "q273_ab_proportion_test",
-    "q275_grid_nn_join",
-    "q276_part_affinity",
-    "q281_bot_regularity",
-    "q282_block_sampling_bias",
-    "q298_cohort_ltv_matrix",
-    "q304_leadtime_quantiles",
-    # --- late round-11 additions (window positions 42-47 — never-
-    # graded names always outrank re-audit, so these grade THIS
-    # round; with them the window covers every registry name and
-    # round 12's window becomes pure rotating re-audit) ---
-    "q454_skipgram_pmi",
-    "q455_simpsons_paradox_audit",
-    "q456_km_survival",
-    "q457_cuped_adjustment",
-    "q458_quantile_treatment_effect",
-    "q459_rake_keywords",
-)
+# Round 12 window plan (50 slots): the registry CLOSED in round 11
+# (every name driver-attested), so this is the first full rotating
+# re-audit round (VERDICT r11 #3): 2 round-changed (q441 oracle
+# rework, q457 guard chains) + 48 md5(name:r12) re-audit names. At
+# ~48 re-audit slots/round the full 444-name cycle re-attests in ~9
+# rounds. _FRESH_PRIORITY is empty while no never-graded names exist;
+# it resumes its role the next time a new query registers.
+_FRESH_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered_specs() -> list[QuerySpec]:

@@ -2,9 +2,12 @@
 end-to-end over TRUE micro-batches.
 
 The operator's protocol was pinned EMPIRICALLY against Spark 4.1.2
-this round, through the same replay source the graded query uses
-(twelve boundary probes, kept as regression pins in
-tests/test_streaming_ddww.py):
+this round, through the same replay source the graded query uses.
+The seven committed regression pins in tests/test_streaming_ddww.py
+each assert one clause below (two-batch lag, strict late filter at
+equality AND survival just above the watermark, live-state dedup
+drop, no expiry extension, non-strict eviction at equality,
+re-emission after eviction):
 
   wm(N) = runmax(per-batch max event time through batch N-2) - delay
           — the watermark VISIBLE to batch N lags its data by TWO

@@ -1,20 +1,28 @@
-"""Round-11 dup-heavy instrumentation for q440 (VERDICT r10 #2).
+"""Dup-heavy candidate instrumentation for q440 (VERDICT r10 #2,
+kept in per-round rotation per VERDICT r11 #7).
 
-Measures, on `.bench_dupheavy` (10 exact copies of every sf0.1 doc):
+Measures, on a dup-heavy corpus (default: `.bench_dupheavy`, 10 exact
+copies of every sf0.1 doc — build it with scripts/full round-11 notes
+in PLANS.md):
   1. naive one-sided candidate volume (containment_candidates over the
      full corpus — the r10 shipped form's candidate relation);
   2. collapsed candidate volume (same probe over family reps — the
      r11 shipped form);
   3. qualifying ordered-pair output count (the true answer size);
   4. warm runtime (min of 2) of the shipped q440 at the dup-heavy
-     tier, plus sf0.1 for the re-baseline decision.
+     tier, plus the base tier for the re-baseline decision.
 
-Usage: python scripts_dupheavy_q440.py [naive|collapsed|time]
+Usage:
+  python scripts/dupheavy_q440.py [naive|collapsed|time]
+         [--dup DIR] [--base DIR]
 """
+import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -22,24 +30,31 @@ from pyspark.sql import functions as F
 from cli_spark.operators.dedup import (
     containment_candidates, q440_containment_join, shingles_df)
 
-DUP = "/root/repo/.bench_dupheavy"
-
 
 def main() -> None:
-    mode = sys.argv[1] if len(sys.argv) > 1 else "collapsed"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="collapsed",
+                    choices=("naive", "collapsed", "time"))
+    ap.add_argument("--dup", default=os.path.join(_REPO, ".bench_dupheavy"),
+                    help="dup-heavy corpus dir (parquet tables)")
+    ap.add_argument("--base",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"),
+                    help="base-tier corpus dir for the time comparison")
+    args = ap.parse_args()
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.driver.memory", "24g")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    if mode == "naive":
+    if args.mode == "naive":
         t0 = time.time()
-        _, cand = containment_candidates(spark, DUP)
+        _, cand = containment_candidates(spark, args.dup)
         n = cand.count()
         print(f"naive candidates: {n} ({time.time()-t0:.1f}s)")
-    elif mode == "collapsed":
-        sh_all = (shingles_df(spark, DUP, fanout=True)
+    elif args.mode == "collapsed":
+        sh_all = (shingles_df(spark, args.dup, fanout=True)
                   .filter(F.size("shingles") > 0)
                   .select("doc_id", "shingles",
                           F.size("shingles").alias("n")))
@@ -50,14 +65,14 @@ def main() -> None:
                 .filter(F.col("doc_id") == F.col("rep"))
                 .select("doc_id", "shingles", "n"))
         t0 = time.time()
-        _, cand = containment_candidates(spark, DUP, sh=reps)
+        _, cand = containment_candidates(spark, args.dup, sh=reps)
         n = cand.count()
         print(f"collapsed candidates: {n} ({time.time()-t0:.1f}s)")
         t0 = time.time()
-        out = q440_containment_join(spark, DUP).count()
+        out = q440_containment_join(spark, args.dup).count()
         print(f"qualifying ordered pairs: {out} ({time.time()-t0:.1f}s)")
-    elif mode == "time":
-        for sf in (DUP, "/root/testdata/sf0.1"):
+    elif args.mode == "time":
+        for sf in (args.dup, args.base):
             times = []
             for _ in range(2):
                 t0 = time.time()

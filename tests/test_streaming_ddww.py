@@ -72,6 +72,20 @@ def test_late_filter_strict_at_equality(spark):
     assert (2, "11:00") not in out
 
 
+def test_late_filter_survives_just_above_watermark(spark):
+    """ts one minute above wm is NOT late — the `>` side of L3."""
+    out = _run(spark, [(99, _ts("12:00"), "t"), (98, _ts("12:00"), "t"),
+                       (2, _ts("11:01"), "t")])  # wm in b2 = 11:00
+    assert (2, "11:01") in out
+
+
+def test_live_state_duplicate_dropped(spark):
+    """P3: a second arrival of a key with live state is dropped even
+    when it is not late (wm is still -inf in b1)."""
+    out = _run(spark, [(1, _ts("10:00"), "t"), (1, _ts("10:05"), "t")])
+    assert out == [(1, "10:00")]
+
+
 def test_eviction_lag_and_reemission(spark):
     """State eviction uses the same 2-lagged watermark: a duplicate
     re-emits only once wm(N) has reached its stored expiry."""
