@@ -109,6 +109,20 @@ PROMOTED31_QUERIES = [
     "q440_containment_join",  # asymmetric prefix-filter containment
 ]
 
+# Round-12 promotions into the declared 33-class headline (BASELINE.md
+# "Headline sums v8", VERDICT r11 #1): the two heaviest graded queries
+# — the round-11 dedup flagship and the TRUE-streaming
+# dropDuplicatesWithinWatermark run — join the per-class regression
+# net with dedicated two-session idle-box baselines, restoring the v5
+# invariant (no graded query > 2 s warm at sf0.1 outside the net;
+# q454–q459 measured 0.4–1.2 s min-of-5 on a quiet box — under the
+# bar, tracked in BASELINE.md v8's report table). Summed into
+# `value_33class`.
+PROMOTED33_QUERIES = [
+    "q446_dedup_pipeline_flagship",   # exact-collapse → Jaccard join → CC
+    "q453_dropdup_within_watermark",  # ~40 TRUE micro-batches, ddww
+]
+
 # Additions tracked report-only (the VERDICT r5 #7 pattern: reported
 # in queries{} for a round or two, then promoted with declared
 # baselines once they carry two measured sessions).
@@ -187,6 +201,8 @@ def main() -> None:
     total_30 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED31_QUERIES})
     total_31 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED33_QUERIES})
+    total_33 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -202,6 +218,7 @@ def main() -> None:
         "value_26class": total_26,
         "value_30class": total_30,
         "value_31class": total_31,
+        "value_33class": total_33,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,
