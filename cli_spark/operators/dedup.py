@@ -1847,6 +1847,22 @@ FROM (SELECT * FROM stats_b8_r1 UNION ALL
     tags=("dedup", "minhash", "lsh", "tuning"),
 )
 def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-tuning sweep — thin graded wrapper: builds the
+    distributed sweep via _q290_sweep_build (tests/test_plans.py
+    gates THAT plan — the returned frame is a local 3-row rebuild),
+    then releases the signature cache before returning (ADVICE r11
+    persist-leak rule; the q437/q439 materialize_local precedent —
+    the warm bench re-pays the signature computation, ~1.0× the
+    class baseline vs its 2× gate)."""
+    out, sig = _q290_sweep_build(spark, sf_dir)
+    from cli_spark.session import materialize_local
+
+    out_local = materialize_local(out)
+    sig.unpersist()
+    return out_local
+
+
+def _q290_sweep_build(spark: SparkSession, sf_dir: str):
     """LSH index-tuning sweep — the sizing decision behind q73: ONE
     8-minhash signature set (double hashing, g2 scaled by 8 so the
     7th family member stays under 2^61), banded three ways from the
@@ -1988,18 +2004,7 @@ def q290_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
-    # ADVICE r11: materialize the 3-row sweep result locally and
-    # release the signature cache before returning — leaving `sig`
-    # persisted for warm-bench reuse accumulated one cached relation
-    # per dataset touched over a long parity/driver session, the exact
-    # leak class the r10 rule (q437/q439) exists to prevent. The warm
-    # bench re-pays the signature computation (~2.0 s on the idle
-    # box, still ~1.0× the class baseline vs its 2× gate).
-    from cli_spark.session import materialize_local
-
-    out_local = materialize_local(out)
-    sig.unpersist()
-    return out_local
+    return out, sig
 
 
 @register(
