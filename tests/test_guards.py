@@ -56,3 +56,19 @@ def test_q247_refuses_oversized_clusters(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(semdedup, "Q247_MAX_CLUSTER", 1)
     with pytest.raises(ValueError, match=r"raise k"):
         semdedup.q247_semdedup_prune(spark, sf_dir)
+
+
+def test_q290_sig_cache_single_slot(spark):
+    """ADVICE r11: q290's persisted signature relation lives in a
+    SINGLE-slot registry — touching a different dataset evicts the
+    previous entry, so a long parity/driver session holds at most one
+    cached relation (the accumulation leak), while same-dataset warm
+    re-invocations keep cache reuse (the bench contract)."""
+    from cli_spark.operators import dedup
+
+    dedup.q290_lsh_parameter_sweep(spark, "/root/testdata/sf0.001")
+    assert set(dedup._Q290_SIG_CACHE) == {"/root/testdata/sf0.001"}
+    dedup.q290_lsh_parameter_sweep(spark, "/root/testdata/sf0.01")
+    assert set(dedup._Q290_SIG_CACHE) == {"/root/testdata/sf0.01"}
+    dedup.q290_lsh_parameter_sweep(spark, "/root/testdata/sf0.01")
+    assert set(dedup._Q290_SIG_CACHE) == {"/root/testdata/sf0.01"}
