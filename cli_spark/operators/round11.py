@@ -117,13 +117,22 @@ def q446_dedup_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n0 = d.count()
     fam = d.select("doc_id", F.md5("text").alias("fkey"))
-    reps = fam.groupBy("fkey").agg(F.min("doc_id").alias("doc_id"))
+    reps = fam.groupBy("fkey").agg(F.min("doc_id").alias("doc_id")).persist()
     n1 = reps.count()
+    # Within-invocation persist (round 12): the rep shingle relation
+    # feeds FOUR consumers — the candidate generator's prefix
+    # self-join (which evaluates its upstream twice) and both sides
+    # of the verify join — so without a cache the trigram shingle
+    # expression (split + transform + array_distinct per doc) runs
+    # ~5× per invocation. Both caches are released before the return
+    # (the output is a driver-built 3-row ledger, so nothing
+    # downstream references them — no session-lifetime leak).
     sh = (
         shingles_df(spark, sf_dir, fanout=True)
         .join(reps.select("doc_id"), "doc_id")
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        .persist()
     )
     _, cand = prefix_filter_candidates(spark, sf_dir, sh=sh)
     av = sh.select(F.col("doc_id").alias("doc_a"),
@@ -142,6 +151,8 @@ def q446_dedup_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("doc_a").alias("dst")))
     cc = connected_components(reps.select("doc_id"), edges)
     n2 = cc.select("component").distinct().count()
+    sh.unpersist()
+    reps.unpersist()
     rows = [
         ("1_exact_family", n0, n0 - n1, n1, (n0 - n1) * 1_000_000 // n0),
         ("2_neardup_cc", n1, n1 - n2, n2, (n1 - n2) * 1_000_000 // n1),
