@@ -13,8 +13,16 @@ in PLANS.md):
      tier, plus the base tier for the re-baseline decision.
 
 Usage:
-  python scripts/dupheavy_q440.py [naive|collapsed|time]
+  python scripts/dupheavy_q440.py [build|naive|collapsed|time]
          [--dup DIR] [--base DIR]
+
+`build` materializes the dup-heavy tier itself (idempotent: a _READY
+marker skips regeneration): documents = 10 EXACT text copies of every
+base doc with doc_id shifted by 1e8 per replica (copies must stay
+byte-identical — the tier exists to prove the exact-family collapse
+absorbs copy inflation, unlike `.bench_sf1`, whose replicas are
+deliberately perturbed into distinct texts); every other table is
+copied verbatim so load_table works.
 """
 import argparse
 import os
@@ -31,10 +39,37 @@ from cli_spark.operators.dedup import (
     containment_candidates, q440_containment_join, shingles_df)
 
 
+def build_tier(spark, base: str, dup: str, copies: int = 10) -> None:
+    """Materialize the dup-heavy tier (idempotent via _READY)."""
+    marker = os.path.join(dup, "_READY")
+    if os.path.exists(marker):
+        print(f"dup tier ready: {dup}")
+        return
+    os.makedirs(dup, exist_ok=True)
+    stride = 100_000_000
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        if t == "documents":
+            out = src
+            for i in range(1, copies):
+                out = out.unionByName(
+                    src.withColumn(
+                        "doc_id",
+                        (F.col("doc_id") + F.lit(i * stride)).cast("long")))
+        else:
+            out = src
+        out.write.mode("overwrite").parquet(os.path.join(dup, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"copies={copies} stride={stride} src={base}\n")
+    print(f"built dup tier: {dup}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="collapsed",
-                    choices=("naive", "collapsed", "time"))
+                    choices=("build", "naive", "collapsed", "time"))
     ap.add_argument("--dup", default=os.path.join(_REPO, ".bench_dupheavy"),
                     help="dup-heavy corpus dir (parquet tables)")
     ap.add_argument("--base",
@@ -48,6 +83,10 @@ def main() -> None:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.mode == "build":
+        build_tier(spark, args.base, args.dup)
+        spark.stop()
+        return
     if args.mode == "naive":
         t0 = time.time()
         _, cand = containment_candidates(spark, args.dup)
