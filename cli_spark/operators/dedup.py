@@ -2186,6 +2186,41 @@ def q380_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame
     ))
 
 
+# Single-slot registry for the exact-duplicate FAMILY relation shared
+# by q392 and q440 (same pattern and rationale as _Q290_SIG_CACHE):
+# (doc_id, shingles, n, fkey=md5(shingle array), rep=min doc of the
+# family). Both queries consume it ~6× per invocation (the candidate
+# self-join evaluates its upstream twice, plus verify sides and
+# member/within expansions), and their outputs are fact-grain
+# DISTRIBUTED frames, so a within-invocation unpersist would drop the
+# cache before the caller's action — the per-session single slot
+# (evicted on dataset change) is the leak-bounded alternative.
+_FAMILY_CACHE: dict[str, DataFrame] = {}
+
+
+def _family_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir in _FAMILY_CACHE:
+        return _FAMILY_CACHE[sf_dir]
+    sh_all = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    fam = sh_all.withColumn(
+        # unit-separator join: unambiguous array -> string encoding
+        "fkey", F.md5(F.concat_ws(chr(31), "shingles"))
+    )
+    stats = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep"))
+    tagged = fam.join(stats, "fkey").persist()
+    for key in [k for k in _FAMILY_CACHE if k != sf_dir]:
+        try:
+            _FAMILY_CACHE.pop(key).unpersist()
+        except Exception:
+            pass  # entry may belong to an already-stopped session
+    _FAMILY_CACHE[sf_dir] = tagged
+    return tagged
+
+
 def prefix_filter_candidates(spark: SparkSession, sf_dir: str, sh=None):
     """q392's lossless candidate generation, exposed for the scale
     sweep instrumentation (PLANS.md dup-heavy tier): returns
@@ -2295,17 +2330,7 @@ def q392_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-size) in exact arithmetic. The q349 lesson applied to
     a similarity JOIN: never let exact copies enter the candidate
     generator."""
-    sh_all = (
-        shingles_df(spark, sf_dir, fanout=True)
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles", F.size("shingles").alias("n"))
-    )
-    fam = sh_all.withColumn(
-        # unit-separator join: unambiguous array -> string encoding
-        "fkey", F.md5(F.concat_ws(chr(31), "shingles"))
-    )
-    stats = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep"))
-    tagged = fam.join(stats, "fkey")
+    tagged = _family_tagged(spark, sf_dir)
     reps_sh = (
         tagged.filter(F.col("doc_id") == F.col("rep"))
         .select("doc_id", "shingles", "n")
@@ -2464,17 +2489,7 @@ def q440_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     family reps is what makes containment affordable: the probe side
     carries ~n/5 tokens per distinct text, and frequent shingles sort
     out of every prefix."""
-    sh_all = (
-        shingles_df(spark, sf_dir, fanout=True)
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles", F.size("shingles").alias("n"))
-    )
-    fam = sh_all.withColumn(
-        # unit-separator join: unambiguous array -> string encoding
-        "fkey", F.md5(F.concat_ws(chr(31), "shingles"))
-    )
-    stats = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep"))
-    tagged = fam.join(stats, "fkey")
+    tagged = _family_tagged(spark, sf_dir)
     reps_sh = (
         tagged.filter(F.col("doc_id") == F.col("rep"))
         .select("doc_id", "shingles", "n")
