@@ -1,0 +1,724 @@
+"""Round-13 queue (built in round 12): repeated-substring census via
+prefix doubling, mergeable histogram-quantile drift, theta-sketch
+set-expression estimates, TF-IDF labeling of dedup clusters, and
+harmonic size-class token packing.
+
+Same cross-engine determinism discipline as round11.py/round12.py:
+every float step is ONE IEEE chain shared verbatim between the Spark
+expression and the DuckDB oracle, floored to integer micro/ppm units
+BEFORE any aggregation; deterministic randomness is md5-of-row-key
+(the q105 idiom); counts are exact integers end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.operators.dedup import _SQL_SHINGLES, prefix_filter_candidates, shingles_df
+from cli_spark.operators.graph import connected_components
+from cli_spark.operators.round11 import _H60_DUCK, _H60_SPARK, _TWO60
+from cli_spark.plans.registry import register
+from cli_spark.session import materialize_local
+from cli_spark.tables import load_table
+
+# Doubling ladder for the k-mer census: 7 levels, k = 2^j.
+_KMER_LEVELS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@register(
+    "q460_repeated_kmer_census",
+    oracle="""
+WITH ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS k),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, len(text))) AS p
+  FROM documents
+),
+wins AS (
+  SELECT ks.k, substr(pos.text, pos.p, ks.k) AS s
+  FROM pos CROSS JOIN ks
+  WHERE pos.p + ks.k - 1 <= len(pos.text)
+),
+grp AS (SELECT k, s, CAST(COUNT(*) AS BIGINT) AS c FROM wins GROUP BY k, s)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(SUM(c) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS repeated_windows,
+       CAST(MAX(c) AS BIGINT) AS max_multiplicity
+FROM grp GROUP BY k
+""",
+    tags=("text", "substring", "prefix-doubling", "census"),
+)
+def q460_repeated_kmer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST-REPEATED-SUBSTRING census by PREFIX DOUBLING (the
+    Manber–Myers suffix-ranking step, run as distributed rank joins):
+    for each window length k = 1,2,4,...,64, how many character
+    k-grams exist corpus-wide, how many are distinct, how many repeat
+    (appear >= 2 times anywhere in the corpus), and the maximum
+    multiplicity. The largest k with n_repeated > 0 bounds the
+    longest repeated substring to [k, 2k) — the dedup/plagiarism
+    primitive behind suffix-array fingerprinting.
+
+    The engine NEVER shuffles substring text beyond single
+    characters: level k's equality key for the window starting at p
+    is the PAIR (key_k(p), key_k(p+k)) of level-k/2 keys — a binary
+    lift — renumbered to a dense long id per level by
+    groupBy(pair) -> min(global position id). Every shuffle therefore
+    carries fixed-width longs regardless of k (at k = 64 a direct
+    substring groupBy would shuffle 64x the corpus bytes; the lift
+    shuffles 3 longs per position). Each level is materialized with
+    an EAGER localCheckpoint before the next is built — without the
+    lineage truncation the level-j plan embeds 2^j copies of the base
+    scan (the a/b self-join doubles it every doubling step) and plan
+    compilation alone OOMs the driver by level 5; with it, per-level
+    state is the iterative-state discipline of connected_components.
+    The DuckDB oracle computes the same census DIRECTLY from substr()
+    windows, so the hash match is an empirical proof of the lift's
+    equivalence-class correctness at every level."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
+        )
+        .select(
+            "doc_id", "p",
+            (F.col("doc_id") * 1024 + F.col("p")).alias("gid"),
+            F.expr("substr(text, p, 1)").alias("ch"),
+        )
+    )
+    km = base.groupBy("ch").agg(F.min("gid").alias("key"))
+    cur = (
+        base.join(km, "ch").select("doc_id", "p", "gid", "key")
+        .localCheckpoint(eager=True)
+    )
+
+    def census(level: DataFrame, k: int):
+        row = (
+            level.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("c").cast("long").alias("n_windows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                .cast("long").alias("n_repeated"),
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+                .cast("long").alias("repeated_windows"),
+                F.max("c").cast("long").alias("max_multiplicity"),
+            )
+            .collect()[0]
+        )
+        return (k, row[0], row[1], row[2], row[3], row[4])
+
+    rows = [census(cur, 1)]
+    k = 1
+    for next_k in _KMER_LEVELS[1:]:
+        a = cur.select("doc_id", "p", "gid", F.col("key").alias("k1"))
+        b = cur.select(
+            "doc_id", (F.col("p") - k).alias("p"), F.col("key").alias("k2"))
+        pairs = a.join(b, ["doc_id", "p"])
+        nk = pairs.groupBy("k1", "k2").agg(F.min("gid").alias("key"))
+        new = (
+            pairs.join(nk, ["k1", "k2"])
+            .select("doc_id", "p", "gid", "key")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(census(new, next_k))
+        cur, k = new, next_k
+    return spark.createDataFrame(
+        rows,
+        "k long, n_windows long, n_distinct long, n_repeated long, "
+        "repeated_windows long, max_multiplicity long",
+    )
+
+
+@register(
+    "q461_histogram_quantile_drift",
+    oracle="""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type, MIN(cents) AS minc, MAX(cents) AS maxc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY event_type
+),
+bucketed AS (
+  SELECT b.event_type,
+         (b.cents - s.minc) * 64 // (s.maxc - s.minc + 1) AS bkt
+  FROM base b JOIN stats s USING (event_type)
+),
+bc AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed GROUP BY event_type, bkt
+),
+cum AS (
+  SELECT event_type, bkt,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bkt ASC) AS cum
+  FROM bc
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q),
+targets AS (
+  SELECT s.event_type, qs.q, s.n, s.minc, s.maxc,
+         (qs.q * s.n + 99) // 100 AS tgt
+  FROM stats s CROSS JOIN qs
+),
+est AS (
+  SELECT t.event_type, t.q, t.n, t.minc, t.maxc, t.tgt,
+         MIN(c.bkt) AS eb
+  FROM targets t
+  JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.tgt
+  GROUP BY t.event_type, t.q, t.n, t.minc, t.maxc, t.tgt
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents ASC, event_id ASC) AS rk
+  FROM base
+)
+SELECT e.event_type, CAST(e.q AS BIGINT) AS q, e.n,
+       r.cents AS exact_cents,
+       CAST(e.minc + ((2 * e.eb + 1) * (e.maxc - e.minc + 1)) // 128
+            AS BIGINT) AS est_cents,
+       CAST(abs(e.minc + ((2 * e.eb + 1) * (e.maxc - e.minc + 1)) // 128
+                - r.cents) * 1000000 // (e.maxc - e.minc + 1) AS BIGINT)
+         AS drift_ppm
+FROM est e
+JOIN ranked r ON r.event_type = e.event_type AND r.rk = e.tgt
+""",
+    tags=("sketch", "quantile", "histogram", "audit"),
+)
+def q461_histogram_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-HISTOGRAM quantile estimates vs exact rank
+    selection, per event type: a 64-bucket equal-width histogram over
+    integer cents estimates p50/p90/p99 as the midpoint of the first
+    bucket whose cumulative count reaches ceil(q*n/100); the exact
+    side selects the value at that same rank. drift_ppm reports the
+    estimate's error as ppm OF THE VALUE RANGE — the histogram's
+    accuracy contract (<= 1/64 of range + half a bucket) is auditable
+    in the result.
+
+    This is the ONLINE-quantile design that actually distributes:
+    unlike sequential estimators (P-squared), a fixed-grid histogram
+    is order-independent and MERGEABLE — partial histograms combine
+    by bucket-wise addition (one map-side-combined groupBy here), so
+    the same sketch works per-partition, per-micro-batch, and
+    cross-cluster at 100 TB. The exact side is the audit baseline: a
+    rank selection via one per-type sort, joined back at the target
+    rank. All arithmetic is integer; bucket index, midpoint, and
+    drift are the same DIV chains in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "event_id",
+        F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("cents"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.min("cents").alias("minc"),
+        F.max("cents").alias("maxc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    bucketed = base.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.expr("(cents - minc) * 64 DIV (maxc - minc + 1)").alias("bkt"),
+    )
+    bc = bucketed.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    cum = bc.select(
+        "event_type", "bkt",
+        F.sum("c").over(
+            Window.partitionBy("event_type").orderBy(F.col("bkt").asc())
+        ).alias("cum"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    targets = stats.crossJoin(F.broadcast(qs)).select(
+        "event_type", "q", "n", "minc", "maxc",
+        F.expr("(q * n + 99) DIV 100").alias("tgt"),
+    )
+    est = (
+        targets.join(
+            cum.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type")) & (F.col("cum") >= F.col("tgt")),
+        )
+        .groupBy("event_type", "q", "n", "minc", "maxc", "tgt")
+        .agg(F.min("bkt").alias("eb"))
+    )
+    ranked = base.select(
+        F.col("event_type").alias("et"), "cents",
+        F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("cents").asc(), F.col("event_id").asc())
+        ).alias("rk"),
+    )
+    return (
+        est.join(ranked, (F.col("et") == F.col("event_type"))
+                 & (F.col("rk") == F.col("tgt")))
+        .select(
+            "event_type",
+            F.col("q").cast("long").alias("q"),
+            "n",
+            F.col("cents").alias("exact_cents"),
+            F.expr("CAST(minc + ((2 * eb + 1) * (maxc - minc + 1)) DIV 128 "
+                   "AS BIGINT)").alias("est_cents"),
+            F.expr("CAST(abs(minc + ((2 * eb + 1) * (maxc - minc + 1)) "
+                   "DIV 128 - cents) * 1000000 DIV (maxc - minc + 1) "
+                   "AS BIGINT)").alias("drift_ppm"),
+        )
+    )
+
+
+@register(
+    "q462_theta_sketch_intersection",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source, {_H60_DUCK.format(key='t')} AS h
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+             AS t
+    FROM documents
+  )
+),
+sk AS (
+  SELECT source, h
+  FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        FROM toks)
+  WHERE rn <= 64
+),
+srcs AS (SELECT DISTINCT source FROM toks),
+pl AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+un AS (
+  SELECT DISTINCT s1, s2, h FROM (
+    SELECT p.s1, p.s2, s.h FROM pl p JOIN sk s ON s.source = p.s1
+    UNION ALL
+    SELECT p.s1, p.s2, s.h FROM pl p JOIN sk s ON s.source = p.s2
+  )
+),
+th AS (
+  SELECT s1, s2,
+         COALESCE(MAX(CASE WHEN rn = 64 THEN h END), 1152921504606846976)
+           AS theta
+  FROM (SELECT s1, s2, h,
+               row_number() OVER (PARTITION BY s1, s2 ORDER BY h ASC) AS rn
+        FROM un)
+  GROUP BY s1, s2
+),
+com AS (
+  SELECT a.source AS s1, b.source AS s2, a.h
+  FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source
+),
+ni AS (
+  SELECT t.s1, t.s2, t.theta,
+         CAST(COALESCE(SUM(CASE WHEN c.h < t.theta THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_below
+  FROM th t LEFT JOIN com c ON c.s1 = t.s1 AND c.s2 = t.s2
+  GROUP BY t.s1, t.s2, t.theta
+),
+ex AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT)
+    AS exact_inter
+  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+est AS (
+  SELECT n.s1, n.s2,
+         CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+         CAST(floor(CAST(n.n_below AS DOUBLE) * {_TWO60} /
+                    CAST(n.theta AS DOUBLE)) AS BIGINT) AS est_inter
+  FROM ni n LEFT JOIN ex e ON e.s1 = n.s1 AND e.s2 = n.s2
+)
+SELECT s1, s2, exact_inter, est_inter,
+       CAST(abs(est_inter - exact_inter) * 1000000
+            // GREATEST(exact_inter, 1) AS BIGINT) AS err_ppm
+FROM est
+""",
+    tags=("sketch", "theta", "intersection", "mergeable"),
+)
+def q462_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH set-expression estimates (the q449 KMV bottom-k
+    extended to A-intersect-B): for every pair of sources, merge the
+    two bottom-64 token-hash sketches, set theta = the 64th smallest
+    hash of the union, and estimate |A n B| as (common sketch hashes
+    below theta) * 2^60 / theta — the standard theta-sketch
+    intersection rule (the composable form of KMV). Pairs whose
+    merged sketch holds fewer than 64 hashes fall back to theta =
+    2^60, which makes the estimate EXACT (the sketch IS the union).
+    Each row carries the exact intersection and the realized error in
+    ppm, so the ~1/sqrt(64) accuracy contract is auditable in-result.
+
+    Why this is the 100-TB set-overlap tool: per-source sketches are
+    64 longs REGARDLESS of corpus size, build with one distinct +
+    bottom-k reduction each, and every pairwise estimate afterwards
+    touches only sketch rows (sources^2 x 64 longs — broadcastable).
+    The exact side (full pool self-join on hash) exists purely as the
+    audit baseline. Union/theta/below-theta counting is the identical
+    integer chain in both engines; the single float step (the 2^60 /
+    theta scale) is one shared IEEE chain floored to a BIGINT."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("t"),
+        )
+        .select("source", F.expr(_H60_SPARK.format(key="t")).alias("h"))
+        .distinct()
+    )
+    sk = (
+        toks.select(
+            "source", "h",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("h").asc())
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") <= 64)
+        .select("source", "h")
+    )
+    srcs = toks.select("source").distinct()
+    pl = (
+        srcs.select(F.col("source").alias("s1"))
+        .join(srcs.select(F.col("source").alias("s2")),
+              F.col("s1") < F.col("s2"))
+    )
+    un = (
+        pl.join(F.broadcast(sk), F.col("source") == F.col("s1"))
+        .select("s1", "s2", "h")
+        .unionByName(
+            pl.join(F.broadcast(sk), F.col("source") == F.col("s2"))
+            .select("s1", "s2", "h"))
+        .distinct()
+    )
+    two60_long = 1152921504606846976
+    th = (
+        un.select(
+            "s1", "s2", "h",
+            F.row_number().over(
+                Window.partitionBy("s1", "s2").orderBy(F.col("h").asc())
+            ).alias("rn"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.coalesce(
+            F.max(F.when(F.col("rn") == 64, F.col("h"))),
+            F.lit(two60_long)).alias("theta"))
+    )
+    com = (
+        sk.select(F.col("source").alias("s1"), "h")
+        .join(sk.select(F.col("source").alias("s2"),
+                        F.col("h").alias("h2")),
+              (F.col("h") == F.col("h2")) & (F.col("s1") < F.col("s2")))
+        .select("s1", "s2", "h")
+    )
+    ni = (
+        th.join(com.withColumnRenamed("h", "ch"), ["s1", "s2"], "left")
+        .groupBy("s1", "s2", "theta")
+        .agg(F.coalesce(
+            F.sum(F.when(F.col("ch") < F.col("theta"), 1).otherwise(0)),
+            F.lit(0)).cast("long").alias("n_below"))
+    )
+    ex = (
+        toks.select(F.col("source").alias("s1"), "h")
+        .join(toks.select(F.col("source").alias("s2"),
+                          F.col("h").alias("h2")),
+              (F.col("h") == F.col("h2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est = (
+        ni.join(ex, ["s1", "s2"], "left")
+        .select(
+            "s1", "s2",
+            F.coalesce("exact_inter", F.lit(0)).cast("long")
+            .alias("exact_inter"),
+            F.expr(f"CAST(floor(CAST(n_below AS DOUBLE) * {_TWO60} / "
+                   "CAST(theta AS DOUBLE)) AS BIGINT)").alias("est_inter"),
+        )
+    )
+    return est.withColumn(
+        "err_ppm",
+        F.expr("CAST(abs(est_inter - exact_inter) * 1000000 "
+               "DIV GREATEST(exact_inter, 1) AS BIGINT)"),
+    )
+
+
+@register(
+    "q463_cluster_tfidf_labels",
+    oracle=f"""
+WITH RECURSIVE fam AS (
+  SELECT doc_id, md5(text) AS fkey FROM documents
+),
+st AS (SELECT fkey, MIN(doc_id) AS rep FROM fam GROUP BY fkey),
+shall AS ({_SQL_SHINGLES}),
+sz AS (
+  SELECT s.doc_id, s.shingles, len(s.shingles) AS n
+  FROM shall s JOIN st ON st.rep = s.doc_id
+  WHERE len(s.shingles) > 0
+),
+exx AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+qp AS (
+  SELECT p.da, p.db
+  FROM pr p
+  JOIN sz sa ON sa.doc_id = p.da
+  JOIN sz sb ON sb.doc_id = p.db
+  WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM qp
+  UNION ALL SELECT db, da FROM qp
+),
+reach(node, r) AS (
+  SELECT rep, rep FROM st
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+cc AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+memb AS (
+  SELECT f.doc_id, c.comp
+  FROM fam f JOIN st ON st.fkey = f.fkey JOIN cc c ON c.node = st.rep
+),
+sizes AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM memb GROUP BY comp HAVING COUNT(*) >= 2
+),
+rtoks AS (
+  SELECT c.comp,
+         unnest(list_filter(string_split(lower(d.text), ' '), x -> x != ''))
+           AS term
+  FROM cc c
+  JOIN sizes z ON z.comp = c.comp
+  JOIN documents d ON d.doc_id = c.node
+),
+tf AS (
+  SELECT comp, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM rtoks GROUP BY comp, term
+),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sizes),
+scored AS (
+  SELECT t.comp, t.term, t.tf,
+         CAST(floor(1000000.0 * CAST(t.tf AS DOUBLE) *
+                    ln(CAST(nq.n AS DOUBLE) / CAST(d.df AS DOUBLE)))
+              AS BIGINT) AS tfidf_micro
+  FROM tf t JOIN dft d ON d.term = t.term CROSS JOIN nq
+),
+ranked AS (
+  SELECT comp, term, tf, tfidf_micro,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY tfidf_micro DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT CAST(r.comp AS BIGINT) AS cluster_id, z.n_members,
+       CAST(r.rank AS BIGINT) AS rank, r.term, r.tf, r.tfidf_micro
+FROM ranked r JOIN sizes z ON z.comp = r.comp
+WHERE r.rank <= 3
+""",
+    tags=("dedup", "tfidf", "labeling", "curation"),
+)
+def q463_cluster_tfidf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF LABELS for dedup clusters — the curation-report pass
+    that closes q446's loop: rerun the flagship's exact-family
+    collapse + prefix-filter Jaccard>=0.5 join + connected
+    components, then, for every cluster with >= 2 member documents,
+    name it by its top-3 terms scored tf * ln(N/df) where tf counts
+    tokens over the cluster's FAMILY-REPRESENTATIVE texts (the
+    collapse discipline: label evidence rides distinct-text volume,
+    never raw-copy volume), df is the number of qualifying clusters
+    containing the term, and N the number of qualifying clusters.
+    This is what a 100-TB dedup manifest needs to be reviewable by a
+    human: not "cluster 1234 has 8 members" but "cluster 1234 is the
+    mortgage-rate boilerplate".
+
+    Scale shape: stages 1-2 are q446's audited scale-correct chain
+    (duplication-invariant candidates, O(log d) CC rounds); the
+    labeling pass adds one explode + two map-side-combined groupBys
+    over REP texts of multi-member clusters only — a vanishing
+    fraction of the corpus. The single ln chain is shared verbatim
+    with the oracle and floored to micro units, so the per-cluster
+    top-3 (tie-broken on the term) is bit-identical. The DuckDB
+    oracle recomputes everything including the transitive closure
+    from the raw all-pairs relation."""
+    d = load_table(spark, sf_dir, "documents")
+    fam = d.select("doc_id", F.md5("text").alias("fkey"))
+    reps = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep")).persist()
+    sh = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        .persist()
+    )
+    _, cand = prefix_filter_candidates(spark, sf_dir, sh=sh)
+    av = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingles").alias("sa"), F.col("n").alias("na"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingles").alias("sb"), F.col("n").alias("nb"))
+    qp = (
+        cand.join(av, "doc_a").join(bv, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .filter(2 * F.col("inter")
+                >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select("doc_a", "doc_b")
+    )
+    edges = qp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
+        .unionByName(qp.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+    cc = connected_components(
+        reps.select(F.col("rep").alias("doc_id")), edges)
+    memb = fam.join(reps, "fkey").join(
+        cc.withColumnRenamed("doc_id", "rep"), "rep")
+    sizes = (
+        memb.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    rtoks = (
+        cc.join(sizes, "component")
+        .join(d.select(F.col("doc_id").alias("rdoc"), "text"),
+              F.col("doc_id") == F.col("rdoc"))
+        .select(
+            "component",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+    )
+    tf = rtoks.groupBy("component", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nq = sizes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(nq))
+        .withColumn(
+            "tfidf_micro",
+            F.expr("CAST(floor(1000000.0 * CAST(tf AS DOUBLE) * "
+                   "ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("component")
+            .orderBy(F.col("tfidf_micro").desc(), F.col("term").asc())
+        ),
+    )
+    out = (
+        ranked.filter(F.col("rank") <= 3)
+        .join(sizes, "component")
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            "n_members",
+            F.col("rank").cast("long").alias("rank"),
+            "term", "tf", "tfidf_micro",
+        )
+    )
+    out = materialize_local(out)
+    sh.unpersist()
+    reps.unpersist()
+    return out
+
+
+@register(
+    "q464_harmonic_token_packing",
+    oracle="""
+WITH items AS (
+  SELECT doc_id,
+         GREATEST(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+           AS n_tok
+  FROM documents
+),
+classed AS (SELECT doc_id, n_tok, 128 // n_tok AS k FROM items),
+per AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         CAST((COUNT(*) + k - 1) // k AS BIGINT) AS bins
+  FROM classed GROUP BY k
+),
+rows_ AS (
+  SELECT CAST(k AS BIGINT) AS k, n_items, sum_tokens, bins,
+         CAST((sum_tokens + 127) // 128 AS BIGINT) AS lower_bound
+  FROM per
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(SUM(n_items) AS BIGINT),
+         CAST(SUM(sum_tokens) AS BIGINT), CAST(SUM(bins) AS BIGINT),
+         CAST((SUM(sum_tokens) + 127) // 128 AS BIGINT)
+  FROM per
+)
+SELECT k, n_items, sum_tokens, bins, lower_bound,
+       CAST(sum_tokens * 1000000 // (bins * 128) AS BIGINT)
+         AS occupancy_ppm,
+       CAST(bins * 1000000 // lower_bound AS BIGINT) AS vs_lb_ppm
+FROM rows_
+""",
+    tags=("packing", "training", "layout", "audit"),
+)
+def q464_harmonic_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC size-class TOKEN PACKING audit — sequence packing for
+    a 128-token training context, done the way that parallelizes:
+    classify each document by k = floor(128 / n_tok) (the harmonic
+    algorithm's size classes, Lee & Lee JACM'85), pack class-k items
+    k per bin in closed form bins_k = ceil(n_k / k), and report per
+    class and in TOTAL (k = -1): items, token mass, bins used, the
+    fractional lower bound ceil(sum_tokens/128), bin occupancy in
+    ppm, and bins-vs-lower-bound in ppm. First-fit-decreasing packs
+    tighter but is inherently sequential over the item stream; the
+    harmonic rule is ONE map-side-combined groupBy — every statistic
+    here distributes at 100 TB, and the vs_lb_ppm column puts the
+    price of that parallelism on the record (harmonic's worst case is
+    ~1.69x the optimum; the audit shows the realized ratio). Pure
+    integer arithmetic end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    items = d.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+            F.lit(1),
+        ).cast("long").alias("n_tok"),
+    )
+    classed = items.select("n_tok", F.expr("128 DIV n_tok").alias("k"))
+    per = (
+        classed.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "bins", F.expr("CAST((n_items + k - 1) DIV k AS BIGINT)"))
+    )
+    per_rows = per.select(
+        F.col("k").cast("long").alias("k"), "n_items", "sum_tokens", "bins",
+        F.expr("CAST((sum_tokens + 127) DIV 128 AS BIGINT)")
+        .alias("lower_bound"),
+    )
+    tot = (
+        per.agg(
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("sum_tokens").cast("long").alias("sum_tokens"),
+            F.sum("bins").cast("long").alias("bins"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("k"),
+            "n_items", "sum_tokens", "bins",
+            F.expr("CAST((sum_tokens + 127) DIV 128 AS BIGINT)")
+            .alias("lower_bound"),
+        )
+    )
+    return per_rows.unionByName(tot).select(
+        "k", "n_items", "sum_tokens", "bins", "lower_bound",
+        F.expr("CAST(sum_tokens * 1000000 DIV (bins * 128) AS BIGINT)")
+        .alias("occupancy_ppm"),
+        F.expr("CAST(bins * 1000000 DIV lower_bound AS BIGINT)")
+        .alias("vs_lb_ppm"),
+    )

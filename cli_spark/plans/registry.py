@@ -112,6 +112,7 @@ def _load_all() -> None:
     import cli_spark.operators.round11  # noqa: F401
     import cli_spark.streaming.round11  # noqa: F401
     import cli_spark.operators.round12  # noqa: F401
+    import cli_spark.operators.round13  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -415,14 +416,20 @@ def _reaudit_names(slots: int) -> list[str]:
     return pool[:max(0, slots)]
 
 
-# Round 12 window plan (50 slots): the registry CLOSED in round 11
-# (every name driver-attested), so this is the first full rotating
-# re-audit round (VERDICT r11 #3): 2 round-changed (q441 oracle
-# rework, q457 guard chains) + 48 md5(name:r12) re-audit names. At
-# ~48 re-audit slots/round the full 444-name cycle re-attests in ~9
-# rounds. _FRESH_PRIORITY is empty while no never-graded names exist;
-# it resumes its role the next time a new query registers.
-_FRESH_PRIORITY: tuple[str, ...] = ()
+# Round 12 window plan (50 slots): 2 round-changed (q441 oracle
+# rework, q457 guard chains) + 5 fresh round-13-queue queries built
+# this round (q460–q464 — the PLANS.md round-13 prep candidates,
+# landed early) + 43 md5(name:r12) re-audit names from the closed
+# 444-name registry (VERDICT r11 #3's first rotating re-audit
+# window). At ~43 re-audit slots/round the full cycle re-attests in
+# ~10 rounds.
+_FRESH_PRIORITY: tuple[str, ...] = (
+    "q460_repeated_kmer_census",
+    "q461_histogram_quantile_drift",
+    "q462_theta_sketch_intersection",
+    "q463_cluster_tfidf_labels",
+    "q464_harmonic_token_packing",
+)
 
 
 def _ordered_specs() -> list[QuerySpec]:
