@@ -1,0 +1,112 @@
+"""Semantic invariants for the round-13 queue operators (properties
+both engines could get wrong together — the parity gate can't see
+them)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cli_spark.operators.round13 import (
+    q460_repeated_kmer_census,
+    q461_histogram_quantile_drift,
+    q462_theta_sketch_intersection,
+    q463_cluster_tfidf_labels,
+    q464_harmonic_token_packing,
+)
+
+
+def test_kmer_census_level_monotonicity(spark, sf_dir):
+    rows = sorted(q460_repeated_kmer_census(spark, sf_dir).collect(),
+                  key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [1, 2, 4, 8, 16, 32, 64]
+    for r in rows:
+        # repeated keys are a subset of distinct keys; their windows a
+        # subset of all windows; multiplicity consistent with repeats
+        assert 0 <= r["n_repeated"] <= r["n_distinct"] <= r["n_windows"]
+        assert r["repeated_windows"] <= r["n_windows"]
+        if r["n_repeated"] > 0:
+            assert r["max_multiplicity"] >= 2
+            assert r["repeated_windows"] >= 2 * r["n_repeated"]
+    # doubling k can only shrink the window count (fewer valid starts)
+    # and the count of repeated-window mass (a repeated 2k-gram forces
+    # repeated k-grams at both halves, not vice versa)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_windows"] <= a["n_windows"]
+        assert b["max_multiplicity"] <= a["max_multiplicity"]
+
+
+def test_kmer_census_matches_direct_substring_count(spark, sf_dir):
+    """Independent probe: the k=8 census row equals a direct DuckDB
+    substring census (not via the registered oracle text)."""
+    rows = {r["k"]: r for r in q460_repeated_kmer_census(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    nd, nw = con.execute(
+        f"""
+        SELECT CAST(COUNT(DISTINCT s) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM (
+          SELECT substr(text, p, 8) AS s
+          FROM (SELECT text, unnest(generate_series(1, len(text))) AS p
+                FROM read_parquet('{sf_dir}/documents.parquet'))
+          WHERE p + 7 <= len(text)
+        )
+        """
+    ).fetchone()
+    assert rows[8]["n_distinct"] == nd
+    assert rows[8]["n_windows"] == nw
+
+
+def test_histogram_quantile_within_sketch_error_bound(spark, sf_dir):
+    rows = q461_histogram_quantile_drift(spark, sf_dir).collect()
+    assert {r["q"] for r in rows} == {50, 90, 99}
+    for r in rows:
+        # estimate is the midpoint of a 1/64-range bucket containing
+        # the exact rank value -> error under one bucket width
+        # (1/64 of range ~ 15625 ppm) plus integer-floor slack on
+        # narrow ranges; 2% of range is a safe ceiling
+        assert r["drift_ppm"] <= 20_000, r
+        assert r["n"] > 0
+
+
+def test_theta_sketch_pairs_complete(spark, sf_dir):
+    rows = q462_theta_sketch_intersection(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_inter"] >= 0 and r["est_inter"] >= 0
+        assert r["err_ppm"] >= 0
+    # every unordered pair exactly once
+    pairs = {(r["s1"], r["s2"]) for r in rows}
+    assert len(pairs) == len(rows)
+    assert all(s1 < s2 for s1, s2 in pairs)
+
+
+def test_cluster_labels_ranked_and_sized(spark, sf_dir):
+    rows = q463_cluster_tfidf_labels(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["tf"] >= 1
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for rs in by_cluster.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r["tfidf_micro"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_harmonic_packing_accounting(spark, sf_dir):
+    rows = q464_harmonic_token_packing(spark, sf_dir).collect()
+    per = [r for r in rows if r["k"] != -1]
+    tot = [r for r in rows if r["k"] == -1]
+    assert len(tot) == 1 and per
+    t = tot[0]
+    assert t["n_items"] == sum(r["n_items"] for r in per)
+    assert t["bins"] == sum(r["bins"] for r in per)
+    assert t["sum_tokens"] == sum(r["sum_tokens"] for r in per)
+    for r in per:
+        # class-k bins hold exactly k items each (last one partial)
+        assert (r["n_items"] + r["k"] - 1) // r["k"] == r["bins"]
+        assert 0 < r["occupancy_ppm"] <= 1_000_000
+    # packing can never beat the fractional lower bound
+    assert t["bins"] >= t["lower_bound"]
+    assert t["vs_lb_ppm"] >= 1_000_000
