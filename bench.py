@@ -123,10 +123,24 @@ PROMOTED33_QUERIES = [
     "q453_dropdup_within_watermark",  # ~40 TRUE micro-batches, ddww
 ]
 
+# Round-12 late promotion (BASELINE.md v9): the prefix-doubling k-mer
+# census is the only round-13-queue query over the 2 s bar; summed
+# into `value_34class`.
+PROMOTED34_QUERIES = [
+    "q460_repeated_kmer_census",      # binary-lift rank joins, 7 levels
+]
+
 # Additions tracked report-only (the VERDICT r5 #7 pattern: reported
 # in queries{} for a round or two, then promoted with declared
-# baselines once they carry two measured sessions).
-REPORTED_QUERIES: list = []
+# baselines once they carry two measured sessions). The round-13
+# queue's sub-2 s queries (measured min-of-5 on a quiet box,
+# BASELINE.md v9 report table).
+REPORTED_QUERIES: list = [
+    "q461_histogram_quantile_drift",  # mergeable 64-bucket histogram
+    "q462_theta_sketch_intersection", # bottom-64 theta sketches
+    "q463_cluster_tfidf_labels",      # rides q446's cluster cache
+    "q464_harmonic_token_packing",    # closed-form size-class packing
+]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
@@ -203,6 +217,8 @@ def main() -> None:
     total_31 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED33_QUERIES})
     total_33 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED34_QUERIES})
+    total_34 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -219,6 +235,7 @@ def main() -> None:
         "value_30class": total_30,
         "value_31class": total_31,
         "value_33class": total_33,
+        "value_34class": total_34,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,

@@ -16,9 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cli_spark.operators.dedup import _SQL_SHINGLES, prefix_filter_candidates, shingles_df
-from cli_spark.operators.graph import connected_components
-from cli_spark.operators.round11 import _H60_DUCK, _H60_SPARK, _TWO60
+from cli_spark.operators.dedup import _SQL_SHINGLES
+from cli_spark.operators.round11 import (
+    _H60_DUCK,
+    _H60_SPARK,
+    _TWO60,
+    exact_family_clusters,
+)
 from cli_spark.plans.registry import register
 from cli_spark.session import materialize_local
 from cli_spark.tables import load_table
@@ -62,24 +66,46 @@ def q460_repeated_kmer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest repeated substring to [k, 2k) — the dedup/plagiarism
     primitive behind suffix-array fingerprinting.
 
-    The engine NEVER shuffles substring text beyond single
-    characters: level k's equality key for the window starting at p
-    is the PAIR (key_k(p), key_k(p+k)) of level-k/2 keys — a binary
-    lift — renumbered to a dense long id per level by
-    groupBy(pair) -> min(global position id). Every shuffle therefore
-    carries fixed-width longs regardless of k (at k = 64 a direct
-    substring groupBy would shuffle 64x the corpus bytes; the lift
-    shuffles 3 longs per position). Each level is materialized with
-    an EAGER localCheckpoint before the next is built — without the
-    lineage truncation the level-j plan embeds 2^j copies of the base
-    scan (the a/b self-join doubles it every doubling step) and plan
-    compilation alone OOMs the driver by level 5; with it, per-level
-    state is the iterative-state discipline of connected_components.
-    The DuckDB oracle computes the same census DIRECTLY from substr()
-    windows, so the hash match is an empirical proof of the lift's
-    equivalence-class correctness at every level."""
+    Shuffle-width discipline: an ASCII k-gram of k <= 8 chars is at
+    most 8 bytes — the width of a long — so levels 1/2/4 are censused
+    DIRECTLY by a map-side-combined groupBy on the substring
+    (shuffle-optimal already; a lift would only add exchanges). The
+    iterative machinery starts where it pays: level 8's groups are
+    renumbered to dense long keys (groupBy(s8) -> min global position
+    id + count), and levels 16/32/64 lift those: the equality key for
+    the window starting at p is the PAIR (key_k(p), key_k(p+k)) of
+    level-k keys, fetched by a (doc_id, p+k) shift join. Pair
+    renumbering is a map-side-combined aggregate, deliberately NOT a
+    pair-partitioned window: hot grams would pile one window
+    partition per hot key.
+
+    The lift iterates over REPEATED-group members ONLY — a window in
+    a singleton group can never be half of a repeated longer window,
+    so positions whose group count is 1 are pruned from the state
+    after every level (the connected_components discipline of
+    iterating only rows that can still change). The pruned stats are
+    recovered in closed form: n_windows(k) = sum(max(0, len-k+1))
+    straight off the document lengths, and n_distinct = n_windows -
+    repeated_windows + n_repeated. On real corpora the repeated mass
+    shrinks geometrically with k (here: 100% of 8-gram windows ->
+    9% of 32-gram windows), so per-level state collapses the way CC's
+    edge frontier does — the property that makes this viable at
+    100 TB, where positions outnumber documents 300:1. Each level's
+    census is a free scan of the checkpointed state (a row represents
+    its group iff gid == key), and every lift shuffle carries 4
+    fixed-width longs per position regardless of k (a direct k = 64
+    substring groupBy would shuffle 8x more bytes per row and could
+    not prune at all). Each level is materialized with an EAGER
+    localCheckpoint before the next is built — without the lineage
+    truncation the level-j plan embeds 2^j copies of the base scan
+    (the pairs/agg-of-pairs join doubles it every doubling step) and
+    plan compilation alone OOMs the driver by level 5. The DuckDB
+    oracle computes the same census DIRECTLY from substr() windows at
+    every k (no pruning, no closed forms), so the hash match is an
+    empirical proof of both the lift's equivalence classes and the
+    pruning algebra."""
     d = load_table(spark, sf_dir, "documents")
-    base = (
+    pos = (
         d.select(
             "doc_id", "text",
             F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
@@ -87,51 +113,99 @@ def q460_repeated_kmer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "p",
             (F.col("doc_id") * 1024 + F.col("p")).alias("gid"),
-            F.expr("substr(text, p, 1)").alias("ch"),
+            F.expr("substr(text, p, 8)").alias("s8"),
         )
+        .persist()
     )
-    km = base.groupBy("ch").agg(F.min("gid").alias("key"))
+
+    def census_groups(groups: DataFrame, k: int) -> DataFrame:
+        """Lazy 1-row census from an unpruned (group, c) relation."""
+        return groups.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.sum("c").cast("long").alias("n_windows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_repeated"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("long").alias("repeated_windows"),
+            F.max("c").cast("long").alias("max_multiplicity"),
+        )
+
+    # Closed-form total window counts per level (one tiny scan of the
+    # doc lengths) — the pruned lift state can no longer count them.
+    nw_row = d.agg(*[
+        F.sum(F.greatest(F.length("text") - F.lit(kk - 1), F.lit(0)))
+        .cast("long").alias(f"w{kk}")
+        for kk in _KMER_LEVELS
+    ]).collect()[0]
+    nw = {kk: (nw_row[f"w{kk}"] or 0) for kk in _KMER_LEVELS}
+
+    def census_pruned(state: DataFrame, k: int) -> DataFrame:
+        """Lazy 1-row census from a repeated-members-only position
+        relation plus the closed-form total (free scan of the
+        checkpointed state: a row represents its group iff
+        gid == key)."""
+        return state.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(nw[k]).cast("long").alias("n_windows"),
+            (F.lit(nw[k])
+             - F.count(F.lit(1))
+             + F.coalesce(
+                 F.sum(F.when(F.col("gid") == F.col("key"), 1).otherwise(0)),
+                 F.lit(0)))
+            .cast("long").alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.when(F.col("gid") == F.col("key"), 1).otherwise(0)),
+                F.lit(0)).cast("long").alias("n_repeated"),
+            F.count(F.lit(1)).cast("long").alias("repeated_windows"),
+            F.coalesce(F.max("c"), F.lit(1))
+            .cast("long").alias("max_multiplicity"),
+        )
+
+    censuses = []
+    for k in (1, 2, 4):
+        g = (
+            pos.filter(F.length("s8") >= k)
+            .groupBy(F.expr(f"substr(s8, 1, {k})").alias("s"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        censuses.append(census_groups(g, k))
+    full8 = pos.filter(F.length("s8") == 8)
+    k8 = full8.groupBy("s8").agg(
+        F.min("gid").alias("key"), F.count(F.lit(1)).alias("c"))
     cur = (
-        base.join(km, "ch").select("doc_id", "p", "gid", "key")
+        full8.join(k8.filter(F.col("c") >= 2), "s8")
+        .select("doc_id", "p", "gid", "key", "c")
         .localCheckpoint(eager=True)
     )
-
-    def census(level: DataFrame, k: int):
-        row = (
-            level.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
-            .agg(
-                F.sum("c").cast("long").alias("n_windows"),
-                F.count(F.lit(1)).cast("long").alias("n_distinct"),
-                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
-                .cast("long").alias("n_repeated"),
-                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
-                .cast("long").alias("repeated_windows"),
-                F.max("c").cast("long").alias("max_multiplicity"),
-            )
-            .collect()[0]
-        )
-        return (k, row[0], row[1], row[2], row[3], row[4])
-
-    rows = [census(cur, 1)]
-    k = 1
-    for next_k in _KMER_LEVELS[1:]:
+    censuses.append(census_pruned(cur, 8))
+    k = 8
+    for next_k in (16, 32, 64):
         a = cur.select("doc_id", "p", "gid", F.col("key").alias("k1"))
         b = cur.select(
             "doc_id", (F.col("p") - k).alias("p"), F.col("key").alias("k2"))
         pairs = a.join(b, ["doc_id", "p"])
-        nk = pairs.groupBy("k1", "k2").agg(F.min("gid").alias("key"))
+        nk = pairs.groupBy("k1", "k2").agg(
+            F.min("gid").alias("key"), F.count(F.lit(1)).alias("c"))
         new = (
-            pairs.join(nk, ["k1", "k2"])
-            .select("doc_id", "p", "gid", "key")
+            pairs.join(nk.filter(F.col("c") >= 2), ["k1", "k2"])
+            .select("doc_id", "p", "gid", "key", "c")
             .localCheckpoint(eager=True)
         )
-        rows.append(census(new, next_k))
+        censuses.append(census_pruned(new, next_k))
         cur, k = new, next_k
-    return spark.createDataFrame(
-        rows,
-        "k long, n_windows long, n_distinct long, n_repeated long, "
-        "repeated_windows long, max_multiplicity long",
-    )
+    result = censuses[0]
+    for c in censuses[1:]:
+        result = result.unionByName(c)
+    # one action computes all seven censuses (each a cheap scan of a
+    # cached/checkpointed relation); zero-window levels are omitted to
+    # mirror the oracle's GROUP BY. (A persist+count materialization
+    # WITH AQE was measured slower here — 15.5 s vs 12.2 s warm at
+    # sf0.1: the checkpoint's pinned low-partition layout beats AQE's
+    # 32-partition shuffles at this state size.)
+    out = materialize_local(result.filter(F.col("n_windows") > 0))
+    pos.unpersist()
+    return out
 
 
 @register(
@@ -550,32 +624,9 @@ def q463_cluster_tfidf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes everything including the transitive closure
     from the raw all-pairs relation."""
     d = load_table(spark, sf_dir, "documents")
-    fam = d.select("doc_id", F.md5("text").alias("fkey"))
-    reps = fam.groupBy("fkey").agg(F.min("doc_id").alias("rep")).persist()
-    sh = (
-        shingles_df(spark, sf_dir, fanout=True)
-        .join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles", F.size("shingles").alias("n"))
-        .persist()
-    )
-    _, cand = prefix_filter_candidates(spark, sf_dir, sh=sh)
-    av = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingles").alias("sa"), F.col("n").alias("na"))
-    bv = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("shingles").alias("sb"), F.col("n").alias("nb"))
-    qp = (
-        cand.join(av, "doc_a").join(bv, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .filter(2 * F.col("inter")
-                >= F.col("na") + F.col("nb") - F.col("inter"))
-        .select("doc_a", "doc_b")
-    )
-    edges = qp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
-        .unionByName(qp.select(F.col("doc_b").alias("src"),
-                               F.col("doc_a").alias("dst")))
-    cc = connected_components(
-        reps.select(F.col("rep").alias("doc_id")), edges)
+    # Stages 1-2 from the exact_family_clusters single-slot cache
+    # shared with q446 (the chain is both queries' dominant cost).
+    fam, reps, cc = exact_family_clusters(spark, sf_dir)
     memb = fam.join(reps, "fkey").join(
         cc.withColumnRenamed("doc_id", "rep"), "rep")
     sizes = (
@@ -614,7 +665,7 @@ def q463_cluster_tfidf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("tfidf_micro").desc(), F.col("term").asc())
         ),
     )
-    out = (
+    return (
         ranked.filter(F.col("rank") <= 3)
         .join(sizes, "component")
         .select(
@@ -624,10 +675,6 @@ def q463_cluster_tfidf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term", "tf", "tfidf_micro",
         )
     )
-    out = materialize_local(out)
-    sh.unpersist()
-    reps.unpersist()
-    return out
 
 
 @register(

@@ -391,8 +391,13 @@ _ROUND_CHANGED: tuple[str, ...] = (
     # but Spark wraps) — both re-earn driver rows.
     # (q290's materialize_local+unpersist is result-identical resource
     # lifecycle — no slot, same as q437/q439 in r11.)
+    # q446's stages 1-2 now come from the exact_family_clusters
+    # single-slot cache shared with the new q463 (results identical,
+    # but the execution changed materially — the q290-fuse precedent
+    # says a plan-changing edit takes a fresh driver row).
     "q441_jl_projection_audit",
     "q457_cuped_adjustment",
+    "q446_dedup_pipeline_flagship",
 )
 
 
