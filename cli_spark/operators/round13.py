@@ -769,3 +769,152 @@ def q464_harmonic_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(bins * 1000000 DIV lower_bound AS BIGINT)")
         .alias("vs_lb_ppm"),
     )
+
+
+# HLL estimate chains, shared verbatim between engines. The register
+# sum is kept EXACT in integers: each register M contributes
+# 2^(55 - M) (a BIGINT; M <= 55), so sum(2^-M) = reg_sum / 2^55 with
+# no float addition anywhere — a 64-term float sum of powers of two
+# spans > 53 bits of precision and could round differently under
+# reordering, which would break the cross-engine hash compare.
+# (Literals are CAST to DOUBLE explicitly: DuckDB types a bare
+# decimal literal as DECIMAL, and DECIMAL*DECIMAL*DECIMAL overflows
+# at 2^55 scale where the double product is exact.)
+_HLL_RAW = (
+    "CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * "
+    "CAST(36028797018963968 AS DOUBLE) / CAST(reg_sum AS DOUBLE)) "
+    "AS BIGINT)"
+)
+_HLL_SMALL = (
+    "CAST(floor(CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / "
+    "CAST(zeros AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "q465_hll_register_sketch",
+    oracle=f"""
+WITH shall AS ({_SQL_SHINGLES}),
+toks AS (
+  SELECT DISTINCT d.source, {_H60_DUCK.format(key='u.t')} AS h
+  FROM shall s
+  JOIN documents d USING (doc_id), unnest(s.shingles) AS u(t)
+),
+pools AS (
+  SELECT source, h FROM toks
+  UNION ALL
+  SELECT '__union__' AS source, h FROM (SELECT DISTINCT h FROM toks)
+),
+rhos AS (
+  SELECT source, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(bin(h // 64)) END AS rho
+  FROM pools
+),
+regs AS (
+  SELECT source, bucket, MAX(rho) AS m FROM rhos GROUP BY source, bucket
+),
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(CAST(power(2.0, 55 - m) AS BIGINT))
+              + (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS reg_sum
+  FROM regs GROUP BY source
+),
+ex AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM pools GROUP BY source
+),
+est AS (
+  SELECT p.source, e.exact_distinct,
+         CAST(64 - p.nb AS BIGINT) AS zeros,
+         {_HLL_RAW} AS raw_est
+  FROM per p JOIN ex e ON e.source = p.source
+),
+fin AS (
+  SELECT source, exact_distinct, zeros,
+         CASE WHEN raw_est <= 160 AND zeros > 0
+              THEN {_HLL_SMALL} ELSE raw_est END AS hll_estimate
+  FROM est
+)
+SELECT source, exact_distinct, zeros, hll_estimate,
+       CAST(abs(hll_estimate - exact_distinct) * 1000000
+            // exact_distinct AS BIGINT) AS err_ppm
+FROM fin
+""",
+    tags=("sketch", "hll", "distinct", "mergeable"),
+)
+def q465_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG distinct-count sketch (Flajolet et al. 2007) over
+    per-source SHINGLE-hash pools (word 3-grams — the corpus
+    vocabulary is ~31 tokens, far below m = 64 registers, while the
+    shingle space runs ~1.2-1.5k per source: the regime where HLL's
+    raw estimator actually operates) — the register-based counterpart of
+    q449's KMV bottom-k and q462's theta intersections, completing
+    the mergeable-sketch set: bucket = h mod 64, rho = leading-zero
+    rank of the remaining 54 bits, register = max rho per bucket,
+    estimate = alpha_64 * m^2 / sum(2^-M_j) with Flajolet's
+    small-range correction m*ln(m/zeros) when the raw estimate is
+    under 2.5m and empty registers remain. The '__union__' row is the
+    merge property on display: HLL sketches of disjoint scans combine
+    by REGISTER-WISE MAX (computed here over the merged hash pool,
+    which is algebraically identical), so 64 bytes per source is all
+    a 1000-executor cluster ships to count distinct tokens corpus-
+    wide. Exact distinct and realized err_ppm ride along, making the
+    ~1.04/sqrt(64) = 13% accuracy contract auditable in-result.
+
+    Determinism: the register sum is EXACT INTEGER arithmetic — each
+    register contributes 2^(55 - M) as a BIGINT, so sum(2^-M) =
+    reg_sum / 2^55 without a single float addition (a 64-term float
+    sum of powers of two spans more than 53 bits and could round
+    differently under Spark's unordered aggregation); the only float
+    steps are the two shared division/ln chains, floored to BIGINT.
+    Engine shape: one distinct (source, hash) reduction, one
+    map-side-combined max per (source, bucket), one 64-row-per-source
+    aggregate — every stage mergeable, nothing driver-side."""
+    from cli_spark.operators.dedup import shingles_df
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shingles").alias("t"))
+        .select("source", F.expr(_H60_SPARK.format(key="t")).alias("h"))
+        .distinct()
+    )
+    pools = toks.unionByName(
+        toks.select(F.lit("__union__").alias("source"), "h").distinct())
+    rhos = pools.select(
+        "source",
+        F.expr("h % 64").alias("bucket"),
+        F.expr("CASE WHEN h DIV 64 = 0 THEN 55 "
+               "ELSE 55 - length(bin(h DIV 64)) END").alias("rho"),
+    )
+    regs = rhos.groupBy("source", "bucket").agg(F.max("rho").alias("m"))
+    per = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.expr("CAST(SUM(CAST(power(2.0, 55 - m) AS BIGINT)) "
+               "+ (64 - COUNT(*)) * 36028797018963968 AS BIGINT)")
+        .alias("reg_sum"),
+    )
+    ex = pools.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    est = (
+        per.join(ex, "source")
+        .select(
+            "source", "exact_distinct",
+            (F.lit(64) - F.col("nb")).cast("long").alias("zeros"),
+            F.expr(_HLL_RAW).alias("raw_est"),
+        )
+    )
+    fin = est.select(
+        "source", "exact_distinct", "zeros",
+        F.when((F.col("raw_est") <= 160) & (F.col("zeros") > 0),
+               F.expr(_HLL_SMALL)).otherwise(F.col("raw_est"))
+        .alias("hll_estimate"),
+    )
+    return fin.withColumn(
+        "err_ppm",
+        F.expr("CAST(abs(hll_estimate - exact_distinct) * 1000000 "
+               "DIV exact_distinct AS BIGINT)"),
+    )

@@ -421,19 +421,21 @@ def _reaudit_names(slots: int) -> list[str]:
     return pool[:max(0, slots)]
 
 
-# Round 12 window plan (50 slots): 2 round-changed (q441 oracle
-# rework, q457 guard chains) + 5 fresh round-13-queue queries built
-# this round (q460–q464 — the PLANS.md round-13 prep candidates,
-# landed early) + 43 md5(name:r12) re-audit names from the closed
-# 444-name registry (VERDICT r11 #3's first rotating re-audit
-# window). At ~43 re-audit slots/round the full cycle re-attests in
-# ~10 rounds.
+# Round 12 window plan (50 slots): 3 round-changed (q441 oracle
+# rework, q457 guard chains, q446 cluster-cache plan change) + 6
+# fresh queries built this round (q460–q464 — the PLANS.md round-13
+# prep candidates, landed early — plus q465 HLL, completing the
+# mergeable-sketch set) + 41 md5(name:r12) re-audit names from the
+# closed 444-name registry (VERDICT r11 #3's first rotating re-audit
+# window). At ~41 re-audit slots/round the full cycle re-attests in
+# ~11 rounds.
 _FRESH_PRIORITY: tuple[str, ...] = (
     "q460_repeated_kmer_census",
     "q461_histogram_quantile_drift",
     "q462_theta_sketch_intersection",
     "q463_cluster_tfidf_labels",
     "q464_harmonic_token_packing",
+    "q465_hll_register_sketch",
 )
 
 

@@ -12,6 +12,7 @@ from cli_spark.operators.round13 import (
     q462_theta_sketch_intersection,
     q463_cluster_tfidf_labels,
     q464_harmonic_token_packing,
+    q465_hll_register_sketch,
 )
 
 
@@ -110,3 +111,20 @@ def test_harmonic_packing_accounting(spark, sf_dir):
     # packing can never beat the fractional lower bound
     assert t["bins"] >= t["lower_bound"]
     assert t["vs_lb_ppm"] >= 1_000_000
+
+
+def test_hll_registers_and_union_bounds(spark, sf_dir):
+    rows = q465_hll_register_sketch(spark, sf_dir).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert "__union__" in by_src
+    u = by_src["__union__"]
+    parts = [r for r in rows if r["source"] != "__union__"]
+    assert parts
+    for r in rows:
+        assert 0 <= r["zeros"] <= 63  # at least one register is set
+        assert r["hll_estimate"] > 0
+        # realized error within ~5x the 1.04/sqrt(64) = 13% contract
+        # (64 registers, one draw — generous but catches blowups)
+        assert r["err_ppm"] <= 650_000, r
+    # union exact >= any part exact; union estimate reflects that scale
+    assert u["exact_distinct"] >= max(r["exact_distinct"] for r in parts)
