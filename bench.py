@@ -140,6 +140,10 @@ REPORTED_QUERIES: list = [
     "q462_theta_sketch_intersection", # bottom-64 theta sketches
     "q463_cluster_tfidf_labels",      # rides q446's cluster cache
     "q464_harmonic_token_packing",    # closed-form size-class packing
+    "q465_hll_register_sketch",       # 64 HLL registers, integer sums
+    "q466_family_split_leakage",      # near-dup contamination audit
+    "q467_rrf_hybrid_retrieval",      # lexical+dense rank fusion
+    "q468_blocked_fuzzy_join",        # minhash blocks + levenshtein
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

@@ -31,6 +31,44 @@ from cli_spark.tables import load_table
 _KMER_LEVELS = (1, 2, 4, 8, 16, 32, 64)
 
 
+# Single-slot per-session cache for the (doc_id, source, h) shingle-
+# hash incidence relation — the shared base of the sketch family
+# (q462 theta, q465 HLL) and fuzzy blocking (q468). The per-doc
+# shingle expression (split + transform + array_distinct) plus ~1M
+# md5 hashes is the dominant cost of all three; without the slot each
+# invocation re-shingles the corpus (measured ~9-11 s warm each at
+# sf0.1 — with it, the pool is built once per session/dataset). Same
+# pattern and eviction rule as exact_family_clusters / _FAMILY_CACHE.
+_POOL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shingle_hash_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h): one row per (document, distinct word
+    3-gram), h = the 60-bit md5 hash idiom."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _POOL_CACHE:
+        return _POOL_CACHE[key]
+    from cli_spark.operators.dedup import shingles_df
+
+    d = load_table(spark, sf_dir, "documents")
+    pool = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.explode("shingles").alias("t"))
+        .select("doc_id", "source",
+                F.expr(_H60_SPARK.format(key="t")).alias("h"))
+        .persist()
+    )
+    pool.count()
+    for stale in [k for k in _POOL_CACHE if k != key]:
+        try:
+            _POOL_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass  # entry may belong to an already-stopped session
+    _POOL_CACHE[key] = pool
+    return pool
+
+
 @register(
     "q460_repeated_kmer_census",
     oracle="""
@@ -347,14 +385,11 @@ def q461_histogram_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "q462_theta_sketch_intersection",
     oracle=f"""
-WITH toks AS (
-  SELECT DISTINCT source, {_H60_DUCK.format(key='t')} AS h
-  FROM (
-    SELECT source,
-           unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
-             AS t
-    FROM documents
-  )
+WITH shall AS ({_SQL_SHINGLES}),
+toks AS (
+  SELECT DISTINCT d.source, {_H60_DUCK.format(key='u.t')} AS h
+  FROM shall s
+  JOIN documents d USING (doc_id), unnest(s.shingles) AS u(t)
 ),
 sk AS (
   SELECT source, h
@@ -418,14 +453,18 @@ FROM est
 def q462_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THETA-SKETCH set-expression estimates (the q449 KMV bottom-k
     extended to A-intersect-B): for every pair of sources, merge the
-    two bottom-64 token-hash sketches, set theta = the 64th smallest
-    hash of the union, and estimate |A n B| as (common sketch hashes
-    below theta) * 2^60 / theta — the standard theta-sketch
-    intersection rule (the composable form of KMV). Pairs whose
-    merged sketch holds fewer than 64 hashes fall back to theta =
-    2^60, which makes the estimate EXACT (the sketch IS the union).
-    Each row carries the exact intersection and the realized error in
-    ppm, so the ~1/sqrt(64) accuracy contract is auditable in-result.
+    two bottom-64 SHINGLE-hash sketches (word 3-grams — the token
+    vocabulary is ~31 words, under the sketch size, which would pin
+    every pair to the exact fallback; the ~1.2-1.5k shingles per
+    source put the estimator in its sampling regime), set theta = the
+    64th smallest hash of the union, and estimate |A n B| as (common
+    sketch hashes below theta) * 2^60 / theta — the standard
+    theta-sketch intersection rule (the composable form of KMV).
+    Pairs whose merged sketch holds fewer than 64 hashes fall back to
+    theta = 2^60, which makes the estimate EXACT (the sketch IS the
+    union). Each row carries the exact intersection and the realized
+    error in ppm, so the ~1/sqrt(64) accuracy contract is auditable
+    in-result.
 
     Why this is the 100-TB set-overlap tool: per-source sketches are
     64 longs REGARDLESS of corpus size, build with one distinct +
@@ -434,17 +473,21 @@ def q462_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFram
     The exact side (full pool self-join on hash) exists purely as the
     audit baseline. Union/theta/below-theta counting is the identical
     integer chain in both engines; the single float step (the 2^60 /
-    theta scale) is one shared IEEE chain floored to a BIGINT."""
-    d = load_table(spark, sf_dir, "documents")
+    theta scale) is one shared IEEE chain floored to a BIGINT.
+
+    The distinct (source, hash) pool feeds five consumers (sketch,
+    both union arms, both exact-join sides), so it is persisted for
+    the invocation (derived from the shared shingle_hash_pool slot —
+    the per-doc shingle expression is the dominant cost of the whole
+    sketch family) and released after the 190-row result is
+    materialized locally — without the caches the plan re-reads and
+    re-shingles the documents scan eight times (seen in the formatted
+    plan during the round-12 audit)."""
     toks = (
-        d.select(
-            "source",
-            F.explode(
-                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-            ).alias("t"),
-        )
-        .select("source", F.expr(_H60_SPARK.format(key="t")).alias("h"))
+        shingle_hash_pool(spark, sf_dir)
+        .select("source", "h")
         .distinct()
+        .persist()
     )
     sk = (
         toks.select(
@@ -515,11 +558,15 @@ def q462_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFram
                    "CAST(theta AS DOUBLE)) AS BIGINT)").alias("est_inter"),
         )
     )
-    return est.withColumn(
-        "err_ppm",
-        F.expr("CAST(abs(est_inter - exact_inter) * 1000000 "
-               "DIV GREATEST(exact_inter, 1) AS BIGINT)"),
+    out = materialize_local(
+        est.withColumn(
+            "err_ppm",
+            F.expr("CAST(abs(est_inter - exact_inter) * 1000000 "
+                   "DIV GREATEST(exact_inter, 1) AS BIGINT)"),
+        )
     )
+    toks.unpersist()
+    return out
 
 
 @register(
@@ -872,14 +919,9 @@ def q465_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine shape: one distinct (source, hash) reduction, one
     map-side-combined max per (source, bucket), one 64-row-per-source
     aggregate — every stage mergeable, nothing driver-side."""
-    from cli_spark.operators.dedup import shingles_df
-
-    d = load_table(spark, sf_dir, "documents")
     toks = (
-        shingles_df(spark, sf_dir, fanout=True)
-        .join(d.select("doc_id", "source"), "doc_id")
-        .select("source", F.explode("shingles").alias("t"))
-        .select("source", F.expr(_H60_SPARK.format(key="t")).alias("h"))
+        shingle_hash_pool(spark, sf_dir)
+        .select("source", "h")
         .distinct()
     )
     pools = toks.unionByName(
@@ -917,4 +959,389 @@ def q465_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_ppm",
         F.expr("CAST(abs(hll_estimate - exact_distinct) * 1000000 "
                "DIV exact_distinct AS BIGINT)"),
+    )
+
+
+@register(
+    "q466_family_split_leakage",
+    oracle=f"""
+WITH RECURSIVE fam AS (
+  SELECT doc_id, md5(text) AS fkey FROM documents
+),
+st AS (SELECT fkey, MIN(doc_id) AS rep FROM fam GROUP BY fkey),
+shall AS ({_SQL_SHINGLES}),
+sz AS (
+  SELECT s.doc_id, s.shingles, len(s.shingles) AS n
+  FROM shall s JOIN st ON st.rep = s.doc_id
+  WHERE len(s.shingles) > 0
+),
+exx AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+qp AS (
+  SELECT p.da, p.db
+  FROM pr p
+  JOIN sz sa ON sa.doc_id = p.da
+  JOIN sz sb ON sb.doc_id = p.db
+  WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM qp
+  UNION ALL SELECT db, da FROM qp
+),
+reach(node, r) AS (
+  SELECT rep, rep FROM st
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+cc AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+memb AS (
+  SELECT f.doc_id, c.comp,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(f.doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 10 < 8
+              THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(f.doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 10 = 8
+              THEN 'val' ELSE 'test' END AS split
+  FROM fam f JOIN st ON st.fkey = f.fkey JOIN cc c ON c.node = st.rep
+),
+cs AS (SELECT DISTINCT comp, split FROM memb),
+pairs AS (
+  SELECT a.comp, a.split AS s1, b.split AS s2
+  FROM cs a JOIN cs b ON a.comp = b.comp AND a.split < b.split
+),
+leaky AS (
+  SELECT s1, s2, comp FROM pairs
+),
+per AS (
+  SELECT l.s1, l.s2,
+         CAST(COUNT(DISTINCT l.comp) AS BIGINT) AS n_straddling_clusters,
+         CAST(COUNT(*) AS BIGINT) AS n_leaked_docs
+  FROM leaky l
+  JOIN memb m ON m.comp = l.comp AND m.split IN (l.s1, l.s2)
+  GROUP BY l.s1, l.s2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT p.s1, p.s2, p.n_straddling_clusters, p.n_leaked_docs,
+       CAST(p.n_leaked_docs * 1000000 // t.n_docs AS BIGINT) AS leak_ppm
+FROM per p CROSS JOIN tot t
+""",
+    tags=("dedup", "split", "contamination", "audit"),
+)
+def q466_family_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP SPLIT-LEAKAGE audit — the contamination check q324's
+    group-kfold cannot see: a deterministic md5(doc_id) 80/10/10
+    train/val/test assignment is scored against q446's near-dup
+    clusters, and every cluster with members in two different splits
+    is TEST-SET LEAKAGE (a near-duplicate of a training document
+    sitting in eval — the failure mode behind inflated benchmark
+    numbers that naive random splits guarantee on undeduplicated
+    corpora; Lee et al. 2022's core argument). Per split pair:
+    straddling clusters, documents involved, and leak_ppm of the
+    corpus. The fix this audit motivates is splitting BY CLUSTER, and
+    the correct target reading is zero rows only when splits are
+    cluster-atomic.
+
+    Engine shape: the cluster chain comes from the
+    exact_family_clusters single-slot cache (shared with q446/q463 —
+    one materialization per session/dataset); the audit itself is one
+    DISTINCT (cluster, split) reduction, a within-cluster split-pair
+    join on the cluster key, and one membership count — every stage
+    keyed and map-side combinable. Split assignment is the md5 idiom
+    (q105/q450): bit-identical in both engines, no RNG."""
+    d = load_table(spark, sf_dir, "documents")
+    fam, reps, cc = exact_family_clusters(spark, sf_dir)
+    split = F.expr(
+        "CASE WHEN " + _H60_SPARK.format(key="doc_id") + " % 10 < 8 "
+        "THEN 'train' WHEN " + _H60_SPARK.format(key="doc_id")
+        + " % 10 = 8 THEN 'val' ELSE 'test' END")
+    memb = (
+        fam.join(reps, "fkey")
+        .join(cc.withColumnRenamed("doc_id", "rep"), "rep")
+        .select("doc_id", "component", split.alias("split"))
+    )
+    cs = memb.select("component", "split").distinct()
+    pairs = (
+        cs.select("component", F.col("split").alias("s1"))
+        .join(cs.select(F.col("component").alias("c2"),
+                        F.col("split").alias("s2")),
+              (F.col("component") == F.col("c2"))
+              & (F.col("s1") < F.col("s2")))
+        .select("component", "s1", "s2")
+    )
+    # equi-join on the cluster key + IN filter (an OR join would fall
+    # to a nested loop in both engines — the q441 lesson)
+    per = (
+        pairs.join(memb.withColumnRenamed("component", "mc"),
+                   F.col("mc") == F.col("component"))
+        .filter((F.col("split") == F.col("s1"))
+                | (F.col("split") == F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(
+            F.countDistinct("component").cast("long")
+            .alias("n_straddling_clusters"),
+            F.count(F.lit(1)).cast("long").alias("n_leaked_docs"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "s1", "s2", "n_straddling_clusters", "n_leaked_docs",
+        F.expr("CAST(n_leaked_docs * 1000000 DIV n_docs AS BIGINT)")
+        .alias("leak_ppm"),
+    )
+
+
+# Per-term IDF, floored to integer micro units BEFORE the per-doc sum
+# so the lexical score is an order-independent integer aggregate.
+_IDF_MICRO = (
+    "CAST(floor(1000000.0 * ln((CAST(n AS DOUBLE) + 1.0) / "
+    "(CAST(df AS DOUBLE) + 1.0))) AS BIGINT)"
+)
+
+
+@register(
+    "q467_rrf_hybrid_retrieval",
+    oracle=f"""
+WITH qt AS (
+  SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> x != '')) AS t
+  FROM documents WHERE doc_id = 0
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS t
+  FROM documents
+),
+dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY t),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+lex AS (
+  SELECT tk.doc_id, CAST(SUM({_IDF_MICRO}) AS BIGINT) AS lex_score
+  FROM toks tk
+  JOIN qt ON qt.t = tk.t
+  JOIN dfreq d ON d.t = tk.t
+  CROSS JOIN nn
+  WHERE tk.doc_id != 0
+  GROUP BY tk.doc_id
+),
+lrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+  FROM lex
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+den AS (
+  SELECT e.vec_id AS doc_id,
+         (CAST(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(floor(CAST(list_extract(e.embedding, i) AS DOUBLE) * CAST(list_extract(q.qe, i) AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000.0)
+           / (sqrt((CAST(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> CAST(floor(CAST(list_extract(e.embedding, i) AS DOUBLE) * CAST(list_extract(e.embedding, i) AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000.0)) * sqrt((CAST(list_sum(list_transform(generate_series(1, len(q.qe)), i -> CAST(floor(CAST(list_extract(q.qe, i) AS DOUBLE) * CAST(list_extract(q.qe, i) AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000000000.0))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0
+),
+drank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS dense_rank
+  FROM den
+),
+fused AS (
+  SELECT d.doc_id, l.lex_rank, d.dense_rank,
+         CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+              + 1000000 // (60 + d.dense_rank) AS BIGINT) AS rrf_micro
+  FROM drank d LEFT JOIN lrank l ON l.doc_id = d.doc_id
+),
+final AS (
+  SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rank,
+         doc_id, lex_rank, dense_rank, rrf_micro
+  FROM fused
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank, rrf_micro
+FROM final WHERE rank <= 20
+""",
+    tags=("retrieval", "rrf", "hybrid", "ranking"),
+)
+def q467_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack et al.
+    SIGIR'09 — the standard lexical+dense combiner): document 0 is
+    the query on BOTH axes (its tokens for the lexical leg, its
+    embedding — vec_id aligns with doc_id in this corpus — for the
+    dense leg). Lexical score = sum of per-term smoothed-IDF weights
+    over the query terms a document shares (each term's
+    floor(1e6*ln((N+1)/(df+1))) is an integer BEFORE the sum, so the
+    aggregate is order-independent); dense score = the q80 cosine
+    chain. Each leg becomes a rank, and RRF fuses them as
+    1e6 DIV (60 + rank) — INTEGER reciprocal contributions, k = 60
+    per the original paper — with documents absent from the lexical
+    leg contributing 0 there (the standard RRF treatment of missing
+    rankings). Top-20 with both leg ranks exposed, so the fusion is
+    auditable row by row.
+
+    Engine shape: the lexical leg is one distinct-incidence reduction
+    + a broadcastable query-term join; the dense leg is q80's
+    broadcast cross join; each rank is one WindowGroupLimit-style
+    ordering over SCORED DOCS ONLY (never the corpus crossed with
+    itself). At 100 TB the legs shard independently — rank fusion
+    only ever touches two integer rank columns."""
+    from cli_spark.operators.similarity import dot
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    qt = toks.filter(F.col("doc_id") == 0).select("t").distinct()
+    dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lex = (
+        toks.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qt), "t")
+        .join(dfreq, "t")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_IDF_MICRO)).cast("long").alias("lex_score"))
+    )
+    lrank = lex.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
+        ).alias("lex_rank"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    den = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot("embedding", "qe")
+             / (F.sqrt(dot("embedding", "embedding"))
+                * F.sqrt(dot("qe", "qe")))).alias("cosine"),
+        )
+    )
+    drank = den.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        ).alias("dense_rank"),
+    )
+    fused = (
+        drank.join(lrank, "doc_id", "left")
+        .select(
+            "doc_id", "lex_rank", "dense_rank",
+            (F.coalesce(F.expr("1000000 DIV (60 + lex_rank)"), F.lit(0))
+             + F.expr("1000000 DIV (60 + dense_rank)"))
+            .cast("long").alias("rrf_micro"),
+        )
+    )
+    final = fused.select(
+        F.row_number().over(
+            Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+        ).cast("long").alias("rank"),
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+        "rrf_micro",
+    )
+    return final.filter(F.col("rank") <= 20)
+
+
+@register(
+    "q468_blocked_fuzzy_join",
+    oracle=f"""
+WITH fam AS (SELECT doc_id, md5(text) AS fkey FROM documents),
+st AS (SELECT fkey, MIN(doc_id) AS rep FROM fam GROUP BY fkey),
+shall AS ({_SQL_SHINGLES}),
+sz AS (
+  SELECT s.doc_id, s.shingles
+  FROM shall s JOIN st ON st.rep = s.doc_id
+  WHERE len(s.shingles) > 0
+),
+exx AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+hashes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM exx
+),
+blk AS (SELECT doc_id, MIN(h) AS block FROM hashes GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM blk a JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id
+),
+txt AS (SELECT doc_id, text, len(text) AS ln FROM documents)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       CAST(ta.ln AS BIGINT) AS len_a, CAST(tb.ln AS BIGINT) AS len_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN txt ta ON ta.doc_id = c.da
+JOIN txt tb ON tb.doc_id = c.db
+WHERE abs(ta.ln - tb.ln) <= 16
+  AND levenshtein(ta.text, tb.text) <= 32
+""",
+    tags=("dedup", "fuzzy", "levenshtein", "blocking"),
+)
+def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED FUZZY JOIN — record-linkage-style edit-distance dedup
+    (Fellegi–Sunter blocking + Levenshtein verify): exact-duplicate
+    families collapse first (the q392/q440/q446 discipline — copies
+    must never inflate the candidate space), each surviving
+    representative is keyed by its ONE-LANE MINHASH block (the
+    minimum 60-bit shingle hash — two documents share it with
+    probability equal to their Jaccard similarity, the MinHash
+    property), and only same-block pairs within a +/-16-char length
+    band pay the O(len^2) Levenshtein verify, reported for pairs with
+    distance <= 32. (A rarest-shingle argmin block was tried first
+    and yields ZERO candidates here — a near-duplicate's rarest
+    shingle is exactly its most doc-specific one, so edited twins
+    never share it; the MinHash block recovers 135 candidates -> 24
+    verified pairs at sf0.01.)
+
+    Engine shape: the block key is one map-side-combined min per
+    document, candidates are one equi-join on the block key, and the
+    length band prunes inside the join before any text is compared.
+    Levenshtein runs JVM-side (whole-stage codegen) on the few
+    surviving pairs. Both engines share the identical integer chain
+    end to end — Spark's and DuckDB's levenshtein agree by
+    definition (unit-cost edit distance), pinned by the parity gate."""
+    d = load_table(spark, sf_dir, "documents")
+    fam, reps, _cc = exact_family_clusters(spark, sf_dir)
+    blk = (
+        shingle_hash_pool(spark, sf_dir)
+        .join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("block"))
+    )
+    cand = (
+        blk.select(F.col("doc_id").alias("da"), "block")
+        .join(blk.select(F.col("doc_id").alias("db"),
+                         F.col("block").alias("b2")),
+              (F.col("block") == F.col("b2")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+    )
+    txt = d.select("doc_id", "text", F.length("text").alias("ln"))
+    return (
+        cand
+        .join(txt.select(F.col("doc_id").alias("da"),
+                         F.col("text").alias("ta"),
+                         F.col("ln").alias("len_a")), "da")
+        .join(txt.select(F.col("doc_id").alias("db"),
+                         F.col("text").alias("tb"),
+                         F.col("ln").alias("len_b")), "db")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 16)
+        .withColumn("edit_dist",
+                    F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("edit_dist") <= 32)
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+            F.col("len_a").cast("long").alias("len_a"),
+            F.col("len_b").cast("long").alias("len_b"),
+            "edit_dist",
+        )
     )

@@ -422,13 +422,13 @@ def _reaudit_names(slots: int) -> list[str]:
 
 
 # Round 12 window plan (50 slots): 3 round-changed (q441 oracle
-# rework, q457 guard chains, q446 cluster-cache plan change) + 6
+# rework, q457 guard chains, q446 cluster-cache plan change) + 9
 # fresh queries built this round (q460–q464 — the PLANS.md round-13
-# prep candidates, landed early — plus q465 HLL, completing the
-# mergeable-sketch set) + 41 md5(name:r12) re-audit names from the
-# closed 444-name registry (VERDICT r11 #3's first rotating re-audit
-# window). At ~41 re-audit slots/round the full cycle re-attests in
-# ~11 rounds.
+# prep candidates, landed early — plus q465 HLL completing the
+# mergeable-sketch set, q466 split-leakage audit, q467 RRF hybrid
+# retrieval, q468 blocked fuzzy join) + 38 md5(name:r12) re-audit
+# names from the closed 444-name registry (VERDICT r11 #3's first
+# rotating re-audit window).
 _FRESH_PRIORITY: tuple[str, ...] = (
     "q460_repeated_kmer_census",
     "q461_histogram_quantile_drift",
@@ -436,6 +436,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q463_cluster_tfidf_labels",
     "q464_harmonic_token_packing",
     "q465_hll_register_sketch",
+    "q466_family_split_leakage",
+    "q467_rrf_hybrid_retrieval",
+    "q468_blocked_fuzzy_join",
 )
 
 

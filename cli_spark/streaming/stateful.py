@@ -61,7 +61,8 @@ def running_totals_tws(events_stream: DataFrame) -> DataFrame:
     RocksDBStateStoreProvider (the only provider supporting it) at
     runtime, plus the `protobuf` package (the TWS state-server
     protocol is protobuf-encoded; absent in this container — last
-    retried 2026-08-15 round 12: `import google.protobuf` fails and
+    retried 2026-08-16 round 12 second phase: `import google.protobuf`
+    fails and
     `pip install protobuf` cannot resolve the index host (DNS "Name
     or service not known" after 5 retries), so neither a cached wheel
     nor a vendorable pure-Python build exists here). Plan CONSTRUCTION

@@ -13,6 +13,9 @@ from cli_spark.operators.round13 import (
     q463_cluster_tfidf_labels,
     q464_harmonic_token_packing,
     q465_hll_register_sketch,
+    q466_family_split_leakage,
+    q467_rrf_hybrid_retrieval,
+    q468_blocked_fuzzy_join,
 )
 
 
@@ -128,3 +131,42 @@ def test_hll_registers_and_union_bounds(spark, sf_dir):
         assert r["err_ppm"] <= 650_000, r
     # union exact >= any part exact; union estimate reflects that scale
     assert u["exact_distinct"] >= max(r["exact_distinct"] for r in parts)
+
+
+def test_split_leakage_pairs_and_bounds(spark, sf_dir):
+    rows = q466_family_split_leakage(spark, sf_dir).collect()
+    for r in rows:
+        assert r["s1"] < r["s2"]
+        # every straddling cluster contributes >= 2 docs (one per side)
+        assert r["n_leaked_docs"] >= 2 * r["n_straddling_clusters"]
+        assert 0 <= r["leak_ppm"] <= 1_000_000
+
+
+def test_rrf_ranks_consistent(spark, sf_dir):
+    rows = sorted(q467_rrf_hybrid_retrieval(spark, sf_dir).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 20
+    prev = None
+    for r in rows:
+        # fused score recomputable from the exposed leg ranks
+        lex = 1_000_000 // (60 + r["lex_rank"]) if r["lex_rank"] else 0
+        dense = 1_000_000 // (60 + r["dense_rank"])
+        assert r["rrf_micro"] == lex + dense
+        if prev is not None:
+            assert r["rrf_micro"] <= prev
+        prev = r["rrf_micro"]
+
+
+def test_fuzzy_join_pairs_within_thresholds(spark, sf_dir):
+    rows = q468_blocked_fuzzy_join(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert abs(r["len_a"] - r["len_b"]) <= 16
+        # reps are distinct texts, so distance 0 is impossible
+        assert 1 <= r["edit_dist"] <= 32
+        # edit distance can never be below the length difference
+        assert r["edit_dist"] >= abs(r["len_a"] - r["len_b"])
