@@ -1303,6 +1303,16 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never share it; the MinHash block recovers 135 candidates -> 24
     verified pairs at sf0.01.)
 
+    Complementary to q428's METADATA blocker (same language + capped
+    length band, threshold-form levenshtein kernel): production
+    entity resolution unions independent blockers to buy recall, and
+    these are the two standard families — q428 blocks on record
+    attributes and caps hot blocks (bounded cost, documented
+    abstention), q468 blocks on CONTENT with collapse-first reps (a
+    MinHash block needs no cap: its size tracks true near-dup
+    density). A pair missed by one blocker is usually caught by the
+    other.
+
     Engine shape: the block key is one map-side-combined min per
     document, candidates are one equi-join on the block key, and the
     length band prunes inside the join before any text is compared.
