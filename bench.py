@@ -144,6 +144,8 @@ REPORTED_QUERIES: list = [
     "q466_family_split_leakage",      # near-dup contamination audit
     "q467_rrf_hybrid_retrieval",      # lexical+dense rank fusion
     "q468_blocked_fuzzy_join",        # minhash blocks + levenshtein
+    "q469_mann_kendall_trend",        # bounded-grid pairwise signs
+    "q470_dedup_manifest",            # per-dropped-doc keep record
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

@@ -1355,3 +1355,250 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+# Mann–Kendall normalized statistic: z = (S - sign(S)) / sqrt(VarS),
+# VarS = var18 / 18 (kept as the exact integer var18 until this one
+# shared chain). Guarded for the degenerate all-tied/one-day case.
+_MK_Z = (
+    "CASE WHEN var18 = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(floor(1000000.0 * (CAST(s_stat AS DOUBLE) "
+    "- CAST(sign(s_stat) AS DOUBLE)) "
+    "/ sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END"
+)
+_MK_TREND = (
+    "CASE WHEN z_micro > 1959963 THEN 'increasing' "
+    "WHEN z_micro < -1959963 THEN 'decreasing' ELSE 'none' END"
+)
+
+
+@register(
+    "q469_mann_kendall_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(SUM(sign(b.cents - a.cents)) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY a.event_type
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie18
+  FROM (
+    SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS t
+    FROM daily GROUP BY event_type, cents
+  ) GROUP BY event_type
+),
+stat AS (
+  SELECT p.event_type, n.n_days, p.s_stat,
+         CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+              - t.tie18 AS BIGINT) AS var18
+  FROM pairs p
+  JOIN nd n ON n.event_type = p.event_type
+  JOIN ties t ON t.event_type = p.event_type
+),
+z AS (
+  SELECT event_type, n_days, s_stat, var18, {_MK_Z} AS z_micro
+  FROM stat
+)
+SELECT event_type, n_days, s_stat, var18, z_micro,
+       {_MK_TREND} AS trend
+FROM z
+""",
+    tags=("timeseries", "trend", "nonparametric", "audit"),
+)
+def q469_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–KENDALL trend test per event type (Mann 1945, Kendall's
+    tau numerator): S = sum over day pairs i < j of
+    sign(x_j - x_i) on the DAILY revenue series, variance with the
+    exact tie correction n(n-1)(2n+5) - sum t(t-1)(2t+5) (kept as
+    the integer 18*Var), continuity-corrected z, and the standard
+    5%-level trend verdict. The nonparametric trend detector for
+    pipeline telemetry — no normality assumption, robust to the
+    heavy-tailed daily totals a revenue series actually has.
+
+    Scale design: the test runs on the BOUNDED time grid, not the
+    event stream — daily aggregation is one map-side-combined groupBy
+    over the facts, after which the O(n^2) sign-pair join touches
+    n = 30 rows per type REGARDLESS of corpus scale (435 pairs; the
+    pair space rides the calendar, never the data volume). Everything
+    through var18 is exact integer arithmetic; the single float chain
+    (continuity-corrected z, guarded for the all-tied case) is shared
+    verbatim and floored to micro units; the verdict thresholds on
+    the floored integer against +/-1959963 (the 1.96 critical value
+    in micro units), so the label is bit-stable too."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"),
+                     F.col("cents").alias("ca"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("day").alias("db"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(b, (F.col("event_type") == F.col("et2"))
+               & (F.col("da") < F.col("db")))
+        .groupBy("event_type")
+        .agg(F.sum(F.signum(F.col("cb") - F.col("ca")))
+             .cast("long").alias("s_stat"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(F.coalesce(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+            .cast("long").alias("tie18"))
+    )
+    stat = (
+        pairs.join(nd, "event_type").join(ties, "event_type")
+        .select(
+            "event_type", "n_days", "s_stat",
+            F.expr("CAST(n_days * (n_days - 1) * (2 * n_days + 5) "
+                   "- tie18 AS BIGINT)").alias("var18"),
+        )
+    )
+    z = stat.withColumn("z_micro", F.expr(_MK_Z))
+    return z.withColumn("trend", F.expr(_MK_TREND))
+
+
+@register(
+    "q470_dedup_manifest",
+    oracle=f"""
+WITH RECURSIVE fam AS (
+  SELECT doc_id, md5(text) AS fkey FROM documents
+),
+st AS (SELECT fkey, MIN(doc_id) AS rep FROM fam GROUP BY fkey),
+shall AS ({_SQL_SHINGLES}),
+sz AS (
+  SELECT s.doc_id, s.shingles, len(s.shingles) AS n
+  FROM shall s JOIN st ON st.rep = s.doc_id
+  WHERE len(s.shingles) > 0
+),
+exx AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+qp AS (
+  SELECT p.da, p.db
+  FROM pr p
+  JOIN sz sa ON sa.doc_id = p.da
+  JOIN sz sb ON sb.doc_id = p.db
+  WHERE 2 * p.inter >= sa.n + sb.n - p.inter
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM qp
+  UNION ALL SELECT db, da FROM qp
+),
+reach(node, r) AS (
+  SELECT rep, rep FROM st
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+cc AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+memb AS (
+  SELECT f.doc_id, f.fkey, st.rep, c.comp
+  FROM fam f JOIN st ON st.fkey = f.fkey JOIN cc c ON c.node = st.rep
+),
+elect AS (
+  SELECT m.comp, m.doc_id AS kept_doc
+  FROM (
+    SELECT m.comp, m.doc_id,
+           row_number() OVER (PARTITION BY m.comp
+                              ORDER BY d.n_chars DESC, m.doc_id ASC)
+             AS rn
+    FROM memb m JOIN documents d ON d.doc_id = m.doc_id
+  ) m WHERE m.rn = 1
+),
+kept AS (
+  SELECT e.comp, e.kept_doc, mk.fkey AS kept_fkey
+  FROM elect e JOIN memb mk ON mk.doc_id = e.kept_doc
+)
+SELECT m.doc_id AS dropped_doc, k.kept_doc,
+       CAST(m.comp AS BIGINT) AS cluster_id,
+       CASE WHEN m.fkey = k.kept_fkey THEN 'exact_copy'
+            ELSE 'near_dup' END AS reason
+FROM memb m
+JOIN kept k ON k.comp = m.comp
+WHERE m.doc_id != k.kept_doc
+""",
+    tags=("dedup", "manifest", "curation", "audit"),
+)
+def q470_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP MANIFEST — the deliverable of the whole dedup stack: one
+    row per DROPPED document with the document kept in its place, the
+    cluster that binds them, and the reason ('exact_copy' when the
+    dropped doc is byte-identical to the keeper — same md5(text)
+    family; 'near_dup' when it joined through the Jaccard >= 0.5
+    clusters). The canonical document per cluster is elected
+    deterministically: longest text first (keep the most complete
+    variant — the standard curation election), doc_id as the
+    tiebreak. q446 reports the LEDGER (how much was removed); this is
+    the per-document record a reproducible corpus release actually
+    ships, and what makes the removal auditable doc by doc.
+
+    Engine shape: clusters come from the exact_family_clusters
+    single-slot cache (built once per session across q446/q463/q466/
+    q470); the election is one per-cluster WindowGroupLimit over
+    members (bounded by cluster size), and the manifest is one join
+    back on the cluster key. Reasons need no text comparison — the
+    family key already in the membership relation decides
+    exact-vs-near."""
+    d = load_table(spark, sf_dir, "documents")
+    fam, reps, cc = exact_family_clusters(spark, sf_dir)
+    memb = (
+        fam.join(reps, "fkey")
+        .join(cc.withColumnRenamed("doc_id", "rep"), "rep")
+        .select("doc_id", "fkey", "component")
+    )
+    elect = (
+        memb.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "component", "doc_id",
+            F.row_number().over(
+                Window.partitionBy("component")
+                .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("kept_doc"))
+    )
+    kept = elect.join(
+        memb.select(F.col("doc_id").alias("kept_doc"),
+                    F.col("fkey").alias("kept_fkey")),
+        "kept_doc",
+    )
+    return (
+        memb.join(kept, "component")
+        .filter(F.col("doc_id") != F.col("kept_doc"))
+        .select(
+            F.col("doc_id").alias("dropped_doc"),
+            "kept_doc",
+            F.col("component").cast("long").alias("cluster_id"),
+            F.when(F.col("fkey") == F.col("kept_fkey"), "exact_copy")
+            .otherwise("near_dup").alias("reason"),
+        )
+    )

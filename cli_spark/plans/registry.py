@@ -428,7 +428,8 @@ def _reaudit_names(slots: int) -> list[str]:
 # mergeable-sketch set, q466 split-leakage audit, q467 RRF hybrid
 # retrieval, q468 blocked fuzzy join) + 38 md5(name:r12) re-audit
 # names from the closed 444-name registry (VERDICT r11 #3's first
-# rotating re-audit window).
+# rotating re-audit window). Late second-phase additions q469/q470
+# shrink the re-audit tail to 36.
 _FRESH_PRIORITY: tuple[str, ...] = (
     "q460_repeated_kmer_census",
     "q461_histogram_quantile_drift",
@@ -439,6 +440,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q466_family_split_leakage",
     "q467_rrf_hybrid_retrieval",
     "q468_blocked_fuzzy_join",
+    "q469_mann_kendall_trend",
+    "q470_dedup_manifest",
 )
 
 

@@ -16,6 +16,8 @@ from cli_spark.operators.round13 import (
     q466_family_split_leakage,
     q467_rrf_hybrid_retrieval,
     q468_blocked_fuzzy_join,
+    q469_mann_kendall_trend,
+    q470_dedup_manifest,
 )
 
 
@@ -170,3 +172,37 @@ def test_fuzzy_join_pairs_within_thresholds(spark, sf_dir):
         assert 1 <= r["edit_dist"] <= 32
         # edit distance can never be below the length difference
         assert r["edit_dist"] >= abs(r["len_a"] - r["len_b"])
+
+
+def test_mann_kendall_integrity(spark, sf_dir):
+    rows = q469_mann_kendall_trend(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_days"]
+        max_pairs = n * (n - 1) // 2
+        assert abs(r["s_stat"]) <= max_pairs
+        # tie correction can only reduce the no-ties variance
+        assert 0 <= r["var18"] <= n * (n - 1) * (2 * n + 5)
+        if r["z_micro"] > 1_959_963:
+            assert r["trend"] == "increasing"
+        elif r["z_micro"] < -1_959_963:
+            assert r["trend"] == "decreasing"
+        else:
+            assert r["trend"] == "none"
+
+
+def test_dedup_manifest_accounting(spark, sf_dir):
+    rows = q470_dedup_manifest(spark, sf_dir).collect()
+    dropped = {r["dropped_doc"] for r in rows}
+    kept = {r["kept_doc"] for r in rows}
+    # a kept doc is never dropped; a doc is dropped at most once
+    assert not dropped & kept
+    assert len(dropped) == len(rows)
+    for r in rows:
+        assert r["reason"] in ("exact_copy", "near_dup")
+        assert r["dropped_doc"] != r["kept_doc"]
+    # manifest size equals q446's stage-3 removal count
+    from cli_spark.operators.round11 import q446_dedup_pipeline_flagship
+    ledger = {x["stage"]: x for x in
+              q446_dedup_pipeline_flagship(spark, sf_dir).collect()}
+    assert len(rows) == ledger["3_manifest"]["n_removed"]
