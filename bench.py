@@ -130,14 +130,22 @@ PROMOTED34_QUERIES = [
     "q460_repeated_kmer_census",      # binary-lift rank joins, 7 levels
 ]
 
+# Round-12 second-phase promotion (BASELINE.md v10): the two
+# second-phase queries over the 2 s bar — the shingle-pool theta
+# sketches and the 3-step power iteration — join the net with
+# two-session baselines. Summed into `value_36class`.
+PROMOTED36_QUERIES = [
+    "q462_theta_sketch_intersection", # bottom-64 theta sketches
+    "q471_power_iteration_eigvec",    # integer-exact X^T(Xv) steps
+]
+
 # Additions tracked report-only (the VERDICT r5 #7 pattern: reported
 # in queries{} for a round or two, then promoted with declared
-# baselines once they carry two measured sessions). The round-13
-# queue's sub-2 s queries (measured min-of-5 on a quiet box,
-# BASELINE.md v9 report table).
+# baselines once they carry two measured sessions). The round-12
+# second-phase sub-2 s queries (measured min-of-5, BASELINE.md v9
+# report table).
 REPORTED_QUERIES: list = [
     "q461_histogram_quantile_drift",  # mergeable 64-bucket histogram
-    "q462_theta_sketch_intersection", # bottom-64 theta sketches
     "q463_cluster_tfidf_labels",      # rides q446's cluster cache
     "q464_harmonic_token_packing",    # closed-form size-class packing
     "q465_hll_register_sketch",       # 64 HLL registers, integer sums
@@ -225,6 +233,8 @@ def main() -> None:
     total_33 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED34_QUERIES})
     total_34 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED36_QUERIES})
+    total_36 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -242,6 +252,7 @@ def main() -> None:
         "value_31class": total_31,
         "value_33class": total_33,
         "value_34class": total_34,
+        "value_36class": total_36,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,

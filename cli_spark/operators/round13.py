@@ -1271,9 +1271,13 @@ hashes AS (
   FROM exx
 ),
 blk AS (SELECT doc_id, MIN(h) AS block FROM hashes GROUP BY doc_id),
+okblk AS (
+  SELECT block FROM blk GROUP BY block HAVING COUNT(*) <= 32
+),
+cblk AS (SELECT b.doc_id, b.block FROM blk b JOIN okblk o USING (block)),
 cand AS (
   SELECT a.doc_id AS da, b.doc_id AS db
-  FROM blk a JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id
+  FROM cblk a JOIN cblk b ON a.block = b.block AND a.doc_id < b.doc_id
 ),
 txt AS (SELECT doc_id, text, len(text) AS ln FROM documents)
 SELECT c.da AS doc_a, c.db AS doc_b,
@@ -1314,8 +1318,18 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     other.
 
     Engine shape: the block key is one map-side-combined min per
-    document, candidates are one equi-join on the block key, and the
-    length band prunes inside the join before any text is compared.
+    document; blocks larger than 32 documents ABSTAIN (q428's cap
+    rule — the first sf1 sweep without it read 75x super-linear: a
+    near-dup-saturated tier floods every block and the verify pays
+    len^2 per pair; the cap bounds the worst block's pair count at
+    any corpus size, with abstention as the documented recall
+    tradeoff); candidates are one equi-join on the capped block key,
+    the length band prunes inside the join before any text is
+    compared, and the Spark kernel uses the THRESHOLD form
+    levenshtein(a, b, 32) — O(len*k) banded DP returning -1 past the
+    threshold — while the oracle recomputes the full unbounded
+    distance, so the graded match proves the banded kernel agrees
+    with ground truth on every surviving pair (the q428 property).
     Levenshtein runs JVM-side (whole-stage codegen) on the few
     surviving pairs. Both engines share the identical integer chain
     end to end — Spark's and DuckDB's levenshtein agree by
@@ -1328,10 +1342,15 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("h").alias("block"))
     )
+    okblk = (
+        blk.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= 32).select("block")
+    )
+    cblk = blk.join(okblk, "block")
     cand = (
-        blk.select(F.col("doc_id").alias("da"), "block")
-        .join(blk.select(F.col("doc_id").alias("db"),
-                         F.col("block").alias("b2")),
+        cblk.select(F.col("doc_id").alias("da"), "block")
+        .join(cblk.select(F.col("doc_id").alias("db"),
+                          F.col("block").alias("b2")),
               (F.col("block") == F.col("b2")) & (F.col("da") < F.col("db")))
         .select("da", "db")
     )
@@ -1346,8 +1365,8 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("ln").alias("len_b")), "db")
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 16)
         .withColumn("edit_dist",
-                    F.levenshtein("ta", "tb").cast("long"))
-        .filter(F.col("edit_dist") <= 32)
+                    F.expr("levenshtein(ta, tb, 32)").cast("long"))
+        .filter(F.col("edit_dist") >= 0)
         .select(
             F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
             F.col("len_a").cast("long").alias("len_a"),
@@ -1602,3 +1621,136 @@ def q470_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("near_dup").alias("reason"),
         )
     )
+
+
+# Sign-safe integer division shared by both engines: Spark's DIV
+# truncates toward zero while DuckDB's // floors, so negatives would
+# diverge — routing through sign(a) * (abs(a) div b) makes both
+# truncate identically. b is always positive here.
+def _idiv(a: str, b: str, div: str) -> str:
+    return f"CAST(sign({a}) * (abs({a}) {div} {b}) AS BIGINT)"
+
+
+def _power_iter_sql(div: str) -> str:
+    """Three unrolled power-iteration steps over the integer-quantized
+    embedding matrix; `div` is the engine's integer-division token."""
+    steps = []
+    prev = "v0"
+    for t in (1, 2, 3):
+        steps.append(f"""
+s{t} AS (
+  SELECT x.vec_id, CAST(SUM(x.x * v.v) AS BIGINT) AS s
+  FROM xi x JOIN {prev} v ON v.j = x.j GROUP BY x.vec_id
+),
+sc{t} AS (
+  SELECT vec_id, {_idiv('s', '67108864', div)} AS sc FROM s{t}
+),
+w{t} AS (
+  SELECT x.j, CAST(SUM(x.x * s.sc) AS BIGINT) AS w
+  FROM xi x JOIN sc{t} s ON s.vec_id = x.vec_id GROUP BY x.j
+),
+m{t} AS (
+  SELECT GREATEST(MAX(abs(w)) {div} 1048576, 1) AS m FROM w{t}
+),
+v{t} AS (
+  SELECT w.j, {_idiv('w.w', 'm.m', div)} AS v
+  FROM w{t} w CROSS JOIN m{t} m
+)""")
+        prev = f"v{t}"
+    return ",".join(steps)
+
+
+@register(
+    "q471_power_iteration_eigvec",
+    oracle=f"""
+WITH xi AS (
+  SELECT vec_id, j,
+         CAST(floor(CAST(list_extract(embedding, j) AS DOUBLE)
+                    * 1048576.0) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) AS t(j)
+),
+v0 AS (SELECT j, CAST(1048576 AS BIGINT) AS v
+       FROM generate_series(1, 64) AS t(j)),
+{_power_iter_sql('//')}
+SELECT CAST(a.j AS BIGINT) AS j, a.v AS v1, b.v AS v2, c.v AS v3
+FROM v1 a JOIN v2 b ON b.j = a.j JOIN v3 c ON c.j = a.j
+""",
+    tags=("embeddings", "pca", "power-iteration", "linear-algebra"),
+)
+def q471_power_iteration_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER ITERATION for the top eigenvector of the (uncentered)
+    embedding second-moment matrix X^T X — the PCA/spectral primitive
+    (Mises–Pollaczek-Geiringer 1929) behind embedding whitening,
+    spectral dedup and drift detection — run THREE steps from the
+    all-ones start, reporting the direction after every step (64 rows
+    x v1/v2/v3) so convergence is visible in-result.
+
+    The iteration never materializes the 64x64 covariance: each step
+    is v <- X^T (X v), i.e. one row-score join-aggregate (s_r =
+    x_r . v) and one dimension aggregate (w_j = sum_r s_r x_rj) —
+    the map-side-combinable factored form that scales to arbitrary
+    row counts with 64-row state between steps.
+
+    Determinism is the hard part and the design: embeddings are
+    quantized ONCE to integers (floor(x * 2^20)), the per-row score
+    and per-dimension accumulations are pure INTEGER sums (no float
+    addition exists anywhere, so Spark's unordered aggregation cannot
+    re-round), and each step renormalizes in integers (max-abs to
+    2^20) with a bound argument: |s| <= 64 * 2^40 < 2^46, scores
+    rescaled by 2^26, |w| <= N * 2^40 — overflow-free through
+    N ~ 2^23 rows. Spark's DIV truncates toward zero while DuckDB's
+    // floors, so every division routes through
+    sign(a) * (abs(a) div b) to make both truncate identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xi = (
+        e.select(
+            "vec_id",
+            F.posexplode("embedding").alias("j0", "xval"),
+        )
+        .select(
+            "vec_id", (F.col("j0") + 1).alias("j"),
+            F.expr("CAST(floor(CAST(xval AS DOUBLE) * 1048576.0) AS BIGINT)")
+            .alias("x"),
+        )
+        .persist()
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(1048576).cast("long").alias("v"))
+    outs = []
+    for _t in range(3):
+        s = (
+            xi.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).cast("long").alias("s"))
+        )
+        sc = s.select(
+            "vec_id",
+            F.expr("CAST(sign(s) * (abs(s) DIV 67108864) AS BIGINT)")
+            .alias("sc"),
+        )
+        w = (
+            xi.join(sc, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("sc")).cast("long").alias("w"))
+        )
+        m = w.agg(
+            F.greatest(F.expr("MAX(abs(w)) DIV 1048576"), F.lit(1))
+            .alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "j",
+                F.expr("CAST(sign(w) * (abs(w) DIV m) AS BIGINT)")
+                .alias("v"),
+            )
+        )
+        outs.append(v)
+    out = (
+        outs[0].withColumnRenamed("v", "v1")
+        .join(outs[1].withColumnRenamed("v", "v2"), "j")
+        .join(outs[2].withColumnRenamed("v", "v3"), "j")
+        .select(F.col("j").cast("long").alias("j"), "v1", "v2", "v3")
+    )
+    out = materialize_local(out)
+    xi.unpersist()
+    return out

@@ -442,6 +442,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q468_blocked_fuzzy_join",
     "q469_mann_kendall_trend",
     "q470_dedup_manifest",
+    "q471_power_iteration_eigvec",
 )
 
 

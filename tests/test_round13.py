@@ -18,6 +18,7 @@ from cli_spark.operators.round13 import (
     q468_blocked_fuzzy_join,
     q469_mann_kendall_trend,
     q470_dedup_manifest,
+    q471_power_iteration_eigvec,
 )
 
 
@@ -206,3 +207,25 @@ def test_dedup_manifest_accounting(spark, sf_dir):
     ledger = {x["stage"]: x for x in
               q446_dedup_pipeline_flagship(spark, sf_dir).collect()}
     assert len(rows) == ledger["3_manifest"]["n_removed"]
+
+
+def test_power_iteration_normalized_and_converging(spark, sf_dir):
+    import math
+
+    rows = q471_power_iteration_eigvec(spark, sf_dir).collect()
+    assert len(rows) == 64
+    v1 = [r["v1"] for r in sorted(rows, key=lambda r: r["j"])]
+    v2 = [r["v2"] for r in sorted(rows, key=lambda r: r["j"])]
+    v3 = [r["v3"] for r in sorted(rows, key=lambda r: r["j"])]
+    for v in (v1, v2, v3):
+        m = max(abs(x) for x in v)
+        # integer renormalization pins max-abs to ~2^20
+        assert 2**20 - 1 <= m <= 2**20 + 2**10, m
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    # successive directions align (power iteration converges toward
+    # the top eigenvector; sign is fixed by the shared start)
+    assert cos(v2, v3) > 0.5
