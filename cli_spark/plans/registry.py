@@ -136,6 +136,15 @@ def registry() -> dict[str, QuerySpec]:
 # q121/q123 *_stub → *_bmp renames were re-graded green under their
 # new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r12 greens newly recorded (12 fresh q460–q471; the other 38
+    # r12 rows were round-changed re-grades or rotating re-audits of
+    # names already below) ---
+    "q460_repeated_kmer_census", "q461_histogram_quantile_drift",
+    "q462_theta_sketch_intersection", "q463_cluster_tfidf_labels",
+    "q464_harmonic_token_packing", "q465_hll_register_sketch",
+    "q466_family_split_leakage", "q467_rrf_hybrid_retrieval",
+    "q468_blocked_fuzzy_join", "q469_mann_kendall_trend",
+    "q470_dedup_manifest", "q471_power_iteration_eigvec",
     # --- r11 greens newly recorded (50 — registry closed) ---
     "q124_streaming_session_true", "q220_ks_drift_test",
     "q229_session_paths", "q230_concurrent_intervals",
@@ -381,23 +390,8 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = (
-    # round 12: q441's DuckDB oracle reworked to hash-join form
-    # (VERDICT r11 "what's wrong" #1: the inline 64×16 matrix literal
-    # cost 248 s standalone; now an (i,j,v) VALUES relation + join/
-    # aggregate and UNION ALL instead of the OR pair join — verified
-    # bit-identical, 0.14 s) and q457's degenerate-variance guards
-    # moved to the shared CAST(... AS DOUBLE) chain in BOTH engines
-    # (ADVICE r11: the int64 form could overflow where DuckDB raises
-    # but Spark wraps) — both re-earn driver rows.
-    # (q290's materialize_local+unpersist is result-identical resource
-    # lifecycle — no slot, same as q437/q439 in r11.)
-    # q446's stages 1-2 now come from the exact_family_clusters
-    # single-slot cache shared with the new q463 (results identical,
-    # but the execution changed materially — the q290-fuse precedent
-    # says a plan-changing edit takes a fresh driver row).
-    "q441_jl_projection_audit",
-    "q457_cuped_adjustment",
-    "q446_dedup_pipeline_flagship",
+    # round 13: no implementation or oracle reworks yet (updated here
+    # if any land this round).
 )
 
 
@@ -408,7 +402,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
 # promoted into the recording window *after* the never-graded /
 # round-changed head, so fresh code always grades first and the
 # remainder of the 50-entry window re-attests old queries.
-_REAUDIT_ROUND: int = 12
+_REAUDIT_ROUND: int = 13
 _WINDOW = 50  # the driver records exactly this many CORRECTNESS rows
 
 
@@ -421,28 +415,16 @@ def _reaudit_names(slots: int) -> list[str]:
     return pool[:max(0, slots)]
 
 
-# Round 12 window plan (50 slots): 3 round-changed (q441 oracle
-# rework, q457 guard chains, q446 cluster-cache plan change) + 9
-# fresh queries built this round (q460–q464 — the PLANS.md round-13
-# prep candidates, landed early — plus q465 HLL completing the
-# mergeable-sketch set, q466 split-leakage audit, q467 RRF hybrid
-# retrieval, q468 blocked fuzzy join) + 38 md5(name:r12) re-audit
-# names from the closed 444-name registry (VERDICT r11 #3's first
-# rotating re-audit window). Late second-phase additions q469/q470
-# shrink the re-audit tail to 36.
+# Round 13 window plan (50 slots): 0 round-changed + fresh queries
+# built this round (PLANS.md round-13 prep v2: Horvitz–Thompson
+# sample-estimate audit, streaming mergeable-histogram quantiles, …)
+# + md5(name:r13) re-audit names filling the rest of the window
+# (second rotating re-audit round; VERDICT r12 next-steps #3).
 _FRESH_PRIORITY: tuple[str, ...] = (
-    "q460_repeated_kmer_census",
-    "q461_histogram_quantile_drift",
-    "q462_theta_sketch_intersection",
-    "q463_cluster_tfidf_labels",
-    "q464_harmonic_token_packing",
-    "q465_hll_register_sketch",
-    "q466_family_split_leakage",
-    "q467_rrf_hybrid_retrieval",
-    "q468_blocked_fuzzy_join",
-    "q469_mann_kendall_trend",
-    "q470_dedup_manifest",
-    "q471_power_iteration_eigvec",
+    "q472_horvitz_thompson_audit",
+    "q473_streaming_histogram_quantiles",
+    "q474_seqio_mixing_audit",
+    "q475_cond_entropy_feature_rank",
 )
 
 
