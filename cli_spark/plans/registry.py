@@ -113,6 +113,8 @@ def _load_all() -> None:
     import cli_spark.streaming.round11  # noqa: F401
     import cli_spark.operators.round12  # noqa: F401
     import cli_spark.operators.round13  # noqa: F401
+    import cli_spark.operators.round14  # noqa: F401
+    import cli_spark.streaming.round14  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -423,8 +425,8 @@ def _reaudit_names(slots: int) -> list[str]:
 _FRESH_PRIORITY: tuple[str, ...] = (
     "q472_horvitz_thompson_audit",
     "q473_streaming_histogram_quantiles",
-    "q474_seqio_mixing_audit",
-    "q475_cond_entropy_feature_rank",
+    "q474_ams_f2_sketch",
+    "q475_neyman_allocation_audit",
 )
 
 

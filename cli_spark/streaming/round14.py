@@ -1,0 +1,249 @@
+"""Round-13 streaming operator: mergeable-histogram quantiles
+maintained across TRUE micro-batches — the first mergeable-sketch
+operator graded end-to-end through a real multi-batch stream (q461
+proved the sketch in batch; this proves the MERGE).
+
+The claim under test is the sketch's defining property: a fixed-grid
+histogram merges by BUCKET-WISE ADDITION, so per-micro-batch partial
+histograms written by a foreachBatch sink, summed after the run, must
+equal the histogram computed over all rows at once. The DuckDB oracle
+computes the all-rows histogram directly; the Spark side only ever
+sees per-batch partials from ~20 real micro-batches — a hash match IS
+the empirical mergeability proof. A mid-stream estimate (first half
+of the batches) rides along as the convergence audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.plans.registry import register
+from cli_spark.tables import load_table
+
+_N_BATCHES = 20  # target micro-batch count (batchRows = ceil(n / 20))
+_BUCKETS = 64
+
+
+def _quantile_select(prefix: str) -> str:
+    """Shared est-cents chain (q461's midpoint form), DuckDB side."""
+    return f"""
+{prefix}n AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM {prefix}bc
+  GROUP BY event_type
+),
+{prefix}cum AS (
+  SELECT event_type, bkt,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bkt ASC) AS cum
+  FROM {prefix}bc
+),
+{prefix}tgt AS (
+  SELECT g.event_type, qs.q, g2.n, g.minc, g.maxc,
+         (qs.q * g2.n + 99) // 100 AS tgt
+  FROM grid g JOIN {prefix}n g2 USING (event_type) CROSS JOIN qs
+),
+{prefix}est AS (
+  SELECT t.event_type, t.q, t.n,
+         CAST(t.minc + ((2 * MIN(c.bkt) + 1) * (t.maxc - t.minc + 1)) // 128
+              AS BIGINT) AS est_cents
+  FROM {prefix}tgt t
+  JOIN {prefix}cum c ON c.event_type = t.event_type AND c.cum >= t.tgt
+  GROUP BY t.event_type, t.q, t.n, t.minc, t.maxc
+)"""
+
+
+@register(
+    "q473_streaming_histogram_quantiles",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+grid AS (
+  SELECT event_type, MIN(cents) AS minc, MAX(cents) AS maxc
+  FROM base GROUP BY event_type
+),
+n AS (SELECT COUNT(*) AS cnt FROM base),
+bsz AS (SELECT CAST(ceil(cnt / {_N_BATCHES}.0) AS BIGINT) AS b FROM n),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n CROSS JOIN bsz),
+ordered AS (
+  SELECT b.*, row_number() OVER (ORDER BY ts_us, event_id) AS rn
+  FROM base b
+),
+bucketed AS (
+  SELECT o.event_type, o.rn,
+         (o.cents - g.minc) * {_BUCKETS} // (g.maxc - g.minc + 1) AS bkt
+  FROM ordered o JOIN grid g USING (event_type)
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q),
+fbc AS (
+  SELECT event_type, bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed GROUP BY event_type, bkt
+),
+mbc AS (
+  SELECT b.event_type, b.bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed b CROSS JOIN bsz CROSS JOIN nb
+  WHERE b.rn <= (nb.nb // 2) * bsz.b
+  GROUP BY b.event_type, b.bkt
+),
+{_quantile_select('f')},
+{_quantile_select('m')}
+SELECT f.event_type, CAST(f.q AS BIGINT) AS q,
+       f.n AS n_final, m.n AS n_mid,
+       f.est_cents AS est_final_cents, m.est_cents AS est_mid_cents,
+       CAST(nb.nb AS BIGINT) AS n_batches
+FROM fest f
+JOIN mest m ON m.event_type = f.event_type AND m.q = f.q
+CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "sketch", "quantile", "mergeable"),
+)
+def q473_streaming_histogram_quantiles(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGEABLE-HISTOGRAM quantiles over ~20 TRUE
+    micro-batches: events replay in event-time order through the
+    replay source; each micro-batch's foreachBatch sink writes ONLY
+    its partial 64-bucket histogram (bucket counts tagged with the
+    batch id — a few hundred rows per batch, never the fact rows);
+    after the run the partials merge by bucket-wise addition and
+    p50/p90/p99 are read off the merged sketch exactly as q461 does
+    in batch. The DuckDB oracle computes the all-rows histogram
+    directly — the hash match is an empirical proof that the merge is
+    lossless, i.e. that the sketch IS mergeable across micro-batches.
+    A mid-stream estimate (first half of the batches) rides along:
+    at 100 TB/day this is the dashboard number you read BEFORE the
+    day closes, and the final column is how far it moved.
+
+    Scale shape: the streaming state is the histogram itself —
+    64 integers per event type regardless of volume (the reason to
+    run a fixed-grid sketch instead of an exact sort at scale); each
+    micro-batch pays one map-side-combined groupBy of its own rows;
+    the post-run merge aggregates n_batches × buckets × types rows —
+    metadata, not data. The bucket grid is pinned up front from a
+    profiling pass (min/max cents per type), the production pattern
+    for fixed-grid sketches; all bucket/target/midpoint arithmetic is
+    the same integer DIV chain in both engines. Batch identity is
+    taken from the data-bearing batch ids in ORDER (dense_rank), so
+    the mid-point split is robust to empty leading/trailing
+    micro-batches."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = -(-n // _N_BATCHES)  # ceil
+    base = e.select(
+        "event_type", "event_id", "ts",
+        F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("cents"),
+    )
+    grid = base.groupBy("event_type").agg(
+        F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
+
+    tmp = tempfile.mkdtemp(prefix="q473_replay_")
+    out_root = tempfile.mkdtemp(prefix="q473_hist_")
+    try:
+        (
+            base.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            partial = (
+                batch_df.join(F.broadcast(grid), "event_type")
+                .select(
+                    "event_type",
+                    F.expr(f"(cents - minc) * {_BUCKETS} DIV "
+                           "(maxc - minc + 1)").alias("bkt"),
+                )
+                .groupBy("event_type", "bkt")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            partial.write.mode("append").parquet(f"{out_root}/partials")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        parts = spark.read.parquet(f"{out_root}/partials")
+        # data-bearing batches in order — robust to empty batches
+        parts = parts.withColumn(
+            "bseq", F.dense_rank().over(Window.orderBy("batch_id")))
+        nb = parts.agg(F.max("bseq")).collect()[0][0]
+
+        def estimates(bc: DataFrame, prefix: str) -> DataFrame:
+            npt = bc.groupBy("event_type").agg(
+                F.sum("c").cast("long").alias("n"))
+            cum = bc.select(
+                "event_type", "bkt",
+                F.sum("c").over(
+                    Window.partitionBy("event_type")
+                    .orderBy(F.col("bkt").asc())).alias("cum"),
+            )
+            qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+            tgt = (
+                grid.join(npt, "event_type")
+                .crossJoin(F.broadcast(qs))
+                .select("event_type", "q", "n", "minc", "maxc",
+                        F.expr("(q * n + 99) DIV 100").alias("tgt"))
+            )
+            return (
+                tgt.join(
+                    cum.withColumnRenamed("event_type", "et"),
+                    (F.col("et") == F.col("event_type"))
+                    & (F.col("cum") >= F.col("tgt")),
+                )
+                .groupBy("event_type", "q", "n", "minc", "maxc")
+                .agg(F.min("bkt").alias("eb"))
+                .select(
+                    "event_type", "q",
+                    F.col("n").alias(f"n_{prefix}"),
+                    F.expr("CAST(minc + ((2 * eb + 1) * (maxc - minc + 1)) "
+                           "DIV 128 AS BIGINT)")
+                    .alias(f"est_{prefix}_cents"),
+                )
+            )
+
+        merged_final = parts.groupBy("event_type", "bkt").agg(
+            F.sum("c").cast("long").alias("c"))
+        merged_mid = (
+            parts.filter(F.col("bseq") <= nb // 2)
+            .groupBy("event_type", "bkt")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        fin = estimates(merged_final, "final")
+        mid = estimates(merged_mid, "mid").withColumnRenamed(
+            "event_type", "et2").withColumnRenamed("q", "q2")
+        result = (
+            fin.join(mid, (F.col("et2") == F.col("event_type"))
+                     & (F.col("q2") == F.col("q")))
+            .select(
+                "event_type", F.col("q").cast("long").alias("q"),
+                "n_final", "n_mid", "est_final_cents", "est_mid_cents",
+                F.lit(nb).cast("long").alias("n_batches"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out
