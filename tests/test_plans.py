@@ -68,21 +68,64 @@ def test_semi_anti_plan_shapes(spark, sf_dir):
     assert "LeftAnti" in plan_of(spark, sf_dir, "q14_anti_join")
 
 
-def test_no_python_udf_in_oracle_graded_plans(spark, sf_dir):
+# The all-registry UDF gate, chunked (VERDICT r12 #5): one monolithic
+# sweep constructed all 456 queries in a single test — and TRUE-
+# streaming queries EXECUTE their ~40-micro-batch job during
+# construction, making that one gate a ~15-minute monolith. Those are
+# excluded here (their returned DataFrame is a materialized
+# createDataFrame, so its plan could never show the streaming job's
+# nodes anyway) and covered by the static source scan below; the rest
+# sweep in deterministic chunks so a failure names its neighborhood
+# and pytest shows progress.
+_UDF_GATE_CHUNK = 64
+_UDF_GATE_NAMES = sorted(
+    name for name, spec in _SPECS.items()
+    if spec.oracle is not None
+    and name != "q59_registered_scalar_udf"
+    and "true_stream" not in spec.tags
+)
+_UDF_GATE_CHUNKS = [
+    _UDF_GATE_NAMES[i:i + _UDF_GATE_CHUNK]
+    for i in range(0, len(_UDF_GATE_NAMES), _UDF_GATE_CHUNK)
+]
+
+
+@pytest.mark.parametrize(
+    "chunk", _UDF_GATE_CHUNKS,
+    ids=[c[0].split("_")[0] + "-" + c[-1].split("_")[0]
+         for c in _UDF_GATE_CHUNKS])
+def test_no_python_udf_in_oracle_graded_plans(spark, sf_dir, chunk):
     """Row-at-a-time Python UDFs (BatchEvalPython) must not appear in
     any oracle-graded query except q59 (the deliberate slow-path demo).
     Arrow-based nodes (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
     are the sanctioned Python escapes."""
     offenders = []
-    for name, spec in _SPECS.items():
-        if spec.oracle is None or name == "q59_registered_scalar_udf":
-            continue
+    for name in chunk:
         # strip UDTF nodes first — BatchEvalPythonUDTF is the (sanctioned)
         # table-function node, not the row-at-a-time scalar path
         plan = plan_of(spark, sf_dir, name).replace("BatchEvalPythonUDTF", "")
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_no_python_udf_in_true_stream_sources():
+    """Static cover for the true_stream queries excluded from the plan
+    sweep above: the modules defining them must not register
+    row-at-a-time Python UDFs (F.udf / @udf) anywhere — the streaming
+    job's plan is unobservable post-hoc, so the gate is at the source
+    level."""
+    import inspect
+
+    modules = {
+        inspect.getmodule(spec.fn)
+        for name, spec in _SPECS.items()
+        if "true_stream" in spec.tags
+    }
+    assert modules, "no true_stream queries found — tag scheme changed?"
+    for mod in modules:
+        src = inspect.getsource(mod)
+        assert "F.udf(" not in src and "@udf" not in src, mod.__name__
 
 
 def test_whole_stage_codegen_present(spark, sf_dir):
