@@ -139,6 +139,15 @@ PROMOTED36_QUERIES = [
     "q471_power_iteration_eigvec",    # integer-exact X^T(Xv) steps
 ]
 
+# Round-13 promotion (BASELINE.md v12): the TRUE-stream mergeable-
+# histogram run is the only round-13 build over the 2 s bar (~20 real
+# micro-batches: replay write + scheduling, the q453 cost shape);
+# promoted with two dedicated sessions (12.17/14.22, cleaner session
+# is the baseline). Summed into `value_37class`.
+PROMOTED37_QUERIES = [
+    "q473_streaming_histogram_quantiles",  # ~20 TRUE micro-batches
+]
+
 # Additions tracked report-only (the VERDICT r5 #7 pattern: reported
 # in queries{} for a round or two, then promoted with declared
 # baselines once they carry two measured sessions). The round-12
@@ -154,9 +163,8 @@ REPORTED_QUERIES: list = [
     "q468_blocked_fuzzy_join",        # minhash blocks + levenshtein
     "q469_mann_kendall_trend",        # bounded-grid pairwise signs
     "q470_dedup_manifest",            # per-dropped-doc keep record
-    # round-13 builds (first measured r13)
+    # round-13 builds (first measured r13; q473 promoted, see above)
     "q472_horvitz_thompson_audit",    # priority-sampling HT estimate
-    "q473_streaming_histogram_quantiles",  # ~20 TRUE micro-batches
     "q474_ams_f2_sketch",             # 16-estimator tug-of-war F2
     "q475_neyman_allocation_audit",   # sufficient-stats allocation
 ]
@@ -263,6 +271,8 @@ def main() -> None:
     total_34 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED36_QUERIES})
     total_36 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED37_QUERIES})
+    total_37 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -281,6 +291,7 @@ def main() -> None:
         "value_33class": total_33,
         "value_34class": total_34,
         "value_36class": total_36,
+        "value_37class": total_37,
         "coldchain": {
             "q446_chain_cold": cold_q446,
             "shingle_pool_build_cold": cold_pool,
