@@ -1270,14 +1270,32 @@ hashes AS (
          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
   FROM exx
 ),
-blk AS (SELECT doc_id, MIN(h) AS block FROM hashes GROUP BY doc_id),
-okblk AS (
-  SELECT block FROM blk GROUP BY block HAVING COUNT(*) <= 32
+bot2 AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rk
+  FROM hashes
 ),
-cblk AS (SELECT b.doc_id, b.block FROM blk b JOIN okblk o USING (block)),
+remix AS (
+  SELECT doc_id,
+         MIN(CAST(concat('0x', substr(md5(CAST(h AS VARCHAR)), 1, 15))
+             AS BIGINT)) AS b2
+  FROM hashes GROUP BY doc_id
+),
+lanes AS (
+  SELECT doc_id, 1 AS lane, h AS block FROM bot2 WHERE rk <= 2
+  UNION ALL
+  SELECT doc_id, 2 AS lane, b2 AS block FROM remix
+),
+okblk AS (
+  SELECT lane, block FROM lanes GROUP BY lane, block
+  HAVING COUNT(*) <= 32
+),
+cblk AS (SELECT l.doc_id, l.lane, l.block
+         FROM lanes l JOIN okblk o USING (lane, block)),
 cand AS (
-  SELECT a.doc_id AS da, b.doc_id AS db
-  FROM cblk a JOIN cblk b ON a.block = b.block AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM cblk a JOIN cblk b
+    ON a.lane = b.lane AND a.block = b.block AND a.doc_id < b.doc_id
 ),
 txt AS (SELECT doc_id, text, len(text) AS ln FROM documents)
 SELECT c.da AS doc_a, c.db AS doc_b,
@@ -1296,16 +1314,32 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Fellegi–Sunter blocking + Levenshtein verify): exact-duplicate
     families collapse first (the q392/q440/q446 discipline — copies
     must never inflate the candidate space), each surviving
-    representative is keyed by its ONE-LANE MINHASH block (the
-    minimum 60-bit shingle hash — two documents share it with
-    probability equal to their Jaccard similarity, the MinHash
-    property), and only same-block pairs within a +/-16-char length
-    band pay the O(len^2) Levenshtein verify, reported for pairs with
-    distance <= 32. (A rarest-shingle argmin block was tried first
-    and yields ZERO candidates here — a near-duplicate's rarest
-    shingle is exactly its most doc-specific one, so edited twins
-    never share it; the MinHash block recovers 135 candidates -> 24
-    verified pairs at sf0.01.)
+    representative is keyed by its BOTTOM-2 SKETCH (Broder: the two
+    smallest 60-bit shingle hashes — block keys in the shared hash
+    space) plus one independent remix lane (minimum of an md5 remix
+    of each shingle hash — a second permutation), and only
+    same-lane-same-block pairs within a +/-16-char length band pay
+    the O(len^2) Levenshtein verify, reported for pairs with distance
+    <= 32. Two documents share the min-hash block with probability
+    equal to their Jaccard similarity (the MinHash property); the
+    bottom-2 keys additionally make one-shingle-difference pairs
+    DETERMINISTIC (for B ⊂ A with |A\\B| = 1, A's second minimum IS
+    B's minimum whenever A's unique shingle carries the minimum).
+
+    RECALL, measured against exact all-pairs ground truth at sf0.01
+    (25 true pairs with lev <= 32 over the rep universe; the
+    |len diff| <= 32 prefilter makes the all-pairs scan lossless and
+    feasible — scripts in PLANS.md round-13 section): the original
+    ONE-lane form read 24/25 = 0.96 — the miss was a J=0.9
+    subset-shaped short-doc pair whose single off-shingle carried the
+    minimum under BOTH the base and remix permutations (a verified
+    ~1% two-lane event), and cross-lang, so the q428 metadata-blocker
+    union could NOT recover it. The bottom-2 form reads 25/25 = 1.00,
+    catching that pair deterministically; the length band's recall
+    cost measured ZERO (no-band recall identical). (A rarest-shingle
+    argmin block was tried first and yields ZERO candidates here — a
+    near-duplicate's rarest shingle is exactly its most doc-specific
+    one, so edited twins never share it.)
 
     Complementary to q428's METADATA blocker (same language + capped
     length band, threshold-form levenshtein kernel): production
@@ -1317,13 +1351,16 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     density). A pair missed by one blocker is usually caught by the
     other.
 
-    Engine shape: the block key is one map-side-combined min per
-    document; blocks larger than 32 documents ABSTAIN (q428's cap
-    rule — the first sf1 sweep without it read 75x super-linear: a
-    near-dup-saturated tier floods every block and the verify pays
+    Engine shape: the bottom-2 keys are one per-doc WindowGroupLimit
+    (rank <= 2 heaps, never a sort-materialize) and the remix lane
+    one map-side-combined min, both over the shared shingle-hash
+    pool; blocks larger than 32 documents ABSTAIN per lane (q428's
+    cap rule — the first sf1 sweep without it read 75x super-linear:
+    a near-dup-saturated tier floods every block and the verify pays
     len^2 per pair; the cap bounds the worst block's pair count at
     any corpus size, with abstention as the documented recall
-    tradeoff); candidates are one equi-join on the capped block key,
+    tradeoff); candidates are one equi-join on the capped
+    (lane, block) key,
     the length band prunes inside the join before any text is
     compared, and the Spark kernel uses the THRESHOLD form
     levenshtein(a, b, 32) — O(len*k) banded DP returning -1 past the
@@ -1336,23 +1373,41 @@ def q468_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition (unit-cost edit distance), pinned by the parity gate."""
     d = load_table(spark, sf_dir, "documents")
     fam, reps, _cc = exact_family_clusters(spark, sf_dir)
-    blk = (
+    rep_hashes = (
         shingle_hash_pool(spark, sf_dir)
         .join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("block"))
+        .select("doc_id", "h")
     )
+    bot2 = (
+        rep_hashes.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("h").asc())),
+        )
+        .filter(F.col("rk") <= 2)
+        .select("doc_id", F.lit(1).alias("lane"), F.col("h").alias("block"))
+    )
+    remix = (
+        rep_hashes.groupBy("doc_id")
+        .agg(F.min(F.expr(_H60_SPARK.format(key="h"))).alias("block"))
+        .select("doc_id", F.lit(2).alias("lane"), "block")
+    )
+    lanes = bot2.unionByName(remix)
     okblk = (
-        blk.groupBy("block").agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= 32).select("block")
+        lanes.groupBy("lane", "block").agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= 32).select("lane", "block")
     )
-    cblk = blk.join(okblk, "block")
+    cblk = lanes.join(okblk, ["lane", "block"])
     cand = (
-        cblk.select(F.col("doc_id").alias("da"), "block")
+        cblk.select(F.col("doc_id").alias("da"), "lane", "block")
         .join(cblk.select(F.col("doc_id").alias("db"),
-                          F.col("block").alias("b2")),
-              (F.col("block") == F.col("b2")) & (F.col("da") < F.col("db")))
+                          F.col("lane").alias("l2"),
+                          F.col("block").alias("blk2")),
+              (F.col("lane") == F.col("l2"))
+              & (F.col("block") == F.col("blk2"))
+              & (F.col("da") < F.col("db")))
         .select("da", "db")
+        .distinct()
     )
     txt = d.select("doc_id", "text", F.length("text").alias("ln"))
     return (

@@ -392,8 +392,16 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = (
-    # round 13: no implementation or oracle reworks yet (updated here
-    # if any land this round).
+    # round 13: q468's blocker reworked from one MinHash lane to a
+    # bottom-2 sketch + remix lane after the VERDICT r12 #6 recall
+    # audit measured the one-lane form at 24/25 against exact
+    # all-pairs ground truth at sf0.01 (the miss: a J=0.9
+    # subset-shaped pair whose off-shingle carried the minimum under
+    # both permutations — cross-lang, so the metadata-blocker union
+    # could not recover it; bottom-2 catches subset pairs
+    # deterministically). New form measures 25/25. Result set changes
+    # (one more verified pair) — fresh driver row required.
+    "q468_blocked_fuzzy_join",
 )
 
 
