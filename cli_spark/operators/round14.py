@@ -344,3 +344,199 @@ def q475_neyman_allocation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ALLOC_NEY).alias("alloc_neyman_micro"),
         F.expr(_RED_PPM).alias("reduction_ppm"),
     )
+
+
+# Laplace(b = 1/eps) noise by inverse CDF from the deterministic md5
+# uniform: u = (h+1)/2^60 - 0.5 in (-0.5, 0.5], noise =
+# -b*sign(u)*ln(1-2|u|). ONE shared float chain, floored to an
+# integer count delta; the 1e-18 guard covers the measure-zero
+# u = 0.5 draw (ln 0) identically in both engines. eps = 0.5 -> b = 2.
+_LAP_NOISE = (
+    "CAST(floor(-2.0 * sign(u) * ln(GREATEST(0.000000000000000001, "
+    "1.0 - 2.0 * abs(u)))) AS BIGINT)"
+)
+_LAP_U = (
+    "((CAST(h AS DOUBLE) + 1.0) / " + _TWO60 + ") - 0.5"
+)
+
+
+@register(
+    "q477_dp_laplace_release",
+    oracle=f"""
+WITH langs AS (SELECT DISTINCT lang FROM documents),
+sources AS (SELECT DISTINCT source FROM documents),
+counts AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+cells AS (
+  SELECT l.lang, s.source, COALESCE(c.n, 0) AS n_true
+  FROM langs l CROSS JOIN sources s
+  LEFT JOIN counts c ON c.lang = l.lang AND c.source = s.source
+),
+keyed AS (
+  SELECT lang, source, n_true,
+         {_H60_DUCK.format(key="lang || ':' || source")} AS h
+  FROM cells
+),
+drawn AS (
+  SELECT lang, source, n_true, {_LAP_U} AS u FROM keyed
+)
+SELECT lang, source, n_true,
+       n_true + {_LAP_NOISE} AS n_noisy,
+       CAST(500000 AS BIGINT) AS eps_micro
+FROM drawn
+""",
+    tags=("privacy", "dp", "laplace", "audit"),
+)
+def q477_dp_laplace_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE count release (Dwork et al. 2006) with a
+    utility audit: per-(lang, source) document counts released under
+    eps = 0.5 Laplace noise (sensitivity-1 counting query, scale
+    b = 1/eps = 2), the noise drawn by inverse CDF from the
+    deterministic md5 uniform (the q105 idiom — auditable releases
+    need reproducible noise seeds; production would key the draw by a
+    per-release secret). Two DP correctness points are load-bearing
+    and tested: the release covers the FULL domain grid (langs ×
+    sources including EMPTY cells — releasing only non-empty cells
+    leaks exact emptiness, the classic DP release bug), and the true
+    count appears beside the noisy one ONLY because this is the
+    utility-audit operator (realized |noise| vs the 2b expectation);
+    the production artifact drops n_true.
+
+    Scale shape: one map-side-combined groupBy to the cell counts,
+    a broadcast domain grid (|langs| x |sources| rows — metadata),
+    and one hash + one ln per CELL, not per document: the noise cost
+    is O(domain), independent of corpus size — the whole release for
+    a 100 TB corpus is a few hundred rows. The noise chain is ONE
+    shared float expression floored to an integer delta; everything
+    else is exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct()
+    sources = d.select("source").distinct()
+    counts = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        langs.crossJoin(F.broadcast(sources))
+        .join(counts, ["lang", "source"], "left")
+        .select("lang", "source",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_true"))
+    )
+    drawn = cells.withColumn(
+        "h",
+        F.expr(_H60_SPARK.format(key="concat(lang, ':', source)")),
+    ).withColumn("u", F.expr(_LAP_U))
+    return drawn.select(
+        "lang", "source", "n_true",
+        (F.col("n_true") + F.expr(_LAP_NOISE)).alias("n_noisy"),
+        F.lit(500000).cast("long").alias("eps_micro"),
+    )
+
+
+_KC_K = 8  # centers selected by greedy farthest-point (Gonzalez)
+
+
+def _kcenter_sql() -> str:
+    """Unrolled greedy k-center SQL (DuckDB side): d{t} = per-point
+    min squared distance to the first t+1 centers; s{t} = the point
+    selected at step t (argmax of d{t-1}, min-vec_id tie-break).
+    Generated programmatically — 8 mechanical steps, one shared
+    integer distance lambda."""
+
+    def d2(a: str, b: str) -> str:
+        return (f"CAST(list_sum(list_transform(range(1, 65), i -> "
+                f"({a}.q[i] - {b}.q[i]) * ({a}.q[i] - {b}.q[i]))) "
+                f"AS BIGINT)")
+
+    parts = [f"""pts AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT MIN(vec_id) AS cid FROM pts),
+d0 AS (
+  SELECT p.vec_id, {d2('p', 'c')} AS md
+  FROM pts p, pts c, c0 WHERE c.vec_id = c0.cid
+)"""]
+    for t in range(1, _KC_K):
+        parts.append(f"""s{t} AS (
+  SELECT vec_id, md FROM d{t - 1} ORDER BY md DESC, vec_id ASC LIMIT 1
+)""")
+        if t < _KC_K - 1:
+            parts.append(f"""d{t} AS (
+  SELECT d.vec_id, LEAST(d.md, {d2('p', 'c')}) AS md
+  FROM d{t - 1} d, pts p, pts c, s{t}
+  WHERE p.vec_id = d.vec_id AND c.vec_id = s{t}.vec_id
+)""")
+    selects = ["SELECT CAST(0 AS BIGINT) AS step, c0.cid AS center_id, "
+               "CAST(0 AS BIGINT) AS d2_sel FROM c0"]
+    selects += [f"SELECT CAST({t} AS BIGINT), vec_id, md FROM s{t}"
+                for t in range(1, _KC_K)]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "q478_kcenter_coreset",
+    oracle=_kcenter_sql(),
+    tags=("embedding", "coreset", "kcenter", "diversity"),
+)
+def q478_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY k-CENTER CORESET over the embeddings (Gonzalez 1985
+    farthest-point traversal, the 2-approximation to metric k-center)
+    — diversity selection for data curation: pick the 8 embeddings
+    that best COVER the corpus, with the coverage radius each pick
+    achieved in-result (d2_sel at step t is the squared distance of
+    the selected point to the first t centers = the coverage radius
+    of the t-center solution; the sequence is non-increasing, an
+    invariant tests/test_round14.py pins). Deterministic seed: the
+    minimum vec_id; ties at equal distance break to the smaller
+    vec_id in both engines.
+
+    INTEGER-EXACT throughout (the q471 discipline): embeddings
+    quantize once to floor(x * 2^20) longs, squared distances are
+    zip_with/aggregate integer chains (<= 64 * (2^21)^2 = 2^48, safe
+    in int64 for any corpus), so unordered aggregation cannot
+    re-round anything. Engine shape: the quantized relation persists
+    once; each of the 7 refinement steps is ONE broadcast of a single
+    64-int center against the point set, a zip_with kernel inside
+    whole-stage codegen, and an integer LEAST against the running
+    min-distance column — O(k·n·dim) total work, one tiny argmax
+    TakeOrdered per step (k driver-side 1-row collects, the bounded-
+    scalar pattern). At 100 TB the same loop runs with the centers in
+    a broadcast variable and the min-distance column carried in the
+    point relation — no shuffle of the points EVER happens."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+               "* 1048576.0) AS BIGINT))").alias("q"),
+    ).persist()
+    _D2_NEW = ("CAST(aggregate(zip_with(q, qc, (x, y) -> (x - y) * (x - y)),"
+               " 0L, (acc, v) -> acc + v) AS BIGINT)")
+    cached = []
+    try:
+        seed = pts.orderBy("vec_id").limit(1).collect()[0]
+        chosen = [(0, int(seed["vec_id"]), 0)]
+        md = (
+            pts.withColumn("qc", F.array(*[F.lit(int(v))
+                                           for v in seed["q"]]))
+            .select("vec_id", "q", F.expr(_D2_NEW).alias("md"))
+        )
+        for t in range(1, _KC_K):
+            md = md.persist()
+            cached.append(md)
+            pick = (md.orderBy(F.col("md").desc(), F.col("vec_id").asc())
+                    .limit(1).collect()[0])
+            chosen.append((t, int(pick["vec_id"]), int(pick["md"])))
+            md = (
+                md.withColumn(
+                    "qc", F.array(*[F.lit(int(v)) for v in pick["q"]]))
+                .select("vec_id", "q",
+                        F.expr(f"least(md, {_D2_NEW})").alias("md"))
+            )
+        return spark.createDataFrame(
+            chosen, "step long, center_id long, d2_sel long")
+    finally:
+        pts.unpersist()
+        for df in cached:
+            df.unpersist()

@@ -435,6 +435,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q473_streaming_histogram_quantiles",
     "q474_ams_f2_sketch",
     "q475_neyman_allocation_audit",
+    "q476_streaming_hll_union",
+    "q477_dp_laplace_release",
+    "q478_kcenter_coreset",
 )
 
 

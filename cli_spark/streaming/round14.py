@@ -247,3 +247,218 @@ def q473_streaming_histogram_quantiles(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+# HLL chains shared with the batch sketch (q465): exact-integer
+# register sum (each register contributes 2^(55-M) as BIGINT), raw
+# estimate alpha_64 * 64^2 * 2^55 / reg_sum, small-range correction
+# m*ln(m/zeros).
+from cli_spark.operators.round11 import _H60_DUCK, _H60_SPARK  # noqa: E402
+from cli_spark.operators.round13 import _HLL_RAW, _HLL_SMALL  # noqa: E402
+
+_RHO_DUCK = (
+    "CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END"
+)
+_RHO_SPARK = (
+    "CASE WHEN h DIV 64 = 0 THEN 55 ELSE 55 - length(bin(h DIV 64)) END"
+)
+
+
+def _hll_est_sql(prefix: str) -> str:
+    """Registers → estimate for one scope (DuckDB side)."""
+    return f"""
+{prefix}reg AS (
+  SELECT event_type, h % 64 AS bucket, MAX({_RHO_DUCK}) AS m
+  FROM {prefix}rows GROUP BY event_type, h % 64
+),
+{prefix}per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nbk,
+         CAST(SUM(CAST(power(2.0, 55 - m) AS BIGINT))
+              + (64 - COUNT(*)) * 36028797018963968 AS BIGINT) AS reg_sum
+  FROM {prefix}reg GROUP BY event_type
+),
+{prefix}ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM {prefix}rows GROUP BY event_type
+),
+{prefix}est AS (
+  SELECT p.event_type, e.n_exact,
+         CAST(64 - p.nbk AS BIGINT) AS zeros, {_HLL_RAW} AS raw_est
+  FROM {prefix}per p JOIN {prefix}ex e USING (event_type)
+),
+{prefix}fin AS (
+  SELECT event_type, n_exact, zeros,
+         CASE WHEN raw_est <= 160 AND zeros > 0
+              THEN {_HLL_SMALL} ELSE raw_est END AS hll
+  FROM {prefix}est
+)"""
+
+
+@register(
+    "q476_streaming_hll_union",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, user_id, epoch_us(ts) AS ts_us,
+         {_H60_DUCK.format(key='user_id')} AS h
+  FROM events
+),
+n AS (SELECT COUNT(*) AS cnt FROM base),
+bsz AS (SELECT CAST(ceil(cnt / 20.0) AS BIGINT) AS b FROM n),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n CROSS JOIN bsz),
+ordered AS (
+  SELECT b.*, row_number() OVER (ORDER BY ts_us, event_id) AS rn
+  FROM base b
+),
+frows AS (SELECT event_type, user_id, h FROM ordered),
+mrows AS (
+  SELECT o.event_type, o.user_id, o.h
+  FROM ordered o CROSS JOIN bsz CROSS JOIN nb
+  WHERE o.rn <= (nb.nb // 2) * bsz.b
+),
+{_hll_est_sql('f')},
+{_hll_est_sql('m')}
+SELECT f.event_type, f.n_exact, f.hll AS hll_final, f.zeros,
+       m.n_exact AS n_exact_mid, m.hll AS hll_mid,
+       CAST(abs(f.hll - f.n_exact) * 1000000 // f.n_exact AS BIGINT)
+         AS err_ppm,
+       CAST(nb.nb AS BIGINT) AS n_batches
+FROM ffin f JOIN mfin m USING (event_type) CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "sketch", "hll", "mergeable"),
+)
+def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HLL UNION over ~20 TRUE micro-batches — the second
+    mergeable-sketch TRUE-stream grade, and the OTHER merge algebra:
+    q473's histogram merges by bucket-wise ADDITION; HyperLogLog
+    merges by register-wise MAX. Each micro-batch's foreachBatch sink
+    writes only its 64-register sketch per event type (max rho per
+    bucket over that batch's rows — <= 320 integers per batch, never
+    fact rows); after the run the distinct-users-per-type estimate is
+    read off the MAX-merged registers, with q465's exact-integer
+    register sum (each register contributes 2^(55-M) as BIGINT, so no
+    float addition exists) and Flajolet small-range correction. The
+    mid-stream columns estimate the FIRST HALF of the batches — a
+    prefix-distinct the oracle reproduces via the same deterministic
+    batching, so the TRUE-stream structure itself is graded, not just
+    the final union.
+
+    This is the streaming-dashboard shape at 100 TB/day: executors
+    ship 64 bytes per (type, batch), the union of any set of shards /
+    days / clusters is an elementwise max, and the realized err_ppm
+    rides along against the exact audit (the 1.04/sqrt(64) ~ 13%
+    contract; the sf0.01 tier lands in the small-range-correction
+    regime and sf0.1 in the raw-estimator regime, so both estimator
+    paths stay covered)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = -(-n // 20)  # ceil
+    base = e.select("event_type", "event_id", "user_id", "ts")
+
+    tmp = tempfile.mkdtemp(prefix="q476_replay_")
+    out_root = tempfile.mkdtemp(prefix="q476_regs_")
+    try:
+        (
+            base.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            regs = (
+                batch_df.select(
+                    "event_type",
+                    F.expr(_H60_SPARK.format(key="user_id")).alias("h"),
+                )
+                .select("event_type", F.expr("h % 64").alias("bucket"),
+                        F.expr(_RHO_SPARK).alias("rho"))
+                .groupBy("event_type", "bucket")
+                .agg(F.max("rho").alias("m"))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            regs.write.mode("append").parquet(f"{out_root}/regs")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        regs = spark.read.parquet(f"{out_root}/regs").withColumn(
+            "bseq", F.dense_rank().over(Window.orderBy("batch_id")))
+        nb = regs.agg(F.max("bseq")).collect()[0][0]
+
+        def estimate(r: DataFrame, exact: DataFrame) -> DataFrame:
+            merged = r.groupBy("event_type", "bucket").agg(
+                F.max("m").alias("m"))
+            per = merged.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("nbk"),
+                F.expr("CAST(SUM(CAST(power(2.0, 55 - m) AS BIGINT)) "
+                       "+ (64 - COUNT(*)) * 36028797018963968 AS BIGINT)")
+                .alias("reg_sum"),
+            )
+            est = per.join(exact, "event_type").select(
+                "event_type", "n_exact",
+                (F.lit(64) - F.col("nbk")).cast("long").alias("zeros"),
+                F.expr(_HLL_RAW).alias("raw_est"),
+            )
+            return est.select(
+                "event_type", "n_exact", "zeros",
+                F.when((F.col("raw_est") <= 160) & (F.col("zeros") > 0),
+                       F.expr(_HLL_SMALL)).otherwise(F.col("raw_est"))
+                .alias("hll"),
+            )
+
+        # audit baselines (exact distinct) from the batch table, with
+        # the SAME deterministic prefix the oracle uses
+        ordered = base.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.unix_micros("ts"), F.col("event_id"))),
+        )
+        ex_f = ordered.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact"))
+        ex_m = (
+            ordered.filter(F.col("rn") <= (nb // 2) * bsz)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+        )
+        fin = estimate(regs, ex_f)
+        mid = (
+            estimate(regs.filter(F.col("bseq") <= nb // 2), ex_m)
+            .select(F.col("event_type").alias("et2"),
+                    F.col("n_exact").alias("n_exact_mid"),
+                    F.col("hll").alias("hll_mid"))
+        )
+        result = (
+            fin.join(mid, F.col("et2") == F.col("event_type"))
+            .select(
+                "event_type", "n_exact",
+                F.col("hll").alias("hll_final"), "zeros",
+                "n_exact_mid", "hll_mid",
+                F.expr("CAST(abs(hll - n_exact) * 1000000 DIV n_exact "
+                       "AS BIGINT)").alias("err_ppm"),
+                F.lit(nb).cast("long").alias("n_batches"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out

@@ -162,3 +162,69 @@ def test_streaming_histogram_true_multibatch_and_bounds(spark, sf_dir):
         bucket = (mx - mn + 1) / 64.0
         # fixed-grid contract: estimate within 1.5 buckets of exact
         assert abs(r["est_final_cents"] - ex) <= 1.5 * bucket + 1
+
+
+def test_streaming_hll_multibatch_and_accuracy(spark, sf_dir):
+    from cli_spark.streaming.round14 import q476_streaming_hll_union
+
+    rows = q476_streaming_hll_union(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["n_batches"] >= 2              # TRUE multi-batch
+        assert 0 <= r["zeros"] <= 64
+        assert 0 < r["n_exact_mid"] <= r["n_exact"]
+        assert r["hll_final"] > 0 and r["hll_mid"] > 0
+        # 64-register contract ~13% sigma; pin at < 50% realized
+        assert r["err_ppm"] < 500_000
+
+
+def test_dp_release_domain_and_noise(spark, sf_dir):
+    import pandas as pd
+    from cli_spark.operators.round14 import q477_dp_laplace_release
+
+    rows = q477_dp_laplace_release(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["lang", "source"])
+    # full domain grid, INCLUDING empty cells — the DP release rule
+    assert len(rows) == pdf["lang"].nunique() * pdf["source"].nunique()
+    assert sum(r["n_true"] for r in rows) == len(pdf)
+    for r in rows:
+        assert r["n_true"] >= 0
+        assert r["eps_micro"] == 500_000
+        # Laplace(b=2): P(|noise| > 40) = e^-20 per cell — a hit here
+        # means the inverse-CDF chain broke, not bad luck
+        assert abs(r["n_noisy"] - r["n_true"]) <= 40
+    # noise must actually exist somewhere (the release isn't identity)
+    assert any(r["n_noisy"] != r["n_true"] for r in rows)
+
+
+def test_kcenter_radius_monotone_and_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from cli_spark.operators.round14 import q478_kcenter_coreset
+
+    rows = sorted(q478_kcenter_coreset(spark, sf_dir).collect(),
+                  key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == list(range(8))
+    ids = [r["center_id"] for r in rows]
+    assert len(set(ids)) == 8                   # no center repeats
+    d2s = [r["d2_sel"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))  # coverage shrinks
+
+    # independent numpy reimplementation of the greedy traversal
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).sort_values(
+                              "vec_id").reset_index(drop=True)
+    q = np.stack([np.floor(np.asarray(v, dtype="float64") * 1048576.0)
+                  for v in pdf["embedding"]]).astype("int64")
+    vid = pdf["vec_id"].to_numpy()
+    centers = [0]                               # min vec_id is row 0
+    md = ((q - q[0]) ** 2).sum(axis=1)
+    got = [(0, int(vid[0]), 0)]
+    for t in range(1, 8):
+        best = np.lexsort((vid, -md))[0]
+        got.append((t, int(vid[best]), int(md[best])))
+        md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
+    assert [(r["step"], r["center_id"], r["d2_sel"]) for r in rows] == got
