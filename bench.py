@@ -148,6 +148,15 @@ PROMOTED37_QUERIES = [
     "q473_streaming_histogram_quantiles",  # ~20 TRUE micro-batches
 ]
 
+# Round-13 second promotion (BASELINE.md v13): the TRUE-stream HLL
+# union is the other round-13 build over the 2 s bar (same ~20-micro-
+# batch replay cost shape as q473/q453); two dedicated sessions
+# 11.93/15.33, cleaner session is the baseline. Summed into
+# `value_38class`.
+PROMOTED38_QUERIES = [
+    "q476_streaming_hll_union",  # register-max merge across batches
+]
+
 # Additions tracked report-only (the VERDICT r5 #7 pattern: reported
 # in queries{} for a round or two, then promoted with declared
 # baselines once they carry two measured sessions). The round-12
@@ -163,10 +172,12 @@ REPORTED_QUERIES: list = [
     "q468_blocked_fuzzy_join",        # minhash blocks + levenshtein
     "q469_mann_kendall_trend",        # bounded-grid pairwise signs
     "q470_dedup_manifest",            # per-dropped-doc keep record
-    # round-13 builds (first measured r13; q473 promoted, see above)
+    # round-13 builds (first measured r13; q473/q476 promoted)
     "q472_horvitz_thompson_audit",    # priority-sampling HT estimate
     "q474_ams_f2_sketch",             # 16-estimator tug-of-war F2
     "q475_neyman_allocation_audit",   # sufficient-stats allocation
+    "q477_dp_laplace_release",        # domain-grid Laplace counts
+    "q478_kcenter_coreset",           # greedy farthest-point, 8 picks
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
@@ -273,6 +284,8 @@ def main() -> None:
     total_36 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED37_QUERIES})
     total_37 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED38_QUERIES})
+    total_38 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -292,6 +305,7 @@ def main() -> None:
         "value_34class": total_34,
         "value_36class": total_36,
         "value_37class": total_37,
+        "value_38class": total_38,
         "coldchain": {
             "q446_chain_cold": cold_q446,
             "shingle_pool_build_cold": cold_pool,
