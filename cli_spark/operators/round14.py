@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cli_spark.operators.dedup import _SQL_SHINGLES
 from cli_spark.operators.round11 import _H60_DUCK, _H60_SPARK, _TWO60
 from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
@@ -540,3 +541,120 @@ def q478_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.unpersist()
         for df in cached:
             df.unpersist()
+
+
+@register(
+    "q480_threshold_sensitivity_curve",
+    oracle=f"""
+WITH fam AS (SELECT doc_id, md5(text) AS fkey FROM documents),
+st AS (SELECT fkey, MIN(doc_id) AS rep FROM fam GROUP BY fkey),
+shall AS ({_SQL_SHINGLES}),
+sz AS (
+  SELECT s.doc_id, len(s.shingles) AS n, s.shingles
+  FROM shall s JOIN st ON st.rep = s.doc_id
+  WHERE len(s.shingles) > 0
+),
+exx AS (SELECT doc_id, n, unnest(shingles) AS s FROM sz),
+pr AS (
+  SELECT a.doc_id AS da, a.n AS na, b.doc_id AS db, b.n AS nbb,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+jp AS (
+  SELECT da, db, inter, na + nbb - inter AS un
+  FROM pr WHERE 2 * inter >= na + nbb - inter
+),
+banded AS (SELECT (10 * inter) // un AS band, da, db FROM jp),
+pairs AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM banded GROUP BY band
+),
+docs AS (
+  SELECT band, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT band, da AS d FROM banded
+        UNION ALL SELECT band, db FROM banded)
+  GROUP BY band
+)
+SELECT CAST(p.band AS BIGINT) AS band, p.n_pairs, d.n_docs,
+       CAST(SUM(p.n_pairs) OVER (ORDER BY p.band DESC) AS BIGINT)
+         AS cum_pairs_at_threshold
+FROM pairs p JOIN docs d USING (band)
+""",
+    tags=("dedup", "threshold", "sensitivity", "audit"),
+)
+def q480_threshold_sensitivity_curve(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SENSITIVITY CURVE — the parameter-tuning
+    deliverable of the near-dup stack: qualifying pairs of the q446
+    chain bucketed by Jaccard band (band b = floor(10·J), b = 5..10),
+    with the per-band document footprint and the CUMULATIVE pair
+    count at each candidate threshold (cum at band b = pairs a
+    J >= b/10 cutoff would act on). A curation team reads this table
+    to pick the threshold: how much removal mass each 0.1 step of
+    strictness adds, BEFORE re-running anything — the whole curve
+    costs one verify pass because the 0.5 prefix filter is lossless
+    for every band above it.
+
+    Engine shape: the q392/q446 machinery end to end — exact-family
+    collapse (candidates ride distinct-text volume), Bayardo/
+    Chaudhuri prefix-filter candidates at the 0.5 bound (lossless for
+    ALL reported bands — the reason one candidate pass serves six
+    thresholds), one array_intersect verify per candidate, then a
+    6-row band census with a window cumsum over bands. All integer
+    arithmetic: the band index is (10·inter) DIV union; no float
+    exists anywhere."""
+    from cli_spark.operators.dedup import (
+        prefix_filter_candidates,
+        shingles_df,
+    )
+    from cli_spark.operators.round11 import exact_family_clusters
+
+    _fam, reps, _cc = exact_family_clusters(spark, sf_dir)
+    sh = (
+        shingles_df(spark, sf_dir, fanout=True)
+        .join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        .persist()
+    )
+    try:
+        _, cand = prefix_filter_candidates(spark, sf_dir, sh=sh)
+        av = sh.select(F.col("doc_id").alias("doc_a"),
+                       F.col("shingles").alias("sa"), F.col("n").alias("na"))
+        bv = sh.select(F.col("doc_id").alias("doc_b"),
+                       F.col("shingles").alias("sb"), F.col("n").alias("nbb"))
+        jp = (
+            cand.join(av, "doc_a").join(bv, "doc_b")
+            .withColumn("inter", F.size(F.array_intersect("sa", "sb"))
+                        .cast("long"))
+            .withColumn("un", F.col("na") + F.col("nbb") - F.col("inter"))
+            .filter(2 * F.col("inter") >= F.col("un"))
+            .select("doc_a", "doc_b", "inter", "un")
+        )
+        banded = jp.select(
+            F.expr("(10 * inter) DIV un").alias("band"), "doc_a", "doc_b")
+        pairs = banded.groupBy("band").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        docs = (
+            banded.select("band", F.col("doc_a").alias("d"))
+            .unionAll(banded.select("band", F.col("doc_b").alias("d")))
+            .groupBy("band")
+            .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+        )
+        result = (
+            pairs.join(docs, "band")
+            .withColumn(
+                "cum_pairs_at_threshold",
+                F.sum("n_pairs").over(
+                    Window.orderBy(F.col("band").desc())
+                    .rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+            )
+            .select(F.col("band").cast("long").alias("band"), "n_pairs",
+                    "n_docs", "cum_pairs_at_threshold")
+        )
+        # the band census is tiny (6 rows) — materialize before the
+        # shingle relation is released
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        sh.unpersist()
+    return out

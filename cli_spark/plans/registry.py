@@ -438,6 +438,8 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q476_streaming_hll_union",
     "q477_dp_laplace_release",
     "q478_kcenter_coreset",
+    "q479_streaming_misra_gries",
+    "q480_threshold_sensitivity_curve",
 )
 
 

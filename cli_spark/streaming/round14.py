@@ -462,3 +462,190 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+_MG_K = 8  # Misra-Gries counters; error bound n/(k+1)
+
+
+@register(
+    "q479_streaming_misra_gries",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+n AS (SELECT COUNT(*) AS cnt FROM base),
+bsz AS (SELECT CAST(ceil(cnt / 20.0) AS BIGINT) AS b FROM n),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n CROSS JOIN bsz),
+ordered AS (
+  SELECT b.*, row_number() OVER (ORDER BY ts_us, event_id) AS rn
+  FROM base b
+),
+batched AS (
+  SELECT o.user_id, (o.rn - 1) // b.b AS batch
+  FROM ordered o CROSS JOIN bsz b
+),
+bc AS (
+  SELECT batch, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM batched GROUP BY batch, user_id
+),
+thr AS (
+  SELECT batch, COALESCE(MAX(c) FILTER (WHERE rnk = 9), 0) AS c9
+  FROM (SELECT batch, c,
+               row_number() OVER (PARTITION BY batch
+                                  ORDER BY c DESC, user_id ASC) AS rnk
+        FROM bc)
+  GROUP BY batch
+),
+summ AS (
+  SELECT b.batch, b.user_id, b.c - t.c9 AS ctr
+  FROM bc b JOIN thr t USING (batch)
+  WHERE b.c - t.c9 > 0
+),
+merged AS (
+  SELECT user_id, CAST(SUM(ctr) AS BIGINT) AS s FROM summ GROUP BY user_id
+),
+mthr AS (
+  SELECT COALESCE(MAX(s) FILTER (WHERE rnk = 9), 0) AS s9
+  FROM (SELECT s, row_number() OVER (ORDER BY s DESC, user_id ASC) AS rnk
+        FROM merged)
+),
+fin AS (
+  SELECT m.user_id, m.s - t.s9 AS est
+  FROM merged m CROSS JOIN mthr t
+  WHERE m.s - t.s9 > 0
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ex FROM base GROUP BY user_id
+),
+ranked AS (
+  SELECT f.user_id, f.est, e.ex,
+         row_number() OVER (ORDER BY f.est DESC, f.user_id ASC) AS rnk
+  FROM fin f JOIN exact e USING (user_id)
+)
+SELECT CAST(r.rnk AS BIGINT) AS rank, r.user_id,
+       CAST(r.est AS BIGINT) AS est_count, r.ex AS exact_count,
+       r.ex - CAST(r.est AS BIGINT) AS deficit,
+       CAST(n.cnt // 9 AS BIGINT) AS bound,
+       CAST(nb.nb AS BIGINT) AS n_batches
+FROM ranked r CROSS JOIN n CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "sketch", "heavy-hitters",
+          "mergeable"),
+)
+def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MISRA–GRIES heavy hitters over ~20 TRUE micro-batches
+    — the THIRD merge algebra of the mergeable-sketch set: histograms
+    merge by addition (q473), HLL by register max (q476), MG counter
+    summaries by ADD-THEN-SUBTRACT-THE-(k+1)-th (Agarwal et al.,
+    Mergeable Summaries, PODS 2012/TODS 2013 — the result that made
+    frequency estimation distributable). Each micro-batch's
+    foreachBatch sink writes its canonical k = 8 counter summary
+    (exact in-batch counts minus the batch's 9th-largest count,
+    positives only — at most 8 rows per batch, order-free); the
+    post-run merge sums counters per key and subtracts the merged
+    9th-largest, preserving the deficit bound exact - est <= n/(k+1)
+    ACROSS merges. The result ranks the surviving heavy hitters with
+    their exact counts, realized deficit, and the n/9 bound — the
+    audit makes the theorem's inequality a tested row property
+    (deficit is also always >= 0: MG never overestimates).
+
+    This is how top-K dashboards work at 100 TB/day: executors ship
+    k counters per shard, merges are associative, and nobody ever
+    re-scans. Every quantity here is an exact integer (counts,
+    thresholds, counters, bound) — ties rank deterministically by
+    user_id in both engines."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = -(-n // 20)
+    base = e.select("event_id", "user_id", "ts")
+
+    tmp = tempfile.mkdtemp(prefix="q479_replay_")
+    out_root = tempfile.mkdtemp(prefix="q479_mg_")
+    try:
+        (
+            base.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            bc = batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("c"))
+            rnk = bc.withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.orderBy(F.col("c").desc(), F.col("user_id").asc())),
+            )
+            c9 = rnk.filter(F.col("rnk") == _MG_K + 1).select("c")
+            thr = (c9.collect() or [None])
+            c9v = int(thr[0]["c"]) if thr[0] is not None else 0
+            summ = (
+                bc.select("user_id", (F.col("c") - F.lit(c9v)).alias("ctr"))
+                .filter(F.col("ctr") > 0)
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            summ.write.mode("append").parquet(f"{out_root}/summ")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        summ = spark.read.parquet(f"{out_root}/summ")
+        nb = summ.select("batch_id").distinct().count()
+        merged = summ.groupBy("user_id").agg(
+            F.sum("ctr").cast("long").alias("s"))
+        s9r = (
+            merged.withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.orderBy(F.col("s").desc(), F.col("user_id").asc())))
+            .filter(F.col("rnk") == _MG_K + 1).select("s").collect()
+        )
+        s9 = int(s9r[0]["s"]) if s9r else 0
+        fin = merged.select(
+            "user_id", (F.col("s") - F.lit(s9)).alias("est")
+        ).filter(F.col("est") > 0)
+        exact = base.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("ex"))
+        ranked = (
+            fin.join(exact, "user_id")
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.orderBy(F.col("est").desc(), F.col("user_id").asc())),
+            )
+        )
+        result = ranked.select(
+            F.col("rank").cast("long").alias("rank"), "user_id",
+            F.col("est").cast("long").alias("est_count"),
+            F.col("ex").alias("exact_count"),
+            (F.col("ex") - F.col("est")).cast("long").alias("deficit"),
+            F.lit(n // (_MG_K + 1)).cast("long").alias("bound"),
+            F.lit(nb).cast("long").alias("n_batches"),
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out

@@ -228,3 +228,59 @@ def test_kcenter_radius_monotone_and_matches_numpy(spark, sf_dir):
         got.append((t, int(vid[best]), int(md[best])))
         md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
     assert [(r["step"], r["center_id"], r["d2_sel"]) for r in rows] == got
+
+
+def test_misra_gries_deficit_bound_and_guarantee(spark, sf_dir):
+    """MG theorem as row properties: 0 <= exact - est <= n/(k+1), and
+    every key with true frequency > n/(k+1) SURVIVES the merged
+    summary (the heavy-hitter guarantee)."""
+    from cli_spark.streaming.round14 import q479_streaming_misra_gries
+
+    rows = q479_streaming_misra_gries(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 8
+    got = {r["user_id"] for r in rows}
+    for r in rows:
+        assert r["n_batches"] >= 2
+        assert r["est_count"] > 0
+        assert 0 <= r["deficit"] <= r["bound"]
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = pdf.groupby("user_id").size()
+    bound = len(pdf) // 9
+    for uid, c in counts.items():
+        if c > bound:
+            assert int(uid) in got, f"heavy hitter {uid} ({c} > {bound}) lost"
+
+
+def test_threshold_curve_matches_bruteforce_jaccard(spark, sf_dir):
+    """Independent pandas reimplementation: brute-force Jaccard over
+    all rep pairs reproduces the band census (no prefix filter, no
+    SQL text shared)."""
+    from collections import Counter
+
+    from cli_spark.operators.round14 import q480_threshold_sensitivity_curve
+
+    rows = {r["band"]: r for r in
+            q480_threshold_sensitivity_curve(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    reps = pdf.loc[pdf.groupby(pdf["text"].map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()))["doc_id"]
+        .idxmin()].reset_index(drop=True)
+
+    def sh(t: str) -> frozenset:
+        w = t.split(" ")
+        return frozenset(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+
+    sets = [(int(r["doc_id"]), sh(r["text"])) for _, r in reps.iterrows()]
+    sets = [(d, s) for d, s in sets if s]
+    bands = Counter()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i][1] & sets[j][1])
+            un = len(sets[i][1] | sets[j][1])
+            if 2 * inter >= un:
+                bands[(10 * inter) // un] += 1
+    assert {b: r["n_pairs"] for b, r in rows.items()} == dict(bands)
+    # cumulative pairs monotone downward in strictness
+    cum = [rows[b]["cum_pairs_at_threshold"] for b in sorted(rows)]
+    assert all(a >= b for a, b in zip(cum, cum[1:]))
