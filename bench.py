@@ -157,6 +157,13 @@ PROMOTED38_QUERIES = [
     "q476_streaming_hll_union",  # register-max merge across batches
 ]
 
+# Round-13 third promotion (BASELINE.md v14): the TRUE-stream
+# Misra-Gries run joins the net (two sessions 14.60/16.53, cleaner
+# session is the baseline). Summed into `value_39class`.
+PROMOTED39_QUERIES = [
+    "q479_streaming_misra_gries",  # add-then-subtract counter merge
+]
+
 # Additions tracked report-only (the VERDICT r5 #7 pattern: reported
 # in queries{} for a round or two, then promoted with declared
 # baselines once they carry two measured sessions). The round-12
@@ -178,6 +185,7 @@ REPORTED_QUERIES: list = [
     "q475_neyman_allocation_audit",   # sufficient-stats allocation
     "q477_dp_laplace_release",        # domain-grid Laplace counts
     "q478_kcenter_coreset",           # greedy farthest-point, 8 picks
+    "q480_threshold_sensitivity_curve",  # rides the qp cache slot
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
@@ -286,6 +294,8 @@ def main() -> None:
     total_37 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED38_QUERIES})
     total_38 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED39_QUERIES})
+    total_39 = round(sum(times.values()), 4)
     # report-only classes: tracked, never summed
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
 
@@ -306,6 +316,7 @@ def main() -> None:
         "value_36class": total_36,
         "value_37class": total_37,
         "value_38class": total_38,
+        "value_39class": total_39,
         "coldchain": {
             "q446_chain_cold": cold_q446,
             "shingle_pool_build_cold": cold_pool,

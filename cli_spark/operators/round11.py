@@ -42,6 +42,23 @@ _TWO60 = "1152921504606846976.0"  # 2^60 as a double literal
 # change, so a long parity/driver session holds at most one
 # materialization.
 _CLUSTER_CACHE: dict[tuple, tuple] = {}
+# Companion single-slot cache: the chain's qualifying-pair relation
+# (doc_a, doc_b, inter, un) WITH its Jaccard components — filled by
+# the same exact_family_clusters run (one chain, two artifacts). q480
+# reads the whole curve off it; without the slot it would re-pay the
+# shingle + prefix-filter + verify chain (~16 s warm at sf0.1) that
+# the cluster cache already paid for q446.
+_QP_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def qualifying_pairs(spark: SparkSession, sf_dir: str):
+    """(doc_a, doc_b, inter, un): the q446 chain's Jaccard >= 0.5
+    qualifying pairs with intersection/union sizes, from the shared
+    single-slot session cache (built by exact_family_clusters)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _QP_CACHE:
+        exact_family_clusters(spark, sf_dir)
+    return _QP_CACHE[key]
 
 
 def exact_family_clusters(spark: SparkSession, sf_dir: str):
@@ -77,10 +94,14 @@ def exact_family_clusters(spark: SparkSession, sf_dir: str):
                    F.col("shingles").alias("sb"), F.col("n").alias("nb"))
     qp = (
         cand.join(av, "doc_a").join(bv, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .filter(2 * F.col("inter")
-                >= F.col("na") + F.col("nb") - F.col("inter"))
-        .select("doc_a", "doc_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn("un",
+                    (F.col("na") + F.col("nb") - F.col("inter"))
+                    .cast("long"))
+        .filter(2 * F.col("inter") >= F.col("un"))
+        .select("doc_a", "doc_b", "inter", "un")
+        .persist()
     )
     edges = qp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
         .unionByName(qp.select(F.col("doc_b").alias("src"),
@@ -88,6 +109,7 @@ def exact_family_clusters(spark: SparkSession, sf_dir: str):
     cc = connected_components(
         reps.select(F.col("rep").alias("doc_id")), edges).persist()
     cc.count()  # materialize so the shingle relation can be released
+    qp.count()  # qp too — it outlives sh in the companion cache slot
     sh.unpersist()
     for stale in [k for k in _CLUSTER_CACHE if k != key]:
         for df in _CLUSTER_CACHE.pop(stale):
@@ -95,6 +117,12 @@ def exact_family_clusters(spark: SparkSession, sf_dir: str):
                 df.unpersist()
             except Exception:
                 pass  # entry may belong to an already-stopped session
+    for stale in [k for k in _QP_CACHE if k != key]:
+        try:
+            _QP_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass
+    _QP_CACHE[key] = qp
     _CLUSTER_CACHE[key] = (fam, reps, cc)
     return fam, reps, cc
 

@@ -595,66 +595,38 @@ def q480_threshold_sensitivity_curve(
     costs one verify pass because the 0.5 prefix filter is lossless
     for every band above it.
 
-    Engine shape: the q392/q446 machinery end to end — exact-family
-    collapse (candidates ride distinct-text volume), Bayardo/
-    Chaudhuri prefix-filter candidates at the 0.5 bound (lossless for
-    ALL reported bands — the reason one candidate pass serves six
-    thresholds), one array_intersect verify per candidate, then a
-    6-row band census with a window cumsum over bands. All integer
-    arithmetic: the band index is (10·inter) DIV union; no float
-    exists anywhere."""
-    from cli_spark.operators.dedup import (
-        prefix_filter_candidates,
-        shingles_df,
-    )
-    from cli_spark.operators.round11 import exact_family_clusters
+    Engine shape: the q392/q446 machinery — exact-family collapse
+    (candidates ride distinct-text volume), Bayardo/Chaudhuri
+    prefix-filter candidates at the 0.5 bound (lossless for ALL
+    reported bands — the reason one candidate pass serves six
+    thresholds), one array_intersect verify per candidate — all of it
+    read from the `qualifying_pairs` companion slot of the q446
+    cluster cache (the chain is paid ONCE per session; without the
+    slot this query re-paid it at ~16 s warm), then a 6-row band
+    census with a window cumsum over bands. All integer arithmetic:
+    the band index is (10·inter) DIV union; no float exists
+    anywhere."""
+    from cli_spark.operators.round11 import qualifying_pairs
 
-    _fam, reps, _cc = exact_family_clusters(spark, sf_dir)
-    sh = (
-        shingles_df(spark, sf_dir, fanout=True)
-        .join(reps.select(F.col("rep").alias("doc_id")), "doc_id")
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles", F.size("shingles").alias("n"))
-        .persist()
+    jp = qualifying_pairs(spark, sf_dir)
+    banded = jp.select(
+        F.expr("(10 * inter) DIV un").alias("band"), "doc_a", "doc_b")
+    pairs = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    docs = (
+        banded.select("band", F.col("doc_a").alias("d"))
+        .unionAll(banded.select("band", F.col("doc_b").alias("d")))
+        .groupBy("band")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
     )
-    try:
-        _, cand = prefix_filter_candidates(spark, sf_dir, sh=sh)
-        av = sh.select(F.col("doc_id").alias("doc_a"),
-                       F.col("shingles").alias("sa"), F.col("n").alias("na"))
-        bv = sh.select(F.col("doc_id").alias("doc_b"),
-                       F.col("shingles").alias("sb"), F.col("n").alias("nbb"))
-        jp = (
-            cand.join(av, "doc_a").join(bv, "doc_b")
-            .withColumn("inter", F.size(F.array_intersect("sa", "sb"))
-                        .cast("long"))
-            .withColumn("un", F.col("na") + F.col("nbb") - F.col("inter"))
-            .filter(2 * F.col("inter") >= F.col("un"))
-            .select("doc_a", "doc_b", "inter", "un")
+    return (
+        pairs.join(docs, "band")
+        .withColumn(
+            "cum_pairs_at_threshold",
+            F.sum("n_pairs").over(
+                Window.orderBy(F.col("band").desc())
+                .rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
         )
-        banded = jp.select(
-            F.expr("(10 * inter) DIV un").alias("band"), "doc_a", "doc_b")
-        pairs = banded.groupBy("band").agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        docs = (
-            banded.select("band", F.col("doc_a").alias("d"))
-            .unionAll(banded.select("band", F.col("doc_b").alias("d")))
-            .groupBy("band")
-            .agg(F.countDistinct("d").cast("long").alias("n_docs"))
-        )
-        result = (
-            pairs.join(docs, "band")
-            .withColumn(
-                "cum_pairs_at_threshold",
-                F.sum("n_pairs").over(
-                    Window.orderBy(F.col("band").desc())
-                    .rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
-            )
-            .select(F.col("band").cast("long").alias("band"), "n_pairs",
-                    "n_docs", "cum_pairs_at_threshold")
-        )
-        # the band census is tiny (6 rows) — materialize before the
-        # shingle relation is released
-        out = spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        sh.unpersist()
-    return out
+        .select(F.col("band").cast("long").alias("band"), "n_pairs",
+                "n_docs", "cum_pairs_at_threshold")
+    )

@@ -402,6 +402,13 @@ _ROUND_CHANGED: tuple[str, ...] = (
     # deterministically). New form measures 25/25. Result set changes
     # (one more verified pair) — fresh driver row required.
     "q468_blocked_fuzzy_join",
+    # round 13 second phase: the exact_family_clusters chain now also
+    # persists the qualifying-pair relation (with inter/un columns)
+    # in the _QP_CACHE companion slot consumed by q480 — q446's
+    # result is identical but the chain's execution changed (the
+    # q290-fuse precedent: plan-changing edits take a fresh driver
+    # row).
+    "q446_dedup_pipeline_flagship",
 )
 
 

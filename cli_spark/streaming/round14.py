@@ -588,6 +588,8 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # threshold computed IN-PLAN (one always-1-row aggregate,
+            # cross-joined back) — no per-batch driver collect
             bc = batch_df.groupBy("user_id").agg(
                 F.count(F.lit(1)).cast("long").alias("c"))
             rnk = bc.withColumn(
@@ -595,11 +597,12 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.row_number().over(
                     W.orderBy(F.col("c").desc(), F.col("user_id").asc())),
             )
-            c9 = rnk.filter(F.col("rnk") == _MG_K + 1).select("c")
-            thr = (c9.collect() or [None])
-            c9v = int(thr[0]["c"]) if thr[0] is not None else 0
+            thr = rnk.agg(
+                F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("c"))
+                      .otherwise(F.lit(0))).alias("c9"))
             summ = (
-                bc.select("user_id", (F.col("c") - F.lit(c9v)).alias("ctr"))
+                bc.crossJoin(F.broadcast(thr))
+                .select("user_id", (F.col("c") - F.col("c9")).alias("ctr"))
                 .filter(F.col("ctr") > 0)
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
