@@ -164,29 +164,47 @@ PROMOTED39_QUERIES = [
     "q479_streaming_misra_gries",  # add-then-subtract counter merge
 ]
 
-# Additions tracked report-only (the VERDICT r5 #7 pattern: reported
-# in queries{} for a round or two, then promoted with declared
-# baselines once they carry two measured sessions). The round-12
-# second-phase sub-2 s queries (measured min-of-5, BASELINE.md v9
-# report table).
-REPORTED_QUERIES: list = [
-    "q461_histogram_quantile_drift",  # mergeable 64-bucket histogram
-    "q463_cluster_tfidf_labels",      # rides q446's cluster cache
-    "q464_harmonic_token_packing",    # closed-form size-class packing
-    "q465_hll_register_sketch",       # 64 HLL registers, integer sums
-    "q466_family_split_leakage",      # near-dup contamination audit
-    "q467_rrf_hybrid_retrieval",      # lexical+dense rank fusion
-    "q468_blocked_fuzzy_join",        # minhash blocks + levenshtein
-    "q469_mann_kendall_trend",        # bounded-grid pairwise signs
-    "q470_dedup_manifest",            # per-dropped-doc keep record
-    # round-13 builds (first measured r13; q473/q476 promoted)
-    "q472_horvitz_thompson_audit",    # priority-sampling HT estimate
-    "q474_ams_f2_sketch",             # 16-estimator tug-of-war F2
-    "q475_neyman_allocation_audit",   # sufficient-stats allocation
-    "q477_dp_laplace_release",        # domain-grid Laplace counts
-    "q478_kcenter_coreset",           # greedy farthest-point, 8 picks
-    "q480_threshold_sensitivity_curve",  # rides the qp cache slot
-]
+# Report-tail rows: every graded query under the 2 s promotion bar,
+# tracked with its DEDICATED min-of-5 idle-box baseline (BASELINE.md
+# CURRENT GATES report table). Round 14 (VERDICT r13 #1): these rows
+# now carry a BINDING collective gate — `value_report_tail` sums the
+# end-of-bench readings and `report_tail_flag` fires when the sum
+# exceeds 2× the sum of the dedicated baselines, so session-cache
+# context drift either disappears into the collective headroom or
+# becomes a flagged signal (per-row context drift stays expected; the
+# r13 pattern q463 1.57→2.67 etc. was explained row by row — this
+# gate replaces that with one net).
+REPORT_TAIL_BASELINES: dict = {
+    # round-11/12 builds (dedicated sessions, BASELINE.md v8/v9)
+    "q454_skipgram_pmi": 1.14,
+    "q455_simpsons_paradox_audit": 0.41,
+    "q456_km_survival": 0.61,
+    "q457_cuped_adjustment": 0.63,
+    "q458_quantile_treatment_effect": 0.49,
+    "q459_rake_keywords": 1.22,
+    "q461_histogram_quantile_drift": 0.70,   # mergeable 64-bucket histogram
+    "q463_cluster_tfidf_labels": 1.47,       # rides q446's cluster cache
+    "q464_harmonic_token_packing": 0.25,     # closed-form size-class packing
+    "q465_hll_register_sketch": 0.57,        # 64 HLL registers, integer sums
+    "q466_family_split_leakage": 0.89,       # near-dup contamination audit
+    "q467_rrf_hybrid_retrieval": 0.91,       # lexical+dense rank fusion
+    "q468_blocked_fuzzy_join": 1.85,         # bottom-2 blocks + levenshtein
+    "q469_mann_kendall_trend": 0.63,         # bounded-grid pairwise signs
+    "q470_dedup_manifest": 0.91,             # per-dropped-doc keep record
+    # round-13 builds (dedicated sessions, BASELINE.md v12-v14 era)
+    "q472_horvitz_thompson_audit": 0.43,     # priority-sampling HT estimate
+    "q474_ams_f2_sketch": 0.75,              # 16-estimator tug-of-war F2
+    "q475_neyman_allocation_audit": 0.32,    # sufficient-stats allocation
+    "q477_dp_laplace_release": 0.48,         # domain-grid Laplace counts
+    "q478_kcenter_coreset": 1.65,            # greedy farthest-point, 8 picks
+    "q480_threshold_sensitivity_curve": 0.65,  # rides the qp cache slot
+}
+REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
+
+# Brand-new builds with no dedicated baseline yet: tracked in
+# queries{} only; they join REPORT_TAIL_BASELINES (or a promoted sum)
+# next round once they carry dedicated idle-box sessions.
+NEW_QUERIES: list = []
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
@@ -252,12 +270,12 @@ def main() -> None:
     # themselves would otherwise surface only as warm-up time nobody
     # gates. Once per bench, BEFORE any cache is populated, the full
     # q446 chain and the shingle-pool build are timed COLD (single
-    # run each; a fresh process guarantees empty caches) and gated
-    # against their BASELINE.md ceilings (q446 ≤ 43.56 s — the v9
+    # run each; a fresh process guarantees empty caches). Round 14
+    # (ADVICE r13): the BASELINE.md ceilings (q446 ≤ 43.56 s — the v9
     # uncached ceiling; pool build ≤ 2× its 7.80 s two-session
-    # baseline, sessions read 7.95/7.80 at sf0.1). One unrelated
-    # query runs first so JVM/codegen warm-up is not billed to the
-    # chain.
+    # baseline) are now enforced IN CODE via `coldchain_flag` below,
+    # not just recorded for manual gating. One unrelated query runs
+    # first so JVM/codegen warm-up is not billed to the chain.
     from cli_spark.operators.round13 import shingle_hash_pool
 
     qs["q01_pricing_summary"](spark, sf_dir).collect()
@@ -296,8 +314,14 @@ def main() -> None:
     total_38 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED39_QUERIES})
     total_39 = round(sum(times.values()), 4)
-    # report-only classes: tracked, never summed
+    # report-tail classes: tracked individually AND collectively gated
+    # (VERDICT r13 #1) — the sum of end-of-bench readings vs 2× the
+    # sum of dedicated baselines
     times.update({name: timed(name, sf_dir, 2) for name in REPORTED_QUERIES})
+    report_tail = round(sum(times[n] for n in REPORT_TAIL_BASELINES), 4)
+    report_tail_base = round(sum(REPORT_TAIL_BASELINES.values()), 4)
+    # brand-new builds: tracked only, no baseline yet
+    times.update({name: timed(name, sf_dir, 2) for name in NEW_QUERIES})
 
     out = {
         "metric": "headline query warm latency (sum over 11 query classes, min of 5)",
@@ -317,10 +341,15 @@ def main() -> None:
         "value_37class": total_37,
         "value_38class": total_38,
         "value_39class": total_39,
+        "value_report_tail": report_tail,
+        "report_tail_baseline": report_tail_base,
+        "report_tail_flag": report_tail > 2 * report_tail_base,
         "coldchain": {
             "q446_chain_cold": cold_q446,
             "shingle_pool_build_cold": cold_pool,
         },
+        # binding ceilings (BASELINE.md CURRENT GATES cold-chain rows)
+        "coldchain_flag": cold_q446 > 43.56 or cold_pool > 15.6,
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,

@@ -241,11 +241,16 @@ def q474_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUDGET = 100  # total sample budget allocated across strata
 
 # Within-stratum sample std dev — the one float chain, shared
-# verbatim: S_h = sqrt((Σy² - (Σy)²/n) / (n - 1)).
+# verbatim: S_h = sqrt((Σy² - (Σy)²/n) / (n - 1)). Guarded for the
+# legal single-document stratum (ADVICE r13): without the CASE the
+# 0/0 is NULL in Spark's non-ANSI Divide but NaN in DuckDB's IEEE
+# float ops, and the two engines diverge (NULL-propagating sums vs
+# NaN poisoning). S_h of an n=1 stratum is 0 by convention.
 _SH = (
+    "(CASE WHEN n_h < 2 THEN 0.0 ELSE "
     "sqrt((CAST(sum_y2 AS DOUBLE) - CAST(sum_y AS DOUBLE) * "
     "CAST(sum_y AS DOUBLE) / CAST(n_h AS DOUBLE)) / "
-    "(CAST(n_h AS DOUBLE) - 1.0))"
+    "(CAST(n_h AS DOUBLE) - 1.0)) END)"
 )
 # Per-stratum integer summaries floored BEFORE any cross-stratum sum:
 # N_h·S_h in micro units and N_h·S_h² in whole units.
@@ -254,14 +259,20 @@ _NHS2 = f"CAST(floor(CAST(n_h AS DOUBLE) * {_SH} * {_SH}) AS BIGINT)"
 # Variance-reduction of Neyman over proportional allocation (Cochran,
 # Sampling Techniques §5.5, continuous allocation, no fpc):
 # 1 − (Σ W_h S_h)² / (Σ W_h S_h²) = 1 − A² / (10¹² · N · B).
+# Guarded for the degenerate all-zero-variance corpus (every stratum
+# n_h = 1 or constant-y): B = 0 would be 0/0 — NULL in Spark, NaN in
+# DuckDB — so both chains pin the reduction (and the Neyman
+# allocation, whose denominator A is then also 0) to 0 identically.
 _RED_PPM = (
+    "(CASE WHEN b = 0 THEN CAST(0 AS BIGINT) ELSE "
     "CAST(floor(1000000.0 * (1.0 - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / "
     "(1000000000000.0 * CAST(n_tot AS DOUBLE) * CAST(b AS DOUBLE)))) "
-    "AS BIGINT)"
+    "AS BIGINT) END)"
 )
 _ALLOC_NEY = (
+    "(CASE WHEN a = 0 THEN CAST(0 AS BIGINT) ELSE "
     f"CAST(floor({_BUDGET}000000.0 * CAST(nhs_micro AS DOUBLE) / "
-    "CAST(a AS DOUBLE)) AS BIGINT)"
+    "CAST(a AS DOUBLE)) AS BIGINT) END)"
 )
 
 
@@ -445,8 +456,12 @@ def _kcenter_sql() -> str:
     integer distance lambda."""
 
     def d2(a: str, b: str) -> str:
-        return (f"CAST(list_sum(list_transform(range(1, 65), i -> "
-                f"({a}.q[i] - {b}.q[i]) * ({a}.q[i] - {b}.q[i]))) "
+        # dimension-agnostic like the Spark side's zip_with/aggregate:
+        # the range bound derives from the vector itself, so a fixture
+        # dimension change fails loudly instead of silently truncating
+        # (ADVICE r13)
+        return (f"CAST(list_sum(list_transform(range(1, len({a}.q) + 1), "
+                f"i -> ({a}.q[i] - {b}.q[i]) * ({a}.q[i] - {b}.q[i]))) "
                 f"AS BIGINT)")
 
     parts = [f"""pts AS (

@@ -138,6 +138,14 @@ def registry() -> dict[str, QuerySpec]:
 # q121/q123 *_stub → *_bmp renames were re-graded green under their
 # new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r13 greens newly recorded (9 fresh q472–q480; the other 41
+    # r13 rows were the two round-changed re-grades q468/q446 and 39
+    # rotating re-audits of names already below) ---
+    "q472_horvitz_thompson_audit", "q473_streaming_histogram_quantiles",
+    "q474_ams_f2_sketch", "q475_neyman_allocation_audit",
+    "q476_streaming_hll_union", "q477_dp_laplace_release",
+    "q478_kcenter_coreset", "q479_streaming_misra_gries",
+    "q480_threshold_sensitivity_curve",
     # --- r12 greens newly recorded (12 fresh q460–q471; the other 38
     # r12 rows were round-changed re-grades or rotating re-audits of
     # names already below) ---
@@ -392,23 +400,21 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = (
-    # round 13: q468's blocker reworked from one MinHash lane to a
-    # bottom-2 sketch + remix lane after the VERDICT r12 #6 recall
-    # audit measured the one-lane form at 24/25 against exact
-    # all-pairs ground truth at sf0.01 (the miss: a J=0.9
-    # subset-shaped pair whose off-shingle carried the minimum under
-    # both permutations — cross-lang, so the metadata-blocker union
-    # could not recover it; bottom-2 catches subset pairs
-    # deterministically). New form measures 25/25. Result set changes
-    # (one more verified pair) — fresh driver row required.
-    "q468_blocked_fuzzy_join",
-    # round 13 second phase: the exact_family_clusters chain now also
-    # persists the qualifying-pair relation (with inter/un columns)
-    # in the _QP_CACHE companion slot consumed by q480 — q446's
-    # result is identical but the chain's execution changed (the
-    # q290-fuse precedent: plan-changing edits take a fresh driver
-    # row).
-    "q446_dedup_pipeline_flagship",
+    # round 14: q479's n_batches column now derives from ceil(n/bsz)
+    # in Python (matching the oracle) instead of counting distinct
+    # batch_ids in the MG summary parquet — a non-empty micro-batch
+    # can produce an EMPTY summary, silently dropping that batch from
+    # the old count (ADVICE r13 medium). Result-identical on the
+    # graded fixture (every batch there yields a summary) but the
+    # result-column code path changed — fresh driver row.
+    "q479_streaming_misra_gries",
+    # round 14: q475's S_h / reduction / allocation chains gained
+    # CASE guards for single-document strata and all-zero-variance
+    # corpora (0/0 is NULL in Spark's non-ANSI Divide but NaN in
+    # DuckDB — ADVICE r13). Result-identical on the graded fixture
+    # (all strata have n_h >= 2) but the shared expressions changed
+    # on BOTH sides — fresh driver row.
+    "q475_neyman_allocation_audit",
 )
 
 
@@ -419,7 +425,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
 # promoted into the recording window *after* the never-graded /
 # round-changed head, so fresh code always grades first and the
 # remainder of the 50-entry window re-attests old queries.
-_REAUDIT_ROUND: int = 13
+_REAUDIT_ROUND: int = 14
 _WINDOW = 50  # the driver records exactly this many CORRECTNESS rows
 
 
@@ -432,21 +438,19 @@ def _reaudit_names(slots: int) -> list[str]:
     return pool[:max(0, slots)]
 
 
-# Round 13 window plan (50 slots): 0 round-changed + fresh queries
-# built this round (PLANS.md round-13 prep v2: Horvitz–Thompson
-# sample-estimate audit, streaming mergeable-histogram quantiles, …)
-# + md5(name:r13) re-audit names filling the rest of the window
-# (second rotating re-audit round; VERDICT r12 next-steps #3).
+# Round 14 window plan (50 slots): 2 round-changed (q479 n_batches
+# fix, q475 degenerate-stratum guards — both ADVICE r13) + fresh
+# queries built this round (PLANS.md round-14 prep: streaming
+# theta-sketch intersection, greedy weighted set cover,
+# priority-sample merge equivalence, conformal calibration audit,
+# empirical-Bernstein bound audit) + md5(name:r14) re-audit names
+# filling the rest of the window (third rotating re-audit round).
 _FRESH_PRIORITY: tuple[str, ...] = (
-    "q472_horvitz_thompson_audit",
-    "q473_streaming_histogram_quantiles",
-    "q474_ams_f2_sketch",
-    "q475_neyman_allocation_audit",
-    "q476_streaming_hll_union",
-    "q477_dp_laplace_release",
-    "q478_kcenter_coreset",
-    "q479_streaming_misra_gries",
-    "q480_threshold_sensitivity_curve",
+    "q481_streaming_theta_intersection",
+    "q482_greedy_set_cover",
+    "q483_priority_merge_equivalence",
+    "q484_conformal_calibration",
+    "q485_empirical_bernstein_audit",
 )
 
 

@@ -615,7 +615,14 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
 
         summ = spark.read.parquet(f"{out_root}/summ")
-        nb = summ.select("batch_id").distinct().count()
+        # n_batches is ceil(n / bsz) computed in Python, matching the
+        # oracle's (cnt + b - 1) // b — NOT distinct batch_ids in the
+        # summaries: a non-empty micro-batch can produce an EMPTY MG
+        # summary (whenever the batch's 9th-largest count equals every
+        # key's count, e.g. an all-singleton batch), which would
+        # silently drop that batch from a summary-derived count even
+        # though the merge itself stays correct (ADVICE r13).
+        nb = -(-n // bsz)
         merged = summ.groupBy("user_id").agg(
             F.sum("ctr").cast("long").alias("s"))
         s9r = (
