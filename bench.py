@@ -204,7 +204,13 @@ REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 # Brand-new builds with no dedicated baseline yet: tracked in
 # queries{} only; they join REPORT_TAIL_BASELINES (or a promoted sum)
 # next round once they carry dedicated idle-box sessions.
-NEW_QUERIES: list = []
+NEW_QUERIES: list = [
+    "q481_streaming_theta_intersection",  # ~20 TRUE micro-batches
+    "q482_greedy_set_cover",              # 8 broadcast-anti-join steps
+    "q483_priority_merge_equivalence",    # shard-wise vs corpus-wise HT
+    "q484_conformal_calibration",         # split-conformal rank select
+    "q485_empirical_bernstein_audit",     # suff-stats bound audit
+]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,

@@ -115,6 +115,8 @@ def _load_all() -> None:
     import cli_spark.operators.round13  # noqa: F401
     import cli_spark.operators.round14  # noqa: F401
     import cli_spark.streaming.round14  # noqa: F401
+    import cli_spark.operators.round15  # noqa: F401
+    import cli_spark.streaming.round15  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:

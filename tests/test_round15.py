@@ -1,0 +1,241 @@
+"""Semantic invariants for the round-14-build operators (q481–q485)
+— properties both engines could get wrong together, plus independent
+reimplementations (hashlib/pandas/math, no shared SQL text) so a
+shared-oracle bug cannot hide."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+import cli_spark.streaming.round15 as sr15
+from cli_spark.operators.round15 import (
+    q482_greedy_set_cover,
+    q483_priority_merge_equivalence,
+    q484_conformal_calibration,
+    q485_empirical_bernstein_audit,
+)
+
+_TWO60 = 1152921504606846976
+
+
+def _h60(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------- q481
+
+
+def test_streaming_theta_matches_independent_bottomk(spark, sf_dir,
+                                                     monkeypatch):
+    """Pure-Python bottom-64 theta intersections over the events table
+    reproduce every pairwise row of the TRUE-stream run — i.e. the
+    order-statistic merge of per-batch sketches lost nothing. Batch
+    count reduced to 5 for test wall-time; the merge property is
+    batch-count-invariant (the graded query runs ~20)."""
+    monkeypatch.setattr(sr15, "_N_BATCHES", 5)
+    rows = sr15.q481_streaming_theta_intersection(spark, sf_dir).collect()
+    assert len(rows) >= 1
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "ts"])
+    keys = (ev["user_id"].astype("int64").astype(str) + ":"
+            + ev["ts"].dt.date.astype(str))
+    pool: dict[str, set[int]] = {}
+    for et, k in zip(ev["event_type"], keys):
+        pool.setdefault(et, set()).add(_h60(k))
+    n = len(ev)
+    bsz = -(-n // 5)
+    nb = -(-n // bsz)
+    got = {(r["s1"], r["s2"]): r for r in rows}
+    types = sorted(pool)
+    expected_pairs = {(a, b) for i, a in enumerate(types)
+                      for b in types[i + 1:]}
+    assert set(got) == expected_pairs
+    for (s1, s2), r in got.items():
+        sk1 = set(sorted(pool[s1])[:64])
+        sk2 = set(sorted(pool[s2])[:64])
+        union = sorted(sk1 | sk2)
+        theta = union[63] if len(union) >= 64 else _TWO60
+        below = sum(1 for h in sk1 & sk2 if h < theta)
+        est = math.floor(below * float(_TWO60) / float(theta))
+        exact = len(pool[s1] & pool[s2])
+        assert r["exact_inter"] == exact
+        assert r["est_inter"] == est
+        assert r["err_ppm"] == abs(est - exact) * 1_000_000 // max(exact, 1)
+        assert r["n_batches"] == nb
+        # exact-fallback contract: a merged union under 64 hashes IS
+        # the union, so the estimate must be exact
+        if len(union) < 64:
+            assert r["est_inter"] == r["exact_inter"]
+
+
+# ---------------------------------------------------------- q482
+
+
+def _doc_shingles(text: str) -> set[str]:
+    w = text.split(" ")
+    if len(w) < 3:
+        return set()
+    return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+
+def test_set_cover_matches_independent_greedy(spark, sf_dir):
+    """Pure-pandas cost-benefit greedy reproduces all 8 picks, gains,
+    costs, ratios, and the cumulative coverage."""
+    rows = q482_greedy_set_cover(spark, sf_dir).collect()
+    assert len(rows) == 8
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "n_chars"])
+    sh = {int(r.doc_id): _doc_shingles(r.text) for r in d.itertuples()}
+    sh = {k: v for k, v in sh.items() if v}
+    cost = {int(r.doc_id): max(int(r.n_chars), 1) for r in d.itertuples()}
+    covered: set[str] = set()
+    chosen: set[int] = set()
+    cum = 0
+    for t, r in enumerate(rows):
+        best = None
+        for doc, s in sh.items():
+            if doc in chosen:
+                continue
+            gain = len(s - covered)
+            if gain == 0:
+                continue  # drops out of the engines' groupBy too
+            ratio = gain * 1_000_000 // cost[doc]
+            key = (-ratio, doc)
+            if best is None or key < best[0]:
+                best = (key, doc, gain, ratio)
+        _, doc, gain, ratio = best
+        cum += gain
+        assert r["step"] == t
+        assert r["doc_id"] == doc
+        assert r["gain_shingles"] == gain
+        assert r["cost_chars"] == cost[doc]
+        assert r["ratio_ppm"] == ratio
+        assert r["cum_covered"] == cum
+        covered |= sh[doc]
+        chosen.add(doc)
+
+
+def test_set_cover_ratio_nonincreasing(spark, sf_dir):
+    """Submodularity: every doc's marginal gain shrinks as coverage
+    grows, so the picked benefit/cost ratio is non-increasing."""
+    rows = q482_greedy_set_cover(spark, sf_dir).collect()
+    ratios = [r["ratio_ppm"] for r in sorted(rows, key=lambda r: r["step"])]
+    assert all(a >= b for a, b in zip(ratios, ratios[1:]))
+    cums = [r["cum_covered"] for r in sorted(rows, key=lambda r: r["step"])]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+
+
+# ---------------------------------------------------------- q483
+
+
+def test_priority_merge_equivalence_holds(spark, sf_dir):
+    """The theorem under grade: shard-wise top-11 merge == corpus-wise
+    reservoir, so the two estimates are equal integers for EVERY
+    stratum, and the shard stage ships at most 4*(k+1) rows."""
+    rows = q483_priority_merge_equivalence(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["merge_exact"] == 1
+        assert r["est_micro_sharded"] == r["est_micro_corpus"]
+        assert r["shipped_rows"] <= r["n_shards"] * 11
+        assert r["shipped_rows"] <= r["n_docs"]
+
+
+def test_priority_merge_matches_q472_estimate(spark, sf_dir):
+    """Cross-query consistency: the corpus-wise estimate here IS
+    q472's est_micro (same priorities, same k, same HT terms)."""
+    from cli_spark.operators.round14 import q472_horvitz_thompson_audit
+
+    q472 = {r["lang"]: r["est_micro"]
+            for r in q472_horvitz_thompson_audit(spark, sf_dir).collect()}
+    for r in q483_priority_merge_equivalence(spark, sf_dir).collect():
+        assert r["est_micro_corpus"] == q472[r["lang"]]
+
+
+# ---------------------------------------------------------- q484
+
+
+def test_conformal_matches_independent_reimpl(spark, sf_dir):
+    """Pure-Python split-conformal reimplementation (hashlib splits,
+    integer mean, rank-selected qhat, test coverage) reproduces every
+    column, including the +inf sentinel when r > n_calib."""
+    rows = {r["lang"]: r
+            for r in q484_conformal_calibration(spark, sf_dir).collect()}
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    d["split"] = [
+        _h60(f"cp:{int(i)}") % 3 for i in d["doc_id"]]
+    for lang, g in d.groupby("lang"):
+        tr = g[g["split"] == 0]
+        ca = g[g["split"] == 1]
+        te = g[g["split"] == 2]
+        if len(tr) == 0 or len(ca) == 0 or len(te) == 0:
+            assert lang not in rows
+            continue
+        pred = int(tr["n_chars"].sum()) // len(tr)
+        resid = sorted(abs(int(y) - pred) for y in ca["n_chars"])
+        r_rank = ((len(ca) + 1) * 9 + 9) // 10
+        qhat = (resid[r_rank - 1] if r_rank <= len(ca)
+                else 9223372036854775807)
+        covered = sum(1 for y in te["n_chars"]
+                      if abs(int(y) - pred) <= qhat)
+        row = rows[lang]
+        assert row["n_train"] == len(tr)
+        assert row["n_calib"] == len(ca)
+        assert row["n_test"] == len(te)
+        assert row["pred_chars"] == pred
+        assert row["qhat"] == qhat
+        assert row["n_covered"] == covered
+        assert row["coverage_ppm"] == covered * 1_000_000 // max(len(te), 1)
+        assert row["nominal_ppm"] == 900000
+
+
+# ---------------------------------------------------------- q485
+
+
+def test_empirical_bernstein_matches_independent_reimpl(spark, sf_dir):
+    """Pure-Python Maurer–Pontil and Hoeffding half-widths from the
+    same integer sufficient statistics reproduce every column; the
+    coverage and tightness flags must agree with the floored-micro
+    comparisons, and a census stratum (sample == population) must
+    realize zero error."""
+    rows = {r["lang"]: r for r in
+            q485_empirical_bernstein_audit(spark, sf_dir).collect()}
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    ln40 = math.log(40.0)
+    for lang, g in d.groupby("lang"):
+        ordered = sorted(
+            (( _h60(f"eb:{int(r.doc_id)}"), int(r.doc_id), int(r.n_chars))
+             for r in g.itertuples()))
+        samp = [y for _, _, y in ordered[:64]]
+        n_s, sy, sy2 = len(samp), sum(samp), sum(y * y for y in samp)
+        n_t, ty, rng = len(g), int(g["n_chars"].sum()), int(g["n_chars"].max())
+        err = abs(sy / n_s - ty / n_t)
+        v = 0.0 if n_s < 2 else (sy2 - sy * sy / n_s) / (n_s - 1.0)
+        eb = (float(rng) if n_s < 2 else
+              math.sqrt(2.0 * v * ln40 / n_s)
+              + 7.0 * rng * ln40 / (3.0 * (n_s - 1.0)))
+        ho = rng * math.sqrt(ln40 / (2.0 * n_s))
+        row = rows[lang]
+        assert row["n_total"] == n_t
+        assert row["n_sample"] == n_s
+        assert row["range_r"] == rng
+        assert row["err_micro"] == math.floor(err * 1e6)
+        assert row["eb_halfwidth_micro"] == math.floor(eb * 1e6)
+        assert row["hoeff_halfwidth_micro"] == math.floor(ho * 1e6)
+        assert row["eb_covered"] == (1 if row["err_micro"]
+                                     <= row["eb_halfwidth_micro"] else 0)
+        assert row["hoeff_covered"] == (1 if row["err_micro"]
+                                        <= row["hoeff_halfwidth_micro"]
+                                        else 0)
+        assert row["eb_tighter"] == (1 if row["eb_halfwidth_micro"]
+                                     < row["hoeff_halfwidth_micro"] else 0)
+        if n_s == n_t:
+            assert row["err_micro"] == 0
+            assert row["eb_covered"] == 1 and row["hoeff_covered"] == 1
