@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cli_spark.operators.dedup import _SQL_SHINGLES, shingles_df
+from cli_spark.operators.dedup import _SQL_SHINGLES
 from cli_spark.operators.round11 import _H60_DUCK, _H60_SPARK
 from cli_spark.operators.round14 import _HT_TERM, _PRI
 from cli_spark.plans.registry import register
@@ -38,11 +38,18 @@ def _setcover_sql() -> str:
     Every chained CTE is AS MATERIALIZED: DuckDB inlines plain CTEs,
     and cov{t-1} is referenced twice per step (by g{t} and cov{t}), so
     without materialization the shingle scan re-expands 2^8 times and
-    the query never finishes."""
+    the query never finishes.
+
+    Coverage elements are the 60-bit md5 SHINGLE HASHES (the q462
+    sketch-family idiom), not the strings — the Spark side rides the
+    session-wide shingle_hash_pool cache, so the definition is hashes
+    on both sides (one shared md5 chain; a collision would fold the
+    same pair of shingles in both engines)."""
     parts = [f"""sh AS MATERIALIZED ({_SQL_SHINGLES}),
 ex AS MATERIALIZED (
-  SELECT DISTINCT doc_id, unnest(shingles) AS s
-  FROM sh WHERE len(shingles) > 0
+  SELECT DISTINCT doc_id,
+         {_H60_DUCK.format(key='u.t')} AS s
+  FROM sh, unnest(sh.shingles) AS u(t)
 ),
 cost AS MATERIALIZED (
   SELECT doc_id, GREATEST(n_chars, 1) AS cost FROM documents
@@ -116,22 +123,26 @@ def q482_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines. The oracle replays the identical 8-step argmax
     chain unrolled in SQL (the q478 pattern).
 
-    Scale shape: the exploded (doc, shingle) relation is built ONCE
-    and persisted; each of the 8 steps is one broadcast ANTI-JOIN of
-    that relation against the covered-shingle set (bounded by 8 x
-    max-shingles-per-doc — broadcastable metadata regardless of corpus
-    size), one map-side-combinable count per doc, and a 1-row
-    TakeOrdered argmax (the bounded-scalar pattern). At 100 TB the
-    same loop holds the covered set in a broadcast variable and pays
-    k linear passes — the distributed form of lazy-greedy; no shuffle
-    of the corpus ever happens beyond the initial distinct."""
+    Scale shape: the exploded (doc, shingle-hash) relation comes from
+    the session-wide shingle_hash_pool cache (the dominant cost of the
+    whole sketch/dedup family is paid ONCE per session and gated by
+    the cold-chain bench reading); each of the 8 steps is one
+    broadcast ANTI-JOIN of that relation against the covered-hash set
+    (bounded by 8 x max-shingles-per-doc — broadcastable metadata
+    regardless of corpus size), one map-side-combinable count per doc,
+    and a 1-row TakeOrdered argmax (the bounded-scalar pattern). At
+    100 TB the same loop holds the covered set in a broadcast variable
+    and pays k linear passes — the distributed form of lazy-greedy; no
+    shuffle of the corpus ever happens beyond the pool's own
+    distinct."""
+    from cli_spark.operators.round13 import shingle_hash_pool
+
     d = load_table(spark, sf_dir, "documents")
     cost = d.select(
         "doc_id", F.greatest("n_chars", F.lit(1)).cast("long").alias("cost"))
     ex = (
-        shingles_df(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        shingle_hash_pool(spark, sf_dir)
+        .select("doc_id", F.col("h").alias("s"))
         .distinct()
         .persist()
     )

@@ -127,7 +127,8 @@ def test_neyman_variance_matches_pandas(spark, sf_dir):
         assert abs(got[lang]["s2_micro"] / 1e6 - s2) < 1e-3 * max(s2, 1.0)
 
 
-def test_streaming_histogram_true_multibatch_and_bounds(spark, sf_dir):
+def test_streaming_histogram_true_multibatch_and_bounds(spark, sf_dir,
+                                                        stream_batches):
     """The stream really ran multi-batch, the merged estimate obeys
     the fixed-grid error contract vs the exact quantile, and the
     mid-stream estimate is a genuine prefix (n_mid < n_final)."""
@@ -164,7 +165,8 @@ def test_streaming_histogram_true_multibatch_and_bounds(spark, sf_dir):
         assert abs(r["est_final_cents"] - ex) <= 1.5 * bucket + 1
 
 
-def test_streaming_hll_multibatch_and_accuracy(spark, sf_dir):
+def test_streaming_hll_multibatch_and_accuracy(spark, sf_dir,
+                                             stream_batches):
     from cli_spark.streaming.round14 import q476_streaming_hll_union
 
     rows = q476_streaming_hll_union(spark, sf_dir).collect()
@@ -230,7 +232,8 @@ def test_kcenter_radius_monotone_and_matches_numpy(spark, sf_dir):
     assert [(r["step"], r["center_id"], r["d2_sel"]) for r in rows] == got
 
 
-def test_misra_gries_deficit_bound_and_guarantee(spark, sf_dir):
+def test_misra_gries_deficit_bound_and_guarantee(spark, sf_dir,
+                                                 stream_batches):
     """MG theorem as row properties: 0 <= exact - est <= n/(k+1), and
     every key with true frequency > n/(k+1) SURVIVES the merged
     summary (the heavy-hitter guarantee)."""

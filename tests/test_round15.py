@@ -29,13 +29,12 @@ def _h60(key: str) -> int:
 
 
 def test_streaming_theta_matches_independent_bottomk(spark, sf_dir,
-                                                     monkeypatch):
+                                                     stream_batches):
     """Pure-Python bottom-64 theta intersections over the events table
     reproduce every pairwise row of the TRUE-stream run — i.e. the
     order-statistic merge of per-batch sketches lost nothing. Batch
-    count reduced to 5 for test wall-time; the merge property is
-    batch-count-invariant (the graded query runs ~20)."""
-    monkeypatch.setattr(sr15, "_N_BATCHES", 5)
+    count comes from the stream_batches fast-mode fixture; the merge
+    property is batch-count-invariant (the graded query runs ~20)."""
     rows = sr15.q481_streaming_theta_intersection(spark, sf_dir).collect()
     assert len(rows) >= 1
 
@@ -47,7 +46,7 @@ def test_streaming_theta_matches_independent_bottomk(spark, sf_dir,
     for et, k in zip(ev["event_type"], keys):
         pool.setdefault(et, set()).add(_h60(k))
     n = len(ev)
-    bsz = -(-n // 5)
+    bsz = -(-n // stream_batches)
     nb = -(-n // bsz)
     got = {(r["s1"], r["s2"]): r for r in rows}
     types = sorted(pool)
@@ -75,11 +74,13 @@ def test_streaming_theta_matches_independent_bottomk(spark, sf_dir,
 # ---------------------------------------------------------- q482
 
 
-def _doc_shingles(text: str) -> set[str]:
+def _doc_shingles(text: str) -> set[int]:
+    """Distinct word-3-gram 60-bit hashes — the engines' coverage
+    elements (they ride the shingle_hash_pool cache)."""
     w = text.split(" ")
     if len(w) < 3:
         return set()
-    return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    return {_h60(" ".join(w[i:i + 3])) for i in range(len(w) - 2)}
 
 
 def test_set_cover_matches_independent_greedy(spark, sf_dir):
