@@ -453,6 +453,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q483_priority_merge_equivalence",
     "q484_conformal_calibration",
     "q485_empirical_bernstein_audit",
+    "q486_streaming_priority_sample",
 )
 
 

@@ -292,3 +292,210 @@ def q481_streaming_theta_intersection(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------- q486
+
+from cli_spark.operators.round14 import _ERR_PPM, _HT_TERM, _PRI  # noqa: E402
+
+_PS_K = 10  # priority-sample size per stratum (k; reservoirs keep k+1)
+# integer event weight: value in cents, floored, >= 1
+_W_DUCK = "GREATEST(CAST(floor(value * 100.0) AS BIGINT), 1)"
+_W_SPARK = "GREATEST(CAST(floor(value * 100.0) AS BIGINT), CAST(1 AS BIGINT))"
+
+
+@register(
+    "q486_streaming_priority_sample",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         {_W_DUCK} AS w,
+         {_H60_DUCK.format(key='event_id')} AS h
+  FROM events
+),
+n AS (SELECT COUNT(*) AS cnt FROM base),
+bsz AS (SELECT CAST(ceil(cnt / {_N_BATCHES}.0) AS BIGINT) AS b FROM n),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n CROSS JOIN bsz),
+-- the ESTIMATE is computed corpus-wise (q472's chain): a hash match
+-- against the stream side's batch-reservoir merge IS the mergeability
+-- proof, because the two sides never share the reduction structure
+pri AS (SELECT event_type, event_id, w, {_PRI} AS p FROM base),
+cr AS (
+  SELECT event_type, event_id, w, p,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY p DESC, event_id ASC) AS rk
+  FROM pri
+),
+ct AS (SELECT event_type, p AS tau FROM cr WHERE rk = {_PS_K + 1}),
+ce AS (
+  SELECT r.event_type, CAST(SUM({_HT_TERM}) AS BIGINT) AS est_micro
+  FROM (SELECT cr.event_type, w, COALESCE(t.tau, 0.0) AS tau
+        FROM cr LEFT JOIN ct t ON t.event_type = cr.event_type
+        WHERE rk <= {_PS_K}) r
+  GROUP BY r.event_type
+),
+-- shipped_rows mirrors the stream's deterministic batch partition:
+-- each micro-batch ships at most k+1 rows per stratum
+ordered AS (
+  SELECT b.*, row_number() OVER (ORDER BY ts_us, event_id) AS rn
+  FROM base b
+),
+batched AS (
+  SELECT o.event_type, o.event_id,
+         (o.rn - 1) // z.b AS batch
+  FROM ordered o CROSS JOIN bsz z
+),
+bk AS (
+  SELECT event_type, batch,
+         row_number() OVER (PARTITION BY event_type, batch
+                            ORDER BY event_id) AS brk
+  FROM batched
+),
+ship AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS shipped_rows
+  FROM bk WHERE brk <= {_PS_K + 1} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(w) AS BIGINT) AS w_exact
+  FROM base GROUP BY event_type
+)
+SELECT e.event_type, e.n_events, e.w_exact, c.est_micro,
+       {_ERR_PPM.format(est='c.est_micro', unscale='/ 1000000.0',
+                        exact='e.w_exact')} AS err_ppm,
+       s.shipped_rows, CAST(nb.nb AS BIGINT) AS n_batches
+FROM exact e
+JOIN ce c ON c.event_type = e.event_type
+JOIN ship s ON s.event_type = e.event_type
+CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "sampling", "mergeable",
+          "horvitz-thompson"),
+)
+def q486_streaming_priority_sample(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PRIORITY SAMPLING over ~20 TRUE micro-batches — the
+    weighted-sampling stack (q447 sampler → q472 estimator → q483
+    merge proof) taken through a REAL stream: each micro-batch's
+    foreachBatch sink ships only its k+1 = 11 highest-priority rows
+    per event type (the bounded per-batch reservoir — integer weight
+    in cents, the same Duffield–Lund–Thorup priority p = w/u from the
+    md5 lane); after the run ONE more top-11 order-statistic selection
+    over the shipped rows yields tau and the Horvitz–Thompson estimate
+    of each stratum's TOTAL weight. The DuckDB oracle computes the
+    estimate CORPUS-WISE (it never sees the batch structure except to
+    reproduce shipped_rows), so the hash match is the end-to-end
+    empirical proof that per-batch reservoirs + one merge lose nothing
+    — mergeability graded through the stream itself, not just the
+    shard simulation (q483). Realized err_ppm vs the exact total rides
+    along, as do the rows actually shipped (<= 11 per type per batch —
+    the communication story: at 100 TB/day each executor ships k+1
+    rows per stratum per batch and the coordinator's merge is one more
+    k+1 heap; the total-weight dashboard needs no second pass).
+
+    Every HT term is floored to integer micros before summation; the
+    priority and err chains are the shared verbatim IEEE expressions;
+    n_batches = ceil(n/bsz) in Python (the q479 ADVICE idiom). The
+    sink's per-batch top-k runs as WindowGroupLimit (k+1-row heaps
+    per partition, never a full sort)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = -(-n // _N_BATCHES)  # ceil
+    nb = -(-n // bsz)
+    base = e.select(
+        "event_type", "event_id", "ts",
+        F.expr(_W_SPARK).alias("w"),
+        F.expr(_H60_SPARK.format(key="event_id")).alias("h"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q486_replay_")
+    out_root = tempfile.mkdtemp(prefix="q486_res_")
+    try:
+        (
+            base.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            res = (
+                batch_df.withColumn("p", F.expr(_PRI))
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("event_type")
+                        .orderBy(F.col("p").desc(), F.col("event_id").asc())),
+                )
+                .filter(F.col("rk") <= _PS_K + 1)
+                .select("event_type", "event_id", "w", "h")
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            res.write.mode("append").parquet(f"{out_root}/res")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        shipped = spark.read.parquet(f"{out_root}/res")
+        ship = shipped.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("shipped_rows"))
+        # ORDER-STATISTIC MERGE: one more top-(k+1) over shipped rows
+        mr = (
+            shipped.withColumn("p", F.expr(_PRI))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("event_type")
+                    .orderBy(F.col("p").desc(), F.col("event_id").asc())),
+            )
+        )
+        taus = mr.filter(F.col("rk") == _PS_K + 1).select(
+            F.col("event_type").alias("tt"), F.col("p").alias("tau_raw"))
+        est = (
+            mr.filter(F.col("rk") <= _PS_K)
+            .join(F.broadcast(taus), F.col("event_type") == F.col("tt"),
+                  "left")
+            .withColumn("tau", F.coalesce("tau_raw", F.lit(0.0)))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr(_HT_TERM)).cast("long").alias("est_micro"))
+        )
+        exact = base.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w").cast("long").alias("w_exact"),
+        )
+        result = (
+            exact.join(F.broadcast(est), "event_type")
+            .join(F.broadcast(ship), "event_type")
+            .select(
+                "event_type", "n_events", "w_exact", "est_micro",
+                F.expr(_ERR_PPM.format(est="est_micro",
+                                       unscale="/ 1000000.0",
+                                       exact="w_exact")).alias("err_ppm"),
+                "shipped_rows",
+                F.lit(nb).cast("long").alias("n_batches"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out

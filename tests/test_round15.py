@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-14-build operators (q481–q485)
+"""Semantic invariants for the round-14-build operators (q481–q486)
 — properties both engines could get wrong together, plus independent
 reimplementations (hashlib/pandas/math, no shared SQL text) so a
 shared-oracle bug cannot hide."""
@@ -240,3 +240,43 @@ def test_empirical_bernstein_matches_independent_reimpl(spark, sf_dir):
         if n_s == n_t:
             assert row["err_micro"] == 0
             assert row["eb_covered"] == 1 and row["hoeff_covered"] == 1
+
+
+# ---------------------------------------------------------- q486
+
+
+def test_streaming_priority_sample_matches_corpus_estimator(
+        spark, sf_dir, stream_batches):
+    """Pure-Python corpus-wise Duffield–Lund–Thorup estimator
+    reproduces the stream's batch-reservoir-merged estimate exactly
+    (the mergeability theorem end-to-end through a real stream), and
+    the communication bound holds: at most (k+1) rows per stratum per
+    micro-batch shipped."""
+    rows = sr15.q486_streaming_priority_sample(spark, sf_dir).collect()
+    assert len(rows) >= 1
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    two60 = float(_TWO60)
+    got = {r["event_type"]: r for r in rows}
+    for et, g in ev.groupby("event_type"):
+        items = []
+        for r in g.itertuples():
+            w = max(int(math.floor(float(r.value) * 100.0)), 1)
+            u = (_h60(str(int(r.event_id))) + 1.0) / two60
+            items.append((w / u, int(r.event_id), w))
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tau = items[10][0] if len(items) > 10 else 0.0
+        est = sum(int(math.floor(max(float(w), tau) * 1e6))
+                  for _, _, w in items[:10])
+        exact = sum(w for _, _, w in items)
+        row = got[et]
+        assert row["est_micro"] == est
+        assert row["w_exact"] == exact
+        assert row["n_events"] == len(g)
+        assert row["n_batches"] >= 2
+        assert row["shipped_rows"] <= 11 * row["n_batches"]
+        # HT sanity at k=10: the estimator's relative std is
+        # ~1/sqrt(k-1) ~ 33%, and sf0.001's tiny strata realize up to
+        # ~2 sigma — guard only gross regressions (sign/scale bugs)
+        assert 0 < row["est_micro"] / 1e6 < 4 * exact
