@@ -211,6 +211,7 @@ NEW_QUERIES: list = [
     "q484_conformal_calibration",         # split-conformal rank select
     "q485_empirical_bernstein_audit",     # suff-stats bound audit
     "q486_streaming_priority_sample",     # ~20-batch reservoir merge
+    "q487_filter_cascade_ordering",       # gate selectivity/cost rank
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

@@ -35,9 +35,9 @@ from cli_spark.plans.registry import register
 from cli_spark.tables import load_table
 
 
-@register(
-    "q162_gopher_rules",
-    oracle=f"""
+# q162's oracle, exposed as a constant so q487's cascade-ordering
+# oracle can embed the identical gate definitions (round 14).
+_GOPHER_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents
 ),
@@ -72,7 +72,12 @@ SELECT doc_id, lang, n_words, n_distinct, top_freq,
          AND top_freq * 5 <= n_words
          AND n_distinct * 2 >= n_words AS keep
 FROM feat
-""",
+"""
+
+
+@register(
+    "q162_gopher_rules",
+    oracle=_GOPHER_ORACLE,
     tags=("training", "quality", "gopher"),
 )
 def q162_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

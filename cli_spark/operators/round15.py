@@ -636,3 +636,189 @@ def q485_empirical_bernstein_audit(
                F.lit(1)).otherwise(F.lit(0)).cast("long")
         .alias("eb_tighter"),
     )
+
+
+# ---------------------------------------------------------------- q487
+
+# Declared per-document evaluation cost of each Gopher gate, in milli
+# units — ranked by what the predicate must compute (array size /
+# letter-sum / distinct / distinct+filter / term-frequency aggregate).
+# Constants are part of the operator definition, shared verbatim.
+_CASCADE_COSTS: tuple[tuple[str, int], ...] = (
+    ("ok_length", 1),
+    ("ok_word_len", 2),
+    ("ok_diversity", 3),
+    ("ok_stopwords", 4),
+    ("ok_dominance", 6),
+)
+_COSTS_VALUES = ", ".join(f"('{r}', {c})" for r, c in _CASCADE_COSTS)
+
+
+def _cascade_sql() -> str:
+    from cli_spark.operators.corpus_stats import _GOPHER_ORACLE
+
+    flag_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{r}' AS rule, CAST({r} AS INT) AS pass FROM gates"
+        for r, _ in _CASCADE_COSTS)
+    return f"""
+WITH gates AS MATERIALIZED ({_GOPHER_ORACLE}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM gates),
+flags AS MATERIALIZED (
+  {flag_union}
+),
+costs(rule, cost_milli) AS (VALUES {_COSTS_VALUES}),
+rej AS (
+  SELECT rule, CAST(SUM(1 - pass) AS BIGINT) AS n_reject
+  FROM flags GROUP BY rule
+),
+ranked AS MATERIALIZED (
+  SELECT r.rule, CAST(c.cost_milli AS BIGINT) AS cost_milli, r.n_reject,
+         CAST(r.n_reject * 1000000 // c.cost_milli AS BIGINT) AS rpc,
+         row_number() OVER (
+           ORDER BY r.n_reject * 1000000 // c.cost_milli DESC,
+                    r.rule ASC) AS rk
+  FROM rej r JOIN costs c USING (rule)
+),
+fr AS (
+  SELECT f.doc_id,
+         COALESCE(MIN(CASE WHEN f.pass = 0 THEN k.rk END), 6) AS fr
+  FROM flags f JOIN ranked k USING (rule)
+  GROUP BY f.doc_id
+),
+hist AS MATERIALIZED (
+  SELECT fr, CAST(COUNT(*) AS BIGINT) AS cnt FROM fr GROUP BY fr
+),
+tg AS (SELECT unnest([1, 2, 3, 4, 5]) AS t),
+surv AS MATERIALIZED (
+  SELECT tg.t,
+         CAST(COALESCE(SUM(CASE WHEN h.fr > tg.t THEN h.cnt END), 0)
+              AS BIGINT) AS n_survivors
+  FROM tg CROSS JOIN hist h
+  GROUP BY tg.t
+),
+terms AS (
+  SELECT k.rk, k.rule, k.cost_milli, k.n_reject, k.rpc, s.n_survivors,
+         CAST(k.cost_milli * 1000000 *
+              COALESCE(p.n_survivors, n.n_docs) // n.n_docs AS BIGINT)
+           AS eval_cost_micro
+  FROM ranked k
+  JOIN surv s ON s.t = k.rk
+  LEFT JOIN surv p ON p.t = k.rk - 1
+  CROSS JOIN nd n
+)
+SELECT CAST(rk AS BIGINT) AS cascade_pos, rule, cost_milli,
+       n_reject AS n_reject_alone, rpc AS reject_per_cost_ppm,
+       n_survivors, eval_cost_micro,
+       CAST(SUM(eval_cost_micro) OVER (ORDER BY rk ASC) AS BIGINT)
+         AS cum_cost_micro
+FROM terms
+"""
+
+
+@register(
+    "q487_filter_cascade_ordering",
+    oracle=_cascade_sql(),
+    tags=("quality", "cascade", "optimizer", "curation"),
+)
+def q487_filter_cascade_ordering(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-CASCADE COST ORDERING — the curation-pipeline optimizer
+    step: given the five Gopher gates (q162's exact integer predicates,
+    reused verbatim) and a declared per-document evaluation cost for
+    each, order the cascade by reject-rate-per-cost (the classic
+    expensive-predicate ordering rule — rank = selectivity/cost, cf.
+    Hellerstein & Stonebraker's predicate placement; optimal for
+    independent predicates, and the audit REPORTS the realized joint
+    behavior rather than assuming independence). Each row is one
+    cascade position with: the rule, its cost, how many documents it
+    rejects ALONE, the ratio that ranked it, the documents still alive
+    after this stage under the chosen order (computed from the TRUE
+    joint pass/fail matrix, not a product of marginals), the expected
+    per-original-document cost of evaluating this stage (only
+    survivors of earlier stages reach it), and the cumulative cascade
+    cost. A curation team reads cum_cost_micro's last row as the
+    expected compute per ingested document — at 100 TB the difference
+    between this order and the naive one is real money, measured here
+    before anything runs.
+
+    All arithmetic is exact integers (cross-multiplied gates, integer
+    ratio ranks, floored per-stage expected costs). Scale shape: ONE
+    projection pass computes all five flags per document (q162's
+    zero-shuffle shape); everything after the per-rule reject counts
+    and the first-failure histogram (6 buckets) is metadata-sized —
+    the cascade table for a 100 TB corpus is 5 rows."""
+    from cli_spark.operators.corpus_stats import q162_gopher_rules
+
+    nd_df = load_table(spark, sf_dir, "documents")
+    n_docs = nd_df.count()
+    gates = q162_gopher_rules(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{r}', CAST({r} AS INT)" for r, _ in _CASCADE_COSTS)
+    flags = gates.select(
+        "doc_id",
+        F.expr(f"stack({len(_CASCADE_COSTS)}, {stack_args}) "
+               "AS (rule, pass)"),
+    ).select("doc_id", "rule", "pass")
+    flags = flags.persist()
+    try:
+        costs = spark.createDataFrame(
+            list(_CASCADE_COSTS), "rule string, cost_milli long")
+        rej = flags.groupBy("rule").agg(
+            F.sum(F.lit(1) - F.col("pass")).cast("long").alias("n_reject"))
+        ranked = (
+            rej.join(F.broadcast(costs), "rule")
+            .withColumn(
+                "rpc",
+                F.expr("CAST(n_reject * 1000000 DIV cost_milli AS BIGINT)"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(F.col("rpc").desc(),
+                                   F.col("rule").asc())),
+            )
+        )
+        fr = (
+            flags.join(F.broadcast(ranked.select("rule", "rk")), "rule")
+            .groupBy("doc_id")
+            .agg(F.coalesce(
+                F.min(F.when(F.col("pass") == 0, F.col("rk"))),
+                F.lit(6)).alias("fr"))
+        )
+        hist = fr.groupBy("fr").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
+        tg = spark.range(1, 6).select(F.col("id").alias("t"))
+        surv = (
+            tg.crossJoin(F.broadcast(hist))
+            .groupBy("t")
+            .agg(F.coalesce(
+                F.sum(F.when(F.col("fr") > F.col("t"), F.col("cnt"))),
+                F.lit(0)).cast("long").alias("n_survivors"))
+        )
+        prev = surv.select(F.col("t").alias("pt"),
+                           F.col("n_survivors").alias("prev_surv"))
+        terms = (
+            ranked.join(F.broadcast(surv), F.col("t") == F.col("rk"))
+            .join(F.broadcast(prev), F.col("pt") == F.col("rk") - 1, "left")
+            .withColumn(
+                "eval_cost_micro",
+                F.expr(f"CAST(cost_milli * 1000000 * "
+                       f"COALESCE(prev_surv, {n_docs}L) DIV {n_docs}L "
+                       "AS BIGINT)"),
+            )
+        )
+        out = terms.select(
+            F.col("rk").cast("long").alias("cascade_pos"),
+            "rule",
+            F.col("cost_milli").cast("long").alias("cost_milli"),
+            F.col("n_reject").alias("n_reject_alone"),
+            F.col("rpc").alias("reject_per_cost_ppm"),
+            "n_survivors",
+            "eval_cost_micro",
+            F.sum("eval_cost_micro").over(
+                Window.orderBy(F.col("rk").asc())
+                .rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long").alias("cum_cost_micro"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        flags.unpersist()

@@ -454,6 +454,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q484_conformal_calibration",
     "q485_empirical_bernstein_audit",
     "q486_streaming_priority_sample",
+    "q487_filter_cascade_ordering",
 )
 
 

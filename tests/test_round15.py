@@ -280,3 +280,48 @@ def test_streaming_priority_sample_matches_corpus_estimator(
         # ~1/sqrt(k-1) ~ 33%, and sf0.001's tiny strata realize up to
         # ~2 sigma — guard only gross regressions (sign/scale bugs)
         assert 0 < row["est_micro"] / 1e6 < 4 * exact
+
+
+# ---------------------------------------------------------- q487
+
+
+def test_filter_cascade_matches_independent_ordering(spark, sf_dir):
+    """Independent cascade math over q162's own gate output (gate
+    correctness is q162's test's job; here the ordering, survival, and
+    expected-cost accounting are recomputed in pure Python), plus the
+    cross-query invariant: survivors after all five stages == q162's
+    keep count, regardless of order."""
+    from cli_spark.operators.corpus_stats import q162_gopher_rules
+    from cli_spark.operators.round15 import (
+        _CASCADE_COSTS,
+        q487_filter_cascade_ordering,
+    )
+
+    rows = sorted(q487_filter_cascade_ordering(spark, sf_dir).collect(),
+                  key=lambda r: r["cascade_pos"])
+    assert [r["cascade_pos"] for r in rows] == [1, 2, 3, 4, 5]
+
+    gates = q162_gopher_rules(spark, sf_dir).collect()
+    n_docs = len(gates)
+    cost = dict(_CASCADE_COSTS)
+    rej = {r: sum(0 if g[r] else 1 for g in gates) for r in cost}
+    order = sorted(cost, key=lambda r: (-(rej[r] * 1_000_000 // cost[r]), r))
+    # survival under the chosen order from the TRUE joint matrix
+    surv_prev = n_docs
+    cum = 0
+    for pos, (r, row) in enumerate(zip(order, rows), start=1):
+        assert row["rule"] == r
+        assert row["cost_milli"] == cost[r]
+        assert row["n_reject_alone"] == rej[r]
+        assert row["reject_per_cost_ppm"] == rej[r] * 1_000_000 // cost[r]
+        surv = sum(1 for g in gates if all(g[x] for x in order[:pos]))
+        assert row["n_survivors"] == surv
+        term = cost[r] * 1_000_000 * surv_prev // n_docs
+        assert row["eval_cost_micro"] == term
+        cum += term
+        assert row["cum_cost_micro"] == cum
+        surv_prev = surv
+    keep = sum(1 for g in gates if g["keep"])
+    assert rows[-1]["n_survivors"] == keep
+    survs = [r["n_survivors"] for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
