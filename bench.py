@@ -164,6 +164,25 @@ PROMOTED39_QUERIES = [
     "q479_streaming_misra_gries",  # add-then-subtract counter merge
 ]
 
+# Round-14 promotions (BASELINE.md CURRENT GATES): the two TRUE-stream
+# round-14 builds (order-statistic merge algebras; two dedicated
+# sessions each, 2026-08-16: q481 18.30/13.13, q486 12.06/11.36 —
+# cleaner session is the baseline). Summed into `value_41class`.
+PROMOTED41_QUERIES = [
+    "q481_streaming_theta_intersection",  # bottom-64 union merge
+    "q486_streaming_priority_sample",     # k+1 reservoir merge
+]
+
+# Round-14 second promotion: the two batch builds just over the 2 s
+# bar (sessions: q482 2.19/2.13, q487 2.16/2.31; per-query cleaner
+# reading is the baseline). Summed into `value_43class` — restoring
+# the v5 invariant (no graded query > 2 s warm at sf0.1 outside the
+# per-class net).
+PROMOTED43_QUERIES = [
+    "q482_greedy_set_cover",          # 8 broadcast-anti-join steps
+    "q487_filter_cascade_ordering",   # gate selectivity/cost rank
+]
+
 # Report-tail rows: every graded query under the 2 s promotion bar,
 # tracked with its DEDICATED min-of-5 idle-box baseline (BASELINE.md
 # CURRENT GATES report table). Round 14 (VERDICT r13 #1): these rows
@@ -198,21 +217,18 @@ REPORT_TAIL_BASELINES: dict = {
     "q477_dp_laplace_release": 0.48,         # domain-grid Laplace counts
     "q478_kcenter_coreset": 1.65,            # greedy farthest-point, 8 picks
     "q480_threshold_sensitivity_curve": 0.65,  # rides the qp cache slot
+    # round-14 builds (two dedicated sessions 2026-08-16, cleaner
+    # session is the baseline)
+    "q483_priority_merge_equivalence": 0.67,   # shard vs corpus HT
+    "q484_conformal_calibration": 0.74,        # rank-selected qhat
+    "q485_empirical_bernstein_audit": 0.38,    # suff-stats bounds
 }
 REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 
 # Brand-new builds with no dedicated baseline yet: tracked in
 # queries{} only; they join REPORT_TAIL_BASELINES (or a promoted sum)
 # next round once they carry dedicated idle-box sessions.
-NEW_QUERIES: list = [
-    "q481_streaming_theta_intersection",  # ~20 TRUE micro-batches
-    "q482_greedy_set_cover",              # 8 broadcast-anti-join steps
-    "q483_priority_merge_equivalence",    # shard-wise vs corpus-wise HT
-    "q484_conformal_calibration",         # split-conformal rank select
-    "q485_empirical_bernstein_audit",     # suff-stats bound audit
-    "q486_streaming_priority_sample",     # ~20-batch reservoir merge
-    "q487_filter_cascade_ordering",       # gate selectivity/cost rank
-]
+NEW_QUERIES: list = []
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
@@ -322,6 +338,10 @@ def main() -> None:
     total_38 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED39_QUERIES})
     total_39 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED41_QUERIES})
+    total_41 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED43_QUERIES})
+    total_43 = round(sum(times.values()), 4)
     # report-tail classes: tracked individually AND collectively gated
     # (VERDICT r13 #1) — the sum of end-of-bench readings vs 2× the
     # sum of dedicated baselines
@@ -349,6 +369,8 @@ def main() -> None:
         "value_37class": total_37,
         "value_38class": total_38,
         "value_39class": total_39,
+        "value_41class": total_41,
+        "value_43class": total_43,
         "value_report_tail": report_tail,
         "report_tail_baseline": report_tail_base,
         "report_tail_flag": report_tail > 2 * report_tail_base,
