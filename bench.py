@@ -228,7 +228,10 @@ REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 # Brand-new builds with no dedicated baseline yet: tracked in
 # queries{} only; they join REPORT_TAIL_BASELINES (or a promoted sum)
 # next round once they carry dedicated idle-box sessions.
-NEW_QUERIES: list = []
+NEW_QUERIES: list = [
+    "q488_snis_reweighting_audit",  # late round-14 build; dedicated
+    # baseline next round (expected well under the 2 s bar)
+]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,

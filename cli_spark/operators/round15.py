@@ -822,3 +822,174 @@ def q487_filter_cascade_ordering(
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         flags.unpersist()
+
+
+# ---------------------------------------------------------------- q488
+
+_IS_K = 64  # per-source deterministic sample size (bottom-k by md5)
+
+# Per-(source, lang) integer importance weight in micro units:
+# target = uniform over the source's langs (1/K each), proposal = the
+# corpus lang mix within the source (n_l / N), so the density ratio is
+# N / (K * n_l) — QUANTIZED ONCE PER STRATUM to integer micros so
+# every cross-row aggregate downstream is an exact integer sum.
+_W_MICRO = ("CAST(floor(1000000.0 * CAST(n_src AS DOUBLE) / "
+            "(CAST(k_langs AS DOUBLE) * CAST(n_sl AS DOUBLE))) AS BIGINT)")
+# SNIS point estimate: one final shared float division of two exact
+# integer sums, floored to micro.
+_SNIS = ("CAST(floor(1000000.0 * CAST(swy AS DOUBLE) / "
+         "CAST(sw AS DOUBLE)) AS BIGINT)")
+# Kong's effective sample size (Σw)² / Σw² as ppm of n — the
+# reweighting-health diagnostic; integer sums, one shared division.
+_ESS = ("CAST(floor(1000000.0 * CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / "
+        "(CAST(n_samp AS DOUBLE) * CAST(sw2 AS DOUBLE))) AS BIGINT)")
+
+
+@register(
+    "q488_snis_reweighting_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT source, lang, doc_id, n_chars AS y,
+         {_H60_DUCK.format(key="'is:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM base GROUP BY source, lang
+),
+src AS (
+  SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_src,
+         CAST(COUNT(*) AS BIGINT) AS k_langs
+  FROM sl GROUP BY source
+),
+wts AS (
+  SELECT sl.source, sl.lang, {_W_MICRO} AS w_micro
+  FROM sl JOIN src USING (source)
+),
+samp AS (
+  SELECT source, lang, y FROM (
+    SELECT source, lang, y,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY h ASC, doc_id ASC) AS rn
+    FROM base)
+  WHERE rn <= {_IS_K}
+),
+sums AS (
+  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_samp,
+         CAST(SUM(w.w_micro) AS BIGINT) AS sw,
+         CAST(SUM(w.w_micro * s.y) AS BIGINT) AS swy,
+         CAST(SUM(w.w_micro * w.w_micro) AS BIGINT) AS sw2
+  FROM samp s JOIN wts w ON w.source = s.source AND w.lang = s.lang
+  GROUP BY s.source
+),
+tgt AS (
+  SELECT sl.source,
+         CAST(SUM(CAST(floor(1000000.0 * CAST(sl.sy AS DOUBLE) /
+                             CAST(sl.n_sl AS DOUBLE)) AS BIGINT))
+              // MAX(src.k_langs) AS BIGINT) AS exact_micro
+  FROM sl JOIN src USING (source)
+  GROUP BY sl.source
+)
+SELECT m.source, c.n_src AS n_corpus, m.n_samp,
+       c.k_langs, t.exact_micro,
+       {_SNIS} AS est_micro,
+       CAST(floor((CAST(({_SNIS}) AS DOUBLE) -
+                   CAST(t.exact_micro AS DOUBLE)) * 1000000.0 /
+                  CAST(GREATEST(t.exact_micro, 1) AS DOUBLE))
+            AS BIGINT) AS err_ppm,
+       {_ESS} AS ess_ppm
+FROM sums m
+JOIN src c USING (source)
+JOIN tgt t ON t.source = m.source
+""",
+    tags=("sampling", "importance", "reweighting", "audit"),
+)
+def q488_snis_reweighting_audit(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-NORMALIZED IMPORTANCE-SAMPLING reweighting audit — the
+    data-MIXING counterpart of the sampling stack: per source, estimate
+    the mean document length UNDER A UNIFORM-LANGUAGE TARGET MIX from
+    a sample drawn under the source's OWN language mix, using SNIS
+    (Σ w·y / Σ w with density-ratio weights w = N/(K·n_lang)), beside
+    the exact stratified target mean and KONG'S EFFECTIVE SAMPLE SIZE
+    (Σw)²/(n·Σw²) in ppm — THE diagnostic a mixing pipeline reads
+    before trusting any reweighted metric: ess_ppm near 10^6 means the
+    proposal already matches the target; a collapsed ESS means the
+    reweighting is variance-dominated and the target mix needs real
+    resampling, not weights. This is how "evaluate the corpus as if
+    languages were balanced" is done without re-reading anything.
+
+    Determinism discipline: the weights are per-(source, lang)
+    CONSTANTS quantized ONCE to integer micros, so Σw, Σw·y, Σw² are
+    exact integer sums no matter the row order; the SNIS and ESS
+    ratios are one shared float division each, floored to integers;
+    the exact target mean integer-averages per-lang floored micro
+    means. The md5 bottom-k sample is the q105 idiom.
+
+    Scale shape: one map-side-combined groupBy builds the
+    (source, lang) sufficient statistics (the weight table — metadata,
+    broadcastable); one WindowGroupLimit bottom-k picks the sample;
+    the reweighted sums are a second map-side-combined groupBy over
+    sample rows only. No corpus-sized shuffle exists; at 100 TB the
+    weight table is still a few dozen rows."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", "doc_id", F.col("n_chars").alias("y"),
+        F.expr(_H60_SPARK.format(
+            key="concat('is:', CAST(doc_id AS STRING))")).alias("h"),
+    )
+    sl = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sl"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    src = sl.groupBy("source").agg(
+        F.sum("n_sl").cast("long").alias("n_src"),
+        F.count(F.lit(1)).cast("long").alias("k_langs"),
+    )
+    wts = sl.join(F.broadcast(src), "source").select(
+        "source", "lang", F.expr(_W_MICRO).alias("w_micro"))
+    samp = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("h").asc(),
+                                                     F.col("doc_id").asc())),
+        )
+        .filter(F.col("rn") <= _IS_K)
+        .select("source", "lang", "y")
+    )
+    sums = (
+        samp.join(F.broadcast(wts), ["source", "lang"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samp"),
+            F.sum("w_micro").cast("long").alias("sw"),
+            F.sum(F.col("w_micro") * F.col("y")).cast("long").alias("swy"),
+            F.sum(F.col("w_micro") * F.col("w_micro")).cast("long")
+            .alias("sw2"),
+        )
+    )
+    tgt = (
+        sl.join(F.broadcast(src), "source")
+        .groupBy("source")
+        .agg(F.expr(
+            "CAST(SUM(CAST(floor(1000000.0 * CAST(sy AS DOUBLE) / "
+            "CAST(n_sl AS DOUBLE)) AS BIGINT)) DIV MAX(k_langs) AS BIGINT)")
+            .alias("exact_micro"))
+    )
+    return (
+        sums.join(F.broadcast(src), "source")
+        .join(F.broadcast(tgt), "source")
+        .select(
+            "source",
+            F.col("n_src").alias("n_corpus"),
+            "n_samp", "k_langs", "exact_micro",
+            F.expr(_SNIS).alias("est_micro"),
+            F.expr(f"CAST(floor((CAST(({_SNIS}) AS DOUBLE) - "
+                   "CAST(exact_micro AS DOUBLE)) * 1000000.0 / "
+                   "CAST(GREATEST(exact_micro, 1) AS DOUBLE)) AS BIGINT)")
+            .alias("err_ppm"),
+            F.expr(_ESS).alias("ess_ppm"),
+        )
+    )

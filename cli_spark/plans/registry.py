@@ -455,6 +455,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q485_empirical_bernstein_audit",
     "q486_streaming_priority_sample",
     "q487_filter_cascade_ordering",
+    "q488_snis_reweighting_audit",
 )
 
 

@@ -325,3 +325,49 @@ def test_filter_cascade_matches_independent_ordering(spark, sf_dir):
     assert rows[-1]["n_survivors"] == keep
     survs = [r["n_survivors"] for r in rows]
     assert all(a >= b for a, b in zip(survs, survs[1:]))
+
+
+# ---------------------------------------------------------- q488
+
+
+def test_snis_matches_independent_reimpl(spark, sf_dir):
+    """Pure-Python SNIS/ESS reimplementation (hashlib sample, integer
+    micro weights, Kong's ESS) reproduces every column per source, and
+    the structural invariants hold: ess_ppm in (0, 1e6]; a
+    single-language source has w constant => ESS exactly 1e6 and the
+    SNIS estimate equals the plain sample mean."""
+    from cli_spark.operators.round15 import q488_snis_reweighting_audit
+
+    rows = {r["source"]: r
+            for r in q488_snis_reweighting_audit(spark, sf_dir).collect()}
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "lang", "n_chars"])
+    for source, g in d.groupby("source"):
+        n_src = len(g)
+        langs = g.groupby("lang").size().to_dict()
+        k = len(langs)
+        w = {l: math.floor(1e6 * n_src / (k * n)) for l, n in langs.items()}
+        ordered = sorted(
+            ((_h60(f"is:{int(r.doc_id)}"), int(r.doc_id), r.lang,
+              int(r.n_chars)) for r in g.itertuples()))
+        samp = ordered[:64]
+        sw = sum(w[l] for _, _, l, _ in samp)
+        swy = sum(w[l] * y for _, _, l, y in samp)
+        sw2 = sum(w[l] * w[l] for _, _, l, _ in samp)
+        est = math.floor(1e6 * swy / sw)
+        ess = math.floor(1e6 * sw * sw / (len(samp) * sw2))
+        exact = sum(
+            math.floor(1e6 * int(gg["n_chars"].sum()) / len(gg))
+            for _, gg in g.groupby("lang")) // k
+        row = rows[source]
+        assert row["n_corpus"] == n_src
+        assert row["n_samp"] == len(samp)
+        assert row["k_langs"] == k
+        assert row["exact_micro"] == exact
+        assert row["est_micro"] == est
+        assert row["ess_ppm"] == ess
+        assert row["err_ppm"] == math.floor(
+            (est - exact) * 1e6 / max(exact, 1))
+        assert 0 < row["ess_ppm"] <= 1_000_000
+        if k == 1:
+            assert row["ess_ppm"] == 1_000_000
