@@ -229,8 +229,9 @@ REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 # queries{} only; they join REPORT_TAIL_BASELINES (or a promoted sum)
 # next round once they carry dedicated idle-box sessions.
 NEW_QUERIES: list = [
-    "q488_snis_reweighting_audit",  # late round-14 build; dedicated
-    # baseline next round (expected well under the 2 s bar)
+    # late round-14 builds; dedicated baselines next round
+    "q488_snis_reweighting_audit",
+    "q489_adaptive_cascade_reorder",
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

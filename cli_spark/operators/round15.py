@@ -993,3 +993,221 @@ def q488_snis_reweighting_audit(
             F.expr(_ESS).alias("ess_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------- q489
+
+
+def _adaptive_cascade_sql() -> str:
+    """Unrolled one-step-lookahead cascade SQL (DuckDB side): at each
+    position the NEXT gate is chosen by conditional reject-rate-per-
+    cost AMONG CURRENT SURVIVORS (not the marginal rates q487 ranks
+    by), then survivors shrink and the remaining rules re-rank.
+    sv{t} = survivor set after t picks, ch{t} = chosen rules, p{t} =
+    the pick with its conditional counts. The static chain (q487's)
+    is recomputed in the same query so each row carries the realized
+    cost delta. All MATERIALIZED (the q482 lesson)."""
+    from cli_spark.operators.corpus_stats import _GOPHER_ORACLE
+
+    flag_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{r}' AS rule, CAST({r} AS INT) AS pass FROM gates"
+        for r, _ in _CASCADE_COSTS)
+    k = len(_CASCADE_COSTS)
+    parts = [f"""gates AS MATERIALIZED ({_GOPHER_ORACLE}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM gates),
+flags AS MATERIALIZED (
+  {flag_union}
+),
+costs(rule, cost_milli) AS (VALUES {_COSTS_VALUES}),
+sv0 AS MATERIALIZED (SELECT DISTINCT doc_id FROM flags)"""]
+    for t in range(1, k + 1):
+        notin = (f"AND f.rule NOT IN (SELECT rule FROM ch{t - 1})"
+                 if t > 1 else "")
+        parts.append(f"""r{t} AS (
+  SELECT f.rule, CAST(SUM(1 - f.pass) AS BIGINT) AS cond_reject
+  FROM flags f JOIN sv{t - 1} s ON s.doc_id = f.doc_id
+  WHERE TRUE {notin}
+  GROUP BY f.rule
+),
+p{t} AS MATERIALIZED (
+  SELECT r.rule, r.cond_reject, CAST(c.cost_milli AS BIGINT) AS cost_milli,
+         CAST(r.cond_reject * 1000000 // c.cost_milli AS BIGINT) AS ratio
+  FROM r{t} r JOIN costs c USING (rule)
+  ORDER BY ratio DESC, r.rule ASC LIMIT 1
+),
+ch{t} AS MATERIALIZED (
+  {"SELECT rule FROM ch" + str(t - 1) + " UNION " if t > 1 else ""}SELECT rule FROM p{t}
+),
+sv{t} AS MATERIALIZED (
+  SELECT f.doc_id
+  FROM flags f JOIN sv{t - 1} s ON s.doc_id = f.doc_id
+  JOIN p{t} p ON p.rule = f.rule
+  WHERE f.pass = 1
+)""")
+    steps = ",\n".join(parts)
+    ada_sel = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS pos, rule, cond_reject, cost_milli, "
+        f"ratio, (SELECT CAST(COUNT(*) AS BIGINT) FROM sv{t}) AS n_surv, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM sv{t - 1}) AS n_prev "
+        f"FROM p{t}" for t in range(1, k + 1))
+    # the static chain = q487's ordering and survival, inlined
+    return f"""WITH {steps},
+ada AS ({ada_sel}),
+adat AS (
+  SELECT pos, rule, cond_reject, cost_milli, ratio, n_surv,
+         CAST(cost_milli * 1000000 * n_prev // n.n_docs AS BIGINT)
+           AS eval_cost_micro
+  FROM ada CROSS JOIN nd n
+),
+srej AS (
+  SELECT rule, CAST(SUM(1 - pass) AS BIGINT) AS n_reject
+  FROM flags GROUP BY rule
+),
+sranked AS MATERIALIZED (
+  SELECT r.rule, CAST(c.cost_milli AS BIGINT) AS cost_milli,
+         row_number() OVER (
+           ORDER BY r.n_reject * 1000000 // c.cost_milli DESC,
+                    r.rule ASC) AS rk
+  FROM srej r JOIN costs c USING (rule)
+),
+sfr AS (
+  SELECT f.doc_id,
+         COALESCE(MIN(CASE WHEN f.pass = 0 THEN k.rk END), 6) AS fr
+  FROM flags f JOIN sranked k USING (rule)
+  GROUP BY f.doc_id
+),
+shist AS MATERIALIZED (
+  SELECT fr, CAST(COUNT(*) AS BIGINT) AS cnt FROM sfr GROUP BY fr
+),
+stg AS (SELECT unnest([1, 2, 3, 4, 5]) AS t),
+ssurv AS MATERIALIZED (
+  SELECT stg.t,
+         CAST(COALESCE(SUM(CASE WHEN h.fr > stg.t THEN h.cnt END), 0)
+              AS BIGINT) AS n_survivors
+  FROM stg CROSS JOIN shist h
+  GROUP BY stg.t
+),
+sterms AS (
+  SELECT k.rk,
+         CAST(k.cost_milli * 1000000 *
+              COALESCE(p.n_survivors, n.n_docs) // n.n_docs AS BIGINT)
+           AS sc
+  FROM sranked k
+  LEFT JOIN ssurv p ON p.t = k.rk - 1
+  CROSS JOIN nd n
+),
+scum AS (
+  SELECT rk, CAST(SUM(sc) OVER (ORDER BY rk ASC) AS BIGINT) AS static_cum
+  FROM sterms
+)
+SELECT a.pos AS cascade_pos, a.rule, a.cond_reject, a.cost_milli,
+       a.ratio AS cond_ratio_ppm, a.n_surv AS n_survivors,
+       a.eval_cost_micro,
+       CAST(SUM(a.eval_cost_micro) OVER (ORDER BY a.pos ASC) AS BIGINT)
+         AS cum_cost_micro,
+       s.static_cum AS static_cum_cost_micro,
+       s.static_cum -
+         CAST(SUM(a.eval_cost_micro) OVER (ORDER BY a.pos ASC) AS BIGINT)
+         AS saved_micro
+FROM adat a JOIN scum s ON s.rk = a.pos
+"""
+
+
+@register(
+    "q489_adaptive_cascade_reorder",
+    oracle=_adaptive_cascade_sql(),
+    tags=("quality", "cascade", "optimizer", "adaptive"),
+)
+def q489_adaptive_cascade_reorder(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE FILTER-CASCADE REORDERING — what predicate CORRELATION
+    costs the static plan: q487 ranks the Gopher gates once by their
+    MARGINAL reject-rate-per-cost; this operator re-ranks at every
+    position by the CONDITIONAL reject rate among the documents still
+    alive (one-step-lookahead greedy — the adaptive form of the
+    expensive-predicate ordering rule). Each row carries the pick,
+    its conditional rejects and ratio, survivors, the per-stage and
+    cumulative expected cost, the STATIC order's cumulative cost at
+    the same position, and saved_micro = static − adaptive — the
+    realized value (possibly negative at interior positions: greedy
+    is not globally optimal, and the audit reports what actually
+    happened rather than assuming independence). When gates reject
+    overlapping document sets, the marginal ranking double-counts
+    their effect; the conditional ranking sees it — this table is the
+    evidence for whether a curation pipeline should bother re-profiling
+    its cascade after each stage at 100 TB.
+
+    All arithmetic is exact integers (the q487 discipline). Scale
+    shape: the flag matrix is built once (q162's zero-shuffle pass)
+    and persisted; each of the 5 steps is one map-side-combined
+    conditional count over survivor-joined flags plus a 1-row argmax
+    (bounded-scalar); survivor membership is carried as a column
+    filter, never a re-scan of the corpus text. The 100 TB plan:
+    profile the conditional rates on a fixed-rate sample per stage —
+    the table's semantics are identical."""
+    from cli_spark.operators.corpus_stats import q162_gopher_rules
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    gates = q162_gopher_rules(spark, sf_dir)
+    stack_args = ", ".join(
+        f"'{r}', CAST({r} AS INT)" for r, _ in _CASCADE_COSTS)
+    flags = gates.select(
+        "doc_id",
+        F.expr(f"stack({len(_CASCADE_COSTS)}, {stack_args}) "
+               "AS (rule, pass)"),
+    ).select("doc_id", "rule", "pass").persist()
+    try:
+        cost = dict(_CASCADE_COSTS)
+        # static cumulative costs from q487 (5-row bounded collect)
+        static_cum = {
+            int(r["cascade_pos"]): int(r["cum_cost_micro"])
+            for r in q487_filter_cascade_ordering(spark, sf_dir).collect()
+        }
+        survivors = None  # None = all docs
+        chosen: list[str] = []
+        n_prev = n_docs
+        cum = 0
+        rows: list[tuple] = []
+        for pos in range(1, len(_CASCADE_COSTS) + 1):
+            pool = flags.filter(~F.col("rule").isin(chosen)) \
+                if chosen else flags
+            if survivors is not None:
+                pool = pool.join(F.broadcast(survivors), "doc_id")
+            rej = pool.groupBy("rule").agg(
+                F.sum(F.lit(1) - F.col("pass")).cast("long")
+                .alias("cond_reject"))
+            pick = (
+                rej.withColumn(
+                    "cost_milli",
+                    F.coalesce(*[F.when(F.col("rule") == r, F.lit(c))
+                                 for r, c in _CASCADE_COSTS]).cast("long"))
+                .withColumn(
+                    "ratio",
+                    F.expr("CAST(cond_reject * 1000000 DIV cost_milli "
+                           "AS BIGINT)"))
+                .orderBy(F.col("ratio").desc(), F.col("rule").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            rule = pick["rule"]
+            base_sv = flags.filter((F.col("rule") == rule)
+                                   & (F.col("pass") == 1)) \
+                .select("doc_id")
+            survivors = (base_sv if survivors is None
+                         else survivors.join(base_sv, "doc_id")).persist()
+            n_surv = survivors.count()
+            term = cost[rule] * 1_000_000 * n_prev // n_docs
+            cum += term
+            rows.append((pos, rule, int(pick["cond_reject"]), cost[rule],
+                         int(pick["ratio"]), n_surv, term, cum,
+                         static_cum[pos], static_cum[pos] - cum))
+            chosen.append(rule)
+            n_prev = n_surv
+        return spark.createDataFrame(
+            rows,
+            "cascade_pos long, rule string, cond_reject long, "
+            "cost_milli long, cond_ratio_ppm long, n_survivors long, "
+            "eval_cost_micro long, cum_cost_micro long, "
+            "static_cum_cost_micro long, saved_micro long")
+    finally:
+        flags.unpersist()

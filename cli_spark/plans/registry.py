@@ -456,6 +456,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q486_streaming_priority_sample",
     "q487_filter_cascade_ordering",
     "q488_snis_reweighting_audit",
+    "q489_adaptive_cascade_reorder",
 )
 
 

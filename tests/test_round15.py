@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-14-build operators (q481–q486)
+"""Semantic invariants for the round-14-build operators (q481–q489)
 — properties both engines could get wrong together, plus independent
 reimplementations (hashlib/pandas/math, no shared SQL text) so a
 shared-oracle bug cannot hide."""
@@ -371,3 +371,63 @@ def test_snis_matches_independent_reimpl(spark, sf_dir):
         assert 0 < row["ess_ppm"] <= 1_000_000
         if k == 1:
             assert row["ess_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------- q489
+
+
+def test_adaptive_cascade_matches_independent_loop(spark, sf_dir):
+    """Independent Python one-step-lookahead loop over q162's gate
+    output reproduces every adaptive row; position 1 must equal the
+    static plan's first pick (conditional == marginal on the full
+    corpus); the FINAL survivor count equals q487's (any order of the
+    same five gates keeps exactly the keep set); saved_micro is the
+    static-minus-adaptive difference (sign NOT asserted — greedy is
+    not globally optimal and the audit reports reality)."""
+    from cli_spark.operators.corpus_stats import q162_gopher_rules
+    from cli_spark.operators.round15 import (
+        _CASCADE_COSTS,
+        q487_filter_cascade_ordering,
+        q489_adaptive_cascade_reorder,
+    )
+
+    rows = sorted(q489_adaptive_cascade_reorder(spark, sf_dir).collect(),
+                  key=lambda r: r["cascade_pos"])
+    static = sorted(q487_filter_cascade_ordering(spark, sf_dir).collect(),
+                    key=lambda r: r["cascade_pos"])
+    assert rows[0]["rule"] == static[0]["rule"]
+    assert rows[-1]["n_survivors"] == static[-1]["n_survivors"]
+
+    gates = {g["doc_id"]: g for g in q162_gopher_rules(spark, sf_dir).collect()}
+    n_docs = len(gates)
+    cost = dict(_CASCADE_COSTS)
+    alive = set(gates)
+    chosen: list[str] = []
+    cum = 0
+    n_prev = n_docs
+    for row in rows:
+        best = None
+        for r in cost:
+            if r in chosen:
+                continue
+            rej = sum(1 for d in alive if not gates[d][r])
+            ratio = rej * 1_000_000 // cost[r]
+            key = (-ratio, r)
+            if best is None or key < best[0]:
+                best = (key, r, rej, ratio)
+        _, r, rej, ratio = best
+        alive = {d for d in alive if gates[d][r]}
+        term = cost[r] * 1_000_000 * n_prev // n_docs
+        cum += term
+        assert row["rule"] == r
+        assert row["cond_reject"] == rej
+        assert row["cond_ratio_ppm"] == ratio
+        assert row["n_survivors"] == len(alive)
+        assert row["eval_cost_micro"] == term
+        assert row["cum_cost_micro"] == cum
+        assert row["saved_micro"] == (row["static_cum_cost_micro"]
+                                      - row["cum_cost_micro"])
+        chosen.append(r)
+        n_prev = len(alive)
+    keep = sum(1 for g in gates.values() if g["keep"])
+    assert rows[-1]["n_survivors"] == keep
