@@ -1158,14 +1158,39 @@ def q489_adaptive_cascade_reorder(
     ).select("doc_id", "rule", "pass").persist()
     try:
         cost = dict(_CASCADE_COSTS)
-        # static cumulative costs from q487 (5-row bounded collect)
-        static_cum = {
-            int(r["cascade_pos"]): int(r["cum_cost_micro"])
-            for r in q487_filter_cascade_ordering(spark, sf_dir).collect()
-        }
+        # static cumulative costs from the SAME persisted flag matrix
+        # (q487's ranking logic replayed here — calling q487 would
+        # recompute the q162 gate pass, doubling the invocation cost)
+        marg = {r["rule"]: int(r["n_reject"]) for r in
+                flags.groupBy("rule").agg(
+                    F.sum(F.lit(1) - F.col("pass")).cast("long")
+                    .alias("n_reject")).collect()}
+        order = sorted(cost,
+                       key=lambda r: (-(marg[r] * 1_000_000 // cost[r]), r))
+        # first-failure histogram under the static order: 6 buckets,
+        # one aggregate over the flag matrix
+        rk = {r: i + 1 for i, r in enumerate(order)}
+        rk_expr = "CASE rule " + " ".join(
+            f"WHEN '{r}' THEN {k}" for r, k in rk.items()) + " END"
+        hist = {int(row["fr"]): int(row["cnt"]) for row in
+                flags.select(
+                    "doc_id",
+                    F.expr(f"CASE WHEN pass = 0 THEN {rk_expr} END")
+                    .alias("frk"))
+                .groupBy("doc_id")
+                .agg(F.coalesce(F.min("frk"), F.lit(6)).alias("fr"))
+                .groupBy("fr")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .collect()}
+        static_cum = {}
+        sprev, scum = n_docs, 0
+        for pos, r in enumerate(order, start=1):
+            scum += cost[r] * 1_000_000 * sprev // n_docs
+            static_cum[pos] = scum
+            sprev = sum(c for f, c in hist.items() if f > pos)
+
         survivors = None  # None = all docs
         chosen: list[str] = []
-        n_prev = n_docs
         cum = 0
         rows: list[tuple] = []
         for pos in range(1, len(_CASCADE_COSTS) + 1):
@@ -1173,11 +1198,16 @@ def q489_adaptive_cascade_reorder(
                 if chosen else flags
             if survivors is not None:
                 pool = pool.join(F.broadcast(survivors), "doc_id")
-            rej = pool.groupBy("rule").agg(
-                F.sum(F.lit(1) - F.col("pass")).cast("long")
-                .alias("cond_reject"))
-            pick = (
-                rej.withColumn(
+            # one aggregate per step yields the conditional rejects AND
+            # the survivor count (every remaining rule has one row per
+            # surviving doc) — no separate .count() action
+            cand = (
+                pool.groupBy("rule").agg(
+                    F.sum(F.lit(1) - F.col("pass")).cast("long")
+                    .alias("cond_reject"),
+                    F.count(F.lit(1)).cast("long").alias("n_prev"),
+                )
+                .withColumn(
                     "cost_milli",
                     F.coalesce(*[F.when(F.col("rule") == r, F.lit(c))
                                  for r, c in _CASCADE_COSTS]).cast("long"))
@@ -1189,20 +1219,20 @@ def q489_adaptive_cascade_reorder(
                 .limit(1)
                 .collect()[0]
             )
-            rule = pick["rule"]
+            rule = cand["rule"]
+            n_prev = int(cand["n_prev"])
+            n_surv = n_prev - int(cand["cond_reject"])
             base_sv = flags.filter((F.col("rule") == rule)
                                    & (F.col("pass") == 1)) \
                 .select("doc_id")
             survivors = (base_sv if survivors is None
-                         else survivors.join(base_sv, "doc_id")).persist()
-            n_surv = survivors.count()
+                         else survivors.join(base_sv, "doc_id"))
             term = cost[rule] * 1_000_000 * n_prev // n_docs
             cum += term
-            rows.append((pos, rule, int(pick["cond_reject"]), cost[rule],
-                         int(pick["ratio"]), n_surv, term, cum,
+            rows.append((pos, rule, int(cand["cond_reject"]), cost[rule],
+                         int(cand["ratio"]), n_surv, term, cum,
                          static_cum[pos], static_cum[pos] - cum))
             chosen.append(rule)
-            n_prev = n_surv
         return spark.createDataFrame(
             rows,
             "cascade_pos long, rule string, cond_reject long, "
