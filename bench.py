@@ -232,6 +232,7 @@ NEW_QUERIES: list = [
     # late round-14 builds; dedicated baselines next round
     "q488_snis_reweighting_audit",
     "q489_adaptive_cascade_reorder",
+    "q490_neyman_realization_audit",
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

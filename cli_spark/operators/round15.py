@@ -1241,3 +1241,175 @@ def q489_adaptive_cascade_reorder(
             "static_cum_cost_micro long, saved_micro long")
     finally:
         flags.unpersist()
+
+
+# ---------------------------------------------------------------- q490
+
+from cli_spark.operators.round14 import (  # noqa: E402
+    _ALLOC_NEY,
+    _BUDGET,
+    _NHS_MICRO,
+)
+
+# integer per-stratum sample sizes from q475's allocation chains,
+# clamped to [1, n_h] (a design can neither skip a stratum nor sample
+# more documents than exist). Divisions are floor-of-double because
+# these strings are SHARED verbatim (DuckDB has // where Spark has
+# DIV — neither parses the other's operator).
+_K_NEY = ("LEAST(GREATEST(CAST(floor(CAST((" + _ALLOC_NEY + ") AS DOUBLE) "
+          "/ 1000000.0) AS BIGINT), CAST(1 AS BIGINT)), n_h)")
+_K_PROP = (f"LEAST(GREATEST(CAST(floor({_BUDGET}.0 * CAST(n_h AS DOUBLE) / "
+           "CAST(n_tot AS DOUBLE)) AS BIGINT), CAST(1 AS BIGINT)), n_h)")
+# signed ppm error, floor-of-double (the negative-quotient trap)
+_ST_ERR = ("CAST(floor((CAST({est} AS DOUBLE) - CAST(t_micro AS DOUBLE)) * "
+           "1000000.0 / CAST(t_micro AS DOUBLE)) AS BIGINT)")
+
+
+@register(
+    "q490_neyman_realization_audit",
+    oracle=f"""
+WITH strat AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_y,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_y2
+  FROM documents GROUP BY lang
+),
+per AS (
+  SELECT lang, n_h, sum_y, {_NHS_MICRO} AS nhs_micro
+  FROM strat
+),
+tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n_tot,
+         CAST(SUM(nhs_micro) AS BIGINT) AS a
+  FROM per
+),
+alloc AS (
+  SELECT p.lang, p.n_h, p.sum_y, {_K_NEY} AS k_ney, {_K_PROP} AS k_prop
+  FROM per p CROSS JOIN tot t
+),
+drawn AS (
+  SELECT d.lang, d.n_chars AS y,
+         row_number() OVER (PARTITION BY d.lang ORDER BY
+           {_H60_DUCK.format(key="'ns:' || CAST(doc_id AS VARCHAR)")} ASC,
+           d.doc_id ASC) AS rk
+  FROM documents d
+),
+sums AS (
+  SELECT a.lang, a.n_h, a.sum_y, a.k_ney, a.k_prop,
+         CAST(SUM(CASE WHEN dr.rk <= a.k_prop THEN dr.y ELSE 0 END)
+              AS BIGINT) AS sy_p,
+         CAST(SUM(CASE WHEN dr.rk <= a.k_ney THEN dr.y ELSE 0 END)
+              AS BIGINT) AS sy_n
+  FROM alloc a JOIN drawn dr ON dr.lang = a.lang
+  GROUP BY a.lang, a.n_h, a.sum_y, a.k_ney, a.k_prop
+),
+terms AS (
+  SELECT lang, n_h, sum_y, k_ney, k_prop,
+         CAST(n_h * sy_p * 1000000 // k_prop AS BIGINT) AS term_p,
+         CAST(n_h * sy_n * 1000000 // k_ney AS BIGINT) AS term_n,
+         CAST(sum_y * 1000000 // n_h AS BIGINT) AS mean_true_micro,
+         CAST(sy_p * 1000000 // k_prop AS BIGINT) AS samp_mean_prop_micro,
+         CAST(sy_n * 1000000 // k_ney AS BIGINT) AS samp_mean_ney_micro
+  FROM sums
+),
+corpus AS (
+  SELECT CAST(SUM(term_p) // SUM(n_h) AS BIGINT) AS est_p,
+         CAST(SUM(term_n) // SUM(n_h) AS BIGINT) AS est_n,
+         CAST(SUM(sum_y) * 1000000 // SUM(n_h) AS BIGINT) AS t_micro
+  FROM terms
+)
+SELECT t.lang, t.n_h, t.k_prop, t.k_ney,
+       t.mean_true_micro, t.samp_mean_prop_micro, t.samp_mean_ney_micro,
+       c.est_p AS est_st_prop_micro, c.est_n AS est_st_ney_micro,
+       {_ST_ERR.format(est='c.est_p')} AS err_prop_ppm,
+       {_ST_ERR.format(est='c.est_n')} AS err_ney_ppm
+FROM terms t CROSS JOIN corpus c
+""",
+    tags=("sampling", "stratified", "neyman", "realization"),
+)
+def q490_neyman_realization_audit(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-ALLOCATION REALIZATION AUDIT — q475 DESIGNS the
+    allocation (N_h·S_h budget split, variance-reduction prediction);
+    this operator actually DRAWS both samples and reports what
+    happened, closing design → realization the way q447 → q472 closed
+    sample → estimator: per language, the integer sample sizes both
+    designs assign (q475's exact allocation chains, clamped to
+    [1, n_h]), the per-stratum sample means from ONE shared
+    deterministic md5 draw (both designs read nested prefixes of the
+    same ranking — a PAIRED comparison, so the difference is the
+    allocation, not draw luck), and corpus-level: both stratified
+    estimators (Σ N_h·ȳ_h / N, each per-stratum term floored to
+    integer micros before the cross-stratum sum) with their realized
+    signed errors vs the true corpus mean in ppm, repeated per row as
+    the headline numbers. One draw is one realization — the estimator
+    columns are the audit, q475's reduction_ppm is the expectation;
+    the pair together is what a sampling-design review reads.
+
+    Scale shape: one map-side-combined groupBy builds the per-stratum
+    sufficient statistics; ONE WindowGroupLimit ranking serves BOTH
+    designs (nested prefixes); the conditional sums are a second
+    map-side-combined pass; everything after is one-row-per-stratum
+    arithmetic. All integer end-to-end except the final signed ppm
+    chains (floor-of-double, the negative-quotient discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    strat = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("sum_y"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+        .alias("sum_y2"),
+    )
+    per = strat.select("lang", "n_h", "sum_y",
+                       F.expr(_NHS_MICRO).alias("nhs_micro"))
+    tot = per.agg(F.sum("n_h").cast("long").alias("n_tot"),
+                  F.sum("nhs_micro").cast("long").alias("a"))
+    alloc = per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_h", "sum_y",
+        F.expr(_K_NEY).alias("k_ney"),
+        F.expr(_K_PROP).alias("k_prop"),
+    )
+    drawn = d.select(
+        "lang", F.col("n_chars").alias("y"),
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.expr(_H60_SPARK.format(
+                    key="concat('ns:', CAST(doc_id AS STRING))")).asc(),
+                F.col("doc_id").asc())).alias("rk"),
+    )
+    sums = (
+        drawn.join(F.broadcast(alloc), "lang")
+        .groupBy("lang", "n_h", "sum_y", "k_ney", "k_prop")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k_prop"), F.col("y"))
+                  .otherwise(F.lit(0))).cast("long").alias("sy_p"),
+            F.sum(F.when(F.col("rk") <= F.col("k_ney"), F.col("y"))
+                  .otherwise(F.lit(0))).cast("long").alias("sy_n"),
+        )
+    )
+    terms = sums.select(
+        "lang", "n_h", "sum_y", "k_ney", "k_prop",
+        F.expr("CAST(n_h * sy_p * 1000000 DIV k_prop AS BIGINT)")
+        .alias("term_p"),
+        F.expr("CAST(n_h * sy_n * 1000000 DIV k_ney AS BIGINT)")
+        .alias("term_n"),
+        F.expr("CAST(sum_y * 1000000 DIV n_h AS BIGINT)")
+        .alias("mean_true_micro"),
+        F.expr("CAST(sy_p * 1000000 DIV k_prop AS BIGINT)")
+        .alias("samp_mean_prop_micro"),
+        F.expr("CAST(sy_n * 1000000 DIV k_ney AS BIGINT)")
+        .alias("samp_mean_ney_micro"),
+    )
+    corpus = terms.agg(
+        F.expr("CAST(SUM(term_p) DIV SUM(n_h) AS BIGINT)").alias("est_p"),
+        F.expr("CAST(SUM(term_n) DIV SUM(n_h) AS BIGINT)").alias("est_n"),
+        F.expr("CAST(SUM(sum_y) * 1000000 DIV SUM(n_h) AS BIGINT)")
+        .alias("t_micro"),
+    )
+    return terms.crossJoin(F.broadcast(corpus)).select(
+        "lang", "n_h", "k_prop", "k_ney",
+        "mean_true_micro", "samp_mean_prop_micro", "samp_mean_ney_micro",
+        F.col("est_p").alias("est_st_prop_micro"),
+        F.col("est_n").alias("est_st_ney_micro"),
+        F.expr(_ST_ERR.format(est="est_p")).alias("err_prop_ppm"),
+        F.expr(_ST_ERR.format(est="est_n")).alias("err_ney_ppm"),
+    )

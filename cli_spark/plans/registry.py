@@ -457,6 +457,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q487_filter_cascade_ordering",
     "q488_snis_reweighting_audit",
     "q489_adaptive_cascade_reorder",
+    "q490_neyman_realization_audit",
 )
 
 

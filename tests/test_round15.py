@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-14-build operators (q481–q489)
+"""Semantic invariants for the round-14-build operators (q481–q490)
 — properties both engines could get wrong together, plus independent
 reimplementations (hashlib/pandas/math, no shared SQL text) so a
 shared-oracle bug cannot hide."""
@@ -431,3 +431,72 @@ def test_adaptive_cascade_matches_independent_loop(spark, sf_dir):
         n_prev = len(alive)
     keep = sum(1 for g in gates.values() if g["keep"])
     assert rows[-1]["n_survivors"] == keep
+
+
+# ---------------------------------------------------------- q490
+
+
+def test_neyman_realization_matches_independent_reimpl(spark, sf_dir):
+    """Pure-Python reimplementation (q475's allocation math, nested
+    md5 bottom-k draws, per-stratum-floored stratified estimators)
+    reproduces every column; allocations are clamped to [1, n_h]; the
+    corpus-level estimate/error columns are constant across rows."""
+    from cli_spark.operators.round15 import (
+        q490_neyman_realization_audit,
+    )
+
+    rows = {r["lang"]: r for r in
+            q490_neyman_realization_audit(spark, sf_dir).collect()}
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    # allocation from sufficient stats (q475's chain)
+    stats = {}
+    for lang, g in d.groupby("lang"):
+        n_h = len(g)
+        sy = int(g["n_chars"].sum())
+        sy2 = int((g["n_chars"].astype("int64") ** 2).sum())
+        s_h = (0.0 if n_h < 2 else
+               math.sqrt((sy2 - sy * sy / n_h) / (n_h - 1.0)))
+        stats[lang] = (n_h, sy, math.floor(n_h * s_h * 1e6))
+    n_tot = sum(v[0] for v in stats.values())
+    a = sum(v[2] for v in stats.values())
+    terms_p, terms_n, sum_y_all = [], [], 0
+    expected = {}
+    for lang, (n_h, sy, nhs) in stats.items():
+        if a == 0:
+            k_ney_raw = 0
+        else:
+            k_ney_raw = math.floor(
+                math.floor(100e6 * nhs / a) / 1e6)
+        k_ney = min(max(k_ney_raw, 1), n_h)
+        k_prop = min(max(math.floor(100.0 * n_h / n_tot), 1), n_h)
+        g = d[d["lang"] == lang]
+        ranked = sorted(
+            ((_h60(f"ns:{int(r.doc_id)}"), int(r.doc_id), int(r.n_chars))
+             for r in g.itertuples()))
+        sy_p = sum(y for _, _, y in ranked[:k_prop])
+        sy_n = sum(y for _, _, y in ranked[:k_ney])
+        expected[lang] = dict(
+            n_h=n_h, k_prop=k_prop, k_ney=k_ney,
+            mean_true_micro=sy * 1_000_000 // n_h,
+            samp_mean_prop_micro=sy_p * 1_000_000 // k_prop,
+            samp_mean_ney_micro=sy_n * 1_000_000 // k_ney,
+        )
+        terms_p.append(n_h * sy_p * 1_000_000 // k_prop)
+        terms_n.append(n_h * sy_n * 1_000_000 // k_ney)
+        sum_y_all += sy
+    est_p = sum(terms_p) // n_tot
+    est_n = sum(terms_n) // n_tot
+    t_micro = sum_y_all * 1_000_000 // n_tot
+    for lang, exp in expected.items():
+        row = rows[lang]
+        for k, v in exp.items():
+            assert row[k] == v, (lang, k, row[k], v)
+        assert 1 <= row["k_ney"] <= row["n_h"]
+        assert 1 <= row["k_prop"] <= row["n_h"]
+        assert row["est_st_prop_micro"] == est_p
+        assert row["est_st_ney_micro"] == est_n
+        assert row["err_prop_ppm"] == math.floor(
+            (est_p - t_micro) * 1e6 / t_micro)
+        assert row["err_ney_ppm"] == math.floor(
+            (est_n - t_micro) * 1e6 / t_micro)
