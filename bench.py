@@ -233,6 +233,7 @@ NEW_QUERIES: list = [
     "q488_snis_reweighting_audit",
     "q489_adaptive_cascade_reorder",
     "q490_neyman_realization_audit",
+    "q491_streaming_logbucket_quantiles",
 ]
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see

@@ -458,6 +458,7 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q488_snis_reweighting_audit",
     "q489_adaptive_cascade_reorder",
     "q490_neyman_realization_audit",
+    "q491_streaming_logbucket_quantiles",
 )
 
 

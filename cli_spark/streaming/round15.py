@@ -499,3 +499,234 @@ def q486_streaming_priority_sample(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------- q491
+
+# floor(log2(c)) for positive integers via bit length — the _RHO
+# idiom: length(bin(c)) - 1 in both engines; NO float log anywhere.
+_LB_DUCK = "length(bin(cents)) - 1"
+_LB_SPARK = "length(bin(cents)) - 1"
+
+
+def _lb_quantile_sql(prefix: str) -> str:
+    """Bucket counts -> per-quantile selected bucket + midpoint
+    estimate (DuckDB side). est = 2^b + 2^(b-1) (the integer geometric
+    midpoint of [2^b, 2^(b+1))), so est/true is always in
+    [0.75, 1.5] — the multiplicative contract."""
+    return f"""
+{prefix}n AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM {prefix}bc
+  GROUP BY event_type
+),
+{prefix}cum AS (
+  SELECT event_type, b,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b ASC) AS cum
+  FROM {prefix}bc
+),
+{prefix}tgt AS (
+  SELECT n.event_type, qs.q, n.n, (qs.q * n.n + 99) // 100 AS tgt
+  FROM {prefix}n n CROSS JOIN qs
+),
+{prefix}sel AS (
+  SELECT t.event_type, t.q, t.n,
+         CAST(MIN(c.b) AS BIGINT) AS bucket_sel
+  FROM {prefix}tgt t
+  JOIN {prefix}cum c ON c.event_type = t.event_type AND c.cum >= t.tgt
+  GROUP BY t.event_type, t.q, t.n
+),
+{prefix}est AS (
+  SELECT event_type, q, n, bucket_sel,
+         CAST(CASE WHEN bucket_sel = 0 THEN 1
+              ELSE (1 << bucket_sel) + (1 << (bucket_sel - 1)) END
+              AS BIGINT) AS est_cents
+  FROM {prefix}sel
+)"""
+
+
+@register(
+    "q491_streaming_logbucket_quantiles",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         GREATEST(CAST(floor(value * 100.0) AS BIGINT), 1) AS cents
+  FROM events
+),
+n0 AS (SELECT COUNT(*) AS cnt FROM base),
+bsz AS (SELECT CAST(ceil(cnt / {_N_BATCHES}.0) AS BIGINT) AS b FROM n0),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n0 CROSS JOIN bsz),
+qs AS (SELECT unnest([50, 90, 99]) AS q),
+fbc AS (
+  SELECT event_type, {_LB_DUCK} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY event_type, {_LB_DUCK}
+),
+{_lb_quantile_sql('f')},
+exact AS (
+  SELECT r.event_type, q.q, CAST(r.cents AS BIGINT) AS exact_cents
+  FROM (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rk
+        FROM base) r
+  JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY event_type) g ON g.event_type = r.event_type
+  CROSS JOIN qs q
+  WHERE r.rk = (q.q * g.n + 99) // 100
+)
+SELECT f.event_type, CAST(f.q AS BIGINT) AS q, f.n, f.bucket_sel,
+       f.est_cents, e.exact_cents,
+       CAST(abs(f.est_cents - e.exact_cents) * 1000000
+            // GREATEST(e.exact_cents, 1) AS BIGINT) AS rel_err_ppm,
+       CAST(nb.nb AS BIGINT) AS n_batches
+FROM fest f
+JOIN exact e ON e.event_type = f.event_type AND e.q = f.q
+CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "sketch", "quantile", "mergeable"),
+)
+def q491_streaming_logbucket_quantiles(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING LOG-BUCKET QUANTILES over ~20 TRUE micro-batches —
+    the ONE-PASS form of the stream-quantile sketch: q473's fixed grid
+    needs a PROFILING pass (min/max per type) before the stream
+    starts; here the bucket is floor(log2(cents)) computed as
+    bit-length − 1 (integer, no float log, no prior knowledge of the
+    value range — the power-of-2 skeleton of DDSketch-style relative-
+    error sketches), so the sketch works on data whose range nobody
+    has seen yet, which is the actual 100 TB/day situation. Each
+    micro-batch's foreachBatch sink writes its per-(type, bucket)
+    counts (a few dozen integers — never fact rows); partials merge by
+    bucket-wise ADDITION; p50/p90/p99 read off the merged histogram as
+    the integer geometric midpoint 2^b + 2^(b-1) of the selected
+    bucket, which pins the MULTIPLICATIVE error contract
+    est/true ∈ [0.75, 1.5] — a RELATIVE guarantee at every scale,
+    where q473's fixed grid promises absolute bucket-width error only
+    inside its profiled range. Exact quantiles ride along with the
+    realized rel_err_ppm; the all-rows oracle proves the stream merge
+    lossless.
+
+    Scale shape: streaming state is one counter per occupied
+    power-of-2 bucket per type (≤ 64 forever, by construction — int64
+    has 63 usable buckets) regardless of volume OR RANGE; each batch
+    pays one map-side-combined count; the post-run merge is
+    metadata-sized. n_batches = ceil(n/bsz) in Python (the q479
+    ADVICE idiom)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = -(-n // _N_BATCHES)  # ceil
+    nb = -(-n // bsz)
+    base = e.select(
+        "event_type", "event_id", "ts",
+        F.expr("GREATEST(CAST(floor(value * 100.0) AS BIGINT), "
+               "CAST(1 AS BIGINT))").alias("cents"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q491_replay_")
+    out_root = tempfile.mkdtemp(prefix="q491_lb_")
+    try:
+        (
+            base.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            partial = (
+                batch_df.select("event_type",
+                                F.expr(_LB_SPARK).alias("b"))
+                .groupBy("event_type", "b")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            partial.write.mode("append").parquet(f"{out_root}/partials")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        # bucket-wise ADDITION merge of the per-batch partials
+        bc = (
+            spark.read.parquet(f"{out_root}/partials")
+            .groupBy("event_type", "b")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        npt = bc.groupBy("event_type").agg(
+            F.sum("c").cast("long").alias("n"))
+        cum = bc.select(
+            "event_type", "b",
+            F.sum("c").over(
+                Window.partitionBy("event_type")
+                .orderBy(F.col("b").asc())).alias("cum"),
+        )
+        qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+        tgt = npt.crossJoin(F.broadcast(qs)).select(
+            "event_type", "q", "n",
+            F.expr("(q * n + 99) DIV 100").alias("tgt"))
+        sel = (
+            tgt.join(
+                cum.withColumnRenamed("event_type", "et"),
+                (F.col("et") == F.col("event_type"))
+                & (F.col("cum") >= F.col("tgt")),
+            )
+            .groupBy("event_type", "q", "n")
+            .agg(F.min("b").cast("long").alias("bucket_sel"))
+            .withColumn(
+                "est_cents",
+                F.expr("CAST(CASE WHEN bucket_sel = 0 THEN 1 "
+                       "ELSE shiftleft(1, CAST(bucket_sel AS INT)) + "
+                       "shiftleft(1, CAST(bucket_sel AS INT) - 1) END "
+                       "AS BIGINT)"),
+            )
+        )
+        # exact audit from the batch table (never from the stream)
+        ranked = base.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type")
+                .orderBy(F.col("cents").asc(), F.col("event_id").asc())),
+        )
+        g = base.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("gn"))
+        exact = (
+            ranked.join(F.broadcast(g), "event_type")
+            .crossJoin(F.broadcast(qs.withColumnRenamed("q", "q2")))
+            .filter(F.col("rk") == F.expr("(q2 * gn + 99) DIV 100"))
+            .select(F.col("event_type").alias("et2"),
+                    F.col("q2"),
+                    F.col("cents").cast("long").alias("exact_cents"))
+        )
+        result = (
+            sel.join(exact, (F.col("et2") == F.col("event_type"))
+                     & (F.col("q2") == F.col("q")))
+            .select(
+                "event_type", F.col("q").cast("long").alias("q"), "n",
+                "bucket_sel", "est_cents", "exact_cents",
+                F.expr("CAST(abs(est_cents - exact_cents) * 1000000 "
+                       "DIV GREATEST(exact_cents, 1) AS BIGINT)")
+                .alias("rel_err_ppm"),
+                F.lit(nb).cast("long").alias("n_batches"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out

@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-14-build operators (q481–q490)
+"""Semantic invariants for the round-14-build operators (q481–q491)
 — properties both engines could get wrong together, plus independent
 reimplementations (hashlib/pandas/math, no shared SQL text) so a
 shared-oracle bug cannot hide."""
@@ -500,3 +500,43 @@ def test_neyman_realization_matches_independent_reimpl(spark, sf_dir):
             (est_p - t_micro) * 1e6 / t_micro)
         assert row["err_ney_ppm"] == math.floor(
             (est_n - t_micro) * 1e6 / t_micro)
+
+
+# ---------------------------------------------------------- q491
+
+
+def test_logbucket_quantiles_match_independent_and_contract(
+        spark, sf_dir, stream_batches):
+    """Pure-Python log-bucket histogram + rank selection reproduces
+    every row of the TRUE-stream run (bucket-addition merge lost
+    nothing), and the multiplicative contract holds as EXACT integer
+    inequalities: the rank-selected bucket contains the true quantile,
+    so 4*est > 3*exact and 2*est <= 3*exact for every row."""
+    rows = sr15.q491_streaming_logbucket_quantiles(spark, sf_dir).collect()
+    assert len(rows) >= 3
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    n = len(ev)
+    bsz = -(-n // stream_batches)
+    nb = -(-n // bsz)
+    got = {(r["event_type"], r["q"]): r for r in rows}
+    for et, g in ev.groupby("event_type"):
+        cents = sorted(max(int(math.floor(float(v) * 100.0)), 1)
+                       for v in g["value"])
+        for q in (50, 90, 99):
+            tgt = (q * len(cents) + 99) // 100
+            exact = cents[tgt - 1]
+            b = exact.bit_length() - 1
+            est = 1 if b == 0 else (1 << b) + (1 << (b - 1))
+            row = got[(et, q)]
+            assert row["n"] == len(cents)
+            assert row["bucket_sel"] == b
+            assert row["est_cents"] == est
+            assert row["exact_cents"] == exact
+            assert row["rel_err_ppm"] == (abs(est - exact) * 1_000_000
+                                          // max(exact, 1))
+            assert row["n_batches"] == nb
+            # multiplicative contract, integer-exact
+            assert 4 * row["est_cents"] > 3 * row["exact_cents"]
+            assert 2 * row["est_cents"] <= 3 * row["exact_cents"]
