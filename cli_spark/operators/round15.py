@@ -167,8 +167,16 @@ def q482_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .orderBy(F.col("ratio").desc(), F.col("doc_id").asc())
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not pick:
+                # coverage universe exhausted (every remaining doc has
+                # zero uncovered shingles → empty anti-join pool): the
+                # oracle's unrolled chain likewise emits no row for
+                # this and later steps, so the step count shortens in
+                # lock-step on both sides (ADVICE r14).
+                break
+            pick = pick[0]
             cum += int(pick["gain"])
             rows.append((t, int(pick["doc_id"]), int(pick["gain"]),
                          int(pick["cost"]), int(pick["ratio"]), cum))
@@ -1217,8 +1225,15 @@ def q489_adaptive_cascade_reorder(
                            "AS BIGINT)"))
                 .orderBy(F.col("ratio").desc(), F.col("rule").asc())
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not cand:
+                # survivor set exhausted (every document already
+                # rejected): the oracle's unrolled chain emits no row
+                # for this and later positions, so the cascade
+                # shortens identically on both sides (ADVICE r14).
+                break
+            cand = cand[0]
             rule = cand["rule"]
             n_prev = int(cand["n_prev"])
             n_surv = n_prev - int(cand["cond_reject"])

@@ -538,7 +538,8 @@ def _lb_quantile_sql(prefix: str) -> str:
 {prefix}est AS (
   SELECT event_type, q, n, bucket_sel,
          CAST(CASE WHEN bucket_sel = 0 THEN 1
-              ELSE (1 << bucket_sel) + (1 << (bucket_sel - 1)) END
+              ELSE (1::BIGINT << bucket_sel)
+                   + (1::BIGINT << (bucket_sel - 1)) END
               AS BIGINT) AS est_cents
   FROM {prefix}sel
 )"""
@@ -690,9 +691,15 @@ def q491_streaming_logbucket_quantiles(
             .agg(F.min("b").cast("long").alias("bucket_sel"))
             .withColumn(
                 "est_cents",
+                # BIGINT first arg so the shift is 64-bit: INT
+                # shiftleft silently wraps once bucket_sel >= 31
+                # (cents >= 2^31) while the BIGINT-shift DuckDB
+                # oracle would not (ADVICE r14).
                 F.expr("CAST(CASE WHEN bucket_sel = 0 THEN 1 "
-                       "ELSE shiftleft(1, CAST(bucket_sel AS INT)) + "
-                       "shiftleft(1, CAST(bucket_sel AS INT) - 1) END "
+                       "ELSE shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(bucket_sel AS INT)) + "
+                       "shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(bucket_sel AS INT) - 1) END "
                        "AS BIGINT)"),
             )
         )
