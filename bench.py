@@ -193,6 +193,18 @@ PROMOTED43_QUERIES = [
 # becomes a flagged signal (per-row context drift stays expected; the
 # r13 pattern q463 1.57→2.67 etc. was explained row by row — this
 # gate replaces that with one net).
+# Round-15 promotions (BASELINE.md CURRENT GATES): the two late
+# round-14 builds over the 2 s bar — the adaptive cascade reorder and
+# the TRUE-stream log-bucket quantile run (pre-recorded dedicated
+# sessions 2026-08-16: q489 2.50/2.47, q491 10.21/9.74 — cleaner
+# session is the baseline). Summed into `value_45class`, restoring
+# the v5 invariant (no graded query > 2 s warm at sf0.1 outside the
+# per-class net).
+PROMOTED45_QUERIES = [
+    "q489_adaptive_cascade_reorder",        # conditional lookahead cascade
+    "q491_streaming_logbucket_quantiles",   # ~20 TRUE micro-batches
+]
+
 REPORT_TAIL_BASELINES: dict = {
     # round-11/12 builds (dedicated sessions, BASELINE.md v8/v9)
     "q454_skipgram_pmi": 1.14,
@@ -222,19 +234,17 @@ REPORT_TAIL_BASELINES: dict = {
     "q483_priority_merge_equivalence": 0.67,   # shard vs corpus HT
     "q484_conformal_calibration": 0.74,        # rank-selected qhat
     "q485_empirical_bernstein_audit": 0.38,    # suff-stats bounds
+    # late round-14 builds (pre-recorded dedicated sessions
+    # 2026-08-16, cleaner session is the baseline)
+    "q488_snis_reweighting_audit": 0.97,       # SNIS weights + ESS
+    "q490_neyman_realization_audit": 0.57,     # realized design errors
 }
 REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 
 # Brand-new builds with no dedicated baseline yet: tracked in
 # queries{} only; they join REPORT_TAIL_BASELINES (or a promoted sum)
 # next round once they carry dedicated idle-box sessions.
-NEW_QUERIES: list = [
-    # late round-14 builds; dedicated baselines next round
-    "q488_snis_reweighting_audit",
-    "q489_adaptive_cascade_reorder",
-    "q490_neyman_realization_audit",
-    "q491_streaming_logbucket_quantiles",
-]
+NEW_QUERIES: list = []
 
 # Scale-proofing subset re-timed at a synthetic sf1 (10× sf0.1, see
 # cli_spark/bench_scale.py) — one per heavy plan family: wide agg,
@@ -348,6 +358,8 @@ def main() -> None:
     total_41 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED43_QUERIES})
     total_43 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED45_QUERIES})
+    total_45 = round(sum(times.values()), 4)
     # report-tail classes: tracked individually AND collectively gated
     # (VERDICT r13 #1) — the sum of end-of-bench readings vs 2× the
     # sum of dedicated baselines
@@ -377,6 +389,7 @@ def main() -> None:
         "value_39class": total_39,
         "value_41class": total_41,
         "value_43class": total_43,
+        "value_45class": total_45,
         "value_report_tail": report_tail,
         "report_tail_baseline": report_tail_base,
         "report_tail_flag": report_tail > 2 * report_tail_base,
