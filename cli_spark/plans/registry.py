@@ -140,6 +140,15 @@ def registry() -> dict[str, QuerySpec]:
 # q121/q123 *_stub → *_bmp renames were re-graded green under their
 # new names in r06, q122 *_stub → *_avi in r07).
 _DRIVER_GRADED: frozenset[str] = frozenset({
+    # --- r14 greens newly recorded (11 fresh q481–q491; the other 39
+    # r14 rows were the two round-changed re-grades q479/q475 and 37
+    # rotating re-audits of names already below) ---
+    "q481_streaming_theta_intersection", "q482_greedy_set_cover",
+    "q483_priority_merge_equivalence", "q484_conformal_calibration",
+    "q485_empirical_bernstein_audit", "q486_streaming_priority_sample",
+    "q487_filter_cascade_ordering", "q488_snis_reweighting_audit",
+    "q489_adaptive_cascade_reorder", "q490_neyman_realization_audit",
+    "q491_streaming_logbucket_quantiles",
     # --- r13 greens newly recorded (9 fresh q472–q480; the other 41
     # r13 rows were the two round-changed re-grades q468/q446 and 39
     # rotating re-audits of names already below) ---
@@ -402,21 +411,20 @@ _DRIVER_GRADED: frozenset[str] = frozenset({
 # LEAST-guard (ADVICE r8) are result-identical on the graded
 # fixtures, so they do NOT take slots.
 _ROUND_CHANGED: tuple[str, ...] = (
-    # round 14: q479's n_batches column now derives from ceil(n/bsz)
-    # in Python (matching the oracle) instead of counting distinct
-    # batch_ids in the MG summary parquet — a non-empty micro-batch
-    # can produce an EMPTY summary, silently dropping that batch from
-    # the old count (ADVICE r13 medium). Result-identical on the
-    # graded fixture (every batch there yields a summary) but the
-    # result-column code path changed — fresh driver row.
-    "q479_streaming_misra_gries",
-    # round 14: q475's S_h / reduction / allocation chains gained
-    # CASE guards for single-document strata and all-zero-variance
-    # corpora (0/0 is NULL in Spark's non-ANSI Divide but NaN in
-    # DuckDB — ADVICE r13). Result-identical on the graded fixture
-    # (all strata have n_h >= 2) but the shared expressions changed
-    # on BOTH sides — fresh driver row.
-    "q475_neyman_allocation_audit",
+    # round 15: q491's est_cents shift widened to 64-bit on BOTH
+    # sides (Spark INT shiftleft wraps at bucket_sel >= 31 where the
+    # DuckDB oracle did not — ADVICE r14). Result-identical on the
+    # graded fixture (cents < 2^31) but the shared estimate
+    # expression changed on both sides — fresh driver row.
+    "q491_streaming_logbucket_quantiles",
+    # round 15: q482/q489's per-step argmax now collects to a list
+    # and BREAKS when the coverage universe / survivor set exhausts
+    # (the old .collect()[0] raised IndexError where the oracle's
+    # unrolled chain just emits fewer rows — ADVICE r14).
+    # Result-identical on the graded fixture (neither exhausts) but
+    # the step-loop code path changed — fresh driver rows.
+    "q482_greedy_set_cover",
+    "q489_adaptive_cascade_reorder",
 )
 
 
@@ -427,7 +435,7 @@ _ROUND_CHANGED: tuple[str, ...] = (
 # promoted into the recording window *after* the never-graded /
 # round-changed head, so fresh code always grades first and the
 # remainder of the 50-entry window re-attests old queries.
-_REAUDIT_ROUND: int = 14
+_REAUDIT_ROUND: int = 15
 _WINDOW = 50  # the driver records exactly this many CORRECTNESS rows
 
 
@@ -440,25 +448,16 @@ def _reaudit_names(slots: int) -> list[str]:
     return pool[:max(0, slots)]
 
 
-# Round 14 window plan (50 slots): 2 round-changed (q479 n_batches
-# fix, q475 degenerate-stratum guards — both ADVICE r13) + fresh
-# queries built this round (PLANS.md round-14 prep: streaming
-# theta-sketch intersection, greedy weighted set cover,
-# priority-sample merge equivalence, conformal calibration audit,
-# empirical-Bernstein bound audit) + md5(name:r14) re-audit names
-# filling the rest of the window (third rotating re-audit round).
+# Round 15 window plan (50 slots): 3 round-changed (q491 64-bit
+# shift, q482/q489 exhaustion guards — all ADVICE r14) + fresh
+# queries built this round (VERDICT r14 #5 scouts: DDSketch-style
+# sub-binary log buckets, streaming conformal-coverage monitor) +
+# md5(name:r15) re-audit names filling the rest of the window
+# (fourth rotating re-audit round — with no operator debt queued,
+# VERDICT r14 #2 spends the window mostly on re-attestation).
 _FRESH_PRIORITY: tuple[str, ...] = (
-    "q481_streaming_theta_intersection",
-    "q482_greedy_set_cover",
-    "q483_priority_merge_equivalence",
-    "q484_conformal_calibration",
-    "q485_empirical_bernstein_audit",
-    "q486_streaming_priority_sample",
-    "q487_filter_cascade_ordering",
-    "q488_snis_reweighting_audit",
-    "q489_adaptive_cascade_reorder",
-    "q490_neyman_realization_audit",
-    "q491_streaming_logbucket_quantiles",
+    "q492_ddsketch_quantiles",
+    "q493_streaming_conformal_monitor",
 )
 
 
