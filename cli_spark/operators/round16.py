@@ -1,0 +1,238 @@
+"""Round-15 batch operators.
+
+q492 — DDSketch-style sub-binary log-bucket quantiles (gamma = sqrt 2)
+with a purely INTEGER bucket index, generalizing q491's power-of-2
+skeleton (VERDICT r14 #5 scout). The whole point of DDSketch (Masson,
+Rim, Lee — "DDSketch: a fast and fully-mergeable quantile sketch with
+relative-error guarantees", VLDB 2019 — public paper) over plain
+power-of-2 buckets is a TUNABLE gamma: halving the log base squares
+the accuracy at the cost of 2x the (still tiny) bucket count. The
+standard implementation indexes buckets with float log(); here the
+gamma = 2^(1/2) index is derived with NO floating log and NO profiled
+range, exactly like q491:
+
+    bucket(v) = floor(log_sqrt2(v)) = floor(2 * log2(v))
+              = bit_length(v^2) - 1
+
+— one integer multiply and the same bit-length trick, valid for any
+gamma = 2^(1/k) (k integer) as bit_length(v^k) - 1. The midpoint
+estimate is likewise integer-exact: the arithmetic midpoint of the
+SQUARED bucket [2^j, 2^(j+1)) is 3*2^(j-1), and the estimate is its
+integer square root, computed as a double-sqrt candidate corrected to
+true isqrt by one CASE (the candidate is within +-1 for any m < 2^62,
+so the correction is exact and engine-independent). The contract
+tightens from q491's est/true in [0.75, 1.5] to (sqrt(3)/2,
+sqrt(3/2)] ~ (0.866, 1.225]: provable as the exact integer
+inequalities  2*est^2 <= 3*true^2  and  4*(est+1)^2 > 3*true^2,
+emitted per row as contract_ok.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cli_spark.plans.registry import register
+from cli_spark.streaming.round15 import _W_DUCK, _W_SPARK
+from cli_spark.tables import load_table
+
+_DD_QS = (25, 50, 75, 90, 99)
+
+# gamma = sqrt(2) bucket index: floor(2 * log2(cents)) with no float
+# log — bit-length of the SQUARE (cents <= ~3.0e9 keeps cents^2 in
+# BIGINT; the events cents are ~5 decimal digits). Shared verbatim.
+_DD_BUCKET = "length(bin(cents * cents)) - 1"
+
+# integer sqrt of m (m < 2^62): double-sqrt candidate, then one exact
+# correction step — floor(sqrt(double(m))) is within +-1 of isqrt(m)
+# for all such m, so the CASE lands exactly; both engines agree
+# because the comparison arithmetic is pure BIGINT. Shared verbatim
+# (c = the candidate column).
+_DD_ISQRT = ("CASE WHEN (c + 1) * (c + 1) <= m THEN c + 1 "
+             "WHEN c * c > m THEN c - 1 ELSE c END")
+
+# squared-domain midpoint 3*2^(j-1) of bucket j's squared range
+# [2^j, 2^(j+1)); j = 0 holds only cents = 1 (cents^2 in [1, 2)).
+_DD_MID_DUCK = "3 * (1::BIGINT << (bucket_sel - 1))"
+_DD_MID_SPARK = ("3 * shiftleft(CAST(1 AS BIGINT), "
+                 "CAST(bucket_sel AS INT) - 1)")
+
+# the provable contract (see module docstring): always-true by
+# construction, so any cross-engine isqrt divergence flips it — the
+# column is both documentation and a tripwire.
+_DD_CONTRACT = ("CASE WHEN 2 * est_cents * est_cents "
+                "<= 3 * exact_cents * exact_cents "
+                "AND 4 * (est_cents + 1) * (est_cents + 1) "
+                "> 3 * exact_cents * exact_cents "
+                "THEN 1 ELSE 0 END")
+
+
+@register(
+    "q492_ddsketch_quantiles",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, {_W_DUCK} AS cents FROM events
+),
+bc AS (
+  SELECT event_type, {_DD_BUCKET} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY event_type, {_DD_BUCKET}
+),
+nt AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM bc GROUP BY event_type
+),
+cum AS (
+  SELECT event_type, b,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b ASC) AS cum
+  FROM bc
+),
+qs AS (SELECT unnest(ARRAY{list(_DD_QS)}) AS q),
+tgt AS (
+  SELECT nt.event_type, qs.q, nt.n, nt.n_buckets,
+         (qs.q * nt.n + 99) // 100 AS tgt
+  FROM nt CROSS JOIN qs
+),
+sel AS (
+  SELECT t.event_type, t.q, t.n, t.n_buckets,
+         CAST(MIN(c.b) AS BIGINT) AS bucket_sel
+  FROM tgt t
+  JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.tgt
+  GROUP BY t.event_type, t.q, t.n, t.n_buckets
+),
+mid AS (
+  SELECT *, CASE WHEN bucket_sel = 0 THEN 1
+                 ELSE {_DD_MID_DUCK} END AS m
+  FROM sel
+),
+cand AS (
+  SELECT *, CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS c FROM mid
+),
+est AS (
+  SELECT event_type, q, n, n_buckets, bucket_sel,
+         CAST({_DD_ISQRT} AS BIGINT) AS est_cents
+  FROM cand
+),
+exact AS (
+  SELECT r.event_type, q.q, CAST(r.cents AS BIGINT) AS exact_cents
+  FROM (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rk
+        FROM base) r
+  JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY event_type) g ON g.event_type = r.event_type
+  CROSS JOIN qs q
+  WHERE r.rk = (q.q * g.n + 99) // 100
+)
+SELECT f.event_type, CAST(f.q AS BIGINT) AS q, f.n, f.n_buckets,
+       f.bucket_sel, f.est_cents, e.exact_cents,
+       CAST(abs(f.est_cents - e.exact_cents) * 1000000
+            // GREATEST(e.exact_cents, 1) AS BIGINT) AS rel_err_ppm,
+       CAST({_DD_CONTRACT} AS BIGINT) AS contract_ok
+FROM est f
+JOIN exact e ON e.event_type = f.event_type AND e.q = f.q
+""",
+    tags=("sketch", "quantile", "ddsketch", "mergeable"),
+)
+def q492_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSKETCH-STYLE QUANTILES at gamma = sqrt(2) with an INTEGER
+    bucket index — the finer-log-base generalization of q491 (VERDICT
+    r14 #5 scout; Masson-Rim-Lee VLDB 2019 is the public reference
+    for the relative-error bucket family). q491's power-of-2 buckets
+    promise est/true in [0.75, 1.5]; halving the log base to
+    gamma = 2^(1/2) tightens that to (sqrt(3)/2, sqrt(3/2)] ~
+    (0.866, 1.225] while only doubling the bucket count — and the
+    index stays free of float log() and of any profiled range:
+    bucket = bit_length(cents^2) - 1 = floor(2*log2(cents)), the
+    same bit-length trick applied to the square (any gamma = 2^(1/k)
+    works the same way on v^k). The estimate is the integer square
+    root of the squared-domain midpoint 3*2^(j-1), where the isqrt is
+    a double-sqrt candidate corrected to exactness by one CASE —
+    emitted beside the exact quantile, the realized rel_err_ppm, the
+    per-type occupied-bucket count (the ENTIRE sketch state), and
+    contract_ok: the error bound restated as the exact integer
+    inequalities 2*est^2 <= 3*true^2 AND 4*(est+1)^2 > 3*true^2,
+    which hold by construction — so the column doubles as a
+    cross-engine isqrt tripwire.
+
+    Scale shape: the sketch is one count per occupied bucket per type
+    — at gamma = 2^(1/k) that is k*63 counters max, FOREVER,
+    regardless of volume or range; the groupBy is map-side combined,
+    merge across shards/days is bucket-wise ADDITION (q473/q491's
+    algebra), and the only window runs at the bucket grain (a few
+    dozen rows per type). The exact-quantile audit rides a single
+    row_number window over the raw rows — the verification oracle
+    shape, not the production path."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", "event_id", F.expr(_W_SPARK).alias("cents"))
+    bc = (
+        base.select("event_type", F.expr(_DD_BUCKET).alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = bc.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("event_type").orderBy(F.col("b").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    # per-type totals derived from the SAME cumulative relation (the
+    # last cum IS n) so the bucket-histogram chain is one identical
+    # subtree for both consumers — AQE's exchange reuse then collapses
+    # the duplicate fact-table scan
+    nt = cum.groupBy("event_type").agg(
+        F.max("cum").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _DD_QS], "q long")
+    tgt = nt.crossJoin(F.broadcast(qs)).select(
+        "event_type", "q", "n", "n_buckets",
+        F.expr("(q * n + 99) DIV 100").alias("tgt"))
+    sel = (
+        tgt.join(
+            cum.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type"))
+            & (F.col("cum") >= F.col("tgt")),
+        )
+        .groupBy("event_type", "q", "n", "n_buckets")
+        .agg(F.min("b").cast("long").alias("bucket_sel"))
+    )
+    est = (
+        sel.withColumn(
+            "m",
+            F.expr(f"CASE WHEN bucket_sel = 0 THEN 1 "
+                   f"ELSE {_DD_MID_SPARK} END"))
+        .withColumn("c", F.expr(
+            "CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT)"))
+        .withColumn("est_cents", F.expr(f"CAST({_DD_ISQRT} AS BIGINT)"))
+        .drop("m", "c")
+    )
+    # per-type n from the SAME window pass (count over the full
+    # partition shares the row_number sort/shuffle) — re-deriving it
+    # from nt would cost a third scan of the fact table
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("cents").asc(), F.col("event_id").asc())),
+    ).withColumn(
+        "np", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    exact = (
+        ranked.crossJoin(F.broadcast(qs.withColumnRenamed("q", "eq")))
+        .filter(F.col("rk") == F.expr("(eq * np + 99) DIV 100"))
+        .select("event_type", F.col("eq").alias("q"),
+                F.col("cents").cast("long").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, ["event_type", "q"])
+        .select(
+            "event_type", F.col("q").cast("long").alias("q"),
+            "n", "n_buckets", "bucket_sel", "est_cents", "exact_cents",
+            F.expr("CAST(abs(est_cents - exact_cents) * 1000000 "
+                   "DIV GREATEST(exact_cents, 1) AS BIGINT)")
+            .alias("rel_err_ppm"),
+            F.expr(f"CAST({_DD_CONTRACT} AS BIGINT)").alias("contract_ok"),
+        )
+    )

@@ -117,6 +117,8 @@ def _load_all() -> None:
     import cli_spark.streaming.round14  # noqa: F401
     import cli_spark.operators.round15  # noqa: F401
     import cli_spark.streaming.round15  # noqa: F401
+    import cli_spark.operators.round16  # noqa: F401
+    import cli_spark.streaming.round16  # noqa: F401
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -35,12 +35,14 @@ def stream_batches(monkeypatch):
     it)."""
     import cli_spark.streaming.round14 as s14
     import cli_spark.streaming.round15 as s15
+    import cli_spark.streaming.round16 as s16
 
     if os.environ.get("SPARK_GRAFT_FULL_STREAM"):
         yield s14._N_BATCHES
         return
     monkeypatch.setattr(s14, "_N_BATCHES", 5)
     monkeypatch.setattr(s15, "_N_BATCHES", 5)
+    monkeypatch.setattr(s16, "_N_BATCHES", 5)
     yield 5
 
 
