@@ -68,6 +68,194 @@ _DD_CONTRACT = ("CASE WHEN 2 * est_cents * est_cents "
                 "THEN 1 ELSE 0 END")
 
 
+_SP_P = 32  # modeled shuffle partition count (the engine's own conf)
+_SP_OVERSUB = (1, 2, 4, 8)  # swept salt multipliers (selection curve)
+# md5 lane for modeled partition placement — shared verbatim shape
+# with the repo's other 60-bit lanes (operators/round11.py)
+_SP_H_DUCK = ("CAST(concat('0x', substr(md5('sp:' || CAST({key} AS "
+              "VARCHAR)), 1, 15)) AS BIGINT)")
+_SP_H_SPARK = ("CAST(conv(substr(md5(concat('sp:', CAST({key} AS "
+               "STRING))), 1, 15), 16, 10) AS BIGINT)")
+
+
+@register(
+    "q494_skew_salting_planner",
+    oracle=f"""
+WITH kc AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n_k) AS BIGINT) AS total,
+         (CAST(SUM(n_k) AS BIGINT) + {_SP_P - 1}) // {_SP_P} AS target
+  FROM kc
+),
+plan AS (
+  SELECT k.event_type, k.n_k,
+         {_SP_H_DUCK.format(key='k.event_type')} % {_SP_P} AS p_before,
+         (k.n_k + t.target - 1) // t.target AS salt
+  FROM kc k CROSS JOIN tot t
+),
+before AS (
+  SELECT CAST(MAX(rows_b) AS BIGINT) AS max_before FROM (
+    SELECT SUM(n_k) AS rows_b FROM plan GROUP BY p_before)
+),
+ov AS (SELECT unnest(ARRAY{list(_SP_OVERSUB)}) AS oversub),
+plano AS (
+  SELECT o.oversub, p.event_type, p.n_k, p.p_before,
+         CASE WHEN p.salt = 1 THEN 1
+              ELSE LEAST(p.salt * o.oversub, p.n_k) END AS salt_o
+  FROM plan p CROSS JOIN ov o
+),
+sub AS (
+  SELECT oversub, event_type, n_k, salt_o, p_before,
+         unnest(range(salt_o)) AS i
+  FROM plano
+),
+placed AS (
+  SELECT oversub,
+         CASE WHEN salt_o = 1 THEN p_before
+         ELSE {_SP_H_DUCK.format(key="event_type || '#' || CAST(i AS VARCHAR)")}
+              % {_SP_P} END AS pid,
+         n_k // salt_o + CASE WHEN i < n_k % salt_o THEN 1 ELSE 0 END AS c
+  FROM sub
+),
+after AS (
+  SELECT oversub, CAST(MAX(rows_a) AS BIGINT) AS max_after FROM (
+    SELECT oversub, pid, SUM(c) AS rows_a FROM placed GROUP BY oversub, pid)
+  GROUP BY oversub
+),
+oq AS (
+  SELECT p.oversub, CAST(MAX(salt_o) AS BIGINT) AS max_salt,
+         CAST(SUM(salt_o) AS BIGINT) AS n_subkeys
+  FROM plano p GROUP BY p.oversub
+)
+SELECT CAST(o.oversub AS BIGINT) AS oversub, t.total, t.target,
+       CAST((SELECT COUNT(*) FROM plan WHERE salt > 1) AS BIGINT)
+         AS n_heavy_keys,
+       q.max_salt, q.n_subkeys,
+       CAST(b.max_before * 1000000 * {_SP_P} // t.total AS BIGINT)
+         AS skew_before_ppm,
+       a.max_after AS max_rows_after,
+       CAST(a.max_after * 1000000 * {_SP_P} // t.total AS BIGINT)
+         AS skew_after_ppm
+FROM ov o
+JOIN oq q ON q.oversub = o.oversub
+JOIN after a ON a.oversub = o.oversub
+CROSS JOIN tot t CROSS JOIN before b
+""",
+    tags=("skew", "planner", "shuffle", "ops"),
+)
+def q494_skew_salting_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-SKEW SALTING PLANNER — the capacity-planning operator a
+    100 TB join/groupBy needs BEFORE it runs, demonstrated on the
+    classic worst case: a LOW-CARDINALITY hot key (event_type — 5
+    values hashed over 32 shuffle partitions leaves most reducer
+    slots idle while types colliding on one slot multiply its load).
+    From the per-key count census the planner derives the minimal
+    integer salt each heavy key needs (salt = ceil(n_k / target),
+    target = ceil(total/P) — the per-partition budget), then SWEEPS
+    the oversubscription multiplier (1/2/4/8 x the minimal salt,
+    capped at n_k): minimal salting caps the single-key contribution
+    but hash PLACEMENT of a handful of sub-keys still collides, so
+    real pipelines oversubscribe until placement variance averages
+    out. One row per swept level reports the modeled straggler
+    (max_rows_after) and the skew ratio in ppm of the even share
+    beside the before-salting ratio — the selection curve an operator
+    reads to pick the cheapest salt that fits the task budget (the
+    q480 threshold-sensitivity shape, applied to shuffle planning).
+    Un-salted keys KEEP their original placement — on an unskewed
+    corpus every swept row degenerates to the honest no-op. q19
+    executes a salted aggregation and q417 lets AQE repair a skewed
+    join at runtime; this is the missing third piece — the PLAN,
+    decided from metadata alone. Placement uses the repo's md5 lane
+    (key and key#salt_index) so both engines model the identical
+    deterministic placement; every quantity is an exact integer.
+
+    Scale shape: the planner never touches fact rows beyond ONE
+    map-side-combined count per key — the census (keys x 1 long) is
+    its whole input, and the salt explosion runs at sub-key grain
+    (sum of swept salt factors, a few dozen rows here and
+    broadcast-sized even for million-key censuses). At 100 TB the
+    output tells you whether the shuffle fits, which keys get
+    rewritten as key#i on the build side and replicated on the probe
+    side, and how much oversubscription buys before state-store
+    key-count costs kick in."""
+    e = load_table(spark, sf_dir, "events")
+    kc = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"))
+    tot = kc.agg(
+        F.sum("n_k").cast("long").alias("total"),
+        F.expr(f"CAST((SUM(n_k) + {_SP_P - 1}) DIV {_SP_P} AS BIGINT)")
+        .alias("target"),
+    )
+    plan = kc.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_k", "total", "target",
+        F.expr(f"{_SP_H_SPARK.format(key='event_type')} % {_SP_P}")
+        .alias("p_before"),
+        F.expr("(n_k + target - 1) DIV target").alias("salt"),
+    )
+    before = (
+        plan.groupBy("p_before").agg(F.sum("n_k").alias("rows_b"))
+        .agg(F.max("rows_b").cast("long").alias("max_before"))
+    )
+    ov = spark.createDataFrame([(o,) for o in _SP_OVERSUB],
+                               "oversub long")
+    # oversubscription smooths the PLACEMENT of salted keys; keys
+    # under the budget are never split, so an unskewed corpus stays a
+    # no-op at every swept level
+    plano = plan.crossJoin(F.broadcast(ov)).select(
+        "oversub", "event_type", "n_k", "p_before",
+        F.expr("CASE WHEN salt = 1 THEN CAST(1 AS BIGINT) "
+               "ELSE LEAST(salt * oversub, n_k) END").alias("salt_o"),
+    )
+    sub = plano.select(
+        "oversub", "event_type", "n_k", "salt_o", "p_before",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), salt_o - 1)"))
+        .alias("i"),
+    )
+    # un-salted keys KEEP their placement (production salting rewrites
+    # only the heavy keys); salted sub-keys re-place on the key#i lane
+    placed = sub.select(
+        "oversub",
+        F.expr(f"""CASE WHEN salt_o = 1 THEN p_before
+            ELSE {_SP_H_SPARK.format(
+            key="concat(event_type, '#', CAST(i AS STRING))")}
+            % {_SP_P} END""").alias("pid"),
+        F.expr("n_k DIV salt_o + "
+               "CASE WHEN i < n_k % salt_o THEN 1 ELSE 0 END").alias("c"),
+    )
+    after = (
+        placed.groupBy("oversub", "pid").agg(F.sum("c").alias("rows_a"))
+        .groupBy("oversub")
+        .agg(F.max("rows_a").cast("long").alias("max_rows_after"))
+    )
+    oq = plano.groupBy("oversub").agg(
+        F.max("salt_o").cast("long").alias("max_salt"),
+        F.sum("salt_o").cast("long").alias("n_subkeys"),
+    )
+    heavy = plan.agg(
+        F.max("total").alias("total"),
+        F.max("target").alias("target"),
+        F.sum(F.when(F.col("salt") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_heavy_keys"),
+    )
+    return (
+        oq.join(after, "oversub")
+        .crossJoin(F.broadcast(heavy))
+        .crossJoin(F.broadcast(before))
+        .select(
+            "oversub", "total", "target", "n_heavy_keys", "max_salt",
+            "n_subkeys",
+            F.expr(f"CAST(max_before * 1000000 * {_SP_P} DIV total "
+                   "AS BIGINT)").alias("skew_before_ppm"),
+            "max_rows_after",
+            F.expr(f"CAST(max_rows_after * 1000000 * {_SP_P} DIV total "
+                   "AS BIGINT)").alias("skew_after_ppm"),
+        )
+    )
+
+
 @register(
     "q492_ddsketch_quantiles",
     oracle=f"""

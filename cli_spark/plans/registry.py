@@ -460,6 +460,7 @@ def _reaudit_names(slots: int) -> list[str]:
 _FRESH_PRIORITY: tuple[str, ...] = (
     "q492_ddsketch_quantiles",
     "q493_streaming_conformal_monitor",
+    "q494_skew_salting_planner",
 )
 
 

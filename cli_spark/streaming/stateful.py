@@ -61,11 +61,11 @@ def running_totals_tws(events_stream: DataFrame) -> DataFrame:
     RocksDBStateStoreProvider (the only provider supporting it) at
     runtime, plus the `protobuf` package (the TWS state-server
     protocol is protobuf-encoded; absent in this container — last
-    retried 2026-08-16 round 14: `import google.protobuf` still
-    fails (no `google` package at all) and `pip download protobuf`
-    still cannot resolve the index host (DNS "Name or service not
-    known" after 5 retries), so neither a cached wheel nor a
-    vendorable pure-Python build exists here). Plan CONSTRUCTION
+    retried 2026-08-16 round 15: `import google.protobuf` still
+    fails (no `google` package at all) and both `pip install` and
+    `pip download protobuf` still cannot resolve the index host
+    (DNS "Name or service not known" after 5 retries), so neither a
+    cached wheel nor a vendorable pure-Python build exists here). Plan CONSTRUCTION
     needs neither — tests/test_streaming.py verifies the
     wiring offline and runs the real query wherever protobuf exists;
     the timer/typed-state runtime semantics are covered through the

@@ -10,7 +10,10 @@ import math
 import pandas as pd
 
 import cli_spark.streaming.round16 as sr16
-from cli_spark.operators.round16 import q492_ddsketch_quantiles
+from cli_spark.operators.round16 import (
+    q492_ddsketch_quantiles,
+    q494_skew_salting_planner,
+)
 
 _MAXLONG = 9223372036854775807
 
@@ -157,3 +160,82 @@ def test_conformal_monitor_alarm_fires_on_drift(spark, sf_dir,
         if r["qhat"] < 1_000_000:
             assert r["n_covered"] == 0
             assert r["alarm"] == 1
+
+
+# ---------------------------------------------------------- q494
+
+
+def _sim_salting(counts: dict, p: int, oversubs) -> dict:
+    """Independent pure-Python placement simulation (hashlib only)."""
+    total = sum(counts.values())
+    target = -(-total // p)
+    before = [0] * p
+    for k, c in counts.items():
+        before[_h60(f"sp:{k}") % p] += c
+    out = {}
+    for o in oversubs:
+        load = [0] * p
+        max_salt = n_subkeys = 0
+        for k, c in counts.items():
+            s0 = -(-c // target)
+            s = 1 if s0 == 1 else min(s0 * o, c)
+            max_salt = max(max_salt, s)
+            n_subkeys += s
+            if s == 1:
+                load[_h60(f"sp:{k}") % p] += c
+                continue
+            for i in range(s):
+                load[_h60(f"sp:{k}#{i}") % p] += c // s + (
+                    1 if i < c % s else 0)
+        out[o] = {
+            "total": total, "target": target,
+            "n_heavy_keys": sum(1 for c in counts.values()
+                                if -(-c // target) > 1),
+            "max_salt": max_salt, "n_subkeys": n_subkeys,
+            "skew_before_ppm": max(before) * 1_000_000 * p // total,
+            "max_rows_after": max(load),
+            "skew_after_ppm": max(load) * 1_000_000 * p // total,
+        }
+    return out
+
+
+def test_salting_planner_matches_independent_sim(spark, sf_dir):
+    """The planner's whole sweep equals a pure-Python placement
+    simulation over the same md5 lanes, and salting never increases
+    the modeled straggler as oversubscription grows (the curve is the
+    decision artifact — it must be monotone non-increasing)."""
+    rows = q494_skew_salting_planner(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    counts = ev["event_type"].value_counts().to_dict()
+    sim = _sim_salting(counts, 32, [r["oversub"] for r in rows])
+    assert len(rows) == 4
+    prev = None
+    for r in sorted(rows, key=lambda r: r["oversub"]):
+        want = sim[r["oversub"]]
+        for col, val in want.items():
+            assert r[col] == val, (r["oversub"], col, r[col], val)
+        if prev is not None:
+            assert r["max_rows_after"] <= prev
+        prev = r["max_rows_after"]
+
+
+def test_salting_planner_noop_on_unskewed_corpus(spark, tmp_path):
+    """On a corpus where no key exceeds the per-partition budget the
+    plan must be an honest no-op at EVERY swept oversubscription:
+    salt stays 1, nothing is re-placed, after == before."""
+    # 64 distinct keys x 10 rows each: target = ceil(640/32) = 20 >= 10
+    ev = pd.DataFrame({"event_type": [f"t{k:02d}" for k in range(64)
+                                      for _ in range(10)]})
+    sf2 = tmp_path / "flat_sf"
+    sf2.mkdir()
+    ev.to_parquet(sf2 / "events.parquet", index=False)
+    rows = q494_skew_salting_planner(spark, str(sf2)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_heavy_keys"] == 0
+        assert r["max_salt"] == 1
+        assert r["n_subkeys"] == 64
+        assert r["skew_after_ppm"] == r["skew_before_ppm"]
+        assert r["max_rows_after"] * 1_000_000 * 32 // r["total"] \
+            == r["skew_before_ppm"]
