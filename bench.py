@@ -205,6 +205,15 @@ PROMOTED45_QUERIES = [
     "q491_streaming_logbucket_quantiles",   # ~20 TRUE micro-batches
 ]
 
+# Round-15 third promotion (BASELINE.md CURRENT GATES): the round-15
+# TRUE-stream build (conformal monitor through ~20 replay
+# micro-batches — the q486/q491 cost shape; two dedicated sessions
+# 2026-08-16: 15.88/15.00, cleaner is the baseline). Summed into
+# `value_46class`.
+PROMOTED46_QUERIES = [
+    "q493_streaming_conformal_monitor",   # ~20 TRUE micro-batches
+]
+
 REPORT_TAIL_BASELINES: dict = {
     # round-11/12 builds (dedicated sessions, BASELINE.md v8/v9)
     "q454_skipgram_pmi": 1.14,
@@ -238,6 +247,10 @@ REPORT_TAIL_BASELINES: dict = {
     # 2026-08-16, cleaner session is the baseline)
     "q488_snis_reweighting_audit": 0.97,       # SNIS weights + ESS
     "q490_neyman_realization_audit": 0.57,     # realized design errors
+    # round-15 builds (two dedicated sessions 2026-08-16, cleaner
+    # session is the baseline)
+    "q492_ddsketch_quantiles": 1.34,           # gamma=sqrt(2) buckets
+    "q494_skew_salting_planner": 0.96,         # oversub sweep, census-grain
 }
 REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 
@@ -360,6 +373,8 @@ def main() -> None:
     total_43 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED45_QUERIES})
     total_45 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED46_QUERIES})
+    total_46 = round(sum(times.values()), 4)
     # report-tail classes: tracked individually AND collectively gated
     # (VERDICT r13 #1) — the sum of end-of-bench readings vs 2× the
     # sum of dedicated baselines
@@ -390,6 +405,7 @@ def main() -> None:
         "value_41class": total_41,
         "value_43class": total_43,
         "value_45class": total_45,
+        "value_46class": total_46,
         "value_report_tail": report_tail,
         "report_tail_baseline": report_tail_base,
         "report_tail_flag": report_tail > 2 * report_tail_base,
