@@ -214,6 +214,15 @@ PROMOTED46_QUERIES = [
     "q493_streaming_conformal_monitor",   # ~20 TRUE micro-batches
 ]
 
+# Round-15 second-batch promotion into the declared 47-class headline:
+# the streaming DDSketch (gamma = sqrt(2) relative-error quantiles
+# through ~20 TRUE micro-batches — the q491 cost shape; dedicated
+# sessions 10.17/11.65, cleaner is baseline). Summed into
+# `value_47class`.
+PROMOTED47_QUERIES = [
+    "q496_streaming_ddsketch",            # ~20 TRUE micro-batches
+]
+
 REPORT_TAIL_BASELINES: dict = {
     # round-11/12 builds (dedicated sessions, BASELINE.md v8/v9)
     "q454_skipgram_pmi": 1.14,
@@ -250,7 +259,14 @@ REPORT_TAIL_BASELINES: dict = {
     # round-15 builds (two dedicated sessions 2026-08-16, cleaner
     # session is the baseline)
     "q492_ddsketch_quantiles": 1.34,           # gamma=sqrt(2) buckets
-    "q494_skew_salting_planner": 0.96,         # oversub sweep, census-grain
+    # q494 re-baselined after the round-15 key_bytes_model extension
+    # (the cost column folded into the existing sub-key aggregation;
+    # sessions 1.005/1.154 post-change, cleaner is baseline)
+    "q494_skew_salting_planner": 1.005,        # oversub sweep, census-grain
+    # round-15 second batch (two dedicated sessions 2026-08-16,
+    # cleaner session is the baseline)
+    "q495_calibration_reliability_audit": 1.187,  # ECE + isotonic bins
+    "q497_benford_digit_audit": 0.693,            # first-digit census
 }
 REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 
@@ -375,6 +391,8 @@ def main() -> None:
     total_45 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED46_QUERIES})
     total_46 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED47_QUERIES})
+    total_47 = round(sum(times.values()), 4)
     # report-tail classes: tracked individually AND collectively gated
     # (VERDICT r13 #1) — the sum of end-of-bench readings vs 2× the
     # sum of dedicated baselines
@@ -406,6 +424,7 @@ def main() -> None:
         "value_43class": total_43,
         "value_45class": total_45,
         "value_46class": total_46,
+        "value_47class": total_47,
         "value_report_tail": report_tail,
         "report_tail_baseline": report_tail_base,
         "report_tail_flag": report_tail > 2 * report_tail_base,

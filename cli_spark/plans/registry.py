@@ -461,6 +461,13 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q492_ddsketch_quantiles",
     "q493_streaming_conformal_monitor",
     "q494_skew_salting_planner",
+    # second round-15 batch (built after the VERDICT r14 #1-#4 items
+    # landed): the calibration-reliability audit, the streaming
+    # DDSketch pair-closer (round-16 prep item #1, pulled forward),
+    # and the Benford first-digit data-quality audit
+    "q495_calibration_reliability_audit",
+    "q496_streaming_ddsketch",
+    "q497_benford_digit_audit",
 )
 
 

@@ -254,3 +254,249 @@ def q493_streaming_conformal_monitor(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------- q496
+
+from cli_spark.operators.round16 import (  # noqa: E402
+    _DD_BUCKET,
+    _DD_CONTRACT,
+    _DD_ISQRT,
+    _DD_MID_DUCK,
+    _DD_MID_SPARK,
+)
+
+_SD_QS = (50, 90, 99)
+
+
+@register(
+    "q496_streaming_ddsketch",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         GREATEST(CAST(floor(value * 100.0) AS BIGINT), 1) AS cents
+  FROM events
+),
+n0 AS (SELECT COUNT(*) AS cnt FROM base),
+bsz AS (SELECT CAST(ceil(cnt / {_N_BATCHES}.0) AS BIGINT) AS b FROM n0),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n0 CROSS JOIN bsz),
+qs AS (SELECT unnest(ARRAY{list(_SD_QS)}) AS q),
+bc AS (
+  SELECT event_type, {_DD_BUCKET} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY event_type, {_DD_BUCKET}
+),
+nt AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM bc GROUP BY event_type
+),
+cum AS (
+  SELECT event_type, b,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b ASC) AS cum
+  FROM bc
+),
+tgt AS (
+  SELECT nt.event_type, qs.q, nt.n, nt.n_buckets,
+         (qs.q * nt.n + 99) // 100 AS tgt
+  FROM nt CROSS JOIN qs
+),
+sel AS (
+  SELECT t.event_type, t.q, t.n, t.n_buckets,
+         CAST(MIN(c.b) AS BIGINT) AS bucket_sel
+  FROM tgt t
+  JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.tgt
+  GROUP BY t.event_type, t.q, t.n, t.n_buckets
+),
+mid AS (
+  SELECT *, CASE WHEN bucket_sel = 0 THEN 1
+                 ELSE {_DD_MID_DUCK} END AS m
+  FROM sel
+),
+cand AS (
+  SELECT *, CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS c FROM mid
+),
+est AS (
+  SELECT event_type, q, n, n_buckets, bucket_sel,
+         CAST({_DD_ISQRT} AS BIGINT) AS est_cents
+  FROM cand
+),
+exact AS (
+  SELECT r.event_type, q.q, CAST(r.cents AS BIGINT) AS exact_cents
+  FROM (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rk
+        FROM base) r
+  JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY event_type) g ON g.event_type = r.event_type
+  CROSS JOIN qs q
+  WHERE r.rk = (q.q * g.n + 99) // 100
+)
+SELECT f.event_type, CAST(f.q AS BIGINT) AS q, f.n, f.n_buckets,
+       f.bucket_sel, f.est_cents, e.exact_cents,
+       CAST(abs(f.est_cents - e.exact_cents) * 1000000
+            // GREATEST(e.exact_cents, 1) AS BIGINT) AS rel_err_ppm,
+       CAST({_DD_CONTRACT} AS BIGINT) AS contract_ok,
+       CAST(nb.nb AS BIGINT) AS n_batches
+FROM est f
+JOIN exact e ON e.event_type = f.event_type AND e.q = f.q
+CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "sketch", "quantile", "ddsketch",
+          "mergeable"),
+)
+def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DDSKETCH at gamma = sqrt(2) over ~20 TRUE
+    micro-batches — q492's sub-binary relative-error sketch run the
+    way production runs it, completing the batch->stream pair the same
+    way q491 streamed q473's skeleton (and closing the one queued
+    round-16 prep item): each micro-batch's foreachBatch sink ships
+    only its per-(type, bucket) counts where
+    bucket = bit_length(cents^2) - 1 = floor(2*log2(cents)) — integer
+    bit-length on the SQUARE, no float log, no profiled range, so the
+    stream needs zero prior knowledge of the value distribution;
+    partials merge by bucket-wise ADDITION; p50/p90/p99 read off the
+    merged histogram as the exact integer sqrt of the squared-domain
+    midpoint 3*2^(j-1) (double-sqrt candidate + one CASE correction,
+    exact for m < 2^62). The gamma = sqrt(2) contract est/true in
+    (0.866, 1.225] — tighter than q491's power-of-2 [0.75, 1.5] at 2x
+    the (still <= 126) bucket count — is emitted per row as the exact
+    integer inequalities 2*est^2 <= 3*true^2 AND 4*(est+1)^2 >
+    3*true^2 (contract_ok: always true by construction, so any
+    cross-engine isqrt divergence flips it). Exact quantiles and
+    realized rel_err_ppm ride along; the all-rows oracle proves the
+    stream merge lossless.
+
+    Scale shape: streaming state is one counter per occupied bucket
+    per type — at gamma = 2^(1/k) that is k*63 counters max FOREVER,
+    regardless of volume or range; each batch pays one
+    map-side-combined count and ships a few dozen integers; the
+    post-run merge and quantile selection run at bucket grain.
+    n_batches = ceil(n/bsz) in Python (the q479 ADVICE idiom)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    bsz = -(-n // _N_BATCHES)  # ceil
+    nb = -(-n // bsz)
+    base = e.select(
+        "event_type", "event_id", "ts",
+        F.expr("GREATEST(CAST(floor(value * 100.0) AS BIGINT), "
+               "CAST(1 AS BIGINT))").alias("cents"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q496_replay_")
+    out_root = tempfile.mkdtemp(prefix="q496_dd_")
+    try:
+        (
+            base.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            partial = (
+                batch_df.select("event_type",
+                                F.expr(_DD_BUCKET).alias("b"))
+                .groupBy("event_type", "b")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            partial.write.mode("append").parquet(f"{out_root}/partials")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        # bucket-wise ADDITION merge of the per-batch partials
+        bc = (
+            spark.read.parquet(f"{out_root}/partials")
+            .groupBy("event_type", "b")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        nt = bc.groupBy("event_type").agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        cum = bc.select(
+            "event_type", "b",
+            F.sum("c").over(
+                Window.partitionBy("event_type")
+                .orderBy(F.col("b").asc())).alias("cum"),
+        )
+        qs = spark.createDataFrame([(q,) for q in _SD_QS], "q long")
+        tgt = nt.crossJoin(F.broadcast(qs)).select(
+            "event_type", "q", "n", "n_buckets",
+            F.expr("(q * n + 99) DIV 100").alias("tgt"))
+        sel = (
+            tgt.join(
+                cum.withColumnRenamed("event_type", "et"),
+                (F.col("et") == F.col("event_type"))
+                & (F.col("cum") >= F.col("tgt")),
+            )
+            .groupBy("event_type", "q", "n", "n_buckets")
+            .agg(F.min("b").cast("long").alias("bucket_sel"))
+        )
+        est = (
+            sel.withColumn(
+                "m",
+                F.expr(f"CASE WHEN bucket_sel = 0 THEN 1 "
+                       f"ELSE {_DD_MID_SPARK} END"))
+            .withColumn("c", F.expr(
+                "CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT)"))
+            .withColumn("est_cents",
+                        F.expr(f"CAST({_DD_ISQRT} AS BIGINT)"))
+            .drop("m", "c")
+        )
+        # exact audit from the batch table (never from the stream)
+        ranked = base.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type")
+                .orderBy(F.col("cents").asc(), F.col("event_id").asc())),
+        )
+        g = base.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("gn"))
+        exact = (
+            ranked.join(F.broadcast(g), "event_type")
+            .crossJoin(F.broadcast(qs.withColumnRenamed("q", "q2")))
+            .filter(F.col("rk") == F.expr("(q2 * gn + 99) DIV 100"))
+            .select(F.col("event_type").alias("et2"),
+                    F.col("q2"),
+                    F.col("cents").cast("long").alias("exact_cents"))
+        )
+        result = (
+            est.join(exact, (F.col("et2") == F.col("event_type"))
+                     & (F.col("q2") == F.col("q")))
+            .select(
+                "event_type", F.col("q").cast("long").alias("q"), "n",
+                "n_buckets", "bucket_sel", "est_cents", "exact_cents",
+                F.expr("CAST(abs(est_cents - exact_cents) * 1000000 "
+                       "DIV GREATEST(exact_cents, 1) AS BIGINT)")
+                .alias("rel_err_ppm"),
+                F.expr(f"CAST({_DD_CONTRACT} AS BIGINT)")
+                .alias("contract_ok"),
+                F.lit(nb).cast("long").alias("n_batches"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out

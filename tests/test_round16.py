@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-15-build operators (q492–q493)
+"""Semantic invariants for the round-15-build operators (q492–q497)
 — independent reimplementations (hashlib/pandas/math, no shared SQL
 text) so a shared-oracle bug cannot hide."""
 
@@ -175,7 +175,7 @@ def _sim_salting(counts: dict, p: int, oversubs) -> dict:
     out = {}
     for o in oversubs:
         load = [0] * p
-        max_salt = n_subkeys = 0
+        max_salt = n_subkeys = key_bytes = 0
         for k, c in counts.items():
             s0 = -(-c // target)
             s = 1 if s0 == 1 else min(s0 * o, c)
@@ -183,15 +183,18 @@ def _sim_salting(counts: dict, p: int, oversubs) -> dict:
             n_subkeys += s
             if s == 1:
                 load[_h60(f"sp:{k}") % p] += c
+                key_bytes += 48 + len(k)
                 continue
             for i in range(s):
                 load[_h60(f"sp:{k}#{i}") % p] += c // s + (
                     1 if i < c % s else 0)
+                key_bytes += 48 + len(f"{k}#{i}")
         out[o] = {
             "total": total, "target": target,
             "n_heavy_keys": sum(1 for c in counts.values()
                                 if -(-c // target) > 1),
             "max_salt": max_salt, "n_subkeys": n_subkeys,
+            "key_bytes_model": key_bytes,
             "skew_before_ppm": max(before) * 1_000_000 * p // total,
             "max_rows_after": max(load),
             "skew_after_ppm": max(load) * 1_000_000 * p // total,
@@ -239,3 +242,209 @@ def test_salting_planner_noop_on_unskewed_corpus(spark, tmp_path):
         assert r["skew_after_ppm"] == r["skew_before_ppm"]
         assert r["max_rows_after"] * 1_000_000 * 32 // r["total"] \
             == r["skew_before_ppm"]
+
+
+# ---------------------------------------------------------- q495
+
+from cli_spark.operators.round16 import (  # noqa: E402
+    q495_calibration_reliability_audit,
+    q497_benford_digit_audit,
+)
+
+
+def _calibration_independent(ev: pd.DataFrame) -> dict:
+    """Pure-Python reimplementation of the whole q495 chain (hashlib
+    split/cells, integer ppm arithmetic, minimax isotonic)."""
+    rows = []
+    for eid, et, uid, v in zip(ev["event_id"], ev["event_type"],
+                               ev["user_id"], ev["value"]):
+        cell = f"{et}:{int(uid) % 64}"
+        cents = max(int(math.floor(float(v) * 100.0)), 1)
+        y = 1 if cents > 3500 else 0
+        split = _h60(f"ca:{int(eid)}") % 2
+        rows.append((cell, y, split))
+    fit = {}
+    for cell, y, split in rows:
+        if split == 0:
+            n, h = fit.get(cell, (0, 0))
+            fit[cell] = (n + 1, h + y)
+    pred = {c: h * 1_000_000 // n for c, (n, h) in fit.items()}
+    ev_rows = [(pred[c], y) for c, y, s in rows if s == 1 and c in pred]
+    n_eval = len(ev_rows)
+    brier = sum((p // 1000 - 1000 * y) ** 2 for p, y in ev_rows) // n_eval
+    bins: dict[int, list] = {}
+    for p, y in ev_rows:
+        b = min(p // 100_000, 9)
+        nb, sp, h = bins.get(b, (0, 0, 0))
+        bins[b] = (nb + 1, sp + p, h + y)
+    ece = sum(abs(sp - 1_000_000 * h)
+              for nb, sp, h in bins.values()) // n_eval
+    order = sorted(bins)
+    iso = {}
+    for b in order:
+        best = None
+        for i in [x for x in order if x <= b]:
+            lo = None
+            for j in [x for x in order if x >= b]:
+                seg = [bins[k] for k in order if i <= k <= j]
+                r = (sum(h for _, _, h in seg) * 1_000_000
+                     // sum(nb for nb, _, _ in seg))
+                lo = r if lo is None else min(lo, r)
+            best = lo if best is None else max(best, lo)
+        iso[b] = best
+    return {"n_eval": n_eval, "brier": brier, "ece": ece,
+            "bins": bins, "iso": iso}
+
+
+def test_calibration_audit_matches_independent(spark, sf_dir):
+    """Pure-Python chain (md5 split, per-cell integer rates, ppm bins,
+    exact ECE, per-mille Brier, minimax isotonic) reproduces every
+    emitted row and summary column."""
+    rows = q495_calibration_reliability_audit(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "value"])
+    want = _calibration_independent(ev)
+    assert len(rows) == len(want["bins"])
+    for r in rows:
+        nb, sp, h = want["bins"][r["bin"]]
+        assert r["n_bin"] == nb
+        assert r["conf_ppm"] == sp // nb
+        assert r["acc_ppm"] == h * 1_000_000 // nb
+        assert r["gap_ppm"] == sp // nb - h * 1_000_000 // nb
+        assert r["iso_ppm"] == want["iso"][r["bin"]]
+        assert r["n_eval"] == want["n_eval"]
+        assert r["n_bins_occ"] == len(want["bins"])
+        assert r["ece_ppm"] == want["ece"]
+        assert r["brier_ppm"] == want["brier"]
+
+
+def test_calibration_isotonic_is_monotone_and_bounded(spark, sf_dir):
+    """The recalibrated values must be nondecreasing in bin index and
+    valid probabilities — the defining isotonic property, preserved
+    under ppm flooring."""
+    rows = sorted(q495_calibration_reliability_audit(spark, sf_dir)
+                  .collect(), key=lambda r: r["bin"])
+    prev = -1
+    for r in rows:
+        assert 0 <= r["iso_ppm"] <= 1_000_000
+        assert r["iso_ppm"] >= prev
+        prev = r["iso_ppm"]
+        assert 0 <= r["conf_ppm"] <= 1_000_000
+        assert 0 <= r["acc_ppm"] <= 1_000_000
+    # the fine-cell empirical model genuinely carries calibration
+    # error for the audit to report
+    assert rows[0]["ece_ppm"] > 0
+
+
+# ---------------------------------------------------------- q496
+
+
+def test_streaming_ddsketch_matches_independent(spark, sf_dir,
+                                                stream_batches):
+    """The TRUE-stream run (per-batch bucket-count partials, ADDITION
+    merge) equals the pure-Python corpus-wise gamma=sqrt(2) sketch —
+    the stream merge lost nothing — and the tightened contract holds
+    on every row."""
+    rows = sr16.q496_streaming_ddsketch(spark, sf_dir).collect()
+    assert len(rows) >= 3
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    n = len(ev)
+    bsz = -(-n // stream_batches)
+    nb = -(-n // bsz)
+    got = {(r["event_type"], r["q"]): r for r in rows}
+    n_expected = 0
+    for et, g in ev.groupby("event_type"):
+        cents = sorted(max(int(math.floor(float(v) * 100.0)), 1)
+                       for v in g["value"])
+        buckets = {(c * c).bit_length() - 1 for c in cents}
+        for q in (50, 90, 99):
+            n_expected += 1
+            tgt = (q * len(cents) + 99) // 100
+            exact = cents[tgt - 1]
+            b = (exact * exact).bit_length() - 1
+            est = 1 if b == 0 else math.isqrt(3 * (1 << (b - 1)))
+            row = got[(et, q)]
+            assert row["n"] == len(cents)
+            assert row["n_buckets"] == len(buckets)
+            assert row["bucket_sel"] == b
+            assert row["est_cents"] == est
+            assert row["exact_cents"] == exact
+            assert row["contract_ok"] == 1
+            assert row["n_batches"] == nb
+            assert 2 * est * est <= 3 * exact * exact
+            assert 4 * (est + 1) * (est + 1) > 3 * exact * exact
+    assert len(rows) == n_expected
+
+
+# ---------------------------------------------------------- q497
+
+_BF = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+       6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def test_benford_matches_independent(spark, sf_dir):
+    """Pure-Python first-digit census with the same ppm constants
+    reproduces every row, including zero-count digits' full expected
+    mass in the divergence."""
+    rows = q497_benford_digit_audit(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    got = {(r["event_type"], r["digit"]): r for r in rows}
+    n_types = ev["event_type"].nunique()
+    assert len(rows) == 9 * n_types
+    assert sum(_BF.values()) == 1_000_000
+    for et, g in ev.groupby("event_type"):
+        cents = [max(int(math.floor(float(v) * 100.0)), 1)
+                 for v in g["value"]]
+        n = len(cents)
+        obs = {d: 0 for d in range(1, 10)}
+        for c in cents:
+            obs[int(str(c)[0])] += 1
+        devs = {d: obs[d] * 1_000_000 // n - _BF[d] for d in _BF}
+        chi2 = sum(dv * dv // _BF[d] for d, dv in devs.items())
+        maxdev = max(abs(dv) for dv in devs.values())
+        for d in range(1, 10):
+            r = got[(et, d)]
+            assert r["n_obs"] == obs[d]
+            assert r["freq_ppm"] == obs[d] * 1_000_000 // n
+            assert r["benford_ppm"] == _BF[d]
+            assert r["dev_ppm"] == devs[d]
+            assert r["n"] == n
+            assert r["chi2_ppm"] == chi2
+            assert r["maxdev_ppm"] == maxdev
+
+
+def test_benford_flags_degenerate_first_digits(spark, tmp_path):
+    """A feed where every value starts with digit 1 (the classic
+    truncation/unit-mangling signature) must show freq(1) = 1e6,
+    dev(1) = 698970 and the full expected mass charged on the eight
+    empty digits — the audit's whole point."""
+    ev = pd.DataFrame({
+        "event_id": range(100),
+        "ts": pd.to_datetime("2024-01-01"),
+        "user_id": [i % 7 for i in range(100)],
+        "event_type": ["degen"] * 100,
+        "value": [1.23] * 100,   # cents = 123 -> first digit 1
+        "props": ["{}"] * 100,
+    })
+    sf2 = tmp_path / "benford_sf"
+    sf2.mkdir()
+    ev.to_parquet(sf2 / "events.parquet", index=False)
+    rows = q497_benford_digit_audit(spark, str(sf2)).collect()
+    assert len(rows) == 9
+    by_d = {r["digit"]: r for r in rows}
+    assert by_d[1]["freq_ppm"] == 1_000_000
+    assert by_d[1]["dev_ppm"] == 1_000_000 - 301030
+    for d in range(2, 10):
+        assert by_d[d]["n_obs"] == 0
+        assert by_d[d]["dev_ppm"] == -_BF[d]
+    want_chi2 = sum(
+        (1_000_000 - 301030) ** 2 // 301030 if d == 1
+        else _BF[d] * _BF[d] // _BF[d]
+        for d in range(1, 10))
+    assert by_d[1]["chi2_ppm"] == want_chi2
+    assert by_d[1]["maxdev_ppm"] == 1_000_000 - 301030
