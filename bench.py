@@ -267,6 +267,10 @@ REPORT_TAIL_BASELINES: dict = {
     # cleaner session is the baseline)
     "q495_calibration_reliability_audit": 1.187,  # ECE + isotonic bins
     "q497_benford_digit_audit": 0.693,            # first-digit census
+    # round-15 third batch (two dedicated sessions 2026-08-16,
+    # cleaner session is the baseline)
+    "q498_partition_coalesce_planner": 1.227,     # prefix-sum packing
+    "q499_psi_drift_audit": 0.88,                 # log-bucket PSI
 }
 REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 

@@ -762,3 +762,297 @@ def q497_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "benford_ppm", "dev_ppm", "n", "chi2_ppm", "maxdev_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------- q498
+
+_PC_P0 = 200          # modeled pre-coalesce shuffle width (the vanilla
+                      # session's spark.sql.shuffle.partitions default)
+_PC_DESIRED = (8, 16, 32, 64)  # swept output partition counts
+
+
+@register(
+    "q498_partition_coalesce_planner",
+    oracle=f"""
+WITH placed AS (
+  SELECT {_SP_H_DUCK.format(key='user_id')} % {_PC_P0} AS pid
+  FROM events
+),
+census AS (
+  SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM placed GROUP BY pid
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_occupied,
+         CAST(MAX(n_rows) AS BIGINT) AS max_part_rows
+  FROM census
+),
+cum AS (
+  SELECT pid, n_rows,
+         SUM(n_rows) OVER (ORDER BY pid ASC) - n_rows AS cum_before
+  FROM census
+),
+des AS (SELECT unnest(ARRAY{list(_PC_DESIRED)}) AS p_desired),
+sw AS (
+  SELECT d.p_desired, (t.total + d.p_desired - 1) // d.p_desired AS target,
+         t.total, t.n_occupied, t.max_part_rows
+  FROM des d CROSS JOIN tot t
+),
+binned AS (
+  SELECT s.p_desired, s.target, s.total, s.n_occupied, s.max_part_rows,
+         c.cum_before // s.target AS bin, c.n_rows,
+         CASE WHEN c.n_rows * 2 < s.target THEN 1 ELSE 0 END AS small
+  FROM sw s CROSS JOIN cum c
+),
+bins AS (
+  SELECT p_desired, target, total, n_occupied, max_part_rows, bin,
+         CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+         CAST(SUM(small) AS BIGINT) AS n_small
+  FROM binned
+  GROUP BY p_desired, target, total, n_occupied, max_part_rows, bin
+)
+SELECT CAST(p_desired AS BIGINT) AS p_desired,
+       CAST(target AS BIGINT) AS target, total, n_occupied,
+       max_part_rows,
+       CAST(SUM(n_small) AS BIGINT) AS n_small_before,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_after,
+       CAST(MAX(bin_rows) AS BIGINT) AS max_bin_rows,
+       CAST(MIN(bin_rows) AS BIGINT) AS min_bin_rows,
+       CAST(MAX(bin_rows) * 1000000 * COUNT(*) // total AS BIGINT)
+         AS skew_after_ppm,
+       CAST((MAX(bin_rows) - target) AS BIGINT) AS overshoot_rows
+FROM bins
+GROUP BY p_desired, target, total, n_occupied, max_part_rows
+""",
+    tags=("planner", "shuffle", "coalesce", "ops"),
+)
+def q498_partition_coalesce_planner(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-PARTITION COALESCE PLANNER — the merge-side dual of
+    q494's salting planner, modeling what AQE's coalesce-small-
+    partitions rule decides at runtime (Spark's
+    spark.sql.adaptive.coalescePartitions — public behavior) but as a
+    PLAN from the census, for when you must pick the post-shuffle
+    width before the job runs: a high-cardinality key (user_id) hashed
+    over the vanilla default of 200 shuffle partitions leaves most of
+    them far below any sane task size; the planner walks the
+    partition census in partition-index order (the adjacency AQE
+    preserves) and packs by PREFIX-SUM binning — bin = floor(
+    cum_rows_before / target), target = ceil(total / p_desired) — the
+    deterministic closed form of the greedy fold whose per-bin
+    overshoot is bounded by one input partition (emitted as
+    overshoot_rows beside max_part_rows, so the bound is checkable
+    per row). One row per swept output width (8/16/32/64) reports the
+    small-partition count before, bins/straggler/fill after, and the
+    skew ratio in ppm — the curve an operator reads against task
+    overhead to pick numShufflePartitions.
+
+    Scale shape: the census is one map-side-combined count per
+    partition id — AT MOST 200 rows regardless of volume (exactly
+    what the engine's own MapOutputStatistics hands AQE); the window
+    cumsum, sweep cross join, and bin aggregation all run at that
+    grain. The fact table is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    census = (
+        e.select(F.expr(f"{_SP_H_SPARK.format(key='user_id')} % {_PC_P0}")
+                 .alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    tot = census.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.max("n_rows").cast("long").alias("max_part_rows"),
+    )
+    # census grain (<= 200 rows): the single-partition window is the
+    # honest cost here, not a scale risk
+    cum = census.withColumn(
+        "cum_before",
+        F.sum("n_rows").over(
+            Window.orderBy(F.col("pid").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.col("n_rows"),
+    )
+    des = spark.createDataFrame([(p,) for p in _PC_DESIRED],
+                                "p_desired long")
+    sw = des.crossJoin(F.broadcast(tot)).select(
+        "p_desired", "total", "n_occupied", "max_part_rows",
+        F.expr("(total + p_desired - 1) DIV p_desired").alias("target"),
+    )
+    binned = sw.crossJoin(cum).select(
+        "p_desired", "target", "total", "n_occupied", "max_part_rows",
+        F.expr("cum_before DIV target").alias("bin"),
+        "n_rows",
+        F.expr("CASE WHEN n_rows * 2 < target THEN 1 ELSE 0 END")
+        .alias("small"),
+    )
+    bins = binned.groupBy(
+        "p_desired", "target", "total", "n_occupied", "max_part_rows",
+        "bin",
+    ).agg(
+        F.sum("n_rows").cast("long").alias("bin_rows"),
+        F.sum("small").cast("long").alias("n_small"),
+    )
+    return bins.groupBy(
+        "p_desired", "target", "total", "n_occupied", "max_part_rows",
+    ).agg(
+        F.sum("n_small").cast("long").alias("n_small_before"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_after"),
+        F.max("bin_rows").cast("long").alias("max_bin_rows"),
+        F.min("bin_rows").cast("long").alias("min_bin_rows"),
+        F.expr("CAST(MAX(bin_rows) * 1000000 * COUNT(*) DIV MAX(total) "
+               "AS BIGINT)").alias("skew_after_ppm"),
+        F.expr("CAST(MAX(bin_rows) - MAX(target) AS BIGINT)")
+        .alias("overshoot_rows"),
+    ).select(
+        F.col("p_desired").cast("long").alias("p_desired"),
+        F.col("target").cast("long").alias("target"),
+        "total", "n_occupied", "max_part_rows", "n_small_before",
+        "n_bins_after", "max_bin_rows", "min_bin_rows", "skew_after_ppm",
+        "overshoot_rows",
+    )
+
+
+# ---------------------------------------------------------------- q499
+
+# PSI machinery: reference/current split on the md5 lane, frequencies
+# over the integer log2 buckets (the q491 bit-length idiom — no range
+# profiling), add-one smoothing so empty buckets stay finite. The ONE
+# float step — (p - q) * ln(p/q) from the integer ppm inputs — is the
+# shared-verbatim IEEE chain, floored to ppm per term; every PSI term
+# is mathematically >= 0 ((p - q) and ln(p/q) share sign), so the
+# per-term floor never crosses zero.
+_PSI_SPLIT_DUCK = _H60_DUCK.format(
+    key="'ps:' || CAST(event_id AS VARCHAR)") + " % 2"
+_PSI_SPLIT_SPARK = _H60_SPARK.format(
+    key="concat('ps:', CAST(event_id AS STRING))") + " % 2"
+_PSI_TERM = ("CAST(floor((CAST(ref_ppm AS DOUBLE) - "
+             "CAST(cur_ppm AS DOUBLE)) * ln(CAST(ref_ppm AS DOUBLE) / "
+             "CAST(cur_ppm AS DOUBLE))) AS BIGINT)")
+_PSI_ALARM_PPM = 200000  # the classic PSI > 0.2 action threshold
+
+
+@register(
+    "q499_psi_drift_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         length(bin({_W_DUCK})) - 1 AS b,
+         {_PSI_SPLIT_DUCK} AS split
+  FROM events
+),
+bspine AS (
+  SELECT DISTINCT event_type, b FROM base
+),
+cnt AS (
+  SELECT s.event_type, s.b,
+         CAST(COALESCE(SUM(CASE WHEN x.split = 0 THEN 1 END), 0)
+              AS BIGINT) AS ref_n,
+         CAST(COALESCE(SUM(CASE WHEN x.split = 1 THEN 1 END), 0)
+              AS BIGINT) AS cur_n
+  FROM bspine s
+  LEFT JOIN base x ON x.event_type = s.event_type AND x.b = s.b
+  GROUP BY s.event_type, s.b
+),
+nt AS (
+  SELECT event_type, CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+         CAST(SUM(cur_n) AS BIGINT) AS cur_total,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM cnt GROUP BY event_type
+),
+ppm AS (
+  SELECT c.event_type, c.b, c.ref_n, c.cur_n, t.n_buckets,
+         (c.ref_n + 1) * 1000000 // (t.ref_total + t.n_buckets)
+           AS ref_ppm,
+         (c.cur_n + 1) * 1000000 // (t.cur_total + t.n_buckets)
+           AS cur_ppm
+  FROM cnt c JOIN nt t USING (event_type)
+),
+term AS (
+  SELECT *, {_PSI_TERM} AS term_ppm FROM ppm
+),
+summ AS (
+  SELECT event_type, CAST(SUM(term_ppm) AS BIGINT) AS psi_ppm
+  FROM term GROUP BY event_type
+)
+SELECT t.event_type, t.b AS bucket, t.ref_n, t.cur_n,
+       CAST(t.ref_ppm AS BIGINT) AS ref_ppm,
+       CAST(t.cur_ppm AS BIGINT) AS cur_ppm,
+       t.term_ppm, t.n_buckets, s.psi_ppm,
+       CAST(CASE WHEN s.psi_ppm > {_PSI_ALARM_PPM} THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm
+FROM term t JOIN summ s USING (event_type)
+""",
+    tags=("drift", "audit", "psi", "statistics"),
+)
+def q499_psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift audit per event type — the
+    standard model-monitoring screen (credit-scoring lineage, widely
+    published): PSI = sum_b (p_b - q_b) * ln(p_b / q_b) between a
+    reference and a current window, here the deterministic md5
+    halves, binned over the integer log2(cents) buckets (the q491
+    bit-length idiom — no range profiling, <= 63 buckets forever)
+    with add-one smoothing so buckets empty on one side stay finite.
+    Frequencies are exact integer ppm; the single float step — each
+    bucket's (p - q) * ln(p / q) from those integer ppm inputs — is
+    the shared-verbatim IEEE chain floored to ppm per term (every
+    term is mathematically >= 0 because (p - q) and ln(p/q) share
+    sign, so the floor never crosses zero and the integer SUM is
+    order-independent). Per (type, bucket) the audit emits both
+    counts, both smoothed frequencies and the term; the per-type
+    psi_ppm and the classic PSI > 0.2 alarm ride along. On the md5
+    halves of a homogeneous corpus PSI reads near zero — the honest
+    null; the drift drill in tests shifts the current half and trips
+    the alarm.
+
+    Scale shape: one scan, map-side-combined into (type, split,
+    bucket) grain — at most 2 * 63 cells per type forever; the spine,
+    smoothing and summary run at bucket grain. The bucket histogram
+    pair is mergeable by ADDITION across shards/days, so the monitor
+    runs incrementally at 100 TB/day."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr(f"length(bin({_W_SPARK})) - 1").alias("b"),
+        F.expr(_PSI_SPLIT_SPARK).alias("split"),
+    )
+    cnt = (
+        base.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(F.col("split") == 0, 1).otherwise(0))
+            .cast("long").alias("ref_n"),
+            F.sum(F.when(F.col("split") == 1, 1).otherwise(0))
+            .cast("long").alias("cur_n"),
+        )
+    )
+    nt = cnt.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("ref_n").cast("long").alias("ref_total"),
+        F.sum("cur_n").cast("long").alias("cur_total"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    ppm = (
+        cnt.join(F.broadcast(nt), F.col("et") == F.col("event_type"))
+        .select(
+            "event_type", F.col("b").alias("bucket"), "ref_n", "cur_n",
+            "n_buckets",
+            F.expr("(ref_n + 1) * 1000000 DIV (ref_total + n_buckets)")
+            .alias("ref_ppm"),
+            F.expr("(cur_n + 1) * 1000000 DIV (cur_total + n_buckets)")
+            .alias("cur_ppm"),
+        )
+    )
+    term = ppm.withColumn("term_ppm", F.expr(_PSI_TERM))
+    summ = term.groupBy(F.col("event_type").alias("st")).agg(
+        F.sum("term_ppm").cast("long").alias("psi_ppm"))
+    return (
+        term.join(F.broadcast(summ), F.col("st") == F.col("event_type"))
+        .select(
+            "event_type", "bucket", "ref_n", "cur_n",
+            F.col("ref_ppm").cast("long").alias("ref_ppm"),
+            F.col("cur_ppm").cast("long").alias("cur_ppm"),
+            "term_ppm", "n_buckets", "psi_ppm",
+            F.expr(f"CAST(CASE WHEN psi_ppm > {_PSI_ALARM_PPM} "
+                   "THEN 1 ELSE 0 END AS BIGINT)").alias("alarm"),
+        )
+    )

@@ -468,6 +468,10 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     "q495_calibration_reliability_audit",
     "q496_streaming_ddsketch",
     "q497_benford_digit_audit",
+    # third round-15 batch: the partition-coalesce planner (q494's
+    # merge-side dual) and the PSI population-drift audit
+    "q498_partition_coalesce_planner",
+    "q499_psi_drift_audit",
 )
 
 

@@ -448,3 +448,147 @@ def test_benford_flags_degenerate_first_digits(spark, tmp_path):
         for d in range(1, 10))
     assert by_d[1]["chi2_ppm"] == want_chi2
     assert by_d[1]["maxdev_ppm"] == 1_000_000 - 301030
+
+
+# ---------------------------------------------------------- q498
+
+from cli_spark.operators.round16 import (  # noqa: E402
+    q498_partition_coalesce_planner,
+    q499_psi_drift_audit,
+)
+
+
+def _sim_coalesce(uids, p0: int, desireds) -> dict:
+    """Independent pure-Python prefix-sum packing simulation."""
+    census: dict[int, int] = {}
+    for u in uids:
+        census[_h60(f"sp:{int(u)}") % p0] = census.get(
+            _h60(f"sp:{int(u)}") % p0, 0) + 1
+    total = sum(census.values())
+    parts = sorted(census.items())
+    out = {}
+    for p in desireds:
+        target = -(-total // p)
+        bins: dict[int, int] = {}
+        cum = 0
+        n_small = 0
+        for pid, n in parts:
+            b = cum // target
+            bins[b] = bins.get(b, 0) + n
+            cum += n
+            if n * 2 < target:
+                n_small += 1
+        out[p] = {
+            "target": target, "total": total,
+            "n_occupied": len(parts),
+            "max_part_rows": max(census.values()),
+            "n_small_before": n_small,
+            "n_bins_after": len(bins),
+            "max_bin_rows": max(bins.values()),
+            "min_bin_rows": min(bins.values()),
+            "skew_after_ppm": max(bins.values()) * 1_000_000
+            * len(bins) // total,
+            "overshoot_rows": max(bins.values()) - target,
+        }
+    return out
+
+
+def test_coalesce_planner_matches_independent_sim(spark, sf_dir):
+    """The planner equals a pure-Python prefix-sum packing over the
+    same md5 placement, and every bin's overshoot is bounded by one
+    input partition (the closed form's guarantee)."""
+    rows = q498_partition_coalesce_planner(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    sim = _sim_coalesce(ev["user_id"], 200, [r["p_desired"] for r in rows])
+    assert len(rows) == 4
+    for r in rows:
+        want = sim[r["p_desired"]]
+        for col, val in want.items():
+            assert r[col] == val, (r["p_desired"], col, r[col], val)
+        # overshoot bound: a bin exceeds target only by rows of the
+        # single partition that crossed the boundary
+        assert r["overshoot_rows"] < r["max_part_rows"]
+
+
+def test_coalesce_planner_bins_never_exceed_desired(spark, sf_dir):
+    """Prefix-sum packing can produce FEWER bins than p_desired (when
+    partitions are atomic and few) but never more."""
+    rows = q498_partition_coalesce_planner(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_bins_after"] <= r["p_desired"]
+        assert r["n_bins_after"] >= 1
+
+
+# ---------------------------------------------------------- q499
+
+
+def _psi_independent(ev: pd.DataFrame) -> dict:
+    out = {}
+    for et, g in ev.groupby("event_type"):
+        cells: dict[int, list] = {}
+        for eid, v in zip(g["event_id"], g["value"]):
+            cents = max(int(math.floor(float(v) * 100.0)), 1)
+            b = cents.bit_length() - 1
+            s = _h60(f"ps:{int(eid)}") % 2
+            cells.setdefault(b, [0, 0])[s] += 1
+        nb = len(cells)
+        rt = sum(v[0] for v in cells.values())
+        ct = sum(v[1] for v in cells.values())
+        rows = {}
+        psi = 0
+        for b, (rn, cn) in cells.items():
+            rp = (rn + 1) * 1_000_000 // (rt + nb)
+            cp = (cn + 1) * 1_000_000 // (ct + nb)
+            term = int(math.floor((float(rp) - float(cp))
+                                  * math.log(float(rp) / float(cp))))
+            psi += term
+            rows[b] = (rn, cn, rp, cp, term)
+        out[et] = {"rows": rows, "psi": psi, "nb": nb}
+    return out
+
+
+def test_psi_audit_matches_independent(spark, sf_dir):
+    """Pure-Python PSI chain (md5 halves, bit-length buckets, add-one
+    ppm smoothing, floored IEEE terms) reproduces every row; terms are
+    nonnegative by construction and the homogeneous-corpus PSI stays
+    under the 0.2 alarm."""
+    rows = q499_psi_drift_audit(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    want = _psi_independent(ev)
+    got = {(r["event_type"], r["bucket"]): r for r in rows}
+    n_expected = sum(w["nb"] for w in want.values())
+    assert len(rows) == n_expected
+    for et, w in want.items():
+        for b, (rn, cn, rp, cp, term) in w["rows"].items():
+            r = got[(et, b)]
+            assert r["ref_n"] == rn and r["cur_n"] == cn
+            assert r["ref_ppm"] == rp and r["cur_ppm"] == cp
+            assert r["term_ppm"] == term
+            assert r["term_ppm"] >= 0
+            assert r["n_buckets"] == w["nb"]
+            assert r["psi_ppm"] == w["psi"]
+            assert r["alarm"] == (1 if w["psi"] > 200_000 else 0)
+
+
+def test_psi_alarm_fires_on_drift(spark, tmp_path):
+    """Drift drill: scaling the current half's values by 16x moves
+    every row four log2 buckets — PSI must blow through 0.2 and the
+    alarm must fire (the monitor's whole point)."""
+    base = pd.DataFrame({
+        "event_id": range(2000),
+        "ts": pd.to_datetime("2024-01-01"),
+        "user_id": [i % 97 for i in range(2000)],
+        "event_type": ["drift"] * 2000,
+        "value": [10.0 + (i % 50) for i in range(2000)],
+        "props": ["{}"] * 2000,
+    })
+    cur = base["event_id"].map(lambda e: _h60(f"ps:{int(e)}") % 2 == 1)
+    base.loc[cur, "value"] = base.loc[cur, "value"] * 16.0
+    sf2 = tmp_path / "psi_sf"
+    sf2.mkdir()
+    base.to_parquet(sf2 / "events.parquet", index=False)
+    rows = q499_psi_drift_audit(spark, str(sf2)).collect()
+    assert len(rows) >= 2
+    assert all(r["alarm"] == 1 for r in rows)
+    assert rows[0]["psi_ppm"] > 200_000
