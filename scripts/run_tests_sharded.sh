@@ -1,22 +1,25 @@
 #!/usr/bin/env bash
-# Two-process pytest shard (VERDICT r12's <20 min wall-clock target,
-# shipped round 15 per VERDICT r14 #3).
+# Concurrent pytest shards (VERDICT r12's <20 min wall-clock target,
+# shipped round 15 per VERDICT r14 #3; rebalanced to three processes
+# later in round 15 when the parity shard crossed 20 min on its own
+# after the round's six new oracle-parity entries).
 #
-# Shard A runs the driver-mimicking parity suite (tests/test_parity.py
-# — the long pole: ~480 Spark-vs-DuckDB exact comparisons including
-# the data-driven streaming tail, whose micro-batch counts are
-# ceil(n/20|40) by design and so do not shrink with a smaller SF).
-# Shard B runs everything else. The two processes run CONCURRENTLY,
-# each with its own Spark JVM (local[8] per the session fixture; the
-# box has 32 vCPUs) — safe because the suites share no mutable state:
-# Derby sinks are in-memory per process, catalog tables are keyed by
-# applicationId, and streaming sinks write to per-test tempdirs.
+# Shard A runs the TRUE-stream oracle-parity tests (the long pole:
+# ~25 replay runs of ~20 real micro-batches each, whose batch counts
+# are hard-coded in the oracles and so do not shrink with a smaller
+# SF). Shard B runs the remaining driver-mimicking parity suite
+# (~450 Spark-vs-DuckDB exact comparisons). Shard C runs everything
+# else. The three processes run CONCURRENTLY, each with its own Spark
+# JVM (local[8] per the session fixture; the box has 32 vCPUs) — safe
+# because the suites share no mutable state: Derby sinks are
+# in-memory per process, catalog tables are keyed by applicationId,
+# and streaming sinks write to per-test tempdirs.
 #
 # ZERO assertions differ from the default single-process run, which
 # remains fully supported and identical in coverage:
 #     python -m pytest tests/ -q
 #
-# Usage: scripts/run_tests_sharded.sh [extra pytest args for both]
+# Usage: scripts/run_tests_sharded.sh [extra pytest args for all]
 set -u
 cd "$(dirname "$0")/.."
 
@@ -24,21 +27,27 @@ LOGDIR=".pytest_shards"
 mkdir -p "$LOGDIR"
 
 start=$(date +%s)
-python -m pytest tests/test_parity.py -q "$@" \
-    >"$LOGDIR/shard_parity.log" 2>&1 &
+python -m pytest tests/test_parity.py -q -m stream_parity "$@" \
+    >"$LOGDIR/shard_stream_parity.log" 2>&1 &
 pid_a=$!
+python -m pytest tests/test_parity.py -q -m "not stream_parity" "$@" \
+    >"$LOGDIR/shard_parity.log" 2>&1 &
+pid_b=$!
 python -m pytest tests/ --ignore=tests/test_parity.py -q "$@" \
     >"$LOGDIR/shard_rest.log" 2>&1 &
-pid_b=$!
+pid_c=$!
 
 wait "$pid_a"; rc_a=$?
 wait "$pid_b"; rc_b=$?
+wait "$pid_c"; rc_c=$?
 end=$(date +%s)
 
-echo "--- shard A (test_parity.py), exit $rc_a ---"
+echo "--- shard A (stream parity), exit $rc_a ---"
+tail -n 2 "$LOGDIR/shard_stream_parity.log"
+echo "--- shard B (rest of test_parity.py), exit $rc_b ---"
 tail -n 2 "$LOGDIR/shard_parity.log"
-echo "--- shard B (rest), exit $rc_b ---"
+echo "--- shard C (rest), exit $rc_c ---"
 tail -n 2 "$LOGDIR/shard_rest.log"
 echo "--- wall: $((end - start)) s ---"
 
-[ "$rc_a" -eq 0 ] && [ "$rc_b" -eq 0 ]
+[ "$rc_a" -eq 0 ] && [ "$rc_b" -eq 0 ] && [ "$rc_c" -eq 0 ]

@@ -10,6 +10,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "stream_parity: TRUE-stream oracle-parity tests (the ~25 "
+        "multi-micro-batch runs, 15-45 s each — the suite's long "
+        "pole; scripts/run_tests_sharded.sh runs them as their own "
+        "concurrent shard)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cli_spark.session import get_spark

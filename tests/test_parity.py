@@ -75,8 +75,18 @@ _SPECS = registry()
 _WITH_ORACLE = sorted(n for n, s in _SPECS.items() if s.oracle is not None)
 _ROWS_ONLY = sorted(n for n, s in _SPECS.items() if s.oracle is None)
 
+# TRUE-stream parity runs replay ~20 real micro-batches each (their
+# oracles hard-code the batch count, so the fast-mode fixture cannot
+# shrink them) — marked so the sharded runner can give them their own
+# concurrent process; coverage is identical in any invocation.
+_WITH_ORACLE_PARAMS = [
+    pytest.param(n, marks=pytest.mark.stream_parity)
+    if "true_stream" in _SPECS[n].tags else n
+    for n in _WITH_ORACLE
+]
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+
+@pytest.mark.parametrize("name", _WITH_ORACLE_PARAMS)
 def test_oracle_parity(name, spark, duck, sf_dir):
     spec = _SPECS[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
