@@ -223,6 +223,14 @@ PROMOTED47_QUERIES = [
     "q496_streaming_ddsketch",            # ~20 TRUE micro-batches
 ]
 
+# Round-15 capstone promotion into the declared 48-class headline:
+# the streaming PSI monitor (q499 through the replay source — the
+# fifth batch->stream ADDITION-merge pair; dedicated sessions
+# 10.11/9.52, cleaner is baseline). Summed into `value_48class`.
+PROMOTED48_QUERIES = [
+    "q500_streaming_psi_monitor",         # ~20 TRUE micro-batches
+]
+
 REPORT_TAIL_BASELINES: dict = {
     # round-11/12 builds (dedicated sessions, BASELINE.md v8/v9)
     "q454_skipgram_pmi": 1.14,
@@ -397,6 +405,8 @@ def main() -> None:
     total_46 = round(sum(times.values()), 4)
     times.update({name: timed(name, sf_dir, 2) for name in PROMOTED47_QUERIES})
     total_47 = round(sum(times.values()), 4)
+    times.update({name: timed(name, sf_dir, 2) for name in PROMOTED48_QUERIES})
+    total_48 = round(sum(times.values()), 4)
     # report-tail classes: tracked individually AND collectively gated
     # (VERDICT r13 #1) — the sum of end-of-bench readings vs 2× the
     # sum of dedicated baselines
@@ -429,6 +439,7 @@ def main() -> None:
         "value_45class": total_45,
         "value_46class": total_46,
         "value_47class": total_47,
+        "value_48class": total_48,
         "value_report_tail": report_tail,
         "report_tail_baseline": report_tail_base,
         "report_tail_flag": report_tail > 2 * report_tail_base,

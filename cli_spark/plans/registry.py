@@ -472,6 +472,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     # merge-side dual) and the PSI population-drift audit
     "q498_partition_coalesce_planner",
     "q499_psi_drift_audit",
+    # capstone: q499 through the replay source — the fifth
+    # batch->stream ADDITION-merge pair closure
+    "q500_streaming_psi_monitor",
 )
 
 

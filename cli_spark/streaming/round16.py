@@ -500,3 +500,203 @@ def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------- q500
+
+from cli_spark.operators.round16 import (  # noqa: E402
+    _PSI_ALARM_PPM,
+    _PSI_SPLIT_DUCK,
+    _PSI_SPLIT_SPARK,
+    _PSI_TERM,
+)
+
+
+@register(
+    "q500_streaming_psi_monitor",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         length(bin(GREATEST(CAST(floor(value * 100.0) AS BIGINT), 1)))
+           - 1 AS b,
+         {_PSI_SPLIT_DUCK} AS split
+  FROM events
+),
+n0 AS (SELECT COUNT(*) AS cnt FROM base WHERE split = 1),
+bsz AS (SELECT CAST(ceil(cnt / {_N_BATCHES}.0) AS BIGINT) AS b FROM n0),
+nb AS (SELECT (cnt + b - 1) // b AS nb FROM n0 CROSS JOIN bsz),
+cnt AS (
+  SELECT event_type, b,
+         CAST(COALESCE(SUM(CASE WHEN split = 0 THEN 1 END), 0)
+              AS BIGINT) AS ref_n,
+         CAST(COALESCE(SUM(CASE WHEN split = 1 THEN 1 END), 0)
+              AS BIGINT) AS cur_n
+  FROM base GROUP BY event_type, b
+),
+nt AS (
+  SELECT event_type, CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+         CAST(SUM(cur_n) AS BIGINT) AS cur_total,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM cnt GROUP BY event_type
+),
+ppm AS (
+  SELECT c.event_type, c.b, c.ref_n, c.cur_n, t.n_buckets,
+         (c.ref_n + 1) * 1000000 // (t.ref_total + t.n_buckets)
+           AS ref_ppm,
+         (c.cur_n + 1) * 1000000 // (t.cur_total + t.n_buckets)
+           AS cur_ppm
+  FROM cnt c JOIN nt t USING (event_type)
+),
+term AS (
+  SELECT *, {_PSI_TERM} AS term_ppm FROM ppm
+),
+summ AS (
+  SELECT event_type, CAST(SUM(term_ppm) AS BIGINT) AS psi_ppm
+  FROM term GROUP BY event_type
+)
+SELECT t.event_type, t.b AS bucket, t.ref_n, t.cur_n,
+       CAST(t.ref_ppm AS BIGINT) AS ref_ppm,
+       CAST(t.cur_ppm AS BIGINT) AS cur_ppm,
+       t.term_ppm, t.n_buckets, s.psi_ppm,
+       CAST(CASE WHEN s.psi_ppm > {_PSI_ALARM_PPM} THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm,
+       CAST(nb.nb AS BIGINT) AS n_batches
+FROM term t JOIN summ s USING (event_type)
+CROSS JOIN nb
+""",
+    tags=("streaming", "true_stream", "drift", "psi", "mergeable"),
+)
+def q500_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI DRIFT MONITOR over ~20 TRUE micro-batches — q499
+    run the way model monitoring actually runs: the REFERENCE
+    histogram is computed ONCE batch-side (the md5 split-0 half), the
+    CURRENT window (split 1) arrives through real replay micro-batches
+    whose foreachBatch sink ships only per-(type, log2-bucket) counts
+    — never fact rows; partials merge by bucket-wise ADDITION (the
+    q473/q491/q493/q496 algebra — the fifth batch→stream pair closure,
+    and the natural one: a PSI monitor's current-window histogram IS
+    an incrementally-merged stream aggregate). After the run the
+    add-one ppm smoothing, per-bucket floored IEEE terms, per-type
+    psi_ppm and the classic PSI > 0.2 alarm are computed exactly as in
+    q499, over the union bucket spine of both sides; the all-rows
+    oracle (which never sees the batch structure except to reproduce
+    n_batches) proves the stream merge lossless.
+
+    Scale shape: streaming state is one counter per occupied log2
+    bucket per type (≤ 63 forever, no range profiling); each batch
+    pays one map-side-combined count and ships a few dozen integers;
+    smoothing/terms/alarm run at bucket grain post-merge. At
+    100 TB/day the monitor's nightly cost is the current window's
+    scan; the reference histogram is a 63-integer-per-type artifact
+    reused until re-baselining. n_batches = ceil(n/bsz) in Python
+    (the q479 ADVICE idiom)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cli_spark.sources.replay_datasource import register_replay_source
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", "event_id", "ts",
+        F.expr("length(bin(GREATEST(CAST(floor(value * 100.0) AS "
+               "BIGINT), CAST(1 AS BIGINT)))) - 1").alias("b"),
+        F.expr(_PSI_SPLIT_SPARK).alias("split"),
+    )
+    cur_side = base.filter(F.col("split") == 1)
+    n = cur_side.count()
+    bsz = -(-n // _N_BATCHES)  # ceil
+    nb = -(-n // bsz)
+
+    tmp = tempfile.mkdtemp(prefix="q500_replay_")
+    out_root = tempfile.mkdtemp(prefix="q500_psi_")
+    try:
+        (
+            cur_side.repartition(1)
+            .sortWithinPartitions(F.unix_micros("ts"), F.col("event_id"))
+            .select("event_type", "event_id", "b")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        register_replay_source(spark)
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", part)
+            .option("batchRows", bsz)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            partial = (
+                batch_df.groupBy("event_type", "b")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            partial.write.mode("append").parquet(f"{out_root}/partials")
+
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        # bucket-wise ADDITION merge of the streamed current window
+        cur = (
+            spark.read.parquet(f"{out_root}/partials")
+            .groupBy("event_type", "b")
+            .agg(F.sum("c").cast("long").alias("cur_n"))
+        )
+        # reference histogram: computed batch-side, once
+        ref = (
+            base.filter(F.col("split") == 0)
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("ref_n"))
+        )
+        # union bucket spine of both sides (q499's observed spine)
+        cnt = (
+            ref.join(cur, ["event_type", "b"], "full_outer")
+            .select(
+                "event_type", "b",
+                F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+                F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
+            )
+        )
+        nt = cnt.groupBy(F.col("event_type").alias("et")).agg(
+            F.sum("ref_n").cast("long").alias("ref_total"),
+            F.sum("cur_n").cast("long").alias("cur_total"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        ppm = (
+            cnt.join(F.broadcast(nt), F.col("et") == F.col("event_type"))
+            .select(
+                "event_type", F.col("b").alias("bucket"), "ref_n",
+                "cur_n", "n_buckets",
+                F.expr("(ref_n + 1) * 1000000 DIV "
+                       "(ref_total + n_buckets)").alias("ref_ppm"),
+                F.expr("(cur_n + 1) * 1000000 DIV "
+                       "(cur_total + n_buckets)").alias("cur_ppm"),
+            )
+        )
+        term = ppm.withColumn("term_ppm", F.expr(_PSI_TERM))
+        summ = term.groupBy(F.col("event_type").alias("st")).agg(
+            F.sum("term_ppm").cast("long").alias("psi_ppm"))
+        result = (
+            term.join(F.broadcast(summ),
+                      F.col("st") == F.col("event_type"))
+            .select(
+                "event_type", "bucket", "ref_n", "cur_n",
+                F.col("ref_ppm").cast("long").alias("ref_ppm"),
+                F.col("cur_ppm").cast("long").alias("cur_ppm"),
+                "term_ppm", "n_buckets", "psi_ppm",
+                F.expr(f"CAST(CASE WHEN psi_ppm > {_PSI_ALARM_PPM} "
+                       "THEN 1 ELSE 0 END AS BIGINT)").alias("alarm"),
+                F.lit(nb).cast("long").alias("n_batches"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out

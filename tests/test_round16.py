@@ -592,3 +592,29 @@ def test_psi_alarm_fires_on_drift(spark, tmp_path):
     assert len(rows) >= 2
     assert all(r["alarm"] == 1 for r in rows)
     assert rows[0]["psi_ppm"] > 200_000
+
+
+# ---------------------------------------------------------- q500
+
+
+def test_streaming_psi_matches_batch_form(spark, sf_dir, stream_batches):
+    """The TRUE-stream monitor must equal q499's batch form on every
+    shared column (the ADDITION merge of per-batch current-window
+    histograms lost nothing) and carry the right n_batches."""
+    srows = sr16.q500_streaming_psi_monitor(spark, sf_dir).collect()
+    brows = q499_psi_drift_audit(spark, sf_dir).collect()
+    assert len(srows) == len(brows) >= 2
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    n_cur = sum(1 for e in ev["event_id"]
+                if _h60(f"ps:{int(e)}") % 2 == 1)
+    bsz = -(-n_cur // stream_batches)
+    nb = -(-n_cur // bsz)
+
+    got = {(r["event_type"], r["bucket"]): r for r in srows}
+    for b in brows:
+        s = got[(b["event_type"], b["bucket"])]
+        for col in ("ref_n", "cur_n", "ref_ppm", "cur_ppm", "term_ppm",
+                    "n_buckets", "psi_ppm", "alarm"):
+            assert s[col] == b[col], (b["event_type"], b["bucket"], col)
+        assert s["n_batches"] == nb
