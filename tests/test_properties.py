@@ -382,3 +382,85 @@ def test_winnowing_coverage_guarantee(text, seed):
     # coverage guarantee: every window intersects the selected set
     for s in range(P - W + 1):
         assert any(p in selected for p in range(s, s + W))
+
+
+# ------------------------------------------- round-15 integer chains
+
+@given(st.integers(min_value=1, max_value=(1 << 62) - 1))
+@settings(max_examples=500, deadline=None)
+def test_double_sqrt_candidate_corrects_to_exact_isqrt(m):
+    """The q492/q496 estimate chain's exactness claim: for any
+    m < 2^62 the double-sqrt candidate floor(sqrt(double(m))) is
+    within ±1 of isqrt(m), so the one-CASE correction lands exactly —
+    the premise that makes the engines' shared _DD_ISQRT expression
+    bit-identical to math.isqrt."""
+    c = math.floor(math.sqrt(float(m)))
+    assert abs(c - math.isqrt(m)) <= 1
+    # the shared CASE, verbatim semantics
+    if (c + 1) * (c + 1) <= m:
+        c = c + 1
+    elif c * c > m:
+        c = c - 1
+    assert c == math.isqrt(m)
+
+
+@given(st.integers(min_value=1, max_value=(1 << 30) - 1))
+@settings(max_examples=500, deadline=None)
+def test_ddsketch_sqrt2_contract_holds_for_any_value(v):
+    """q492/q496's tightened multiplicative contract holds for EVERY
+    positive value, not just the graded fixtures: with bucket =
+    bit_length(v^2) - 1 and est = isqrt(3 * 2^(bucket-1)), the exact
+    integer inequalities 2*est^2 <= 3*v^2 and 4*(est+1)^2 > 3*v^2
+    pin est/v into (sqrt(3)/2, sqrt(3/2)]."""
+    b = (v * v).bit_length() - 1
+    est = 1 if b == 0 else math.isqrt(3 * (1 << (b - 1)))
+    assert 2 * est * est <= 3 * v * v
+    assert 4 * (est + 1) * (est + 1) > 3 * v * v
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000),
+             min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_sum_packing_overshoot_bound(parts, p_desired):
+    """q498's packing guarantee for ANY census: with target =
+    ceil(total/p), bins from bin = cum_before // target (a) never
+    exceed p_desired in count, and (b) overshoot the target by less
+    than one input partition's rows."""
+    parts = [x for x in parts if x > 0]
+    if not parts:
+        return
+    total = sum(parts)
+    target = -(-total // p_desired)
+    bins: dict[int, int] = {}
+    cum = 0
+    for n in parts:
+        bins[cum // target] = bins.get(cum // target, 0) + n
+        cum += n
+    assert len(bins) <= p_desired
+    assert max(bins.values()) - target < max(parts)
+
+
+@given(
+    st.lists(st.tuples(st.integers(min_value=0, max_value=2_000),
+                       st.integers(min_value=0, max_value=2_000)),
+             min_size=1, max_size=63),
+)
+@settings(max_examples=300, deadline=None)
+def test_psi_terms_nonnegative_under_ppm_flooring(cells):
+    """q499/q500's floor-never-crosses-zero claim for ANY histogram
+    pair: after add-one smoothing and ppm flooring, every PSI term
+    (p-q)*ln(p/q) is >= 0: the smoothed ppm values are positive, the
+    factors (p-q) and ln(p/q) always share sign, so the product is
+    >= 0 and flooring it toward -inf stays >= 0."""
+    nb = len(cells)
+    rt = sum(r for r, _ in cells)
+    ct = sum(c for _, c in cells)
+    for r, c in cells:
+        rp = (r + 1) * 1_000_000 // (rt + nb)
+        cp = (c + 1) * 1_000_000 // (ct + nb)
+        term = math.floor((float(rp) - float(cp))
+                          * math.log(float(rp) / float(cp)))
+        assert term >= 0
