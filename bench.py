@@ -279,6 +279,9 @@ REPORT_TAIL_BASELINES: dict = {
     # cleaner session is the baseline)
     "q498_partition_coalesce_planner": 1.227,     # prefix-sum packing
     "q499_psi_drift_audit": 0.88,                 # log-bucket PSI
+    # round-15 fourth batch (two dedicated sessions 2026-08-17,
+    # cleaner session is the baseline)
+    "q501_mestimate_encoding_audit": 1.025,       # shrinkage sweep
 }
 REPORTED_QUERIES: list = list(REPORT_TAIL_BASELINES)
 

@@ -1056,3 +1056,141 @@ def q499_psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "THEN 1 ELSE 0 END AS BIGINT)").alias("alarm"),
         )
     )
+
+
+# ---------------------------------------------------------------- q501
+
+# m-estimate machinery: md5 fit/eval halves over doc_id, category =
+# source, binary outcome lang = 'en'; the smoothing sweep and the
+# held-out Brier-style score are exact integer ppm arithmetic.
+_ME_SPLIT_DUCK = _H60_DUCK.format(
+    key="'me:' || CAST(doc_id AS VARCHAR)") + " % 2"
+_ME_SPLIT_SPARK = _H60_SPARK.format(
+    key="concat('me:', CAST(doc_id AS STRING))") + " % 2"
+_ME_MS = (0, 1, 10, 100)  # swept smoothing strengths
+
+
+@register(
+    "q501_mestimate_encoding_audit",
+    oracle=f"""
+WITH base AS (
+  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         {_ME_SPLIT_DUCK} AS split
+  FROM documents
+),
+prior AS (
+  SELECT CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS prior_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_fit
+  FROM base WHERE split = 0
+),
+cat AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(y) AS BIGINT) AS hits_c
+  FROM base WHERE split = 0 GROUP BY source
+),
+ms AS (SELECT unnest(ARRAY{list(_ME_MS)}) AS m),
+enc AS (
+  SELECT c.source, m.m, p.prior_ppm, p.n_fit, c.n_c,
+         (c.hits_c * 1000000 + m.m * p.prior_ppm) // (c.n_c + m.m)
+           AS enc_ppm
+  FROM cat c CROSS JOIN ms m CROSS JOIN prior p
+),
+ev AS (
+  SELECT e.m, e.prior_ppm, e.n_fit, b.y, e.enc_ppm
+  FROM base b JOIN enc e ON e.source = b.source
+  WHERE b.split = 1
+),
+score AS (
+  SELECT m, prior_ppm, n_fit,
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM((enc_ppm // 1000 - 1000 * y)
+                  * (enc_ppm // 1000 - 1000 * y)) // COUNT(*) AS BIGINT)
+           AS brier_ppm
+  FROM ev GROUP BY m, prior_ppm, n_fit
+),
+best AS (
+  SELECT CAST(MIN(brier_ppm) AS BIGINT) AS best_brier FROM score
+),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cats FROM cat)
+SELECT CAST(s.m AS BIGINT) AS m, s.prior_ppm, s.n_fit, s.n_eval,
+       c.n_cats, s.brier_ppm,
+       CAST(CASE WHEN s.brier_ppm = b.best_brier THEN 1 ELSE 0 END
+            AS BIGINT) AS is_best
+FROM score s CROSS JOIN best b CROSS JOIN nc c
+""",
+    tags=("encoding", "smoothing", "audit", "ml-ops"),
+)
+def q501_mestimate_encoding_audit(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-ESTIMATE TARGET-ENCODING SMOOTHING AUDIT — the regularization
+    sweep behind every categorical encoder (Micci-Barreca, SIGKDD
+    Explorations 2001 — the public m-estimate/empirical-Bayes form;
+    q325 grades the out-of-fold LEAKAGE defense, this grades the
+    SHRINKAGE choice): per category (source) the encoding
+    enc = (hits_c + m * prior) / (n_c + m) interpolates between the
+    raw per-category rate (m = 0, maximal variance) and the global
+    prior (m -> inf, maximal bias); the audit fits on the md5 split-0
+    half, scores each swept m (0/1/10/100) on the held-out half with
+    the per-mille Brier score, and flags the winner — the
+    bias-variance tradeoff measured on data rather than assumed. All
+    arithmetic is exact integer ppm: enc_ppm = (hits*1e6 + m*prior_ppm)
+    DIV (n_c + m), so both engines agree bit-for-bit and ties in
+    is_best resolve identically.
+
+    Scale shape: two fact scans (fit census + held-out scoring), both
+    map-side-combined; the encoding table is categories x swept-m
+    (a few dozen rows, broadcast to the eval side); the score relation
+    is 4 rows. At 100 TB the sweep costs one broadcast-join pass over
+    the eval split — the same plan at any category cardinality that
+    fits a broadcast, and the census-grain pattern (q494/q498) if it
+    does not."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
+        F.expr(_ME_SPLIT_SPARK).alias("split"),
+    )
+    fit = base.filter(F.col("split") == 0)
+    prior = fit.agg(
+        F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)")
+        .alias("prior_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+    )
+    cat = fit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("hits_c"),
+    )
+    ms = spark.createDataFrame([(m,) for m in _ME_MS], "m long")
+    enc = (
+        cat.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "source", "m", "prior_ppm", "n_fit",
+            F.expr("(hits_c * 1000000 + m * prior_ppm) DIV (n_c + m)")
+            .alias("enc_ppm"),
+        )
+    )
+    # categories x swept-m stays broadcast-sized; the eval half joins
+    # without shuffling on source
+    ev = (
+        base.filter(F.col("split") == 1)
+        .join(F.broadcast(enc), "source")
+    )
+    score = ev.groupBy("m", "prior_ppm", "n_fit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.expr("CAST(SUM((enc_ppm DIV 1000 - 1000 * y) "
+               "* (enc_ppm DIV 1000 - 1000 * y)) DIV COUNT(*) "
+               "AS BIGINT)").alias("brier_ppm"),
+    )
+    best = score.agg(F.min("brier_ppm").cast("long").alias("best_brier"))
+    nc = cat.agg(F.count(F.lit(1)).cast("long").alias("n_cats"))
+    return (
+        score.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("m").cast("long").alias("m"), "prior_ppm", "n_fit",
+            "n_eval", "n_cats", "brier_ppm",
+            F.expr("CAST(CASE WHEN brier_ppm = best_brier THEN 1 "
+                   "ELSE 0 END AS BIGINT)").alias("is_best"),
+        )
+    )

@@ -475,6 +475,9 @@ _FRESH_PRIORITY: tuple[str, ...] = (
     # capstone: q499 through the replay source — the fifth
     # batch->stream ADDITION-merge pair closure
     "q500_streaming_psi_monitor",
+    # the last queued round-16 prep candidate, pulled forward: the
+    # m-estimate shrinkage sweep beside q325's OOF leakage defense
+    "q501_mestimate_encoding_audit",
 )
 
 

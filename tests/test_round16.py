@@ -618,3 +618,73 @@ def test_streaming_psi_matches_batch_form(spark, sf_dir, stream_batches):
                     "n_buckets", "psi_ppm", "alarm"):
             assert s[col] == b[col], (b["event_type"], b["bucket"], col)
         assert s["n_batches"] == nb
+
+
+# ---------------------------------------------------------- q501
+
+from cli_spark.operators.round16 import (  # noqa: E402
+    q501_mestimate_encoding_audit,
+)
+
+
+def test_mestimate_audit_matches_independent(spark, sf_dir):
+    """Pure-Python m-estimate chain (md5 halves, integer ppm encoding,
+    per-mille Brier) reproduces every row, and the m = 0 row equals
+    the raw per-category rate by construction."""
+    rows = q501_mestimate_encoding_audit(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+    fit, ev = [], []
+    for d, s, lang in zip(docs["doc_id"], docs["source"], docs["lang"]):
+        y = 1 if lang == "en" else 0
+        (fit if _h60(f"me:{int(d)}") % 2 == 0 else ev).append((s, y))
+    prior = sum(y for _, y in fit) * 1_000_000 // len(fit)
+    cats: dict[str, list] = {}
+    for s, y in fit:
+        n, h = cats.get(s, (0, 0))
+        cats[s] = (n + 1, h + y)
+    want = {}
+    for m in (0, 1, 10, 100):
+        enc = {s: (h * 1_000_000 + m * prior) // (n + m)
+               for s, (n, h) in cats.items()}
+        scored = [(enc[s], y) for s, y in ev if s in enc]
+        brier = sum((e // 1000 - 1000 * y) ** 2
+                    for e, y in scored) // len(scored)
+        want[m] = (len(scored), brier)
+    best = min(b for _, b in want.values())
+    assert len(rows) == 4
+    for r in rows:
+        n_eval, brier = want[r["m"]]
+        assert r["prior_ppm"] == prior
+        assert r["n_fit"] == len(fit)
+        assert r["n_eval"] == n_eval
+        assert r["n_cats"] == len(cats)
+        assert r["brier_ppm"] == brier
+        assert r["is_best"] == (1 if brier == best else 0)
+    # exactly the minimal-Brier rows carry the flag
+    assert sum(r["is_best"] for r in rows) >= 1
+
+
+def test_mestimate_shrinkage_interpolates(spark, sf_dir):
+    """Structural sanity: m = 0 is the raw rate (enc can sit anywhere),
+    and as m grows every category's encoding moves toward the prior —
+    asserted via the independent chain, not the engine."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "lang"])
+    fit = [(s, 1 if lang == "en" else 0)
+           for d, s, lang in zip(docs["doc_id"], docs["source"],
+                                 docs["lang"])
+           if _h60(f"me:{int(d)}") % 2 == 0]
+    prior = sum(y for _, y in fit) * 1_000_000 // len(fit)
+    cats: dict[str, list] = {}
+    for s, y in fit:
+        n, h = cats.get(s, (0, 0))
+        cats[s] = (n + 1, h + y)
+    for s, (n, h) in cats.items():
+        prev_dist = None
+        for m in (0, 1, 10, 100):
+            enc = (h * 1_000_000 + m * prior) // (n + m)
+            dist = abs(enc - prior)
+            if prev_dist is not None:
+                assert dist <= prev_dist + 1  # +1 for floor jitter
+            prev_dist = dist
