@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
+from cli_spark.session import materialize_local
 from cli_spark.tables import load_table, register_views
 
 # q428 blocking parameters (shared by engine and oracle): band width in
@@ -179,8 +180,13 @@ def q429_deterministic_random_walk(spark: SparkSession, sf_dir: str) -> DataFram
     edges = (
         li.select(s.alias("src"), o.alias("dst")).distinct()
         .unionByName(li.select(o.alias("src"), s.alias("dst")).distinct())
+        # evaluated once per invocation: each unrolled step joins the
+        # frontier against this relation — without the persist the
+        # k-step plan re-derives the distinct edge list k times
+        # (round-15 optimization, guide §2.4/§5)
+        .persist()
     )
-    walk = (
+    walk = materialize_local(
         li.select("l_suppkey").filter(F.col("l_suppkey") <= _WALK_STARTS)
         .distinct()
         .select(
@@ -193,8 +199,12 @@ def q429_deterministic_random_walk(spark: SparkSession, sf_dir: str) -> DataFram
         key = F.md5(
             F.concat(F.lit(f"{step}:"), F.col("cur"), F.lit(">"), F.col("dst"))
         )
-        walk = (
-            walk.join(edges, F.col("cur") == F.col("src"))
+        # the frontier is _WALK_STARTS rows: BROADCAST it so the edge
+        # relation is never shuffled, and pin each step to a LOCAL
+        # relation so step k is one job over the cached edges rather
+        # than a k-deep lazy nest
+        walk = materialize_local(
+            F.broadcast(walk).join(edges, F.col("cur") == F.col("src"))
             .groupBy("start_supp", "cur", "path")
             .agg(F.min_by(F.col("dst"), key).alias("nxt"))
             .select(
@@ -203,9 +213,11 @@ def q429_deterministic_random_walk(spark: SparkSession, sf_dir: str) -> DataFram
                 F.concat(F.col("path"), F.lit(">"), F.col("nxt")).alias("path"),
             )
         )
-    return walk.select(
+    out = walk.select(
         F.col("start_supp").cast("long"), F.col("cur").alias("end_node"), "path"
     )
+    edges.unpersist()
+    return out
 
 
 _BF_ROUNDS = 4
@@ -288,6 +300,11 @@ def q430_bellman_ford_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .agg(F.min(1 + (F.col("a.l_orderkey") % 7)).alias("w"))
+        # evaluated once per invocation: without the persist, every
+        # round's broadcast of the (lazy) frontier re-runs the full
+        # lineitem self-join underneath it — 1 + 2 + ... + k edge
+        # builds instead of 1 (round-15 optimization, guide §2.4/§5)
+        .persist()
     )
     dist = spark.createDataFrame([(1, 0)], "node long, dist long")
     for i in range(_BF_ROUNDS):
@@ -300,15 +317,23 @@ def q430_bellman_ford_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col(f"d{i}.dist") + F.col(f"c{i}.w")).alias("dist"),
             )
         )
-        dist = (
+        # the frontier is node-sized (<= |suppliers| rows): pin each
+        # round to a LOCAL relation so round k's plan is one join over
+        # the cached edges, not a k-deep nest of broadcast subtrees
+        # each re-evaluating every earlier round
+        dist = materialize_local(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("node").cast("long").alias("key_sum"),
+    out = materialize_local(
+        dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("node").cast("long").alias("key_sum"),
+        )
     )
+    co.unpersist()
+    return out
 
 
 

@@ -1791,7 +1791,12 @@ def q471_power_iteration_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = w.agg(
             F.greatest(F.expr("MAX(abs(w)) DIV 1048576"), F.lit(1))
             .alias("m"))
-        v = (
+        # pin the 64-row direction to a LOCAL relation: otherwise the
+        # final 3-way join evaluates step 1 three times, step 2 twice
+        # (each outs[t] plan nests every earlier step), and each lazy
+        # broadcast(v) adds a sequential broadcast job per nesting
+        # level (round-15 optimization, guide §2.4/§5)
+        v = materialize_local(
             w.crossJoin(F.broadcast(m))
             .select(
                 "j",

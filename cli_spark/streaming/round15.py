@@ -119,7 +119,7 @@ def q481_streaming_theta_intersection(
     — the FOURTH merge algebra, completing the mergeable-sketch stream
     family (q473 add / q476 max / q479 add-subtract / here
     ORDER-STATISTIC: bottom-64 of the union). Events replay in
-    event-time order; each micro-batch's foreachBatch sink writes ONLY
+    event-time order; each micro-batch's foreachBatch sink ships ONLY
     its bottom-64 sketch of that batch's distinct user-day hash pool
     per event type (<= 64 x types rows per batch, never fact rows);
     after the run one more bottom-64 reduction over the union of the
@@ -152,18 +152,15 @@ def q481_streaming_theta_intersection(
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
-    nb = -(-n // bsz)
     base = e.select(
         "event_type", "event_id", "ts",
         F.expr(_H60_SPARK.format(key=_KEY_SPARK)).alias("h"),
     )
 
     tmp = tempfile.mkdtemp(prefix="q481_replay_")
-    out_root = tempfile.mkdtemp(prefix="q481_sk_")
     try:
         (
             base.repartition(1)
@@ -173,6 +170,9 @@ def q481_streaming_theta_intersection(
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
+        nb = -(-n // bsz)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -181,8 +181,8 @@ def q481_streaming_theta_intersection(
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            sk = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.select("event_type", "h").distinct()
                 .withColumn(
                     "rn",
@@ -194,17 +194,10 @@ def q481_streaming_theta_intersection(
                 .select("event_type", "h")
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            sk.write.mode("append").parquet(f"{out_root}/sk")
-
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
 
         # ORDER-STATISTIC MERGE: bottom-64 of the distinct union of the
         # per-batch bottom-64s == bottom-64 of the all-rows pool
-        parts = spark.read.parquet(f"{out_root}/sk")
+        parts = drain_partials(spark, stream, partial_of)
         sk = (
             parts.select("event_type", "h").distinct()
             .withColumn(
@@ -290,7 +283,6 @@ def q481_streaming_theta_intersection(
         sk.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
 
 
@@ -404,11 +396,9 @@ def q486_streaming_priority_sample(
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
-    nb = -(-n // bsz)
     base = e.select(
         "event_type", "event_id", "ts",
         F.expr(_W_SPARK).alias("w"),
@@ -416,7 +406,6 @@ def q486_streaming_priority_sample(
     )
 
     tmp = tempfile.mkdtemp(prefix="q486_replay_")
-    out_root = tempfile.mkdtemp(prefix="q486_res_")
     try:
         (
             base.repartition(1)
@@ -426,6 +415,9 @@ def q486_streaming_priority_sample(
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
+        nb = -(-n // bsz)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -434,8 +426,8 @@ def q486_streaming_priority_sample(
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            res = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.withColumn("p", F.expr(_PRI))
                 .withColumn(
                     "rk",
@@ -447,15 +439,8 @@ def q486_streaming_priority_sample(
                 .select("event_type", "event_id", "w", "h")
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            res.write.mode("append").parquet(f"{out_root}/res")
 
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-
-        shipped = spark.read.parquet(f"{out_root}/res")
+        shipped = drain_partials(spark, stream, partial_of)
         ship = shipped.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("shipped_rows"))
         # ORDER-STATISTIC MERGE: one more top-(k+1) over shipped rows
@@ -497,7 +482,6 @@ def q486_streaming_priority_sample(
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
 
 
@@ -594,7 +578,7 @@ def q491_streaming_logbucket_quantiles(
     value range — the power-of-2 skeleton of DDSketch-style relative-
     error sketches), so the sketch works on data whose range nobody
     has seen yet, which is the actual 100 TB/day situation. Each
-    micro-batch's foreachBatch sink writes its per-(type, bucket)
+    micro-batch's foreachBatch sink ships its per-(type, bucket)
     counts (a few dozen integers — never fact rows); partials merge by
     bucket-wise ADDITION; p50/p90/p99 read off the merged histogram as
     the integer geometric midpoint 2^b + 2^(b-1) of the selected
@@ -617,11 +601,9 @@ def q491_streaming_logbucket_quantiles(
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
-    nb = -(-n // bsz)
     base = e.select(
         "event_type", "event_id", "ts",
         F.expr("GREATEST(CAST(floor(value * 100.0) AS BIGINT), "
@@ -629,7 +611,6 @@ def q491_streaming_logbucket_quantiles(
     )
 
     tmp = tempfile.mkdtemp(prefix="q491_replay_")
-    out_root = tempfile.mkdtemp(prefix="q491_lb_")
     try:
         (
             base.repartition(1)
@@ -639,6 +620,9 @@ def q491_streaming_logbucket_quantiles(
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
+        nb = -(-n // bsz)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -647,25 +631,18 @@ def q491_streaming_logbucket_quantiles(
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            partial = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.select("event_type",
                                 F.expr(_LB_SPARK).alias("b"))
                 .groupBy("event_type", "b")
                 .agg(F.count(F.lit(1)).cast("long").alias("c"))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            partial.write.mode("append").parquet(f"{out_root}/partials")
-
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
 
         # bucket-wise ADDITION merge of the per-batch partials
         bc = (
-            spark.read.parquet(f"{out_root}/partials")
+            drain_partials(spark, stream, partial_of)
             .groupBy("event_type", "b")
             .agg(F.sum("c").cast("long").alias("c"))
         )
@@ -735,5 +712,4 @@ def q491_streaming_logbucket_quantiles(
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out

@@ -140,6 +140,7 @@ def q493_streaming_conformal_monitor(
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
@@ -182,12 +183,8 @@ def q493_streaming_conformal_monitor(
 
     test_rows = base.filter(F.col("split") == 2).select(
         "lang", "doc_id", "y")
-    n = test_rows.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
-    nb = -(-n // bsz)
 
     tmp = tempfile.mkdtemp(prefix="q493_replay_")
-    out_root = tempfile.mkdtemp(prefix="q493_cm_")
     try:
         (
             test_rows.repartition(1)
@@ -196,6 +193,9 @@ def q493_streaming_conformal_monitor(
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
+        nb = -(-n // bsz)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -204,8 +204,8 @@ def q493_streaming_conformal_monitor(
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            partial = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.join(
                     F.broadcast(static.select("lang", "pred_chars", "qhat")),
                     "lang")
@@ -218,17 +218,10 @@ def q493_streaming_conformal_monitor(
                 )
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            partial.write.mode("append").parquet(f"{out_root}/partials")
-
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
 
         # ADDITION MERGE: per-lang sums over the per-batch count pairs
         merged = (
-            spark.read.parquet(f"{out_root}/partials")
+            drain_partials(spark, stream, partial_of)
             .groupBy("lang")
             .agg(F.sum("n_test").cast("long").alias("n_test"),
                  F.sum("n_covered").cast("long").alias("n_covered"))
@@ -252,7 +245,6 @@ def q493_streaming_conformal_monitor(
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
 
 
@@ -378,11 +370,9 @@ def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
-    n = e.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
-    nb = -(-n // bsz)
     base = e.select(
         "event_type", "event_id", "ts",
         F.expr("GREATEST(CAST(floor(value * 100.0) AS BIGINT), "
@@ -390,7 +380,6 @@ def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="q496_replay_")
-    out_root = tempfile.mkdtemp(prefix="q496_dd_")
     try:
         (
             base.repartition(1)
@@ -400,6 +389,9 @@ def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
+        nb = -(-n // bsz)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -408,25 +400,18 @@ def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            partial = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.select("event_type",
                                 F.expr(_DD_BUCKET).alias("b"))
                 .groupBy("event_type", "b")
                 .agg(F.count(F.lit(1)).cast("long").alias("c"))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            partial.write.mode("append").parquet(f"{out_root}/partials")
-
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
 
         # bucket-wise ADDITION merge of the per-batch partials
         bc = (
-            spark.read.parquet(f"{out_root}/partials")
+            drain_partials(spark, stream, partial_of)
             .groupBy("event_type", "b")
             .agg(F.sum("c").cast("long").alias("c"))
         )
@@ -498,7 +483,6 @@ def q496_streaming_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
 
 
@@ -596,6 +580,7 @@ def q500_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from cli_spark.sources.replay_datasource import register_replay_source
+    from cli_spark.streaming.drain import drain_partials, replay_row_count
 
     e = load_table(spark, sf_dir, "events")
     base = e.select(
@@ -605,12 +590,8 @@ def q500_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PSI_SPLIT_SPARK).alias("split"),
     )
     cur_side = base.filter(F.col("split") == 1)
-    n = cur_side.count()
-    bsz = -(-n // _N_BATCHES)  # ceil
-    nb = -(-n // bsz)
 
     tmp = tempfile.mkdtemp(prefix="q500_replay_")
-    out_root = tempfile.mkdtemp(prefix="q500_psi_")
     try:
         (
             cur_side.repartition(1)
@@ -620,6 +601,9 @@ def q500_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tmp)
         )
         [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        n = replay_row_count(part)
+        bsz = -(-n // _N_BATCHES)  # ceil
+        nb = -(-n // bsz)
         register_replay_source(spark)
         stream = (
             spark.readStream.format("replay")
@@ -628,23 +612,16 @@ def q500_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .load()
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            partial = (
+        def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return (
                 batch_df.groupBy("event_type", "b")
                 .agg(F.count(F.lit(1)).cast("long").alias("c"))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
-            partial.write.mode("append").parquet(f"{out_root}/partials")
-
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
 
         # bucket-wise ADDITION merge of the streamed current window
         cur = (
-            spark.read.parquet(f"{out_root}/partials")
+            drain_partials(spark, stream, partial_of)
             .groupBy("event_type", "b")
             .agg(F.sum("c").cast("long").alias("cur_n"))
         )
@@ -698,5 +675,4 @@ def q500_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(out_root, ignore_errors=True)
     return out
