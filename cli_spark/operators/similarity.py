@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cli_spark.plans.registry import register
-from cli_spark.session import materialize_local
 from cli_spark.tables import load_table
 
 # q82's all-pairs verify shape refuses inputs past this (module-level
@@ -1464,16 +1463,12 @@ def q375_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("ce"), F.col("sxx").alias("scc")
     )
-    # the distance relation feeds BOTH rounds' phi aggregates, picks
-    # and the capture step — without the persist each of those lazy
-    # broadcast subtrees re-derives it from the scan (round-15
-    # optimization, guide §2.4/§5)
     d1 = e.crossJoin(F.broadcast(c0)).select(
         "vec_id", "embedding", "sxx",
         (F.col("sxx")
          - 2 * F.expr(_IDOT.format(a="embedding", b="ce"))
          + F.col("scc")).alias("d2"),
-    ).persist()
+    )
     u1 = _kmpp_u48("r1", "spark")
     pick = (
         "CAST({u} AS DECIMAL(38,0)) * CAST(phi AS DECIMAL(38,0)) < "
@@ -1481,10 +1476,7 @@ def q375_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(281474976710656 AS DECIMAL(38,0))"
     )
     phi1 = d1.agg(F.sum("d2").alias("phi"))
-    # the picked candidate sets are ~l rows: pin them to LOCAL
-    # relations so downstream broadcasts are free instead of nested
-    # re-evaluations
-    p1 = materialize_local(
+    p1 = (
         d1.crossJoin(F.broadcast(phi1))
         .filter(F.expr(pick.format(u=u1)))
         .select("vec_id", "embedding", "sxx")
@@ -1510,16 +1502,15 @@ def q375_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", "sxx",
             F.least("d2", F.coalesce("md2", "d2")).alias("d2"),
         )
-        .persist()  # feeds phi2 AND the round-2 pick
     )
     phi2 = d2r.agg(F.sum("d2").alias("phi"))
     u2 = _kmpp_u48("r2", "spark")
-    p2 = materialize_local(
+    p2 = (
         d2r.crossJoin(F.broadcast(phi2))
         .filter(F.expr(pick.format(u=u2)))
         .select("vec_id", "embedding", "sxx")
     )
-    cand = materialize_local(
+    cand = (
         e.filter(F.col("vec_id") == 0)
         .select("vec_id", "embedding", "sxx", F.lit(0).alias("round"))
         .unionAll(p1.withColumn("round", F.lit(1)))
@@ -1557,9 +1548,6 @@ def q375_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_assigned", F.lit(0)).cast("long").alias("weight"),
         )
     )
-    out = materialize_local(weighted.orderBy(
+    return weighted.orderBy(
         F.col("weight").desc(), F.col("center_id").asc()
-    ).limit(4))
-    d1.unpersist()
-    d2r.unpersist()
-    return out
+    ).limit(4)

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from cli_spark.operators.pipeline import _BUCKET, _bucket_col
 from cli_spark.plans.registry import register
-from cli_spark.session import materialize_local
 from cli_spark.tables import events_stream, load_table
 
 # 5-word shingles, 1-based start positions (both engines); docs with
@@ -1703,10 +1702,7 @@ def q322_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded-dim relation, vectors never shuffle; the 4 subspaces
     share ONE scan of the exploded dims (the pos filter splits it),
     so PQ costs the same passes as one full-width k-means."""
-    # one exploded-dim scan per invocation: every subspace arm runs
-    # _KMEANS_ITERS + 1 assigns over slices of this relation (round-15
-    # optimization, guide §2.4/§5)
-    q_all = _qdims(spark, sf_dir).select("vec_id", "pos", "qv").persist()
+    q_all = _qdims(spark, sf_dir).select("vec_id", "pos", "qv")
 
     def assign(qd: DataFrame, cent: DataFrame) -> DataFrame:
         d = (
@@ -1725,18 +1721,12 @@ def q322_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(_PQ_SUB):
         lo, hi = s * _PQ_DIM, (s + 1) * _PQ_DIM - 1
         qd = q_all.filter((F.col("pos") >= lo) & (F.col("pos") <= hi))
-        # each centroid relation is k x sub_dim = 64 rows: pin it to a
-        # LOCAL relation per iteration so iteration i's broadcast does
-        # not nest (and sequentially re-evaluate) every earlier
-        # iteration's assign underneath it
-        cent = materialize_local(
-            qd.filter(F.col("vec_id") < _KMEANS_K).select(
-                F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cv")
-            )
+        cent = qd.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.col("vec_id").alias("cid"), "pos", F.col("qv").alias("cv")
         )
         for _ in range(_KMEANS_ITERS):
             members = assign(qd, cent).select("vec_id", "cid")
-            cent = materialize_local(
+            cent = (
                 qd.join(members, "vec_id")
                 .groupBy("cid", "pos")
                 .agg(
@@ -1762,8 +1752,6 @@ def q322_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    out = materialize_local(out)
-    q_all.unpersist()
     return out
 
 
