@@ -647,48 +647,53 @@ def q311_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream k-gram, but winnowing still selects ~the same
     hashes, and the guarantee bounds density to ~2/(W+1)).
 
-    Spark shape: the per-position relation explodes linearly in
-    corpus characters (the q201 ExactSubstr scale class), the
-    rightmost-min rule compiles to ONE doc-partitioned running MIN
-    over a 4-row frame via the order-encoding combo key (no
-    per-window subquery, no self-join), and selections collapse by
-    DISTINCT before the per-doc census — every shuffle is keyed by
-    doc_id, so the plan is embarrassingly doc-parallel at 100 TB."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 11)
-    base = d.select(
-        "doc_id", "text", (F.length("text") - 7).alias("np")
-    )
-    pos = base.select(
-        "doc_id",
-        "np",
-        F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        "np",
-        "p",
-        F.concat(
-            F.md5(F.encode(F.expr("substring(text, p, 8)"), "utf-8")),
-            F.lit("#"),
-            F.lpad((F.lit(10_000_000) - F.col("p")).cast("string"), 8, "0"),
-        ).alias("key"),
-    )
-    from pyspark.sql.window import Window
+    Spark shape (round-15 optimization, guide §2.4): every window of
+    a document is derived from that ONE document row, so the whole
+    selection runs as per-row array expressions — k-gram keys built
+    once per position into a bound array (the single-element-array
+    let-binding keeps CollapseProject from inlining the array into the
+    per-window lambda, which would re-hash every position per window),
+    each window takes array_min of a 4-slice, selections collapse by
+    array_distinct. The previous shape exploded a per-position
+    relation and paid Exchange + sort for a doc-partitioned
+    running-MIN window plus a DISTINCT and an aggregation exchange —
+    three shuffles of the widest relation in the query, all keyed by
+    doc_id, all removable because the data is born doc-local. The only
+    exchange left is the narrow raw-doc fanout below. Per-task memory is O(doc length) strings, bounded
+    by the corpus's document-length contract; a corpus with
+    multi-hundred-MB single documents would re-shard texts upstream
+    (the q201 ExactSubstr class), not change this plan.
 
-    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
-    selected = (
-        pos.select(
-            "doc_id", "np", "p", F.min("key").over(w).alias("sel")
-        )
-        .filter(F.col("p") <= F.col("np") - 3)
-        .select("doc_id", "np", "sel")
-        .distinct()
+    The raw docs are fanned out FIRST (the shingles_df fanout idiom):
+    single-file testdata scans as one partition, and without the
+    fan-out the whole per-doc selection ran on ONE task — measured
+    slower than the exploded form it replaced."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 11)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    return selected.groupBy("doc_id").agg(
-        F.max("np").cast("long").alias("n_kgrams"),
-        F.count(F.lit(1)).alias("n_selected"),
-        F.countDistinct(F.substring("sel", 1, 32)).alias("n_distinct_fp"),
-        F.expr("count(1) * 1000000 div max(np)").alias("density_ppm"),
+    sels = F.expr(
+        "transform(array("
+        "  transform(sequence(1, length(text) - 7), p ->"
+        "    concat(md5(encode(substring(text, p, 8), 'utf-8')), '#',"
+        "           lpad(cast(10000000 - p as string), 8, '0')))"
+        "), ks ->"
+        "  array_distinct(transform(sequence(1, length(text) - 10), i ->"
+        "    array_min(slice(ks, i, 4)))))[0]"
+    )
+    per_doc = d.select(
+        "doc_id", (F.length("text") - 7).alias("np"), sels.alias("sels")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("np").cast("long").alias("n_kgrams"),
+        F.size("sels").cast("long").alias("n_selected"),
+        F.size(F.array_distinct(
+            F.transform(F.col("sels"), lambda s: F.substring(s, 1, 32))
+        )).cast("long").alias("n_distinct_fp"),
+        F.expr("cast(size(sels) as bigint) * 1000000 div np")
+        .alias("density_ppm"),
     )
 
 
@@ -751,32 +756,42 @@ def q315_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     census map-side combines; the pair join runs over posting lists
     capped at 10 docs — at most 45 pairs per fingerprint, so the
     candidate space is linear in distinct fingerprints, never
-    quadratic in corpus."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 11)
-    base = d.select("doc_id", "text", (F.length("text") - 7).alias("np"))
-    pos = base.select(
-        "doc_id",
-        "np",
-        F.explode(F.sequence(F.lit(1), F.col("np"))).alias("p"),
-        "text",
-    ).select(
-        "doc_id",
-        "np",
-        "p",
-        F.concat(
-            F.md5(F.encode(F.expr("substring(text, p, 8)"), "utf-8")),
-            F.lit("#"),
-            F.lpad((F.lit(10_000_000) - F.col("p")).cast("string"), 8, "0"),
-        ).alias("key"),
-    )
-    from pyspark.sql.window import Window
+    quadratic in corpus.
 
-    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    Round-15 optimization (guide §2.4, same rewrite as q311): the
+    winnowing selection is doc-local, so it runs as per-row array
+    expressions (let-bound key array, array_min over 4-slices,
+    per-doc array_distinct) instead of exploding a per-position
+    relation through an Exchange + sort + window + DISTINCT — the
+    first shuffle the query now pays is the document-frequency census
+    at fingerprint grain, ~2/(W+1) the size of the old per-position
+    exchange. explode_outer, not explode: the q309 lesson — plain
+    explode adds a size>0 filter that re-evaluates the whole selection
+    expression. As in q311, the raw docs fan out FIRST (the
+    shingles_df fanout idiom): single-file testdata scans as one
+    partition, and without the fan-out the whole per-doc selection ran
+    on ONE task — measured slower (9.7 s) than the exploded form it
+    replaced (4.9 s)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 11)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    hs = F.expr(
+        "transform(array("
+        "  transform(sequence(1, length(text) - 7), p ->"
+        "    concat(md5(encode(substring(text, p, 8), 'utf-8')), '#',"
+        "           lpad(cast(10000000 - p as string), 8, '0')))"
+        "), ks ->"
+        "  array_distinct(transform("
+        "    array_distinct(transform(sequence(1, length(text) - 10), i ->"
+        "      array_min(slice(ks, i, 4)))),"
+        "    s -> substring(s, 1, 32))))[0]"
+    )
     fp = (
-        pos.select("doc_id", "np", "p", F.min("key").over(w).alias("sel"))
-        .filter(F.col("p") <= F.col("np") - 3)
-        .select("doc_id", F.substring("sel", 1, 32).alias("h"))
-        .distinct()
+        d.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
     )
     df_census = fp.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     kept = fp.join(df_census.filter(F.col("nd") <= 10), "h").select("doc_id", "h")
@@ -2098,6 +2113,20 @@ _CDC_BYTE = (
     " * 16 + instr('0123456789abcdef', substr(md5(substr(text, p - 3, 4)), 2, 1)) - 1"
 )
 
+# Spark-side form of the SAME boundary test, one md5 instead of two:
+# byte % 32 == 0  ⟺  byte ∈ {0,32,...,224}  ⟺  the first two hex chars
+# are one of the 8 listed pairs (low nibble 0, high nibble even).
+# Higher-order-function lambdas run interpreted (no whole-stage
+# codegen, no common-subexpression elimination), so the two-instr form
+# really computed md5(4-gram) TWICE per character position. Evaluates
+# to 0/1 so the template's `% 32 = 0` wrapper still selects boundaries.
+# The DuckDB oracle keeps the two-instr form — both reduce to the same
+# predicate on the same md5, which the oracle hash match proves.
+_CDC_BYTE_SPARK = (
+    "IF(substr(md5(substr(text, p - 3, 4)), 1, 2) IN "
+    "('00','20','40','60','80','a0','c0','e0'), 0, 1)"
+)
+
 _CDC_CORE = """
 WITH cuts AS (
   SELECT doc_id, source, text,
@@ -2177,7 +2206,7 @@ def q380_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame
         xform="transform",
         seq=("CASE WHEN length(text) >= 4 THEN sequence(4, length(text)) "
              "ELSE CAST(array() AS ARRAY<INT>) END"),
-        byte=_CDC_BYTE,
+        byte=_CDC_BYTE_SPARK,
         cutexpr="concat(array(0), bpos, array(length(text)))",
         lat=(" LATERAL VIEW explode(transform("
              "sequence(1, size(cut) - 1), "

@@ -91,6 +91,42 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def stream_partitions() -> int:
+    """Shuffle-partition count for stateful streaming micro-batches.
+
+    A stateful operator creates one state-store instance per shuffle
+    partition, and EVERY micro-batch pays per-partition fixed cost:
+    a task, a state-store load + commit (delta file + CRC + rename
+    under the HDFS-backed provider), and scheduler overhead. The right
+    number tracks per-batch volume, not the box's core count: the
+    replay fixtures deliver ~5k-row micro-batches, where 32 partitions
+    is ~40× more per-batch fixed cost than data (round-15 measurement:
+    q453 spent most of its ~1 s/batch on fixed per-partition work).
+    Production streams size this to state volume / throughput via
+    SPARK_GRAFT_STREAM_PARTITIONS (e.g. hundreds on a cluster); the
+    local default 8 keeps the driver's bench method unchanged while
+    matching the fixture's batch grain. Results are partitioning-
+    invariant — state is keyed, the watermark is global."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
+class scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions for a streaming run and restore
+    it on exit (the stateful operator pins its state partition count at
+    checkpoint creation, so the conf only needs to hold across
+    .start()..stop())."""
+
+    def __init__(self, spark: SparkSession, n: int) -> None:
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def materialize_local(df):
     """Collect a SMALL (few-row) result and rebuild it as a local
     DataFrame with the identical schema. Used by queries that persist

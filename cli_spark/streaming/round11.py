@@ -212,25 +212,33 @@ def q453_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            # one right-sized file per micro-batch (guide §6): the
-            # emitted slice is a few thousand rows, so letting the
-            # 32-way state partitioning dictate 32 tiny files per batch
-            # (~1300 files per run) just taxes the commit protocol and
-            # the read-back listing; coalesce(1) keeps the write a
-            # single task without adding an exchange
-            batch_df.coalesce(1).write.mode("append").parquet(
-                f"{out_root}/emitted")
+            # NO coalesce here: a coalesce(1) on the micro-batch output
+            # narrows the whole post-exchange stage to ONE task, which
+            # then runs ALL state-store partitions' dedup work serially
+            # — measured +43 s on the full run (round-15 A/B,
+            # BENCH_r15_opt_before/after). File count per batch is
+            # instead bounded by the stream's state partitioning
+            # (stream_partitions(), 8 locally), sized to batch volume
+            batch_df.write.mode("append").parquet(f"{out_root}/emitted")
 
         # default trigger + processAllAvailable, NOT availableNow: the
         # Simple replay reader reports no admission-control metadata,
         # so an available-now run folds everything into batch 0 and
         # terminates — the default trigger drains it batchRows at a
-        # time (~40 real micro-batches)
-        query = deduped.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        # time (~40 real micro-batches).
+        # scoped_shuffle_partitions: the stateful dedup creates one
+        # state store per shuffle partition and re-pays that
+        # per-partition fixed cost EVERY batch — size it to the
+        # ~5k-row batch grain, not the core count (session.py
+        # stream_partitions; round-15 optimization, guide §2.2/§5)
+        from cli_spark.session import scoped_shuffle_partitions, stream_partitions
+
+        with scoped_shuffle_partitions(spark, stream_partitions()):
+            query = deduped.writeStream.foreachBatch(sink).start()
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         emitted = spark.read.parquet(f"{out_root}/emitted")
         per_key = emitted.groupBy("event_type", "event_id").agg(
             F.count(F.lit(1)).alias("n_em"))

@@ -143,6 +143,15 @@ def q473_streaming_histogram_quantiles(
     )
     grid = base.groupBy("event_type").agg(
         F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
+    # materialize the profiling pass ONCE: foreachBatch plans every
+    # micro-batch fresh, so a lazy `grid` inside the sink re-ran the
+    # full-table min/max aggregation as a broadcast build EVERY batch
+    # (round-15 optimization, guide §1/§5 — ~20 redundant scans per
+    # run). The collected rows feed the sink as map literals and
+    # rebuild the same `grid` relation for the post-run estimates.
+    grid_rows = grid.collect()
+    grid = spark.createDataFrame(
+        grid_rows, "event_type string, minc long, maxc long")
 
     tmp = tempfile.mkdtemp(prefix="q473_replay_")
     try:
@@ -164,14 +173,24 @@ def q473_streaming_histogram_quantiles(
             .load()
         )
 
+        # grid lookup as SQL MAP LITERALS (one row per event type) so
+        # the bucket arithmetic keeps the exact integer DIV chain: the
+        # batch rows come from the same table the grid profiled, so
+        # every lookup hits — identical to the previous inner join.
+        def _sqlmap(col: str) -> str:
+            items = ", ".join(
+                "'{}', {}L".format(r["event_type"].replace("'", "''"),
+                                   r[col])
+                for r in grid_rows)
+            return f"map({items})[event_type]"
+
+        bkt_expr = (f"(cents - {_sqlmap('minc')}) * {_BUCKETS} DIV "
+                    f"({_sqlmap('maxc')} - {_sqlmap('minc')} + 1)")
+
         def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
             return (
-                batch_df.join(F.broadcast(grid), "event_type")
-                .select(
-                    "event_type",
-                    F.expr(f"(cents - minc) * {_BUCKETS} DIV "
-                           "(maxc - minc + 1)").alias("bkt"),
-                )
+                batch_df.select(
+                    "event_type", F.expr(bkt_expr).alias("bkt"))
                 .groupBy("event_type", "bkt")
                 .agg(F.count(F.lit(1)).cast("long").alias("c"))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -574,21 +593,26 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
-            # threshold computed IN-PLAN (one always-1-row aggregate,
-            # cross-joined back) — the per-batch collect ships only the
-            # surviving MG counters (<= _MG_K rows)
-            bc = batch_df.groupBy("user_id").agg(
-                F.count(F.lit(1)).cast("long").alias("c"))
-            rnk = bc.withColumn(
-                "rnk",
-                F.row_number().over(
-                    W.orderBy(F.col("c").desc(), F.col("user_id").asc())),
-            )
-            thr = rnk.agg(
-                F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("c"))
-                      .otherwise(F.lit(0))).alias("c9"))
+            # threshold computed IN-PLAN in the SAME window pass as the
+            # rank: the previous form cross-joined a broadcast 1-row
+            # aggregate, which re-ran the batch count aggregate inside
+            # the per-batch broadcast build (every micro-batch is
+            # planned fresh, so nothing was reused — round-15
+            # optimization, guide §1/§3.1). The full-frame MAX shares
+            # the rank's sort; the per-batch collect still ships only
+            # the surviving MG counters (<= _MG_K rows)
+            wo = W.orderBy(F.col("c").desc(), F.col("user_id").asc())
             return (
-                bc.crossJoin(F.broadcast(thr))
+                batch_df.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .withColumn("rnk", F.row_number().over(wo))
+                .withColumn(
+                    "c9",
+                    F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("c"))
+                          .otherwise(F.lit(0)))
+                    .over(wo.rowsBetween(W.unboundedPreceding,
+                                         W.unboundedFollowing)),
+                )
                 .select("user_id", (F.col("c") - F.col("c9")).alias("ctr"))
                 .filter(F.col("ctr") > 0)
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))

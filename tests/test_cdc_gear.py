@@ -32,6 +32,36 @@ def test_insertion_survival_both_fingerprints():
         assert tail_a == tail_b and len(tail_a) > 10, fn.__name__
 
 
+def test_one_md5_boundary_form_matches_two_instr_form(spark):  # noqa: F811
+    """The round-15 single-md5 Spark boundary form (_CDC_BYTE_SPARK,
+    first-two-hex-chars IN-set) selects EXACTLY the positions the
+    original two-instr byte form does, over the full gear corpus —
+    the optimization changed per-position cost, not boundaries."""
+    from cli_spark.operators.dedup import _CDC_BYTE, _CDC_BYTE_SPARK
+
+    docs = spark.createDataFrame(
+        cdc_gear.corpus(), "doc_id long, source string, text string"
+    )
+    docs.createOrReplaceTempView("cdc_fixture_docs2")
+
+    def bpos_of(byte_expr: str) -> dict:
+        return {
+            r["doc_id"]: (r["bpos"] or [])
+            for r in spark.sql(f"""
+                SELECT doc_id,
+                       filter(transform(
+                         CASE WHEN length(text) >= 4
+                              THEN sequence(4, length(text))
+                              ELSE CAST(array() AS ARRAY<INT>) END,
+                         p -> CASE WHEN ({byte_expr}) % 32 = 0 THEN p END),
+                         x -> x IS NOT NULL) AS bpos
+                FROM cdc_fixture_docs2
+            """).collect()
+        }
+
+    assert bpos_of(_CDC_BYTE_SPARK) == bpos_of(_CDC_BYTE)
+
+
 def test_md5_bridge_matches_q380_sql_expression(spark):  # noqa: F811
     """Bit-identical bridge: the Python md5-form boundaries equal
     q380's SQL higher-order boundary expression on the same corpus —

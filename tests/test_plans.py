@@ -783,10 +783,10 @@ def test_session3_scale_shapes(spark, sf_dir):
 def test_round7_additions_plan_shapes(spark, sf_dir):
     """Round-7 operators keep their scale shapes:
 
-    * q311/q315 winnowing: the rightmost-min rule is ONE doc-
-      partitioned running window (no self-join for selection); q315's
-      match stage joins on the fingerprint hash (stop-capped posting
-      lists), never doc×doc;
+    * q311/q315 winnowing: selection is doc-local per-row array
+      expressions since round 15 (no self-join, no per-position
+      exchange); q315's match stage joins on the fingerprint hash
+      (stop-capped posting lists), never doc×doc;
     * q312 ROUGE: candidates ride the band-edge relation and overlap
       joins are keyed by word — no cartesian anywhere;
     * q320 MRL: the query side is a 5-row broadcast (nested-loop over
