@@ -216,7 +216,7 @@ def q453_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             # narrows the whole post-exchange stage to ONE task, which
             # then runs ALL state-store partitions' dedup work serially
             # — measured +43 s on the full run (round-15 A/B,
-            # BENCH_r15_opt_before/after). File count per batch is
+            # BENCH_r15_opt_before/mid). File count per batch is
             # instead bounded by the stream's state partitioning
             # (stream_partitions(), 8 locally), sized to batch volume
             batch_df.write.mode("append").parquet(f"{out_root}/emitted")
