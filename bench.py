@@ -419,6 +419,25 @@ def main() -> None:
     # brand-new builds: tracked only, no baseline yet
     times.update({name: timed(name, sf_dir, 2) for name in NEW_QUERIES})
 
+    # ---- box-epoch sentinel (round 16, VERDICT r15 #4): a PINNED
+    # calibration query whose work never changes with the engine's
+    # code — a pure-compute range aggregation, no input data, no
+    # engine operators — timed with the bench method (warm + min of
+    # 3). Two bit-identical trees measured in different box epochs
+    # show the drift HERE, so a per-query delta can be read as
+    # drift-vs-change from single runs. ~1 s on an idle 32-vCPU box.
+    def _epoch_sentinel() -> float:
+        def one() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 600_000_000, 1, 32).selectExpr(
+                "sum(id * id % 1000003)").collect()
+            return time.perf_counter() - t0
+
+        one()  # warm-up (untimed)
+        return round(min(one() for _ in range(3)), 4)
+
+    epoch_sentinel = _epoch_sentinel()
+
     out = {
         "metric": "headline query warm latency (sum over 11 query classes, min of 5)",
         "value": headline_total,
@@ -455,6 +474,7 @@ def main() -> None:
         "loadavg": loadavg,
         "loadavg_flag": loadavg_flag,
         "loadavg_wait_sec": loadavg_wait,
+        "epoch_sentinel_sec": epoch_sentinel,
         "runs": N_RUNS,
     }
 
@@ -485,7 +505,17 @@ def main() -> None:
             "gen_sec": gen_sec,
         }
 
-    print(json.dumps(out))
+    # Shrink the one-line JSON (round 16, VERDICT r15 #4: BENCH_r14's
+    # line outgrew the driver's tail capture and cost a round of PERF
+    # comparison): per-query floats to 3 decimals (ms grain — the
+    # bench's own noise floor is larger) and compact separators. Keys
+    # and structure are unchanged — additions/format only.
+    out["queries"] = {k: round(v, 3) for k, v in out["queries"].items()}
+    if "sf1" in out:
+        out["sf1"]["queries"] = {
+            k: round(v, 3) for k, v in out["sf1"]["queries"].items()
+        }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

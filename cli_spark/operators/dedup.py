@@ -667,7 +667,13 @@ def q311_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw docs are fanned out FIRST (the shingles_df fanout idiom):
     single-file testdata scans as one partition, and without the
     fan-out the whole per-doc selection ran on ONE task — measured
-    slower than the exploded form it replaced."""
+    slower than the exploded form it replaced.
+
+    Invariant (ADVICE r15 item 3): doc_id is the documents table's
+    key. The per-ROW form relies on it — a duplicated doc_id would
+    yield one output row per copy where the old groupBy(doc_id) plan
+    merged them. The table contract (TESTDATA.md: doc_id unique) and
+    the oracle (which is keyed the same way) both pin this."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 11)

@@ -730,7 +730,16 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cli_spark.operators.dedup import shingles_df
 
     docs = load_table(spark, sf_dir, "documents")
-    n0 = docs.count()
+    # n0/n1 in ONE aggregation (round 16, VERDICT r15 item 5): keep1
+    # holds exactly one doc per distinct md5 key (row_number = 1), so
+    # |keep1| == countDistinct(key) — two serialized count() actions
+    # fused into a single job. keep1 itself stays persisted for the
+    # stage-2 joins; its cache materializes inside the n2 action.
+    cnt = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.countDistinct(F.md5(F.encode("text", "utf-8"))).alias("n1"),
+    ).collect()[0]
+    n0, n1 = cnt["n0"], cnt["n1"]
     w = Window.partitionBy("key").orderBy("doc_id")
     keep1 = (
         docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("key"))
@@ -738,7 +747,6 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("r = 1")
         .select("doc_id")
     ).persist()
-    n1 = keep1.count()
     # stage 2: q73 signature construction on survivors
     sh = (
         shingles_df(spark, sf_dir)

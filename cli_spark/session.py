@@ -127,6 +127,49 @@ class scoped_shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+# Direct-write checkpoint file manager for the bounded replay streams
+# (round-16 optimization, guide §1.4/§6 commit-protocol cost): the
+# default rename-based manager pays create-temp + rename (+ checksum
+# companion) for EVERY offset-log, commit-log and state-delta file —
+# at ~20-40 micro-batches per replay run that protocol is ~20% of the
+# whole query (measured: q476 10.7 -> 8.2 s warm with the direct
+# manager; walCommit+commitOffsets 1.9 s/run in
+# StreamingQueryProgress). Rename-atomicity buys crash-recoverability
+# of a checkpoint these queries create fresh in a tempdir and discard
+# on return, so the durable-run trade does not apply; a production
+# deployment keeps whatever manager its checkpoint STORE needs
+# (rename-based on HDFS, store-specific managers on object stores
+# without atomic rename) via SPARK_GRAFT_CKPT_MANAGER.
+_CKPT_MANAGER_KEY = "spark.sql.streaming.checkpointFileManagerClass"
+_DIRECT_CKPT_MANAGER = (
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager"
+)
+
+
+def replay_ckpt_manager() -> str:
+    return os.environ.get("SPARK_GRAFT_CKPT_MANAGER", _DIRECT_CKPT_MANAGER)
+
+
+class scoped_replay_ckpt_manager:
+    """Apply the replay-stream checkpoint file manager for the
+    duration of one stream run and restore the session default on
+    exit (the manager class is read at query start)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get(_CKPT_MANAGER_KEY, None)
+        self.spark.conf.set(_CKPT_MANAGER_KEY, replay_ckpt_manager())
+
+    def __exit__(self, *exc) -> None:
+        if self.old is None:
+            self.spark.conf.unset(_CKPT_MANAGER_KEY)
+        else:
+            self.spark.conf.set(_CKPT_MANAGER_KEY, self.old)
+
+
 def materialize_local(df):
     """Collect a SMALL (few-row) result and rebuild it as a local
     DataFrame with the identical schema. Used by queries that persist

@@ -221,19 +221,34 @@ def q453_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             # (stream_partitions(), 8 locally), sized to batch volume
             batch_df.write.mode("append").parquet(f"{out_root}/emitted")
 
-        # default trigger + processAllAvailable, NOT availableNow: the
-        # Simple replay reader reports no admission-control metadata,
-        # so an available-now run folds everything into batch 0 and
-        # terminates — the default trigger drains it batchRows at a
-        # time (~40 real micro-batches).
+        # default trigger + processAllAvailable, NOT availableNow:
+        # PythonMicroBatchStream implements neither
+        # SupportsAdmissionControl nor SupportsTriggerAvailableNow
+        # (verified against the Spark 4.1.2 class), so an
+        # available-now run goes through the wrapper, snapshots
+        # latestOffset ONCE and folds everything into batch 0 —
+        # the default trigger drains it batchRows at a time
+        # (~40 real micro-batches).
         # scoped_shuffle_partitions: the stateful dedup creates one
         # state store per shuffle partition and re-pays that
         # per-partition fixed cost EVERY batch — size it to the
         # ~5k-row batch grain, not the core count (session.py
         # stream_partitions; round-15 optimization, guide §2.2/§5)
-        from cli_spark.session import scoped_shuffle_partitions, stream_partitions
+        # scoped_replay_ckpt_manager (round 16): the rename-based
+        # manager paid create-temp + rename for every offset/commit
+        # log entry AND every state-store delta file (8 partitions x
+        # ~40 batches); the direct-write manager drops that protocol
+        # for this throwaway per-invocation checkpoint (measured on
+        # the drained siblings: ~1.8 s/run; here it also covers the
+        # state store's 320 delta commits).
+        from cli_spark.session import (
+            scoped_replay_ckpt_manager,
+            scoped_shuffle_partitions,
+            stream_partitions,
+        )
 
-        with scoped_shuffle_partitions(spark, stream_partitions()):
+        with scoped_shuffle_partitions(spark, stream_partitions()), \
+                scoped_replay_ckpt_manager(spark):
             query = deduped.writeStream.foreachBatch(sink).start()
             try:
                 query.processAllAvailable()

@@ -173,23 +173,29 @@ def q473_streaming_histogram_quantiles(
             .load()
         )
 
-        # grid lookup as SQL MAP LITERALS (one row per event type) so
-        # the bucket arithmetic keeps the exact integer DIV chain: the
-        # batch rows come from the same table the grid profiled, so
-        # every lookup hits — identical to the previous inner join.
-        def _sqlmap(col: str) -> str:
-            items = ", ".join(
-                "'{}', {}L".format(r["event_type"].replace("'", "''"),
-                                   r[col])
-                for r in grid_rows)
-            return f"map({items})[event_type]"
+        # grid lookup as MAP LITERALS built with the COLUMN API (one
+        # row per event type), keeping the exact integer DIV chain:
+        # the batch rows come from the same table the grid profiled,
+        # so every lookup hits — identical to the previous inner join.
+        # F.create_map over F.lit values (the q493 idiom, ADVICE r15
+        # item 1) is value-safe for ANY event_type — the previous SQL
+        # string literal escaped quotes but not backslashes.
+        def _litmap(col: str):
+            pairs = []
+            for r in grid_rows:
+                pairs.append(F.lit(r["event_type"]))
+                # explicit long: py4j narrows small Python ints to
+                # IntegerType, and the DIV chain is typed on BIGINT
+                pairs.append(F.lit(r[col]).cast("long"))
+            return F.create_map(*pairs)[F.col("event_type")]
 
-        bkt_expr = (f"(cents - {_sqlmap('minc')}) * {_BUCKETS} DIV "
-                    f"({_sqlmap('maxc')} - {_sqlmap('minc')} + 1)")
+        bkt_expr = f"(cents - __minc) * {_BUCKETS} DIV (__maxc - __minc + 1)"
 
         def partial_of(batch_df: DataFrame, batch_id: int) -> DataFrame:
             return (
-                batch_df.select(
+                batch_df.withColumn("__minc", _litmap("minc"))
+                .withColumn("__maxc", _litmap("maxc"))
+                .select(
                     "event_type", F.expr(bkt_expr).alias("bkt"))
                 .groupBy("event_type", "bkt")
                 .agg(F.count(F.lit(1)).cast("long").alias("c"))

@@ -15,7 +15,7 @@ import sys
 import time
 from collections import defaultdict
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql.streaming import StreamingQueryListener
 

