@@ -747,12 +747,17 @@ def q385_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("r = 1")
         .select("doc_id")
     ).persist()
-    # stage 2: q73 signature construction on survivors
+    # stage 2: q73 signature construction on survivors. fanout=True
+    # (round-16, guide §2.5/§1.2): without it the single-file scan ran
+    # the split/transform/array_distinct shingle expression on ONE
+    # task — the post-hoc repartition this replaced landed its
+    # Exchange ABOVE the projection; fanning the raw docs out first
+    # parallelizes the expression itself (phase timing: the signature
+    # materialization was 4.0 s of the query's 6.3 s warm).
     sh = (
-        shingles_df(spark, sf_dir)
+        shingles_df(spark, sf_dir, fanout=True)
         .join(keep1, "doc_id")
         .select("doc_id", "shingles")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     hashed = sh.select(
         "doc_id",

@@ -142,9 +142,14 @@ def q460_repeated_kmer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     every k (no pruning, no closed forms), so the hash match is an
     empirical proof of both the lift's equivalence classes and the
     pruning algebra."""
+    # fan the RAW doc rows out FIRST (the q311/shingles_df idiom,
+    # round-16: the single-file scan is ONE partition, so the 1.45 M-
+    # position explode+substr and every map-side partial below it ran
+    # single-task)
     d = load_table(spark, sf_dir, "documents")
+    fanned = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pos = (
-        d.select(
+        fanned.select(
             "doc_id", "text",
             F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
         )
@@ -208,25 +213,51 @@ def q460_repeated_kmer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         censuses.append(census_groups(g, k))
-    full8 = pos.filter(F.length("s8") == 8)
-    k8 = full8.groupBy("s8").agg(
-        F.min("gid").alias("key"), F.count(F.lit(1)).alias("c"))
+    # Renumber-and-fetch as WINDOWS, not groupBy + join-back (round-16
+    # optimization, guide §2.4): the old shape paid FIVE exchanges per
+    # level — the (doc_id, p) self-join shuffled the state twice, the
+    # pair aggregate once, and the join-back shuffled both its sides —
+    # but the join-back already moved EVERY position to its group's
+    # partition, so a whole-partition window (min(gid), count(*)) over
+    # the same key computes the identical renumbering in that ONE
+    # exchange, and the partner fetch key_k(p+k) is a per-doc
+    # RANGE-frame lookup (positions are unique per doc, so the
+    # [p+k, p+k] frame holds exactly the partner row or nothing —
+    # bit-identical to the inner join). Two exchanges per level, same
+    # skew profile as before (the hash partitioning by group key is
+    # unchanged — map-side combine only ever shrank the small
+    # aggregate side, not the position shuffle).
+    wg8 = Window.partitionBy("s8")
     cur = (
-        full8.join(k8.filter(F.col("c") >= 2), "s8")
+        pos.filter(F.length("s8") == 8)
+        .select(
+            "doc_id", "p", "gid",
+            F.min("gid").over(wg8).alias("key"),
+            F.count(F.lit(1)).over(wg8).alias("c"),
+        )
+        .filter(F.col("c") >= 2)
         .select("doc_id", "p", "gid", "key", "c")
         .localCheckpoint(eager=True)
     )
     censuses.append(census_pruned(cur, 8))
     k = 8
     for next_k in (16, 32, 64):
-        a = cur.select("doc_id", "p", "gid", F.col("key").alias("k1"))
-        b = cur.select(
-            "doc_id", (F.col("p") - k).alias("p"), F.col("key").alias("k2"))
-        pairs = a.join(b, ["doc_id", "p"])
-        nk = pairs.groupBy("k1", "k2").agg(
-            F.min("gid").alias("key"), F.count(F.lit(1)).alias("c"))
+        wd = Window.partitionBy("doc_id").orderBy("p").rangeBetween(k, k)
+        pairs = (
+            cur.select(
+                "doc_id", "p", "gid", F.col("key").alias("k1"),
+                F.max("key").over(wd).alias("k2"),
+            )
+            .filter(F.col("k2").isNotNull())
+        )
+        wp = Window.partitionBy("k1", "k2")
         new = (
-            pairs.join(nk.filter(F.col("c") >= 2), ["k1", "k2"])
+            pairs.select(
+                "doc_id", "p", "gid",
+                F.min("gid").over(wp).alias("key"),
+                F.count(F.lit(1)).over(wp).alias("c"),
+            )
+            .filter(F.col("c") >= 2)
             .select("doc_id", "p", "gid", "key", "c")
             .localCheckpoint(eager=True)
         )

@@ -203,10 +203,18 @@ def q473_streaming_histogram_quantiles(
             )
 
         parts = drain_partials(spark, stream, partial_of)
-        # data-bearing batches in order — robust to empty batches
+        # data-bearing batches in order — robust to empty batches.
+        # nb stays IN the plan (full-frame window + a 1-row crossJoin
+        # below) instead of a dedicated collect: the old scalar fetch
+        # was a whole extra job per run over the same local relation
+        # (round 16, guide §1.2 — one action computes everything)
+        wall = Window.orderBy("batch_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
         parts = parts.withColumn(
-            "bseq", F.dense_rank().over(Window.orderBy("batch_id")))
-        nb = parts.agg(F.max("bseq")).collect()[0][0]
+            "bseq", F.dense_rank().over(Window.orderBy("batch_id"))
+        ).withColumn("nb", F.max("bseq").over(wall))
+        nbdf = parts.agg(
+            F.max("bseq").cast("long").alias("n_batches"))
 
         def estimates(bc: DataFrame, prefix: str) -> DataFrame:
             npt = bc.groupBy("event_type").agg(
@@ -244,7 +252,7 @@ def q473_streaming_histogram_quantiles(
         merged_final = parts.groupBy("event_type", "bkt").agg(
             F.sum("c").cast("long").alias("c"))
         merged_mid = (
-            parts.filter(F.col("bseq") <= nb // 2)
+            parts.filter(F.col("bseq") <= F.expr("nb DIV 2"))
             .groupBy("event_type", "bkt")
             .agg(F.sum("c").cast("long").alias("c"))
         )
@@ -254,10 +262,11 @@ def q473_streaming_histogram_quantiles(
         result = (
             fin.join(mid, (F.col("et2") == F.col("event_type"))
                      & (F.col("q2") == F.col("q")))
+            .crossJoin(F.broadcast(nbdf))
             .select(
                 "event_type", F.col("q").cast("long").alias("q"),
                 "n_final", "n_mid", "est_final_cents", "est_mid_cents",
-                F.lit(nb).cast("long").alias("n_batches"),
+                "n_batches",
             )
         )
         out = spark.createDataFrame(result.collect(), result.schema)
@@ -412,9 +421,17 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
             )
 
-        regs = drain_partials(spark, stream, partial_of).withColumn(
-            "bseq", F.dense_rank().over(Window.orderBy("batch_id")))
-        nb = regs.agg(F.max("bseq")).collect()[0][0]
+        # nb stays IN the plan (q473's pattern): full-frame window for
+        # the mid-stream filter, 1-row crossJoins for the prefix bound
+        # and the n_batches column — no dedicated scalar-fetch job
+        wall = Window.orderBy("batch_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        regs = (
+            drain_partials(spark, stream, partial_of)
+            .withColumn("bseq", F.dense_rank().over(Window.orderBy("batch_id")))
+            .withColumn("nb", F.max("bseq").over(wall))
+        )
+        nbdf = regs.agg(F.max("bseq").cast("long").alias("n_batches"))
 
         def estimate(r: DataFrame, exact: DataFrame) -> DataFrame:
             merged = r.groupBy("event_type", "bucket").agg(
@@ -447,26 +464,28 @@ def q476_streaming_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex_f = ordered.groupBy("event_type").agg(
             F.countDistinct("user_id").cast("long").alias("n_exact"))
         ex_m = (
-            ordered.filter(F.col("rn") <= (nb // 2) * bsz)
+            ordered.crossJoin(F.broadcast(nbdf))
+            .filter(F.col("rn") <= F.expr(f"(n_batches DIV 2) * {bsz}"))
             .groupBy("event_type")
             .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
         )
         fin = estimate(regs, ex_f)
         mid = (
-            estimate(regs.filter(F.col("bseq") <= nb // 2), ex_m)
+            estimate(regs.filter(F.col("bseq") <= F.expr("nb DIV 2")), ex_m)
             .select(F.col("event_type").alias("et2"),
                     F.col("n_exact").alias("n_exact_mid"),
                     F.col("hll").alias("hll_mid"))
         )
         result = (
             fin.join(mid, F.col("et2") == F.col("event_type"))
+            .crossJoin(F.broadcast(nbdf))
             .select(
                 "event_type", "n_exact",
                 F.col("hll").alias("hll_final"), "zeros",
                 "n_exact_mid", "hll_mid",
                 F.expr("CAST(abs(hll - n_exact) * 1000000 DIV n_exact "
                        "AS BIGINT)").alias("err_ppm"),
-                F.lit(nb).cast("long").alias("n_batches"),
+                "n_batches",
             )
         )
         out = spark.createDataFrame(result.collect(), result.schema)
@@ -635,17 +654,24 @@ def q479_streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = -(-n // bsz)
         merged = summ.groupBy("user_id").agg(
             F.sum("ctr").cast("long").alias("s"))
-        s9r = (
-            merged.withColumn(
-                "rnk",
-                F.row_number().over(
-                    W.orderBy(F.col("s").desc(), F.col("user_id").asc())))
-            .filter(F.col("rnk") == _MG_K + 1).select("s").collect()
+        # s9 stays IN the plan (the q473/q476 pattern, round 16): the
+        # old scalar fetch was a dedicated job over the same local
+        # relation; a 1-row aggregate (the rank-(K+1) sum, or 0 when
+        # fewer rows survive — identical to the old empty-collect
+        # fallback) broadcast-crossJoins into the final select
+        merged = merged.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("s").desc(), F.col("user_id").asc())))
+        s9df = merged.agg(
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("s"))),
+                F.lit(0)).cast("long").alias("s9"))
+        fin = (
+            merged.crossJoin(F.broadcast(s9df))
+            .select("user_id", (F.col("s") - F.col("s9")).alias("est"))
+            .filter(F.col("est") > 0)
         )
-        s9 = int(s9r[0]["s"]) if s9r else 0
-        fin = merged.select(
-            "user_id", (F.col("s") - F.lit(s9)).alias("est")
-        ).filter(F.col("est") > 0)
         exact = base.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("long").alias("ex"))
         ranked = (
