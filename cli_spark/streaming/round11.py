@@ -218,8 +218,23 @@ def q453_dropdup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             # — measured +43 s on the full run (round-15 A/B,
             # BENCH_r15_opt_before/mid). File count per batch is
             # instead bounded by the stream's state partitioning
-            # (stream_partitions(), 8 locally), sized to batch volume
-            batch_df.write.mode("append").parquet(f"{out_root}/emitted")
+            # (stream_partitions(), 8 locally), sized to batch volume.
+            # Committer v2 + no _SUCCESS marker (round 16, guide §1.4):
+            # ~40 job commits per run each paid the v1 two-level
+            # rename plus a marker create — per-WRITE options, so
+            # nothing leaks to other writes (A/B: 16.0/17.5 ->
+            # 13.7/16.3 s full-query; isolated 40-append probe
+            # 8.3/8.6 -> 7.4/7.4 s). v2 task-commits rename directly —
+            # the standard high-throughput cluster setting; exactly-
+            # once on task retry is not weakened for this sink (the
+            # whole tempdir is discarded on any failure).
+            (
+                batch_df.write.mode("append")
+                .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+                .option("mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                        "false")
+                .parquet(f"{out_root}/emitted")
+            )
 
         # default trigger + processAllAvailable, NOT availableNow:
         # PythonMicroBatchStream implements neither
